@@ -1,13 +1,289 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.analytics._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Driver contract (see /root/repo/SURVEY.md §7): one entry per implemented
+ * operator from SURVEY §2 + the north-star extensions; for each, equivalent
+ * DuckDB SQL where the op is SQL-expressible (others get rows-only checks).
+ *
+ * Column-name + type parity rules between `queries` and `oracleSql` are
+ * documented on [[graft.analytics.Relational]].
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational surface (SURVEY §2 capability table)
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_revenue_band" -> (Relational.q02RevenueBand _),
+    "q03_segment_revenue" -> (Relational.q03SegmentRevenue _),
+    "q04_order_priority" -> (Relational.q04OrderPriority _),
+    "q05_nation_revenue" -> (Relational.q05NationRevenue _),
+    "q06_region_customers" -> (Relational.q06RegionCustomers _),
+    "q07_exists_customers" -> (Relational.q07ExistsCustomers _),
+    "q08_anti_customers" -> (Relational.q08AntiCustomers _),
+    "q09_top_orders_per_customer" -> (Relational.q09TopOrdersPerCustomer _),
+    "q10_running_total" -> (Relational.q10RunningTotal _),
+    "q11_order_gaps" -> (Relational.q11OrderGaps _),
+    "q12_rollup_lineitem" -> (Relational.q12RollupLineitem _),
+    "q13_cube_orders" -> (Relational.q13CubeOrders _),
+    "q14_distinct_stats" -> (Relational.q14DistinctStats _),
+    "q15_union_custkeys" -> (Relational.q15Union _),
+    "q16_intersect_custkeys" -> (Relational.q16Intersect _),
+    "q17_except_custkeys" -> (Relational.q17Except _),
+    "q18_top_orders" -> (Relational.q18TopOrders _),
+    "q19_having_big_customers" -> (Relational.q19HavingBigCustomers _),
+    "q20_conditional_agg" -> (Relational.q20ConditionalAgg _),
+    "q21_string_funcs" -> (Relational.q21StringFuncs _),
+    "q22_monthly_orders" -> (Relational.q22MonthlyOrders _),
+    "q23_json_extract" -> (Relational.q23JsonExtract _),
+    "q24_hourly_events" -> (Relational.q24HourlyEvents _),
+    "q25_sessionize" -> (Relational.q25Sessionize _),
+    // the reference's load semantics as queries (ops I-3, F-1..F-5, SC-4)
+    "q26_merge_upsert" -> (Relational.q26MergeUpsert _),
+    "q27_dump_filters" -> (Relational.q27DumpFilters _),
+    "q28_filename_parse" -> (Relational.q28FileNameParse _),
+    "q29_historical_refresh" -> (Relational.q29HistoricalRefresh _),
+    // dedup family
+    "q30_dedup_exact_groups" -> (Dedup.exactGroups _),
+    "q31_dedup_exact_survivors" -> (Dedup.exactSurvivors _),
+    "q32_minhash_lsh_pairs" -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
+    "q33_word_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.wordJaccardPairs(s, d)),
+    "q34_simhash_fingerprints" -> (Dedup.simhashFingerprints _),
+    "q35_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // similarity search
+    "q36_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "q37_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "q38_lsh_bucket_stats" -> (Similarity.lshBucketStats _),
+    // text analysis
+    "q39_token_totals" -> (TextStats.tokenTotals _),
+    "q40_quality_profile" -> (TextStats.qualityProfile _),
+    "q41_langid_confusion" -> ((s: SparkSession, d: String) => TextStats.langIdConfusion(s, d)),
+    "q42_fingerprints" -> (TextStats.fingerprints _),
+    // multimodal plumbing
+    "q43_multimodal_decode" -> (Multimodal.decodeMeta _),
+    "q44_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)))
+
+  private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),6) AS avg_qty, round(avg(l_extendedprice),6) AS avg_price,
+        | round(avg(l_discount),6) AS avg_disc, count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_band" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q03_segment_revenue" ->
+      """SELECT c_mktsegment, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey=o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q05_nation_revenue" ->
+      """SELECT r_name, n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        | JOIN nation ON c_nationkey=n_nationkey
+        | JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q06_region_customers" ->
+      """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal),6) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey=n_nationkey
+        | JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q07_exists_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)""".stripMargin,
+    "q08_anti_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)""".stripMargin,
+    "q09_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t WHERE rn <= 2""".stripMargin,
+    "q10_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+        |FROM orders""".stripMargin,
+    "q11_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(date_diff('day',
+        |   lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |   o_orderdate) AS INTEGER) AS days_since_prev
+        |FROM orders""".stripMargin,
+    "q12_rollup_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q13_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q14_distinct_stats" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows FROM lineitem""".stripMargin,
+    "q15_union_custkeys" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |UNION SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0""".stripMargin,
+    "q16_intersect_custkeys" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0""".stripMargin,
+    "q17_except_custkeys" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |EXCEPT SELECT o_custkey AS custkey FROM orders""".stripMargin,
+    "q18_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_having_big_customers" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 10""".stripMargin,
+    "q20_conditional_agg" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        | round(sum(CASE WHEN l_returnflag='R' THEN l_extendedprice ELSE 0 END),2) AS returned_value,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q21_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name,1,8) AS name_prefix,
+        | CAST(length(p_name) AS INTEGER) AS name_len,
+        | concat(p_brand,'#',p_type) AS brand_type
+        |FROM part""".stripMargin,
+    "q22_monthly_orders" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY date_trunc('month', o_orderdate)""".stripMargin,
+    "q23_json_extract" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q24_hourly_events" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+        | count(*) AS n_events, round(sum(value),2) AS value_sum
+        |FROM events GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type""".stripMargin,
+    "q25_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM g)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n_events,
+        | round(sum(value),2) AS value_sum
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q26_merge_upsert" ->
+      """WITH d1 AS (SELECT o_orderkey, o_totalprice, 1 AS src_seq FROM orders),
+        |d2 AS (SELECT o_orderkey, o_totalprice + 100000.0 AS o_totalprice, 2 AS src_seq
+        |       FROM orders WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src_seq DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_totalprice, src_seq FROM r WHERE rn = 1""".stripMargin,
+    "q27_dump_filters" ->
+      """SELECT dump_id, sequence, schema_version FROM (VALUES
+        | ('d1', CAST(1 AS BIGINT), true,  '2024-01-01T00:00:00Z', 'v2'),
+        | ('d2', CAST(2 AS BIGINT), false, '2024-01-02T00:00:00Z', 'v2'),
+        | ('d3', CAST(3 AS BIGINT), true,  '2024-01-03T00:00:00Z', 'v1'),
+        | ('d4', CAST(4 AS BIGINT), true,  '2024-01-04T00:00:00Z', 'v2'),
+        | ('d5', CAST(5 AS BIGINT), true,  '2024-01-05T00:00:00Z', 'v2'))
+        | AS t(dump_id, sequence, finished, created_at, schema_version)
+        |WHERE finished AND dump_id NOT IN ('d1') AND schema_version = 'v2'""".stripMargin,
+    "q28_filename_parse" ->
+      """SELECT file_name,
+        | regexp_extract(file_name, '^([a-z_0-9]+)-([0-9]+)-([0-9a-f]+)\.(gz)$', 1) AS table_name,
+        | regexp_extract(file_name, '^([a-z_0-9]+)-([0-9]+)-([0-9a-f]+)\.(gz)$', 2) AS shard_part,
+        | regexp_extract(file_name, '^([a-z_0-9]+)-([0-9]+)-([0-9a-f]+)\.(gz)$', 3) AS hash_part,
+        | regexp_extract(file_name, '^([a-z_0-9]+)-([0-9]+)-([0-9a-f]+)\.(gz)$', 4) AS extension
+        |FROM (VALUES ('user_dim-00000-abc123ef.gz'),('assignment_fact-00017-0099ffee.gz'),
+        | ('requests-00001-deadbeef.gz'),('noDashFile.gz'),('too-many-dash-parts.gz')) AS t(file_name)""".stripMargin,
+    "q29_historical_refresh" ->
+      """SELECT dump_id, bool_and(regexp_matches(filename, '^requests.*?$')) AS is_historical
+        |FROM (VALUES ('dumpA','requests-00000-aa.gz'),('dumpA','requests-00001-bb.gz'),
+        | ('dumpB','requests-00000-cc.gz'),('dumpB','user_dim-00000-dd.gz')) AS t(dump_id, filename)
+        |GROUP BY dump_id""".stripMargin,
+    "q30_dedup_exact_groups" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q31_dedup_exact_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        | SELECT doc_id, lang, source, n_chars,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        | FROM documents) t WHERE rn = 1""".stripMargin,
+    "q33_word_jaccard_pairs" ->
+      s"""WITH l AS (SELECT doc_id AS doc_a, lang, list_distinct($tokens) AS wa
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |r AS (SELECT doc_id AS doc_b, lang, list_distinct($tokens) AS wb FROM documents),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(wa, wb)) AS DOUBLE) /
+        |   len(list_distinct(list_concat(wa, wb))) AS jac
+        | FROM l JOIN r USING (lang) WHERE doc_a < doc_b)
+        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.1""".stripMargin,
+    "q36_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*ce[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, len(ce)+1), i -> ce[i]*ce[i])))) AS cosine
+        | FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        | FROM s)
+        |SELECT query_id, neighbor_id, round(cosine,6) AS cosine, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5""".stripMargin,
+    "q39_token_totals" ->
+      s"""SELECT source, CAST(sum(len($tokens)) AS BIGINT) AS total_tokens,
+        | CAST(sum(CAST(ceil(n_chars/4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY source""".stripMargin,
+    "q40_quality_profile" ->
+      s"""SELECT lang, round(avg(n_chars),6) AS avg_chars,
+        | round(avg(len($tokens)),6) AS avg_tokens,
+        | round(avg(CAST(n_chars AS DOUBLE)/len($tokens)),6) AS avg_token_len,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q41_langid_confusion" ->
+      s"""SELECT lang,
+        | CASE WHEN CAST(len(list_filter($tokens,
+        |   w -> w IN ('the','a','and','of','to','in','is','for'))) AS DOUBLE) /
+        |   len($tokens) > 0.02 THEN 'en' ELSE 'other' END AS predicted_lang,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY lang, predicted_lang""".stripMargin,
+    "q42_fingerprints" ->
+      s"""SELECT doc_id,
+        | list_reduce(list_transform($tokens, w -> CAST(ascii(w)+length(w) AS BIGINT)),
+        |   (acc, x) -> (acc*31+x) % 1000000007) AS fingerprint,
+        | CAST(len($tokens) AS INTEGER) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q43_multimodal_decode" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        | CAST((octet_length(encode(text))*7) % 480 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+    "q44_frame_sample" ->
+      """SELECT doc_id, CAST(t.f AS INTEGER) AS frame_idx, CAST(t.f*256 AS INTEGER) AS byte_offset
+        |FROM documents,
+        | UNNEST(range(0, greatest(octet_length(encode(text))//256, 1))) AS t(f)""".stripMargin)
 }

@@ -1,0 +1,303 @@
+package graft.analytics
+
+import graft.api.{DumpInList, Manifest}
+import graft.ingest.Merge
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The relational query surface: every class of operation SURVEY §2's
+ * "capability" table assigns to Spark built-ins (joins, aggregations,
+ * windows, set ops, sorts/limits, scalar functions, sessionization) plus the
+ * reference's own merge/filter semantics re-expressed as declarative queries.
+ *
+ * Output-shape rules (driver oracle compare):
+ *  - every computed column is aliased identically here and in the oracle SQL;
+ *  - non-exact floating sums are `round(_, 2)` and averages `round(_, 6)` on
+ *    BOTH sides, so cross-engine summation-order differences cannot flip the
+ *    hash (exact-representable sums — counts, int sums, small-int-valued
+ *    doubles like l_quantity — stay unrounded);
+ *  - LIMIT/top-k queries always carry a unique tie-break key so the selected
+ *    SET is deterministic.
+ *
+ * Scale notes are on each query; dimensions are broadcast explicitly where
+ * Catalyst's size estimate may not see it (SURVEY §1.4: `dw_type=dimension`
+ * ⇒ broadcast hint).
+ */
+object Relational {
+
+  import Tables._
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** TPC-H Q1 shape: single scan, 4-wide partial agg, 2 grouping keys.
+    * Filter + pruning push to parquet; whole-stage codegen end-to-end. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // small-int-valued doubles: exact
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(revenue), 2).as("sum_disc_price"),
+        round(sum(revenue * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q6 shape: pure filter-aggregate; all predicates pushed. */
+  def q02RevenueBand(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** 3-way join, small side broadcast; revenue per market segment. */
+  def q03SegmentRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_rows"))
+
+  /** Semi-join (EXISTS) + agg: order priorities having at least one line. */
+  def q04OrderPriority(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d).select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** TPC-H Q5 shape: star join through 4 dims; dims broadcast. */
+  def q05NationRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_lines"))
+
+  /** Dim-only star probe: customers per region with balance stats. */
+  def q06RegionCustomers(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 6).as("avg_bal"))
+
+  /** left_semi: customers that have ordered (EXISTS). */
+  def q07ExistsCustomers(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** left_anti: customers that never ordered (NOT EXISTS) — the same shape
+    * as the I-3 merge's delete side. */
+  def q08AntiCustomers(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Window top-N per key (deterministic tie-break on the unique key). */
+  def q09TopOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** Running (prefix) aggregate per key — same sequential order in any
+    * engine, so the double sum is reproducible; rounded anyway. */
+  def q10RunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+  }
+
+  /** lag(): days between consecutive orders per customer. */
+  def q11OrderGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
+  }
+
+  /** ROLLUP over two grouping keys (hierarchical subtotals). */
+  def q12RollupLineitem(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  /** CUBE over two grouping keys (all subtotal combinations). */
+  def q13CubeOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  /** Exact distinct counts (expand-based multi-distinct in one pass). */
+  def q14DistinctStats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      count(lit(1)).as("n_rows"))
+
+  private def orderedCustkeys(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_custkey").as("custkey"))
+  private def negativeCustkeys(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_acctbal") < 0).select(col("c_custkey").as("custkey"))
+
+  /** UNION (distinct). */
+  def q15Union(s: SparkSession, d: String): DataFrame =
+    orderedCustkeys(s, d).union(negativeCustkeys(s, d)).distinct()
+
+  /** INTERSECT. */
+  def q16Intersect(s: SparkSession, d: String): DataFrame =
+    orderedCustkeys(s, d).intersect(negativeCustkeys(s, d))
+
+  /** EXCEPT: negative-balance customers that never ordered. */
+  def q17Except(s: SparkSession, d: String): DataFrame =
+    negativeCustkeys(s, d).except(orderedCustkeys(s, d))
+
+  /** Global top-k with unique tie-break — TakeOrderedAndProject, no full sort. */
+  def q18TopOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** GROUP BY + HAVING. */
+  def q19HavingBigCustomers(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_spent"))
+      .filter(col("n_orders") >= 10)
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  def q20ConditionalAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)), 2)
+          .as("returned_value"),
+        count(lit(1)).as("n_rows"))
+
+  /** Scalar string functions (codegen'd, no UDFs). */
+  def q21StringFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 8).as("name_prefix"),
+      length(col("p_name")).as("name_len"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
+
+  /** Date bucketing: monthly order stats. */
+  def q22MonthlyOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  /** JSON extraction from the events.props payload. */
+  def q23JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k_val")).as("k_sum"), count(lit(1)).as("n_events"))
+
+  /** Tumbling 1-hour window (batch form of the streaming aggregation —
+    * `window()` here is byte-identical to the Structured Streaming plan). */
+  def q24HourlyEvents(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n_events"), col("value_sum"))
+
+  /** Session windows (1h inactivity gap) per user — batch form of
+    * `session_window`; the oracle reproduces it as gaps-and-islands. */
+  def q25Sessionize(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("value_sum"))
+
+  /**
+   * The reference's core capability as a query: incremental upsert (op I-3).
+   * Two synthetic "dumps" of orders (dump 2 re-ships every 10th order with a
+   * changed price); the engine's Merge.dedupLatest picks last-writer-wins
+   * per PK regardless of replay order.
+   */
+  def q26MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val dump1 = base.withColumn("src_seq", lit(1))
+    val dump2 = base
+      .filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+      .withColumn("src_seq", lit(2))
+    Merge.dedupLatest(dump1.unionByName(dump2), Seq("o_orderkey"), "src_seq")
+      .select(col("o_orderkey"), col("o_totalprice"), col("src_seq"))
+  }
+
+  /** Fixed manifest for q27 — dump-selection filters F-1..F-3 + SO-1 on
+    * literal data, exercising the real Manifest code path. */
+  val manifestFixture: Seq[DumpInList] = Seq(
+    DumpInList("d1", 1, 10, finished = true, "2024-01-01T00:00:00Z", "v2"),
+    DumpInList("d2", 2, 10, finished = false, "2024-01-02T00:00:00Z", "v2"),
+    DumpInList("d3", 3, 10, finished = true, "2024-01-03T00:00:00Z", "v1"),
+    DumpInList("d4", 4, 10, finished = true, "2024-01-04T00:00:00Z", "v2"),
+    DumpInList("d5", 5, 10, finished = true, "2024-01-05T00:00:00Z", "v2"))
+
+  def q27DumpFilters(s: SparkSession, d: String): DataFrame = {
+    val (selected, _) = Manifest.selectDumps(
+      Manifest.dumpsDF(s, manifestFixture),
+      processed = Set("d1"),
+      latestSchemaVersion = "v2",
+      onlyLoadFinal = false)
+    selected.select(col("dumpId").as("dump_id"), col("sequence"), col("schemaVersion").as("schema_version"))
+  }
+
+  /** Filename split (op SC-4) as a distributed regexp over a literal frame —
+    * cross-checked against DuckDB's regexp_extract. */
+  val fileNameFixture: Seq[String] = Seq(
+    "user_dim-00000-abc123ef.gz",
+    "assignment_fact-00017-0099ffee.gz",
+    "requests-00001-deadbeef.gz",
+    "noDashFile.gz",
+    "too-many-dash-parts.gz")
+
+  val fileNamePattern = "^([a-z_0-9]+)-([0-9]+)-([0-9a-f]+)\\.(gz)$"
+
+  def q28FileNameParse(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    fileNameFixture.toDF("file_name").select(
+      col("file_name"),
+      regexp_extract(col("file_name"), fileNamePattern, 1).as("table_name"),
+      regexp_extract(col("file_name"), fileNamePattern, 2).as("shard_part"),
+      regexp_extract(col("file_name"), fileNamePattern, 3).as("hash_part"),
+      regexp_extract(col("file_name"), fileNamePattern, 4).as("extension"))
+  }
+
+  /** Historical-refresh predicate (op F-5) per dump over a literal files
+    * frame: `forall(filename rlike '^requests')` as min() of booleans. */
+  def q29HistoricalRefresh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val files = Seq(
+      ("dumpA", "requests-00000-aa.gz"),
+      ("dumpA", "requests-00001-bb.gz"),
+      ("dumpB", "requests-00000-cc.gz"),
+      ("dumpB", "user_dim-00000-dd.gz"))
+      .toDF("dump_id", "filename")
+    files.groupBy(col("dump_id"))
+      .agg(min(col("filename").rlike(Manifest.RequestsRegex)).as("is_historical"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Test-warehouse table loader. The driver's star schema (TESTDATA.md):
+ * region, nation, customer, supplier, part, orders, lineitem, events,
+ * documents, embeddings — one parquet per table under a scale-factor dir.
+ *
+ * Dimension/fact split mirrors the reference catalog's `dw_type`
+ * (`/root/reference/src/api_client.rs:405-421`): dimensions are
+ * broadcast-join candidates.
+ */
+object Tables {
+
+  val dimensions: Set[String] = Set("region", "nation", "supplier", "part", "customer")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /**
+   * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+   * outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw long
+   * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
+   * the same floor DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so the
+   * oracle agrees. Integer `div` (not `/`): epoch-nanos exceed 2^53 and
+   * would lose precision through a double.
+   */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

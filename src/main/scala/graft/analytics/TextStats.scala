@@ -1,0 +1,80 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data pipelines over `documents`:
+ * token counting, quality scoring, heuristic language-ID, and document
+ * fingerprinting. Pure column expressions — every op is a narrow map over
+ * the scan (zero shuffles until the final aggregate), which is exactly what
+ * you want when the input is 100 TB of text: the per-document work pipelines
+ * inside whole-stage codegen and aggregates partially map-side.
+ */
+object TextStats {
+
+  import Tables._
+
+  def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(words(c))
+
+  /** BPE-ish token estimate: ~4 chars/token heuristic (ceil(len/4)). */
+  def bpeTokenEstimate(lenCol: Column): Column =
+    ceil(lenCol.cast("double") / 4.0).cast("long")
+
+  /** English stopword ratio — the language-ID signal. */
+  val enStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "for")
+
+  def stopwordRatio(c: Column): Column = {
+    val ws = words(c)
+    size(filter(ws, w => w.isin(enStopwords: _*))).cast("double") / size(ws)
+  }
+
+  /** Per-source token totals: exact whitespace tokens + BPE-ish estimate. */
+  def tokenTotals(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(bpeTokenEstimate(col("n_chars"))).as("est_bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+
+  /** Per-language quality profile: mean doc length, token count, mean token
+    * length — the filter signals of a data-quality pass. */
+  def qualityProfile(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        round(avg(tokenCount(col("text"))), 6).as("avg_tokens"),
+        round(avg(col("n_chars").cast("double") / tokenCount(col("text"))), 6)
+          .as("avg_token_len"),
+        count(lit(1)).as("n_docs"))
+
+  /** Heuristic language ID: stopword-ratio threshold → 'en' / 'other';
+    * confusion profile against the generator's lang label. */
+  def langIdConfusion(s: SparkSession, d: String, threshold: Double = 0.02): DataFrame =
+    documents(s, d)
+      .withColumn("predicted_lang",
+        when(stopwordRatio(col("text")) > threshold, lit("en")).otherwise(lit("other")))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /**
+   * Document fingerprint: Karp-Rabin polynomial rolling hash over word
+   * codepoints (base 31, mod 1e9+7), computed with a sequential
+   * higher-order `aggregate` — the building block for shift-resistant
+   * near-dup detection (winnowing), exposed here as a per-doc fingerprint.
+   */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(words(c), lit(0L),
+      (acc, w) => pmod(acc * 31 + ascii(w) + length(w), lit(1000000007L)))
+
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      rollingFingerprint(col("text")).as("fingerprint"),
+      tokenCount(col("text")).as("n_tokens"))
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming over the `events` table shape
+ * (event_id, ts, user_id, event_type, value, props).
+ *
+ * The reference runs as an hourly batch cron (`/root/reference/README.md:31-33`)
+ * with no streaming capability; this module supplies the streaming tier the
+ * north-star asks for. Each transform is defined once against a plain
+ * DataFrame so the SAME code path serves `spark.read` (batch — used by the
+ * oracle-checked queries q24/q25) and `spark.readStream` (incremental).
+ *
+ * State-size posture (100 TB / unbounded stream): every stateful op carries
+ * a watermark so Spark can evict state; session windows additionally bound
+ * per-key state by the gap. Shuffle partitions sized by the session conf,
+ * not hardcoded.
+ */
+object EventStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling 1h counts per event type, late data beyond 2h dropped. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** Sliding windows: 1h window advancing every 15m. */
+  def slidingValue(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("avg_value"))
+
+  /** Session windows (1h inactivity gap) per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("value_sum"))
+
+  /** Streaming exact dedup on event_id with bounded state. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
+}

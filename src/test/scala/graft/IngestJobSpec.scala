@@ -1,0 +1,117 @@
+package graft
+
+import java.io.{BufferedWriter, File, FileOutputStream, OutputStreamWriter}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import graft.api.DumpInList
+import graft.ingest.TsvReader
+import graft.jobs.IngestJob
+import graft.schema.CanvasSchema
+import graft.state.IngestState
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Ingest end-to-end over synthetic Canvas dump fixtures (FIXTURES.md §B):
+ * gzipped headerless TSV, `\N` nulls, schema-ordered columns, two dumps with
+ * overlapping PKs → last-writer-wins; volatile table → drop/recreate.
+ */
+class IngestJobSpec extends AnyFunSuite with SparkSuite {
+
+  private val schemaJson =
+    """{
+      |  "version": "1.0.0",
+      |  "schema": {
+      |    "user_dim": {
+      |      "dw_type": "dimension", "incremental": true, "tableName": "user_dim",
+      |      "columns": [
+      |        {"name": "id", "type": "bigint"},
+      |        {"name": "name", "type": "varchar"},
+      |        {"name": "created_at", "type": "timestamp"},
+      |        {"name": "visibility", "type": "enum"}
+      |      ]
+      |    },
+      |    "quiz_dim": {
+      |      "dw_type": "dimension", "incremental": false, "tableName": "quiz_dim",
+      |      "columns": [
+      |        {"name": "id", "type": "bigint"},
+      |        {"name": "title", "type": "text"}
+      |      ]
+      |    }
+      |  }
+      |}""".stripMargin
+
+  private def gz(path: File, lines: Seq[String]): String = {
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(path)), "UTF-8"))
+    lines.foreach { l => w.write(l); w.write("\n") }
+    w.close()
+    path.getAbsolutePath
+  }
+
+  test("two-dump ingest: incremental keep-latest + volatile overwrite + state machine") {
+    val root = Files.createTempDirectory("graft_ingest").toFile
+    val schema = CanvasSchema.fromJson(schemaJson)
+    val state = new IngestState(spark, s"$root/state")
+    val wh = s"$root/warehouse"
+
+    // dump 1: users 1,2 + quiz 10; dump 2: user 2 renamed (+null), user 3 new, quiz 11 only
+    val d1u = gz(new File(root, "user_dim-00000-aa.gz"), Seq(
+      "1\talice\t2024-01-01 00:00:00\tnormal",
+      "2\tbob\t2024-01-01 00:00:00\t\\N"))
+    val d1q = gz(new File(root, "quiz_dim-00000-aa.gz"), Seq("10\tfirst quiz"))
+    val d2u = gz(new File(root, "user_dim-00000-bb.gz"), Seq(
+      "2\tbobby\t2024-02-01 12:30:00\thidden",
+      "3\tcarol\t2024-02-01 12:30:00\tnormal"))
+    val d2q = gz(new File(root, "quiz_dim-00000-bb.gz"), Seq("11\tsecond quiz"))
+
+    val dumps = Seq(
+      DumpInList("dump1", 1, 2, finished = true, "2024-01-02T00:00:00Z", "1.0.0"),
+      DumpInList("dump2", 2, 2, finished = true, "2024-02-02T00:00:00Z", "1.0.0"),
+      DumpInList("dump3", 3, 1, finished = false, "2024-03-02T00:00:00Z", "1.0.0"), // F-1 skip
+      DumpInList("dump4", 4, 1, finished = true, "2024-04-02T00:00:00Z", "0.9.0")) // F-3 out-of-date
+
+    val files = Map(
+      "dump1" -> Map("user_dim" -> Seq(d1u), "quiz_dim" -> Seq(d1q)),
+      "dump2" -> Map("user_dim" -> Seq(d2u), "quiz_dim" -> Seq(d2q)))
+
+    new IngestJob(spark, schema, wh, state).run(dumps, files(_))
+
+    import spark.implicits._
+    val users = spark.read.parquet(s"$wh/user_dim")
+      .select("id", "name", "visibility").as[(Long, String, Option[String])]
+      .collect().toSet
+    assert(users == Set(
+      (1L, "alice", Some("normal")),
+      (2L, "bobby", Some("hidden")), // dump2 overwrote dump1's row (incl. null→value)
+      (3L, "carol", Some("normal"))))
+
+    // quiz_dim is in VOLATILE_TABLES → dump2 fully replaced dump1
+    val quizzes = spark.read.parquet(s"$wh/quiz_dim")
+      .select("id").as[Long].collect().toSet
+    assert(quizzes == Set(11L))
+
+    // state machine
+    assert(state.dumpStatus("dump1").contains(IngestState.Successful))
+    assert(state.dumpStatus("dump2").contains(IngestState.Successful))
+    assert(state.dumpStatus("dump3").isEmpty) // unfinished: never attempted
+    assert(state.dumpStatus("dump4").contains(IngestState.OutOfDate))
+    assert(state.lastVersionProcessed.contains("1.0.0"))
+
+    // rerun: F-2 skips processed dumps; warehouse unchanged (idempotence)
+    new IngestJob(spark, schema, wh, state).run(dumps, files(_))
+    assert(spark.read.parquet(s"$wh/user_dim").count() == 3)
+    assert(spark.read.parquet(s"$wh/quiz_dim").count() == 1)
+  }
+
+  test("TsvReader: \\N decodes to typed NULL, values keep quotes (I-6 divergence)") {
+    val root = Files.createTempDirectory("graft_tsv").toFile
+    val schema = CanvasSchema.fromJson(schemaJson)
+    val f = gz(new File(root, "user_dim-00000-cc.gz"), Seq(
+      "\\N\tit's \"quoted\"\t\\N\t\\N"))
+    val df = TsvReader.read(spark, Seq(f), schema.tables("user_dim"))
+    val row = df.collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(2) && row.isNullAt(3))
+    assert(row.getString(1) == "it's \"quoted\"") // reference strips quotes; we keep them
+  }
+}
