@@ -67,7 +67,11 @@ object SparkEntry {
     "q42_fingerprints" -> (TextStats.fingerprints _),
     // multimodal plumbing
     "q43_multimodal_decode" -> (Multimodal.decodeMeta _),
-    "q44_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)))
+    "q44_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    // order statistics, sketches, pivot
+    "q45_percentiles" -> (Relational.q45Percentiles _),
+    "q46_approx_distinct" -> (Relational.q46ApproxDistinct _),
+    "q47_pivot" -> (Relational.q47Pivot _))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -285,5 +289,19 @@ object SparkEntry {
     "q44_frame_sample" ->
       """SELECT doc_id, CAST(t.f AS INTEGER) AS frame_idx, CAST(t.f*256 AS INTEGER) AS byte_offset
         |FROM documents,
-        | UNNEST(range(0, greatest(octet_length(encode(text))//256, 1))) AS t(f)""".stripMargin)
+        | UNNEST(range(0, greatest(octet_length(encode(text))//256, 1))) AS t(f)""".stripMargin,
+    "q45_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25),6) AS price_p25,
+        | round(quantile_cont(l_extendedprice, 0.5),6) AS price_p50,
+        | round(quantile_cont(l_extendedprice, 0.75),6) AS price_p75,
+        | round(quantile_cont(l_quantity, 0.5),6) AS qty_p50,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q47_pivot" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END),2) AS F,
+        | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END),2) AS O,
+        | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END),2) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
 }

@@ -287,6 +287,37 @@ object Relational {
       regexp_extract(col("file_name"), fileNamePattern, 4).as("extension"))
   }
 
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`) — the order-statistics surface. */
+  def q45Percentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("price_p75"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+        count(lit(1)).as("n_rows"))
+
+  /** HyperLogLog++ sketch counts — the approximate-distinct scale path
+    * (sketches merge associatively across partitions; at 100 TB this is
+    * the only affordable distinct). Approximate ⇒ rows-only check, with the
+    * exact count alongside for plausibility. */
+  def q46ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+
+  /** Pivot (explicit value list keeps the plan single-pass map-side). */
+  def q47Pivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+
   /** Historical-refresh predicate (op F-5) per dump over a literal files
     * frame: `forall(filename rlike '^requests')` as min() of booleans. */
   def q29HistoricalRefresh(s: SparkSession, d: String): DataFrame = {

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
  *    corpus is partitioned by cell and a query touches O(nprobe/ncells) of
  *    the data instead of all of it.
  *
- * All vector math is higher-order array expressions (`zip_with` +
- * `aggregate`) computed in double — no UDFs, no collect. Sequential
- * left-to-right summation keeps results reproducible across engines.
+ * Vector math is computed in double with sequential left-to-right
+ * summation (reproducible across engines): the float×float hot path uses
+ * the native codegen'd [[graft.functions.CosineSimilarity]] expression,
+ * everything else higher-order array expressions (`zip_with` +
+ * `aggregate`). No UDFs, no collect.
  */
 object Similarity {
 
@@ -32,7 +34,16 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Higher-order-function cosine: works on any numeric element type
+    * (used for float-vs-double centroid routing). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native codegen'd cosine for float×float corpus scans — numerically
+    * identical to [[cosine]] (same order, same formula), ~one fused loop
+    * per row instead of interpreted lambdas; see
+    * [[graft.functions.CosineSimilarity]]. */
+  def cosineNative(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   /**
    * Exact cosine top-k: query set (vec_id ≡ 0 mod stride) broadcast against
@@ -47,7 +58,7 @@ object Similarity {
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val scored = corpus.join(broadcast(queries))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine", cosineNative(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rn", row_number().over(w))
@@ -55,9 +66,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rn"))
   }
 
-  /** Centroid per IVF cell: element-wise mean of member embeddings, computed
-    * with one aggregation (array summed via zip_with reduce in two passes:
-    * posexplode-free, using aggregate over collected… no — exploded form). */
+  /** Centroid per IVF cell: element-wise mean of member embeddings in
+    * exploded (cell, dim, value) form — one shuffle keyed by (cell, dim),
+    * then reassembled into an ordered array per cell. */
   def centroids(emb: DataFrame): DataFrame = {
     // explode to (cell, dim_idx, value) — one shuffle keyed by (cell, dim).
     val exploded = emb.select(col("label").as("cell"),
@@ -94,7 +105,7 @@ object Similarity {
       col("embedding").as("c_emb"), col("label").as("cell"))
     val scored = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine", cosineNative(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

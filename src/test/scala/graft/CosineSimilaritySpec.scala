@@ -1,0 +1,52 @@
+package graft
+
+import graft.analytics.Similarity
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native codegen'd cosine vs the higher-order-function formulation:
+  * must be bitwise-identical (same order, same formula) so swapping the
+  * implementation cannot move oracle results. */
+class CosineSimilaritySpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+    (3L, Array(0.5f, -0.25f, 0.125f), Array(-0.5f, 0.25f, -0.125f)),
+    (4L, Array(0.1f, 0.2f, 0.3f), Array(0.9f, 0.8f, 0.7f)))
+    .toDF("id", "a", "b")
+
+  test("matches the HOF cosine bitwise") {
+    val out = vecs.select(
+      CosineSimilarity.cosineSim(col("a"), col("b")).as("native"),
+      Similarity.cosine(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("known values: orthogonal=0, identical=1, opposite=-1") {
+    val m = vecs.select(col("id"), CosineSimilarity.cosineSim(col("a"), col("b")))
+      .as[(Long, Double)].collect().toMap
+    assert(m(1L) == 0.0)
+    assert(math.abs(m(2L) - 1.0) < 1e-12)
+    assert(math.abs(m(3L) + 1.0) < 1e-12)
+  }
+
+  test("null array propagates null") {
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(CosineSimilarity.cosineSim(col("a"), col("b")).as("c"))
+    assert(df.collect()(0).isNullAt(0))
+  }
+
+  test("participates in codegen (no fallback errors) over a real scan") {
+    // drive through the same path bruteForceTopK uses on the fixture
+    val topk = Similarity.bruteForceTopK(spark, "/root/testdata/sf0.001", k = 3)
+    assert(topk.count() > 0)
+  }
+}
