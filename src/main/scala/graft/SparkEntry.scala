@@ -71,7 +71,12 @@ object SparkEntry {
     // order statistics, sketches, pivot
     "q45_percentiles" -> (Relational.q45Percentiles _),
     "q46_approx_distinct" -> (Relational.q46ApproxDistinct _),
-    "q47_pivot" -> (Relational.q47Pivot _))
+    "q47_pivot" -> (Relational.q47Pivot _),
+    // composed operators: as-of join, grouping sets, range frames, salting
+    "q48_asof_join" -> (Relational.q48AsofJoin _),
+    "q49_grouping_sets" -> (Relational.q49GroupingSets _),
+    "q50_trailing_spend" -> (Relational.q50TrailingSpend _),
+    "q51_salted_agg" -> (Relational.q51SaltedAgg _))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -303,5 +308,25 @@ object SparkEntry {
         | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END),2) AS F,
         | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END),2) AS O,
         | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END),2) AS P
-        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q48_asof_join" ->
+      """WITH o AS (
+        | SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+        | FROM orders GROUP BY o_custkey, o_orderdate),
+        |e AS (SELECT event_id, user_id, ts FROM events)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+        |FROM e ASOF LEFT JOIN o
+        | ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""".stripMargin,
+    "q49_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q50_trailing_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW),2) AS trailing_30d
+        |FROM orders""".stripMargin,
+    "q51_salted_agg" ->
+      """SELECT l_suppkey, sum(l_quantity) AS sum_l_quantity, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin)
 }

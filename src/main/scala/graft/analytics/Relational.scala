@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.api.{DumpInList, Manifest}
 import graft.ingest.Merge
+import graft.operators.{AsOfJoin, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -317,6 +318,47 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(round(sum(col("o_totalprice")), 2))
+
+  /** As-of join: each event picks up the user's latest order at-or-before
+    * the event time (point-in-time lookup). One shuffle per side via the
+    * union+window formulation — see [[graft.operators.AsOfJoin]]. Oracle:
+    * DuckDB's native ASOF LEFT JOIN. */
+  def q48AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ords = AsOfJoin.latestPerKeyTs(
+      orders(s, d).select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey")),
+      "user_id", "o_orderdate", "o_orderkey")
+    AsOfJoin.asof(
+      events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+      ords, "user_id", "ts", "o_orderdate", Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"))
+  }
+
+  /** GROUPING SETS (mixed subtotal shapes in one pass). */
+  def q49GroupingSets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  /** RANGE-frame window: trailing 30-day spend per customer. Value-based
+    * frames are tie-safe (all peer rows included), so no tie-break needed. */
+  def q50TrailingSpend(s: SparkSession, d: String): DataFrame = {
+    // NTZ → LTZ (session tz is pinned UTC) → epoch seconds: RANGE frames
+    // need a numeric ordering; 30 days = 2 592 000 s matches the oracle's
+    // INTERVAL frame because o_orderdate is midnight-valued.
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, 0)
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      round(sum(col("o_totalprice")).over(w), 2).as("trailing_30d"))
+  }
+
+  /** Salted two-phase aggregation (skew path) — must equal the plain
+    * GROUP BY, which is exactly what the oracle checks. */
+  def q51SaltedAgg(s: SparkSession, d: String): DataFrame =
+    Skew.saltedSumCount(lineitem(s, d), "l_suppkey", "l_quantity", "l_orderkey", factor = 8)
 
   /** Historical-refresh predicate (op F-5) per dump over a literal files
     * frame: `forall(filename rlike '^requests')` as min() of booleans. */
