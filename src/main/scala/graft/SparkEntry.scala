@@ -76,7 +76,8 @@ object SparkEntry {
     "q48_asof_join" -> (Relational.q48AsofJoin _),
     "q49_grouping_sets" -> (Relational.q49GroupingSets _),
     "q50_trailing_spend" -> (Relational.q50TrailingSpend _),
-    "q51_salted_agg" -> (Relational.q51SaltedAgg _))
+    "q51_salted_agg" -> (Relational.q51SaltedAgg _),
+    "q52_heavy_hitters" -> ((s: SparkSession, d: String) => TextStats.heavyHitters(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -328,5 +329,9 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "q51_salted_agg" ->
       """SELECT l_suppkey, sum(l_quantity) AS sum_l_quantity, count(*) AS n_rows
-        |FROM lineitem GROUP BY l_suppkey""".stripMargin)
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "q52_heavy_hitters" ->
+      s"""SELECT t.w AS word, count(*) AS n
+        |FROM documents, UNNEST($tokens) AS t(w)
+        |GROUP BY t.w ORDER BY n DESC, word LIMIT 20""".stripMargin)
 }

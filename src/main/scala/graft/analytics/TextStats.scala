@@ -77,4 +77,15 @@ object TextStats {
       col("doc_id"),
       rollingFingerprint(col("text")).as("fingerprint"),
       tokenCount(col("text")).as("n_tokens"))
+
+  /** Corpus-wide heavy hitters: the canonical distributed word count with a
+    * deterministic top-k (count desc, word asc). Map-side partial aggs do
+    * the heavy lifting; only (word, partial_count) pairs shuffle. */
+  def heavyHitters(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    documents(s, d)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
 }
