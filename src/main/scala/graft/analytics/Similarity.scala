@@ -59,12 +59,19 @@ object Similarity {
     val scored = corpus.join(broadcast(queries))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rn"))
+    boundedTopK(scored, k)
   }
+
+  /** Per-query top-k via the bounded-heap aggregate: partial k-heaps build
+    * map-side, only k rows per partition per query shuffle — vs a window
+    * sort of EVERY scored row. Output identical to the window form
+    * (score desc, id asc), verified bitwise in SimilaritySpec. */
+  private def boundedTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopK.topK(k)(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        round(col("s.score"), 6).as("cosine"), (col("idx") + 1).as("rn"))
 
   /** Centroid per IVF cell: element-wise mean of member embeddings in
     * exploded (cell, dim, value) form — one shuffle keyed by (cell, dim),
@@ -106,10 +113,7 @@ object Similarity {
     val scored = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rn"))
+    boundedTopK(scored, k)
   }
 
   /**
