@@ -77,7 +77,11 @@ object SparkEntry {
     "q49_grouping_sets" -> (Relational.q49GroupingSets _),
     "q50_trailing_spend" -> (Relational.q50TrailingSpend _),
     "q51_salted_agg" -> (Relational.q51SaltedAgg _),
-    "q52_heavy_hitters" -> ((s: SparkSession, d: String) => TextStats.heavyHitters(s, d)))
+    "q52_heavy_hitters" -> ((s: SparkSession, d: String) => TextStats.heavyHitters(s, d)),
+    "q53_sliding_windows" -> (Relational.q53SlidingWindows _),
+    "q54_distinct_flags" -> (Relational.q54DistinctFlags _),
+    "q55_customer_order_dist" -> (Relational.q55CustomerOrderDist _),
+    "q56_supplier_reconcile" -> (Relational.q56SupplierReconcile _))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -333,5 +337,26 @@ object SparkEntry {
     "q52_heavy_hitters" ->
       s"""SELECT t.w AS word, count(*) AS n
         |FROM documents, UNNEST($tokens) AS t(w)
-        |GROUP BY t.w ORDER BY n DESC, word LIMIT 20""".stripMargin)
+        |GROUP BY t.w ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // each event belongs to exactly 4 sliding (1h size, 15m slide) windows:
+    // starts floor(t,15m) - k*15m for k=0..3; make_timestamp keeps it naive
+    "q53_sliding_windows" ->
+      """SELECT make_timestamp((CAST(floor(epoch(ts)/900) AS BIGINT)*900 - t.k*900)*1000000)
+        |   AS bucket, event_type, count(*) AS n_events, round(sum(value),2) AS value_sum
+        |FROM events, UNNEST([0,1,2,3]) AS t(k)
+        |GROUP BY bucket, event_type""".stripMargin,
+    "q54_distinct_flags" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q55_customer_order_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q56_supplier_reconcile" ->
+      """SELECT coalesce(s_suppkey, l_suppkey) AS suppkey,
+        | (s_suppkey IS NOT NULL) AS in_supplier,
+        | (l_suppkey IS NOT NULL) AS in_lineitem
+        |FROM supplier FULL OUTER JOIN (SELECT DISTINCT l_suppkey FROM lineitem) t
+        | ON s_suppkey = l_suppkey""".stripMargin)
 }

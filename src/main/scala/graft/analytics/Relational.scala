@@ -360,6 +360,41 @@ object Relational {
   def q51SaltedAgg(s: SparkSession, d: String): DataFrame =
     Skew.saltedSumCount(lineitem(s, d), "l_suppkey", "l_quantity", "l_orderkey", factor = 8)
 
+  /** Sliding windows (1h size, 15m slide) in batch — every event lands in
+    * exactly 4 overlapping windows; same plan Structured Streaming uses. */
+  def q53SlidingWindows(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** DISTINCT projection (dedup on the projected tuple). */
+  def q54DistinctFlags(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  /** TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — customers
+    * by how many orders they have, including the zero-order customers an
+    * inner join would drop. */
+  def q55CustomerOrderDist(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col): non-null only
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** FULL OUTER join: supplier roster vs suppliers seen in lineitem. */
+  def q56SupplierReconcile(s: SparkSession, d: String): DataFrame = {
+    val seen = lineitem(s, d).select(col("l_suppkey")).distinct()
+    supplier(s, d)
+      .join(seen, col("s_suppkey") === col("l_suppkey"), "full_outer")
+      .select(
+        coalesce(col("s_suppkey"), col("l_suppkey")).as("suppkey"),
+        col("s_suppkey").isNotNull.as("in_supplier"),
+        col("l_suppkey").isNotNull.as("in_lineitem"))
+  }
+
   /** Historical-refresh predicate (op F-5) per dump over a literal files
     * frame: `forall(filename rlike '^requests')` as min() of booleans. */
   def q29HistoricalRefresh(s: SparkSession, d: String): DataFrame = {
