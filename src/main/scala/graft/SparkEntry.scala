@@ -81,7 +81,8 @@ object SparkEntry {
     "q53_sliding_windows" -> (Relational.q53SlidingWindows _),
     "q54_distinct_flags" -> (Relational.q54DistinctFlags _),
     "q55_customer_order_dist" -> (Relational.q55CustomerOrderDist _),
-    "q56_supplier_reconcile" -> (Relational.q56SupplierReconcile _))
+    "q56_supplier_reconcile" -> (Relational.q56SupplierReconcile _),
+    "q57_corpus_prep" -> ((s: SparkSession, d: String) => TextStats.corpusPrep(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -358,5 +359,16 @@ object SparkEntry {
         | (s_suppkey IS NOT NULL) AS in_supplier,
         | (l_suppkey IS NOT NULL) AS in_lineitem
         |FROM supplier FULL OUTER JOIN (SELECT DISTINCT l_suppkey FROM lineitem) t
-        | ON s_suppkey = l_suppkey""".stripMargin)
+        | ON s_suppkey = l_suppkey""".stripMargin,
+    "q57_corpus_prep" ->
+      s"""WITH filtered AS (
+        | SELECT doc_id, source, text, len($tokens) AS n_tokens
+        | FROM documents
+        | WHERE lang = 'en' AND len($tokens) BETWEEN 10 AND 1000),
+        |deduped AS (
+        | SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM filtered) x WHERE rn = 1)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM deduped GROUP BY source""".stripMargin)
 }

@@ -78,6 +78,27 @@ object TextStats {
       rollingFingerprint(col("text")).as("fingerprint"),
       tokenCount(col("text")).as("n_tokens"))
 
+  /**
+   * The composite training-data prep pipeline in one plan: language filter →
+   * quality gate (token-count band) → exact dedup (keep lowest doc_id per
+   * identical text) → per-source token accounting. Each stage is a narrow
+   * transform or a single hash-shuffle; this is the shape of a real corpus
+   * cleanse run, end to end.
+   */
+  def corpusPrep(s: SparkSession, d: String,
+      lang: String = "en", minTokens: Int = 10, maxTokens: Int = 1000): DataFrame = {
+    val docs = documents(s, d)
+      .filter(col("lang") === lang)
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .filter(col("n_tokens").between(minTokens, maxTokens))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+  }
+
   /** Corpus-wide heavy hitters: the canonical distributed word count with a
     * deterministic top-k (count desc, word asc). Map-side partial aggs do
     * the heavy lifting; only (word, partial_count) pairs shuffle. */

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types._
 
 /**
@@ -62,4 +63,29 @@ object EventStream {
   /** Streaming exact dedup on event_id with bounded state. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
+
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  /**
+   * Custom keyed state via `mapGroupsWithState`: a running per-user
+   * (count, value) accumulator that survives across micro-batches through
+   * the state store — the escape hatch for stateful logic the built-in
+   * windowed aggregations can't express. Emits the updated running stat for
+   * every user seen in the batch (streaming: use OutputMode.Update).
+   */
+  def runningUserStats(events: DataFrame): Dataset[UserStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (pn, pv) = state.getOption.getOrElse((0L, 0.0))
+          var n = pn
+          var v = pv
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          UserStat(user, n, v)
+      }
+  }
 }

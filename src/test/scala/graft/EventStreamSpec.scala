@@ -68,6 +68,21 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
       (ts("2024-01-01 12:30:00"), 1L)))
   }
 
+  test("mapGroupsWithState accumulates running per-user stats across batches") {
+    val q = EventStream.runningUserStats(EventStream.readStream(spark, eventsDir))
+      .writeStream.outputMode("update").format("memory").queryName("ustats").start()
+    q.processAllAvailable()
+    q.stop()
+    // last update per user reflects the full accumulated state
+    val last = spark.table("ustats")
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.max($"n_events").as("n"),
+        org.apache.spark.sql.functions.max($"total_value").as("v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(last(7L) == ((3L, 7.0))) // events 1,2,4: values 1+2+4
+    assert(last(8L) == ((2L, 8.0))) // events 3,5: values 3+5
+  }
+
   test("streaming dedup drops replayed event ids") {
     val out = runToMemory(
       EventStream.dedupEvents(EventStream.readStream(spark, eventsDir)
