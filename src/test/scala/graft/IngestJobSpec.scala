@@ -104,6 +104,27 @@ class IngestJobSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(s"$wh/quiz_dim").count() == 1)
   }
 
+  test("multi-file table: shards union before merge; empty shard contributes zero rows") {
+    val root = Files.createTempDirectory("graft_shards").toFile
+    val schema = CanvasSchema.fromJson(schemaJson)
+    val shard0 = gz(new File(root, "user_dim-00000-aa.gz"), Seq(
+      "1\talice\t2024-01-01 00:00:00\tnormal"))
+    val shard1 = gz(new File(root, "user_dim-00001-bb.gz"), Seq(
+      "2\tbob\t2024-01-01 00:00:00\tnormal",
+      "1\talice2\t2024-01-02 00:00:00\tnormal")) // duplicate PK across shards
+    val empty = gz(new File(root, "user_dim-00002-cc.gz"), Seq.empty)
+
+    val state = new IngestState(spark, s"$root/state")
+    val job = new IngestJob(spark, schema, s"$root/wh", state)
+    val out = job.loadTable(schema.tables("user_dim"),
+      Seq(shard0, shard1, empty), dumpSeq = 1)
+    // one row per PK survives (within-dump dedup needs a tie-break: file
+    // order is not deterministic at scale — keep-latest picks one row)
+    assert(out.count() == 2)
+    import spark.implicits._
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("TsvReader: \\N decodes to typed NULL, values keep quotes (I-6 divergence)") {
     val root = Files.createTempDirectory("graft_tsv").toFile
     val schema = CanvasSchema.fromJson(schemaJson)
