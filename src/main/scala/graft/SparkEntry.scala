@@ -82,7 +82,8 @@ object SparkEntry {
     "q54_distinct_flags" -> (Relational.q54DistinctFlags _),
     "q55_customer_order_dist" -> (Relational.q55CustomerOrderDist _),
     "q56_supplier_reconcile" -> (Relational.q56SupplierReconcile _),
-    "q57_corpus_prep" -> ((s: SparkSession, d: String) => TextStats.corpusPrep(s, d)))
+    "q57_corpus_prep" -> ((s: SparkSession, d: String) => TextStats.corpusPrep(s, d)),
+    "q58_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -370,5 +371,15 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM filtered) x WHERE rn = 1)
         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-        |FROM deduped GROUP BY source""".stripMargin)
+        |FROM deduped GROUP BY source""".stripMargin,
+    "q58_embedding_neardup" ->
+      """WITH a AS (SELECT vec_id AS vec_a, CAST(embedding AS DOUBLE[]) AS ea
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |b AS (SELECT vec_id AS vec_b, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings),
+        |s AS (SELECT vec_a, vec_b,
+        |  list_sum(list_transform(range(1, len(ea)+1), i -> ea[i]*eb[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, len(ea)+1), i -> ea[i]*ea[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, len(eb)+1), i -> eb[i]*eb[i])))) AS cosine
+        | FROM a CROSS JOIN b WHERE vec_a < vec_b)
+        |SELECT vec_a, vec_b, round(cosine,6) AS cosine FROM s WHERE cosine >= 0.25""".stripMargin)
 }

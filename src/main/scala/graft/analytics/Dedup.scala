@@ -137,6 +137,30 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ------------------------------------------- embedding-cosine near-dup
+
+  /**
+   * Embedding-space near-duplicates: pairs whose vector cosine exceeds a
+   * threshold, probe side sampled by id stride (deterministic), scored with
+   * the native codegen'd cosine. The synthetic fixture's embeddings are
+   * near-orthogonal (max observed cosine ≈ 0.44), so the demo threshold is
+   * low; on a real corpus near-dups sit ≥ 0.9 and the LSH/IVF structures in
+   * [[Similarity]] supply the candidate generation at scale.
+   */
+  def embeddingNearDups(s: SparkSession, d: String,
+      stride: Long = 50, threshold: Double = 0.25): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val corpus = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    corpus.join(broadcast(probes))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   // ------------------------------------------------------------- simhash
 
   /**
