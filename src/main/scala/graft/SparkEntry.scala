@@ -83,7 +83,8 @@ object SparkEntry {
     "q55_customer_order_dist" -> (Relational.q55CustomerOrderDist _),
     "q56_supplier_reconcile" -> (Relational.q56SupplierReconcile _),
     "q57_corpus_prep" -> ((s: SparkSession, d: String) => TextStats.corpusPrep(s, d)),
-    "q58_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d)))
+    "q58_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d)),
+    "q59_multimodal_features" -> (Multimodal.extractFeatures _))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 

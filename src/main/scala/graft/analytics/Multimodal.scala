@@ -50,6 +50,47 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class Feature(doc_id: Long, histogram: Array[Long], entropy_bits: Double)
+
+  /**
+   * Feature extraction over the raw bytes (honest computation, no codec):
+   * 16-bucket byte histogram + Shannon entropy per payload, batched through
+   * mapPartitions like a real embedding/feature model would be (model init
+   * once per partition, stream the batch through).
+   */
+  def extractFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRow].mapPartitions { batch =>
+      // a real extractor would load its model here, once per partition
+      batch.map { row =>
+        val hist = new Array[Long](16)
+        row.payload.foreach(b => hist((b & 0xFF) >> 4) += 1)
+        val n = row.payload.length.toDouble
+        val entropy = hist.filter(_ > 0).map { c =>
+          val p = c / n; -p * math.log(p) / math.log(2)
+        }.sum
+        Feature(row.doc_id, hist, entropy)
+      }
+    }.toDF()
+  }
+
+  /** Resize stub: fit (width, height) into a target box preserving aspect
+    * ratio — integer metadata math only; the pixel work is the codec's. */
+  def resizeBox(width: Long, height: Long, maxSide: Long): (Long, Long) = {
+    val side = math.max(math.max(width, height), 1L)
+    if (side <= maxSide) (width, height)
+    else (math.max(width * maxSide / side, 1L), math.max(height * maxSide / side, 1L))
+  }
+
+  /** Decode → resize metadata pipeline (stub decode, real plumbing). */
+  def resizedMeta(s: SparkSession, d: String, maxSide: Long = 256): DataFrame = {
+    import s.implicits._
+    decodeMeta(s, d).as[DecodedMeta].map { m =>
+      val (w, h) = resizeBox(m.width, m.height, maxSide)
+      (m.doc_id, m.width, m.height, w, h)
+    }.toDF("doc_id", "width", "height", "resized_w", "resized_h")
+  }
+
   /** Frame-sampling shape: deterministic "frames" (offset markers) per media
     * item — the explode pattern a video pipeline uses, minus the codec. */
   def frameSample(s: SparkSession, d: String, everyBytes: Int = 256): DataFrame =
