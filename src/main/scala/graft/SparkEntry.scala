@@ -84,7 +84,10 @@ object SparkEntry {
     "q56_supplier_reconcile" -> (Relational.q56SupplierReconcile _),
     "q57_corpus_prep" -> ((s: SparkSession, d: String) => TextStats.corpusPrep(s, d)),
     "q58_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d)),
-    "q59_multimodal_features" -> (Multimodal.extractFeatures _))
+    "q59_multimodal_features" -> (Multimodal.extractFeatures _),
+    "q60_rank_suite" -> (Relational.q60RankSuite _),
+    "q61_date_parts" -> (Relational.q61DateParts _),
+    "q62_scalar_suite" -> (Relational.q62ScalarSuite _))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -382,5 +385,30 @@ object SparkEntry {
         |   (sqrt(list_sum(list_transform(range(1, len(ea)+1), i -> ea[i]*ea[i]))) *
         |    sqrt(list_sum(list_transform(range(1, len(eb)+1), i -> eb[i]*eb[i])))) AS cosine
         | FROM a CROSS JOIN b WHERE vec_a < vec_b)
-        |SELECT vec_a, vec_b, round(cosine,6) AS cosine FROM s WHERE cosine >= 0.25""".stripMargin)
+        |SELECT vec_a, vec_b, round(cosine,6) AS cosine FROM s WHERE cosine >= 0.25""".stripMargin,
+    "q60_rank_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(rank() OVER w AS INTEGER) AS rnk,
+        | CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        | round(percent_rank() OVER w, 6) AS prnk,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "q61_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mon,
+        | CAST(EXTRACT(dow FROM o_orderdate)+1 AS INTEGER) AS dow,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY yr, qtr, mon, dow""".stripMargin,
+    "q62_scalar_suite" ->
+      """SELECT l_orderkey, l_linenumber,
+        | abs(l_quantity - 25) AS qty_dev,
+        | round(sqrt(l_extendedprice), 6) AS price_sqrt,
+        | round(pow(l_discount + 1.0, 2), 6) AS disc_sq,
+        | CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+        | greatest(l_tax, l_discount) AS max_rate,
+        | coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+        |FROM lineitem""".stripMargin)
 }

@@ -395,8 +395,41 @@ object Relational {
         col("l_suppkey").isNotNull.as("in_lineitem"))
   }
 
-  /** Historical-refresh predicate (op F-5) per dump over a literal files
-    * frame: `forall(filename rlike '^requests')` as min() of booleans. */
+  /** Ranking-function suite: rank, dense_rank, percent_rank, cume_dist,
+    * ntile over a deterministic (price desc, key) order per customer. */
+  def q60RankSuite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      round(percent_rank().over(w), 6).as("prnk"),
+      round(cume_dist().over(w), 6).as("cdist"),
+      ntile(4).over(w).as("quartile"))
+  }
+
+  /** Date-part extraction: order counts by (year, quarter, month, dow). */
+  def q61DateParts(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mon"),
+        dayofweek(col("o_orderdate")).as("dow")) // 1=Sunday in both engines
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** Scalar math + conditional-expression suite over lineitem. */
+  def q62ScalarSuite(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        round(pow(col("l_discount") + 1.0, 2), 6).as("disc_sq"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("price_k"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"))
   def q29HistoricalRefresh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val files = Seq(
