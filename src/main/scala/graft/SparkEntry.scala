@@ -386,6 +386,37 @@ object SparkEntry {
         |    sqrt(list_sum(list_transform(range(1, len(eb)+1), i -> eb[i]*eb[i])))) AS cosine
         | FROM a CROSS JOIN b WHERE vec_a < vec_b)
         |SELECT vec_a, vec_b, round(cosine,6) AS cosine FROM s WHERE cosine >= 0.25""".stripMargin,
+    // high nibble of byte i = hex digit at position 2i+1 of the uppercase hex
+    // encoding; bucket counts + Shannon entropy via ln(p)/ln(2) to match the
+    // Spark-side double arithmetic exactly.
+    "q59_multimodal_features" ->
+      """WITH hx AS (
+        | SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+        | FROM documents),
+        |nib AS (
+        | SELECT doc_id, n,
+        |  list_transform(range(0, CAST(n AS INTEGER)),
+        |    i -> substring(h, CAST(i*2+1 AS INTEGER), 1)) AS hs
+        | FROM hx),
+        |cnt AS (
+        | SELECT doc_id, n,
+        |  list_transform(['0','1','2','3','4','5','6','7','8','9','A','B','C','D','E','F'],
+        |    d -> len(list_filter(hs, c -> c = d))) AS counts
+        | FROM nib)
+        |SELECT doc_id,
+        | CAST(counts[1] AS BIGINT) AS h0,  CAST(counts[2] AS BIGINT) AS h1,
+        | CAST(counts[3] AS BIGINT) AS h2,  CAST(counts[4] AS BIGINT) AS h3,
+        | CAST(counts[5] AS BIGINT) AS h4,  CAST(counts[6] AS BIGINT) AS h5,
+        | CAST(counts[7] AS BIGINT) AS h6,  CAST(counts[8] AS BIGINT) AS h7,
+        | CAST(counts[9] AS BIGINT) AS h8,  CAST(counts[10] AS BIGINT) AS h9,
+        | CAST(counts[11] AS BIGINT) AS h10, CAST(counts[12] AS BIGINT) AS h11,
+        | CAST(counts[13] AS BIGINT) AS h12, CAST(counts[14] AS BIGINT) AS h13,
+        | CAST(counts[15] AS BIGINT) AS h14, CAST(counts[16] AS BIGINT) AS h15,
+        | round(list_sum(list_transform(counts,
+        |   c -> CASE WHEN c > 0
+        |        THEN -(CAST(c AS DOUBLE)/n) * ln(CAST(c AS DOUBLE)/n) / ln(2)
+        |        ELSE 0.0 END)), 6) AS entropy_bits
+        |FROM cnt""".stripMargin,
     "q60_rank_suite" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(rank() OVER w AS INTEGER) AS rnk,

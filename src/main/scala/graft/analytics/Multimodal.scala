@@ -58,7 +58,7 @@ object Multimodal {
    * mapPartitions like a real embedding/feature model would be (model init
    * once per partition, stream the batch through).
    */
-  def extractFeatures(s: SparkSession, d: String): DataFrame = {
+  def featureVectors(s: SparkSession, d: String): Dataset[Feature] = {
     import s.implicits._
     mediaTable(s, d).as[MediaRow].mapPartitions { batch =>
       // a real extractor would load its model here, once per partition
@@ -71,7 +71,16 @@ object Multimodal {
         }.sum
         Feature(row.doc_id, hist, entropy)
       }
-    }.toDF()
+    }
+  }
+
+  /** Query form of [[featureVectors]]: the histogram unrolled to 16 scalar
+    * columns (h0..h15) so results are plainly sortable/hashable downstream
+    * (and by the correctness gate), entropy rounded for stable compares. */
+  def extractFeatures(s: SparkSession, d: String): DataFrame = {
+    val hCols = (0 until 16).map(i => col("histogram")(i).as(s"h$i"))
+    featureVectors(s, d).toDF()
+      .select(col("doc_id") +: hCols :+ round(col("entropy_bits"), 6).as("entropy_bits"): _*)
   }
 
   /** Resize stub: fit (width, height) into a target box preserving aspect

@@ -48,9 +48,11 @@ final class IngestJob(
     } else {
       val pk = pkOpt.get
       val batch = Merge.dedupLatest(batchRaw, Seq(pk), "_dump_seq")
-      val targetExists =
-        try { spark.read.parquet(targetPath); true }
-        catch { case _: Throwable => false }
+      // Existence is a filesystem fact, not "can I read it": a transient read
+      // failure (corrupt footer, FS hiccup) on an EXISTING target must fail
+      // the load (X-3 fail-fast), never silently replace the whole table.
+      val fsProbe = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val targetExists = fsProbe.exists(new org.apache.hadoop.fs.Path(targetPath))
       if (!targetExists) batch
       else Merge.applyIncremental(spark.read.parquet(targetPath), batch, Seq(pk))
     }

@@ -125,6 +125,30 @@ class IngestJobSpec extends AnyFunSuite with SparkSuite {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("existing-but-unreadable target fails the load instead of overwriting it") {
+    val root = Files.createTempDirectory("graft_corrupt").toFile
+    val schema = CanvasSchema.fromJson(schemaJson)
+    val state = new IngestState(spark, s"$root/state")
+    val wh = s"$root/wh"
+
+    // a target directory that EXISTS but whose parquet is corrupt: the job
+    // must propagate the read error, not treat it as "no target" and replace
+    // the table with just the new batch (silent data loss).
+    val target = new File(wh, "user_dim")
+    assert(target.mkdirs())
+    Files.write(new File(target, "part-00000.parquet").toPath,
+      "not a parquet file".getBytes("UTF-8"))
+
+    val batch = gz(new File(root, "user_dim-00000-aa.gz"), Seq(
+      "1\talice\t2024-01-01 00:00:00\tnormal"))
+    val job = new IngestJob(spark, schema, wh, state)
+    intercept[Throwable] {
+      job.loadTable(schema.tables("user_dim"), Seq(batch), dumpSeq = 1).count()
+    }
+    // the corrupt target is untouched — no staging rename happened
+    assert(new File(target, "part-00000.parquet").exists())
+  }
+
   test("TsvReader: \\N decodes to typed NULL, values keep quotes (I-6 divergence)") {
     val root = Files.createTempDirectory("graft_tsv").toFile
     val schema = CanvasSchema.fromJson(schemaJson)

@@ -16,7 +16,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
 
   test("byte histogram sums to payload length; entropy within [0, 4] bits") {
     import spark.implicits._
-    val feats = Multimodal.extractFeatures(spark, d).as[Multimodal.Feature].collect()
+    val feats = Multimodal.featureVectors(spark, d).collect()
     assert(feats.nonEmpty)
     val lens = Multimodal.decodeMeta(spark, d)
       .select("doc_id", "byte_len").as[(Long, Long)].collect().toMap
