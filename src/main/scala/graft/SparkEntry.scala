@@ -87,7 +87,8 @@ object SparkEntry {
     "q59_multimodal_features" -> (Multimodal.extractFeatures _),
     "q60_rank_suite" -> (Relational.q60RankSuite _),
     "q61_date_parts" -> (Relational.q61DateParts _),
-    "q62_scalar_suite" -> (Relational.q62ScalarSuite _))
+    "q62_scalar_suite" -> (Relational.q62ScalarSuite _),
+    "q63_percentile_approx" -> ((s: SparkSession, d: String) => Relational.q63PercentileApprox(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -259,6 +260,60 @@ object SparkEntry {
         |   len(list_distinct(list_concat(wa, wb))) AS jac
         | FROM l JOIN r USING (lang) WHERE doc_a < doc_b)
         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.1""".stripMargin,
+    // simhash parity: word hash = 60-bit md5 hex prefix, computed
+    // bit-identically by Spark (conv(substr(md5,1,15),16,10)) and DuckDB
+    // (('0x'||substr(md5,1,15))::BIGINT); fingerprint bit b = majority vote.
+    "q34_simhash_fingerprints" ->
+      s"""WITH w AS (
+        | SELECT doc_id, list_transform(list_distinct($tokens),
+        |   w -> ('0x' || substring(md5(w),1,15))::BIGINT) AS whs
+        | FROM documents),
+        |fp AS (
+        | SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0,60), b ->
+        |   CASE WHEN 2*len(list_filter(whs, h -> ((h >> b) & 1) = 1)) > len(whs)
+        |        THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+        | FROM w)
+        |SELECT doc_id, simhash,
+        | (simhash >> 0) & 32767 AS band_0,
+        | (simhash >> 15) & 32767 AS band_1,
+        | (simhash >> 30) & 32767 AS band_2,
+        | (simhash >> 45) & 32767 AS band_3
+        |FROM fp""".stripMargin,
+    "q35_simhash_pairs" ->
+      s"""WITH w AS (
+        | SELECT doc_id, list_transform(list_distinct($tokens),
+        |   w -> ('0x' || substring(md5(w),1,15))::BIGINT) AS whs
+        | FROM documents),
+        |fp AS (
+        | SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0,60), b ->
+        |   CASE WHEN 2*len(list_filter(whs, h -> ((h >> b) & 1) = 1)) > len(whs)
+        |        THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+        | FROM w)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE (((a.simhash >> 0) & 32767) = ((b.simhash >> 0) & 32767)
+        |    OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
+        |    OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+        |    OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))
+        |  AND bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+    // hyperplane coefficients from the 32-bit md5 prefix of "plane_dim" —
+    // same cross-engine determinism trick as q34/q35.
+    "q38_lsh_bucket_stats" ->
+      """WITH v AS (
+        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |b AS (
+        | SELECT vec_id, label,
+        |  CAST(list_sum(list_transform(range(0,8), p ->
+        |   CASE WHEN list_sum(list_transform(range(1, len(e)+1),
+        |     i -> e[i] * (((('0x' || substring(md5(CAST(p AS VARCHAR) || '_' ||
+        |            CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 1000000)/1000000.0) - 0.5)))
+        |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+        | FROM v)
+        |SELECT bucket, count(*) AS n_vectors, count(DISTINCT label) AS n_labels
+        |FROM b GROUP BY bucket""".stripMargin,
     "q36_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id % 100 = 0),

@@ -80,8 +80,14 @@ object Dedup {
    * Emits (doc_a, doc_b, jaccard) for verified pairs above `threshold`.
    */
   def minhashPairs(s: SparkSession, d: String,
-      numPerm: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val docs = documents(s, d)
+      numPerm: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame =
+    minhashPairsFor(documents(s, d), numPerm, bands, threshold)
+
+  /** [[minhashPairs]] over an arbitrary (doc_id, text) frame — lets specs
+    * plant controlled near-duplicates and assert recall. */
+  def minhashPairsFor(documentsDF: DataFrame,
+      numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+    val docs = documentsDF
       .select(col("doc_id"), col("text"))
       .withColumn("ws", words(col("text")))
       .withColumn("ngrams", ngramsFromWords(col("ws")))
@@ -98,7 +104,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    verifyJaccard(candidates, documents(s, d), threshold)
+    verifyJaccard(candidates, documentsDF, threshold)
   }
 
   /** Exact word-set Jaccard for candidate pairs; keeps pairs ≥ threshold. */
@@ -163,15 +169,30 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
+  /** SimHash geometry: 60-bit fingerprints in 4 bands of 15 bits. */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands // 15
+  val SimhashBandMask: Long = (1L << SimhashBandBits) - 1
+
+  /** 60-bit word hash from the md5 hex prefix (15 hex chars = 60 bits).
+    * Chosen over xxhash64 because BOTH Spark and DuckDB compute it
+    * bit-identically (`conv(substr(md5,1,15),16,10)` ≡
+    * `('0x'||substr(md5,1,15))::BIGINT`), making every simhash query fully
+    * oracle-checkable; the hash is an argument of [[simhashFromHashes]], so
+    * swapping a faster non-cryptographic family back in is one line. */
+  def mdHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /**
-   * 64-bit SimHash from a materialized word-hash column: bit b of the
-   * fingerprint is the majority vote of bit b across xxhash64(word).
+   * 60-bit SimHash from a materialized word-hash column: bit b of the
+   * fingerprint is the majority vote of bit b across hash(word).
    * Near-dup docs differ in few bits (small Hamming distance).
    * Same materialization rule as [[ngramsFromWords]]: `hashesCol` must be a
-   * projected column, the 64 bit votes each scan it once.
+   * projected column, the 60 bit votes each scan it once.
    */
   def simhashFromHashes(hashesCol: Column): Column = {
-    val bits = (0 until 64).map { b =>
+    val bits = (0 until SimhashBits).map { b =>
       // bit b set iff strictly more than half the word hashes have it set
       when(size(filter(hashesCol, h => shiftright(h, b).bitwiseAND(1) === 1)) * 2
             > size(hashesCol), lit(1L << b))
@@ -182,17 +203,19 @@ object Dedup {
 
   /** Convenience form over a text column (ad-hoc use only). */
   def simhash(c: Column): Column =
-    simhashFromHashes(transform(array_distinct(words(c)), w => xxhash64(w)))
+    simhashFromHashes(transform(array_distinct(words(c)), w => mdHash60(w)))
 
-  /** SimHash fingerprints + 16-bit band keys for Hamming-distance blocking
+  /** SimHash fingerprints + 15-bit band keys for Hamming-distance blocking
     * (two docs within Hamming distance 3 share ≥1 of the 4 bands). */
   def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
     val fps = documents(s, d)
       .select(col("doc_id"), col("text"))
-      .withColumn("whs", transform(array_distinct(words(col("text"))), w => xxhash64(w)))
+      .withColumn("whs", transform(array_distinct(words(col("text"))), w => mdHash60(w)))
       .withColumn("simhash", simhashFromHashes(col("whs")))
     val cols = Seq(col("doc_id"), col("simhash")) ++
-      (0 until 4).map(k => shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as(s"band_$k"))
+      (0 until SimhashBands).map(k =>
+        shiftright(col("simhash"), k * SimhashBandBits)
+          .bitwiseAND(SimhashBandMask).as(s"band_$k"))
     fps.select(cols: _*)
   }
 
@@ -201,7 +224,8 @@ object Dedup {
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
     val fps = simhashFingerprints(s, d)
     val banded = fps.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(k => col(s"band_$k")): _*)).as(Seq("band_id", "band_key")))
+      posexplode(array((0 until SimhashBands).map(k => col(s"band_$k")): _*))
+        .as(Seq("band_id", "band_key")))
     val l = banded.select(col("band_id"), col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val r = banded.select(col("band_id"), col("band_key"),

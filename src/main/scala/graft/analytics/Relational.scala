@@ -302,14 +302,29 @@ object Relational {
 
   /** HyperLogLog++ sketch counts — the approximate-distinct scale path
     * (sketches merge associatively across partitions; at 100 TB this is
-    * the only affordable distinct). Approximate ⇒ rows-only check, with the
-    * exact count alongside for plausibility. */
+    * the only affordable distinct). Approximate ⇒ rows-only check; the
+    * error bound vs the exact count is asserted in SketchBoundsSpec, so the
+    * query itself never pays the exact-distinct shuffle. */
   def q46ApproxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+
+  /** Approximate percentiles — the 100×-safe order-statistics path: Spark's
+    * `approx_percentile` (KLL-style mergeable sketch, bounded memory) where
+    * [[q45Percentiles]]'s exact form buffers every group value. Engine-
+    * specific sketch ⇒ rows-only check; SketchBoundsSpec asserts the rank
+    * error vs the exact q45 values. */
+  def q63PercentileApprox(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr(s"approx_percentile(l_extendedprice, 0.25, $accuracy)"), 6).as("price_p25"),
+        round(expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)"), 6).as("price_p50"),
+        round(expr(s"approx_percentile(l_extendedprice, 0.75, $accuracy)"), 6).as("price_p75"),
+        round(expr(s"approx_percentile(l_quantity, 0.5, $accuracy)"), 6).as("qty_p50"),
         count(lit(1)).as("n_rows"))
 
   /** Pivot (explicit value list keeps the plan single-pass map-side). */

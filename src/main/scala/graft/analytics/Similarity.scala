@@ -75,10 +75,11 @@ object Similarity {
 
   /** Centroid per IVF cell: element-wise mean of member embeddings in
     * exploded (cell, dim, value) form — one shuffle keyed by (cell, dim),
-    * then reassembled into an ordered array per cell. */
+    * then reassembled into an ordered array per cell. The frame must carry
+    * a `cell` column (see [[ivfTopK]]). */
   def centroids(emb: DataFrame): DataFrame = {
     // explode to (cell, dim_idx, value) — one shuffle keyed by (cell, dim).
-    val exploded = emb.select(col("label").as("cell"),
+    val exploded = emb.select(col("cell"),
       posexplode(col("embedding")).as(Seq("dim", "v")))
     exploded.groupBy(col("cell"), col("dim"))
       .agg(avg(col("v")).as("mean_v"))
@@ -88,15 +89,24 @@ object Similarity {
   }
 
   /**
-   * IVF-style ANN: partition the corpus by cell (here the generator's
-   * `label`, standing in for a k-means assignment), compute centroids,
+   * IVF-style ANN: partition the corpus into cells, compute centroids,
    * route each query to its `nprobe` nearest centroids, and scan only those
    * cells. Approximate: recall < 1 when the true neighbor lives in an
    * unprobed cell — the standard IVF trade.
+   *
+   * Cells are hyperplane sign buckets ([[lshBucketCol]]) — derived from the
+   * embedding geometry itself (a map-side expression, no trained model, no
+   * extra shuffle), so directionally-similar vectors co-locate. On real
+   * clustered corpora this is where k-means cells would slot in; the
+   * routing/probing machinery is independent of the cell function.
+   * Correctness envelope (SketchBoundsSpec/SimilaritySpec): nprobe = ncells
+   * reproduces the exact brute-force result bitwise; smaller nprobe trades
+   * recall for scanning only ~nprobe/ncells of the corpus.
    */
-  def ivfTopK(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 2,
-      stride: Long = 100): DataFrame = {
+  def ivfTopK(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 4,
+      stride: Long = 100, nplanes: Int = 3): DataFrame = {
     val emb = embeddings(s, d)
+      .withColumn("cell", lshBucketCol(col("embedding"), nplanes))
     val cents = centroids(emb) // (cell, centroid) — tiny, broadcast
     val queries = emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -109,7 +119,7 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("cell"))
     // scan only probed cells: join on cell co-partitions corpus and probes
     val corpus = emb.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"), col("label").as("cell"))
+      col("embedding").as("c_emb"), col("cell"))
     val scored = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("q_emb"), col("c_emb")))
@@ -118,22 +128,36 @@ object Similarity {
 
   /**
    * Random-hyperplane LSH bucketing: sign bits of projections onto
-   * `nplanes` pseudo-random hyperplanes (plane coefficients derived
-   * deterministically from murmur3 of (plane, dim) — no stored model).
+   * `nplanes` pseudo-random hyperplanes (no stored model). Plane
+   * coefficients are derived from the md5 hex prefix of "plane_dim" — like
+   * [[Dedup.mdHash60]], chosen because Spark and DuckDB compute it
+   * bit-identically, so bucket assignments are fully oracle-checkable.
    * Docs in the same bucket are cosine-similar candidates.
+   *
+   * At scale the (plane, dim) coefficient matrix is row-independent — a
+   * production variant precomputes it once and broadcasts a literal matrix
+   * instead of re-hashing per row; kept inline here so the expression stays
+   * self-contained and engine-reproducible.
    */
-  def lshBuckets(emb: DataFrame, nplanes: Int = 8): DataFrame = {
+  def lshBucketCol(embCol: Column, nplanes: Int): Column = {
     val sig = (0 until nplanes).map { p =>
-      // projection = Σ emb[i] * coef(p, i); coef in [-0.5, 0.5) from a hash
+      // projection = Σ emb[i] * coef(p, i); coef in [-0.5, 0.5) from the
+      // 32-bit md5 prefix of "p_i"
       val proj = aggregate(
-        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        zip_with(embCol, sequence(lit(0), size(embCol) - 1),
           (x, i) => x.cast("double") *
-            ((pmod(hash(i, lit(p)), lit(1000000)).cast("double") / 1000000.0) - 0.5)),
+            ((conv(substring(md5(concat_ws("_", lit(p.toString), i.cast("string"))
+                .cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L)
+              .cast("double") / 1000000.0 - 0.5)),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }
-    emb.select(col("vec_id"), col("label"), sig.reduce(_ + _).as("bucket"))
+    sig.reduce(_ + _)
   }
+
+  def lshBuckets(emb: DataFrame, nplanes: Int = 8): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      lshBucketCol(col("embedding"), nplanes).as("bucket"))
 
   /** Bucket histogram — the observable artifact of LSH bucketing. */
   def lshBucketStats(s: SparkSession, d: String): DataFrame =

@@ -34,7 +34,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
   }
 
   test("ivf with all cells probed returns the brute-force result") {
-    val nCells = Tables.embeddings(spark, d).select("label").distinct().count().toInt
+    val nCells = 1 << 3 // hyperplane cells: 2^nplanes
     val brute = Similarity.bruteForceTopK(spark, d, k = 3)
       .orderBy("query_id", "rn").collect().toSeq
     val ivfAll = Similarity.ivfTopK(spark, d, k = 3, nprobe = nCells)

@@ -1,0 +1,102 @@
+package graft
+
+import graft.analytics.{Dedup, Relational, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Machine-checked properties for the approximate/probabilistic queries that
+ * cannot be driver-oracle'd by value (q32 LSH pairs, q37 IVF ANN, q46 HLL,
+ * q63 approx percentiles): planted-duplicate recall, value-exactness vs an
+ * independent recomputation, recall@k vs the exact path, and error bounds
+ * vs the exact aggregates.
+ */
+class SketchBoundsSpec extends AnyFunSuite with SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q32 minhash: every planted near-duplicate pair is found, no cross-pair noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 5 planted pairs: 120-word doc + a copy with the last 4 words changed
+    // (3-gram Jaccard ≈ 0.9) + 20 unrelated docs over disjoint vocabularies
+    def doc(vocab: String, n: Int): String =
+      Seq.fill(n)(s"$vocab${rnd.nextInt(50)}").mkString(" ")
+    val planted = (0 until 5).flatMap { p =>
+      val base = doc(s"v${p}_", 120)
+      val near = base.split(" ").dropRight(4).mkString(" ") + s" x1$p x2$p x3$p x4$p"
+      Seq((p * 2L, base), (p * 2L + 1, near))
+    }
+    val noise = (0 until 20).map(i => (100L + i, doc(s"z${i}_", 120)))
+    val docs = (planted ++ noise).toDF("doc_id", "text")
+
+    val found = Dedup.minhashPairsFor(docs, numPerm = 16, bands = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 5).map(p => (p * 2L, p * 2L + 1)).toSet
+    assert(expected.subsetOf(found), s"missed planted pairs: ${expected -- found}")
+    assert(found.forall { case (a, b) => a / 2 == b / 2 && a < 100 && b < 100 },
+      s"false pairs across unrelated docs: ${found.filterNot { case (a, b) => a / 2 == b / 2 }}")
+  }
+
+  test("q32 minhash on the fixture: emitted jaccard values match an independent recomputation") {
+    import spark.implicits._
+    val emitted = Dedup.minhashPairs(spark, d)
+      .as[(Long, Long, Double)].collect()
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // plain-Scala reimplementation (no Spark expressions involved)
+    def wordSet(t: String): Set[String] = t.trim.split("\\s+").toSet
+    emitted.foreach { case (a, b, j) =>
+      assert(a < b)
+      val (wa, wb) = (wordSet(texts(a)), wordSet(texts(b)))
+      val exact = wa.intersect(wb).size.toDouble / wa.union(wb).size
+      assert(exact >= 0.5, s"pair ($a,$b) below threshold: $exact")
+      assert(math.abs(j - exact) < 1e-6, s"pair ($a,$b): emitted $j, recomputed $exact")
+    }
+    assert(emitted.map { case (a, b, _) => (a, b) }.distinct.length == emitted.length)
+  }
+
+  test("q37 IVF ANN: recall@5 >= 0.6 vs the exact brute-force top-k") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(spark, d))
+    val approx = pairs(Similarity.ivfTopK(spark, d))
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@5 = $recall")
+  }
+
+  test("q46 HLL: approx distinct within 10% of exact per group") {
+    import spark.implicits._
+    val approx = Relational.q46ApproxDistinct(spark, d)
+      .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
+    val exact = graft.analytics.Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct("l_partkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, ex) =>
+      val rel = math.abs(approx(flag) - ex).toDouble / ex
+      assert(rel <= 0.10, s"group $flag: approx ${approx(flag)} vs exact $ex (rel $rel)")
+    }
+  }
+
+  test("q63 approx percentiles within 1% of the exact q45 values") {
+    import spark.implicits._
+    val exact = Relational.q45Percentiles(spark, d)
+      .as[(String, Double, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = Relational.q63PercentileApprox(spark, d)
+      .as[(String, Double, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      for ((ev, av) <- Seq(e._2 -> a._2, e._3 -> a._3, e._4 -> a._4, e._5 -> a._5)) {
+        assert(math.abs(av - ev) / math.max(math.abs(ev), 1e-9) <= 0.01,
+          s"group $flag: approx $av vs exact $ev")
+      }
+      assert(a._6 == e._6) // same row counts
+    }
+  }
+}
