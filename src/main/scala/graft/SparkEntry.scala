@@ -253,7 +253,7 @@ object SparkEntry {
         | FROM documents) t WHERE rn = 1""".stripMargin,
     "q33_word_jaccard_pairs" ->
       s"""WITH l AS (SELECT doc_id AS doc_a, lang, list_distinct($tokens) AS wa
-        |  FROM documents WHERE doc_id % 50 = 0),
+        |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 50000),
         |r AS (SELECT doc_id AS doc_b, lang, list_distinct($tokens) AS wb FROM documents),
         |j AS (SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(wa, wb)) AS DOUBLE) /
@@ -431,15 +431,32 @@ object SparkEntry {
         |  FROM filtered) x WHERE rn = 1)
         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM deduped GROUP BY source""".stripMargin,
+    // banded LSH near-dup: candidates share ≥1 of 4 four-bit bands of a
+    // 16-plane sign signature (md5-derived coefficients — engine-
+    // reproducible, same trick as q38), then exact cosine verify.
     "q58_embedding_neardup" ->
-      """WITH a AS (SELECT vec_id AS vec_a, CAST(embedding AS DOUBLE[]) AS ea
-        |  FROM embeddings WHERE vec_id % 50 = 0),
-        |b AS (SELECT vec_id AS vec_b, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings),
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |bk AS (
+        | SELECT vec_id, e,
+        |  CAST(list_sum(list_transform(range(0,16), p ->
+        |   CASE WHEN list_sum(list_transform(range(1, len(e)+1),
+        |     i -> e[i] * (((('0x' || substring(md5(CAST(p AS VARCHAR) || '_' ||
+        |            CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 1000000)/1000000.0) - 0.5)))
+        |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+        | FROM v),
+        |cand AS (
+        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.e AS ea, b.e AS eb
+        | FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+        | WHERE a.vec_id % 50 = 0
+        |   AND (((a.bucket >>  0) & 15) = ((b.bucket >>  0) & 15)
+        |     OR ((a.bucket >>  4) & 15) = ((b.bucket >>  4) & 15)
+        |     OR ((a.bucket >>  8) & 15) = ((b.bucket >>  8) & 15)
+        |     OR ((a.bucket >> 12) & 15) = ((b.bucket >> 12) & 15))),
         |s AS (SELECT vec_a, vec_b,
         |  list_sum(list_transform(range(1, len(ea)+1), i -> ea[i]*eb[i])) /
         |   (sqrt(list_sum(list_transform(range(1, len(ea)+1), i -> ea[i]*ea[i]))) *
         |    sqrt(list_sum(list_transform(range(1, len(eb)+1), i -> eb[i]*eb[i])))) AS cosine
-        | FROM a CROSS JOIN b WHERE vec_a < vec_b)
+        | FROM cand)
         |SELECT vec_a, vec_b, round(cosine,6) AS cosine FROM s WHERE cosine >= 0.25""".stripMargin,
     // high nibble of byte i = hex digit at position 2i+1 of the uppercase hex
     // encoding; bucket counts + Shannon entropy via ln(p)/ln(2) to match the

@@ -122,14 +122,19 @@ object Dedup {
 
   /**
    * n-gram Jaccard similarity with deterministic candidate bounding (left
-   * side sampled by doc_id stride, same-lang blocking) — the exact-similarity
-   * benchmark the LSH variants are judged against, and oracle-checkable in
-   * SQL since both engines compute identical integer set sizes.
+   * side sampled by doc_id stride AND hard-capped by id range, same-lang
+   * blocking) — the exact-similarity benchmark the LSH variants are judged
+   * against, and oracle-checkable in SQL since both engines compute
+   * identical integer set sizes. The `maxProbes` cap keeps the broadcast
+   * probe side O(1) in corpus size: without it, N/stride grows linearly and
+   * the broadcast dies at 100×. (The cap is an id-range predicate, not a
+   * LIMIT, so the result set stays deterministic.)
    */
   def wordJaccardPairs(s: SparkSession, d: String,
-      stride: Long = 50, threshold: Double = 0.1): DataFrame = {
+      stride: Long = 50, threshold: Double = 0.1, maxProbes: Long = 1000): DataFrame = {
     val docs = documents(s, d)
-    val left = docs.filter(col("doc_id") % stride === 0)
+    val left = docs
+      .filter(col("doc_id") % stride === 0 && col("doc_id") < stride * maxProbes)
       .select(col("doc_id").as("doc_a"), col("lang"), words(col("text")).as("words_a"))
     val right = docs
       .select(col("doc_id").as("doc_b"), col("lang"), words(col("text")).as("words_b"))
@@ -146,21 +151,41 @@ object Dedup {
   // ------------------------------------------- embedding-cosine near-dup
 
   /**
-   * Embedding-space near-duplicates: pairs whose vector cosine exceeds a
-   * threshold, probe side sampled by id stride (deterministic), scored with
-   * the native codegen'd cosine. The synthetic fixture's embeddings are
-   * near-orthogonal (max observed cosine ≈ 0.44), so the demo threshold is
-   * low; on a real corpus near-dups sit ≥ 0.9 and the LSH/IVF structures in
-   * [[Similarity]] supply the candidate generation at scale.
+   * Embedding-space near-duplicates, LSH-banded: candidates are pairs that
+   * share ≥1 band of a hyperplane sign signature (16 planes in 4 bands of
+   * 4 bits — [[Similarity.lshBucketCol]]), verified with the native
+   * codegen'd cosine. The join is a hash equi-join on (band_id, band_key) —
+   * NO cartesian / broadcast nested loop anywhere in the plan (asserted in
+   * SketchBoundsSpec): at 100 TB the banded keys shuffle-partition the work
+   * and each probe meets only its band-mates, not the whole corpus.
+   *
+   * The banding is part of the operator's declared semantics (it's what
+   * makes the op subquadratic), and since band keys are md5-derived they
+   * are engine-reproducible — the DuckDB oracle recomputes bands + cosine
+   * and matches by value. The fixture's embeddings are near-orthogonal
+   * (max cosine ≈ 0.48) so the demo threshold is low; on a real corpus
+   * near-dups sit ≥ 0.9, where the same banding prunes far harder.
    */
   def embeddingNearDups(s: SparkSession, d: String,
-      stride: Long = 50, threshold: Double = 0.25): DataFrame = {
+      stride: Long = 50, threshold: Double = 0.25,
+      nplanes: Int = 16, bands: Int = 4): DataFrame = {
+    val bandBits = nplanes / bands
+    val mask = (1L << bandBits) - 1
     val emb = Tables.embeddings(s, d)
-    val probes = emb.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val corpus = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    corpus.join(broadcast(probes))
+      .withColumn("bucket", Similarity.lshBucketCol(col("embedding"), nplanes))
+    def banded(df: DataFrame, id: String): DataFrame = df.select(
+      col("vec_id").as(id),
+      posexplode(array((0 until bands).map(k =>
+        shiftright(col("bucket"), k * bandBits).bitwiseAND(mask)): _*))
+        .as(Seq("band_id", "band_key")))
+    val candidates = banded(emb.filter(col("vec_id") % stride === 0), "vec_a")
+      .join(banded(emb, "vec_b"), Seq("band_id", "band_key"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val va = Tables.embeddings(s, d).select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val vb = Tables.embeddings(s, d).select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    candidates.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("cosine",
         graft.functions.CosineSimilarity.cosineSim(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)

@@ -1,0 +1,98 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucket-pruned incremental merge — the 100 TB answer to "every hourly dump
+ * rewrites the whole table" (the round-1 write path read + rewrote 100% of
+ * the target per batch).
+ *
+ * Layout: the target is hash-partitioned into `__bucket=N` directories,
+ * `N = pmod(hash(pk), nBuckets)`. A merge then:
+ *  1. buckets the (deduped) batch and collects its affected bucket ids
+ *     (≤ nBuckets values — a driver-side scalar set, never row data);
+ *  2. reads ONLY the affected partition directories (partition pruning —
+ *     asserted via `inputFiles` in BucketingSpec);
+ *  3. anti-joins + unions within those buckets (`Merge.applyIncremental`,
+ *     batch keys broadcast so the target side never shuffles);
+ *  4. stages the merged buckets and swaps ONLY those partition directories.
+ * Untouched buckets are neither read nor written: rewrite amplification
+ * drops from 100% to |affected|/nBuckets.
+ *
+ * A flat (unbucketed) pre-existing target is migrated in one full rewrite,
+ * after which merges are pruned. In a production lake the same semantics
+ * come from a Delta/Iceberg MERGE; this keeps the engine dependency-free on
+ * plain parquet while preserving the pruned-IO shape.
+ */
+object BucketedMerge {
+
+  val BucketColName = "__bucket"
+
+  def bucketExpr(pk: Seq[String], nBuckets: Int): Column =
+    pmod(hash(pk.map(col).toIndexedSeq: _*), lit(nBuckets))
+
+  private def fsOf(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** True when `path` exists and carries `__bucket=` partition dirs. */
+  def isBucketedLayout(spark: SparkSession, path: String): Boolean = {
+    val fs = fsOf(spark)
+    val p = new Path(path)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$BucketColName="))
+  }
+
+  /** Full (re)write in bucketed layout via staging + atomic-ish rename. */
+  private def fullRewrite(spark: SparkSession, df: DataFrame, targetPath: String): Unit = {
+    val tmp = s"$targetPath.__staging"
+    df.write.mode(SaveMode.Overwrite).partitionBy(BucketColName).parquet(tmp)
+    val fs = fsOf(spark)
+    val dst = new Path(targetPath)
+    fs.delete(dst, true)
+    fs.rename(new Path(tmp), dst)
+  }
+
+  /**
+   * Merge `batch` (already deduped per PK — see [[Merge.dedupLatest]]) into
+   * the bucketed target at `targetPath`, rewriting only affected buckets.
+   */
+  def mergeInto(spark: SparkSession, targetPath: String, batch: DataFrame,
+      pk: Seq[String], nBuckets: Int = 32): Unit = {
+    val withB = batch.withColumn(BucketColName, bucketExpr(pk, nBuckets))
+    val fs = fsOf(spark)
+    if (!fs.exists(new Path(targetPath))) {
+      fullRewrite(spark, withB, targetPath)
+    } else if (!isBucketedLayout(spark, targetPath)) {
+      // one-time migration of a flat target; read errors propagate (X-3)
+      val target = spark.read.parquet(targetPath)
+        .withColumn(BucketColName, bucketExpr(pk, nBuckets))
+      fullRewrite(spark, Merge.applyIncremental(target, withB, pk), targetPath)
+    } else {
+      val affected = withB.select(BucketColName).distinct()
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq
+      val pruned = prunedTarget(spark, targetPath, affected)
+      val merged = Merge.applyIncremental(pruned, withB, pk)
+      val tmp = s"$targetPath.__staging"
+      merged.write.mode(SaveMode.Overwrite).partitionBy(BucketColName).parquet(tmp)
+      affected.foreach { b =>
+        val part = s"$BucketColName=$b"
+        val src = new Path(s"$tmp/$part")
+        val dst = new Path(s"$targetPath/$part")
+        fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(new Path(tmp), true)
+    }
+  }
+
+  /** The affected-buckets read — split out so specs can assert the scan
+    * touches a strict subset of partition directories. */
+  def prunedTarget(spark: SparkSession, targetPath: String, affected: Seq[Int]): DataFrame =
+    spark.read.parquet(targetPath)
+      .filter(col(BucketColName).isin(affected: _*))
+
+  /** Reader view without the layout column. */
+  def read(spark: SparkSession, targetPath: String): DataFrame =
+    spark.read.parquet(targetPath).drop(BucketColName)
+}

@@ -40,30 +40,29 @@ final class IngestJob(
     val volatileLoad = Volatile.isVolatile(name, allVolatile) || forceVolatile
     val pkOpt = KeyInference.idLikeColumn(name, table.columns.map(_.name))
 
-    val result: DataFrame = if (volatileLoad || pkOpt.isEmpty) {
+    if (volatileLoad || pkOpt.isEmpty) {
       // reference errors when no PK can be inferred for a non-volatile
       // table (`importer.rs:349-356`); we degrade to volatile semantics for
       // robustness but keep the signal in logs.
-      Merge.applyVolatile(batchRaw)
+      val result = Merge.applyVolatile(batchRaw)
+      // two-phase write: parquet target can't be read+overwritten in place
+      val tmp = s"$targetPath.__staging"
+      result.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(targetPath)
+      fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      spark.read.parquet(targetPath)
     } else {
+      // incremental path: bucket-pruned merge — only partitions whose PK
+      // hash-bucket appears in the batch are read + rewritten. Existence /
+      // layout probing and fail-fast on unreadable-but-existing targets
+      // (X-3) live inside BucketedMerge.
       val pk = pkOpt.get
       val batch = Merge.dedupLatest(batchRaw, Seq(pk), "_dump_seq")
-      // Existence is a filesystem fact, not "can I read it": a transient read
-      // failure (corrupt footer, FS hiccup) on an EXISTING target must fail
-      // the load (X-3 fail-fast), never silently replace the whole table.
-      val fsProbe = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      val targetExists = fsProbe.exists(new org.apache.hadoop.fs.Path(targetPath))
-      if (!targetExists) batch
-      else Merge.applyIncremental(spark.read.parquet(targetPath), batch, Seq(pk))
+      graft.ingest.BucketedMerge.mergeInto(spark, targetPath, batch, Seq(pk))
+      graft.ingest.BucketedMerge.read(spark, targetPath)
     }
-    // two-phase write: parquet target can't be read+overwritten in place
-    val tmp = s"$targetPath.__staging"
-    result.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(targetPath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-    spark.read.parquet(targetPath)
   }
 
   /**

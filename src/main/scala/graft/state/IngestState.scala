@@ -1,5 +1,8 @@
 package graft.state
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,11 +11,17 @@ import org.apache.spark.sql.functions._
  * (`/root/reference/src/main.rs:76, 118-147, 163-246`; SURVEY §2 ST-1/ST-2).
  *
  * Keys: `dump_processed_{id}` ∈ {in_progress, successful, failure,
- * out-of-date} and `last_version_processed` → schema version string. We keep
- * the same state machine over a small parquet-backed KV directory: one write
- * per transition (tiny single-row appends, compacted on read by
- * last-writer-wins). At scale this would live in a transactional table; the
- * interface is the contract.
+ * out-of-date} and `last_version_processed` → schema version string, over a
+ * small parquet-backed KV directory with last-writer-wins semantics.
+ *
+ * Write path: each transition appends ONE tiny parquet part with a
+ * monotonic sequence from a wall-clock-seeded in-JVM counter — no
+ * read-the-world to compute max(seq)+1 (the round-1 design cost an O(n)
+ * Spark job per transition). When the directory accumulates more than
+ * `CompactThreshold` parts, it is compacted to a single latest-per-key file
+ * via staging + rename, so file count stays bounded at hourly-cron cadence.
+ * At scale this would live in a transactional table; the interface is the
+ * contract.
  */
 final class IngestState(spark: SparkSession, dir: String) {
 
@@ -20,12 +29,20 @@ final class IngestState(spark: SparkSession, dir: String) {
 
   private def path = s"$dir/state.parquet"
 
+  private val seqCounter = new AtomicLong(0L)
+
+  /** Strictly monotonic within this JVM; wall-clock-seeded so sequences
+    * from successive loader runs stay ordered (same guarantee class as the
+    * reference's RocksDB write order at its hourly cadence). */
+  private def nextSeq(): Long =
+    seqCounter.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis() * 1000L))
+
+  private def fs: FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
   private def readAll(): DataFrame = {
     import spark.implicits._
-    val exists =
-      try spark.read.parquet(path).count() >= 0
-      catch { case _: Throwable => false }
-    if (exists) spark.read.parquet(path)
+    if (fs.exists(new Path(path))) spark.read.parquet(path)
     else Seq.empty[(String, String, Long)].toDF("key", "value", "seq")
   }
 
@@ -43,10 +60,27 @@ final class IngestState(spark: SparkSession, dir: String) {
 
   def put(key: String, value: String): Unit = {
     import spark.implicits._
-    val seq = readAll().agg(coalesce(max(col("seq")), lit(0L))).collect()(0).getLong(0) + 1L
-    Seq((key, value, seq)).toDF("key", "value", "seq")
+    Seq((key, value, nextSeq())).toDF("key", "value", "seq")
       .coalesce(1).write.mode(SaveMode.Append).parquet(path)
+    maybeCompact()
   }
+
+  private def partCount(): Int =
+    fs.listStatus(new Path(path)).count(_.getPath.getName.endsWith(".parquet"))
+
+  /** Fold the append log down to one latest-per-key file once it exceeds
+    * the threshold; staged + renamed so readers never see a half state. */
+  private def maybeCompact(threshold: Int = CompactThreshold): Unit =
+    if (partCount() > threshold) {
+      val latest = readAll()
+        .groupBy(col("key"))
+        .agg(max_by(col("value"), col("seq")).as("value"), max(col("seq")).as("seq"))
+      val tmp = s"$path.__compact"
+      latest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val p = new Path(path)
+      fs.delete(p, true)
+      fs.rename(new Path(tmp), p)
+    }
 
   def dumpStatus(dumpId: String): Option[String] = get(s"dump_processed_$dumpId")
   def setDumpStatus(dumpId: String, status: String): Unit = {
@@ -69,4 +103,5 @@ object IngestState {
   val OutOfDate  = "out-of-date"
   val Statuses: Set[String] = Set(InProgress, Successful, Failure, OutOfDate)
   val LastVersionKey = "last_version_processed"
+  val CompactThreshold = 16
 }

@@ -43,4 +43,55 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
 
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("bucket-pruned merge reads and rewrites a strict subset of buckets") {
+    import graft.ingest.BucketedMerge
+    val dir = Files.createTempDirectory("graft_bmerge").toString
+    val target = s"$dir/t"
+    val nBuckets = 8
+
+    // seed: 400 rows spread over all 8 buckets
+    val seed = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "payload")
+    BucketedMerge.mergeInto(spark, target, seed, Seq("id"), nBuckets)
+    val dirs = new java.io.File(target).listFiles().filter(_.getName.startsWith("__bucket="))
+    assert(dirs.length == nBuckets)
+
+    def filesState(): Map[String, Long] =
+      dirs.flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified())).toMap
+    val before = filesState()
+
+    // batch: update id=1, insert id=401 — touches at most 2 buckets
+    val batch = Seq((1L, "v1_updated"), (401L, "v401")).toDF("id", "payload")
+    val affected = batch
+      .withColumn("__bucket", BucketedMerge.bucketExpr(Seq("id"), nBuckets))
+      .select("__bucket").distinct().as[Int].collect().sorted.toIndexedSeq
+
+    // read-side prune: the merge's target scan touches only affected dirs
+    // (inputFiles ignores partition pruning — inspect the scan's selected
+    // partitions in the executed plan instead)
+    val scan = BucketedMerge.prunedTarget(spark, target, affected)
+      .queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+    val scanned = scan.selectedPartitions.toPartitionArray.map(_.urlEncodedPath)
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(f => affected.exists(b => f.contains(s"__bucket=$b/"))),
+      s"scan leaked outside affected buckets: ${scanned.mkString(",")}")
+    assert(scanned.length < spark.read.parquet(target).inputFiles.length)
+
+    BucketedMerge.mergeInto(spark, target, batch, Seq("id"), nBuckets)
+
+    // write-side prune: untouched bucket files are bit-identical (same
+    // paths, same mtimes); affected buckets were rewritten
+    val after = filesState()
+    val untouchedBefore = before.filterNot { case (p, _) => affected.exists(b => p.contains(s"__bucket=$b/")) }
+    val untouchedAfter = after.filterNot { case (p, _) => affected.exists(b => p.contains(s"__bucket=$b/")) }
+    assert(untouchedBefore == untouchedAfter, "untouched buckets were rewritten")
+    assert(before.keySet != after.keySet || before != after, "affected buckets were not rewritten")
+
+    // correctness: update applied, insert present, everything else intact
+    val out = BucketedMerge.read(spark, target).as[(Long, String)].collect().toMap
+    assert(out.size == 401)
+    assert(out(1L) == "v1_updated" && out(401L) == "v401" && out(2L) == "v2")
+  }
 }

@@ -55,6 +55,13 @@ class SketchBoundsSpec extends AnyFunSuite with SparkSuite {
     assert(emitted.map { case (a, b, _) => (a, b) }.distinct.length == emitted.length)
   }
 
+  test("q58 banded near-dup: no cartesian / nested-loop join in the physical plan") {
+    val plan = Dedup.embeddingNearDups(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "plan contains a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "plan contains a nested-loop join")
+  }
+
   test("q37 IVF ANN: recall@5 >= 0.6 vs the exact brute-force top-k") {
     import spark.implicits._
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
