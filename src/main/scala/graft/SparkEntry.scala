@@ -352,10 +352,13 @@ object SparkEntry {
         |   (acc, x) -> (acc*31+x) % 1000000007) AS fingerprint,
         | CAST(len($tokens) AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+    // the Spark side renders a real PNG per doc and decodes it with
+    // javax.imageio; dimensions are a pure function of n_chars, so the
+    // oracle checks the whole encode→bytes→decode round trip.
     "q43_multimodal_decode" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        | CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-        | CAST((octet_length(encode(text))*7) % 480 AS BIGINT) AS height
+      """SELECT doc_id,
+        | CAST(1 + n_chars % 64 AS BIGINT) AS width,
+        | CAST(1 + (n_chars * 7) % 48 AS BIGINT) AS height
         |FROM documents""".stripMargin,
     "q44_frame_sample" ->
       """SELECT doc_id, CAST(t.f AS INTEGER) AS frame_idx, CAST(t.f*256 AS INTEGER) AS byte_offset

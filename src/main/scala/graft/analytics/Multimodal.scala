@@ -7,45 +7,78 @@ import org.apache.spark.sql.functions._
  * Multimodal-column plumbing: media as opaque `binary` columns with typed
  * metadata, processed in per-partition batches.
  *
- * The container ships no image/audio codecs, so `decodeStub` is a
- * clearly-marked DETERMINISTIC FAKE (metadata derived arithmetically from
- * the payload bytes). Everything around it — binary schema, partition-batch
- * iteration via `mapPartitions` on a typed Dataset, output schema — is the
- * real production shape: swap `decodeStub` for a JNI/codec call and nothing
- * else changes.
+ * The image path is REAL: [[pngMediaTable]] renders a deterministic PNG per
+ * document (dimensions a pure function of `n_chars`) and [[decodeMeta]]
+ * decodes it back with `javax.imageio` — a genuine encode→bytes→decode
+ * round trip whose output the DuckDB oracle checks by recomputing the
+ * dimension formula. Text-byte payloads ([[mediaTable]]) drive the
+ * frame-sampling and feature-extraction shapes where the payload content
+ * itself is the fixture.
  *
- * 100 TB posture: decode is a narrow per-partition map (no shuffle); binary
- * payloads never hit the driver; partition sizing is governed by
- * `maxPartitionBytes` on the scan.
+ * 100 TB posture: encode/decode are narrow per-partition maps (no shuffle,
+ * codec initialized once per partition); binary payloads never hit the
+ * driver; partition sizing is governed by `maxPartitionBytes` on the scan.
  */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
-  final case class DecodedMeta(doc_id: Long, byte_len: Long, width: Long, height: Long)
+  final case class DecodedMeta(doc_id: Long, width: Long, height: Long)
 
-  /** STUB — stands in for a real image decode. Deterministic so tests and
-    * the DuckDB oracle can reproduce it from the payload length alone. */
-  def decodeStub(payload: Array[Byte]): (Long, Long) = {
-    val len = payload.length.toLong
-    (len % 640, (len * 7) % 480)
-  }
-
-  /** Fake a media table from documents: utf-8 bytes of text = "image". */
+  /** Text-bytes media table: utf-8 bytes of text as an opaque payload —
+    * the fixture for frame sampling (q44) and feature extraction (q59). */
   def mediaTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
       col("text").cast("binary").as("payload"))
 
-  /** The decode pipeline: typed partition-batch map over binary payloads. */
+  /** Deterministic image dimensions per document. Pure so the oracle can
+    * recompute them from `n_chars` alone. */
+  def imageDims(nChars: Long): (Int, Int) =
+    ((1 + nChars % 64).toInt, (1 + (nChars * 7) % 48).toInt)
+
+  /** Render one deterministic RGB PNG (pixel = f(doc_id, x, y)). */
+  def pngBytes(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (docId * 131 + x * 31 + y * 7).toInt & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** PNG media table: one real PNG payload per document, rendered in
+    * per-partition batches (encoder state initialized once per partition —
+    * the production codec shape). */
+  def pngMediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (id, nChars) =>
+          val (w, h) = imageDims(nChars)
+          MediaRow(id, pngBytes(id, w, h))
+        }
+      }
+  }
+
+  /** The decode pipeline: `javax.imageio` over real PNG payloads, batched
+    * per partition. Emits honest decoded dimensions — if either the encode
+    * or the decode were wrong, the oracle's recomputed formula would
+    * mismatch. */
   def decodeMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media: Dataset[MediaRow] = mediaTable(s, d).as[MediaRow]
-    media.mapPartitions { batch =>
-      // batch-shaped: a real decoder would init its codec once here,
-      // then stream the partition through it.
+    pngMediaTable(s, d).mapPartitions { batch =>
+      // a real pipeline initializes its decoder once per partition here
       batch.map { row =>
-        val (w, h) = decodeStub(row.payload)
-        DecodedMeta(row.doc_id, row.payload.length.toLong, w, h)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+        DecodedMeta(row.doc_id, img.getWidth.toLong, img.getHeight.toLong)
       }
     }.toDF()
   }
