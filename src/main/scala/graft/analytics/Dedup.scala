@@ -171,8 +171,9 @@ object Dedup {
       nplanes: Int = 16, bands: Int = 4): DataFrame = {
     val bandBits = nplanes / bands
     val mask = (1L << bandBits) - 1
+    val dim = Similarity.embeddingDim(Tables.embeddings(s, d))
     val emb = Tables.embeddings(s, d)
-      .withColumn("bucket", Similarity.lshBucketCol(col("embedding"), nplanes))
+      .withColumn("bucket", Similarity.lshBucketCol(col("embedding"), nplanes, dim))
     def banded(df: DataFrame, id: String): DataFrame = df.select(
       col("vec_id").as(id),
       posexplode(array((0 until bands).map(k =>

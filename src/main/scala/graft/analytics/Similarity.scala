@@ -105,8 +105,9 @@ object Similarity {
    */
   def ivfTopK(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 4,
       stride: Long = 100, nplanes: Int = 3): DataFrame = {
+    val dim = embeddingDim(embeddings(s, d))
     val emb = embeddings(s, d)
-      .withColumn("cell", lshBucketCol(col("embedding"), nplanes))
+      .withColumn("cell", lshBucketCol(col("embedding"), nplanes, dim))
     val cents = centroids(emb) // (cell, centroid) — tiny, broadcast
     val queries = emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -127,37 +128,48 @@ object Similarity {
   }
 
   /**
-   * Random-hyperplane LSH bucketing: sign bits of projections onto
-   * `nplanes` pseudo-random hyperplanes (no stored model). Plane
-   * coefficients are derived from the md5 hex prefix of "plane_dim" — like
-   * [[Dedup.mdHash60]], chosen because Spark and DuckDB compute it
-   * bit-identically, so bucket assignments are fully oracle-checkable.
-   * Docs in the same bucket are cosine-similar candidates.
-   *
-   * At scale the (plane, dim) coefficient matrix is row-independent — a
-   * production variant precomputes it once and broadcasts a literal matrix
-   * instead of re-hashing per row; kept inline here so the expression stays
-   * self-contained and engine-reproducible.
+   * Hyperplane coefficient in [-0.5, 0.5) from the 32-bit md5 prefix of
+   * "plane_dim". Bit-identical to the DuckDB form
+   * `(('0x'||substr(md5(p||'_'||i),1,8))::BIGINT % 1000000)/1000000.0-0.5`,
+   * so LSH bucket assignments are fully oracle-checkable.
    */
-  def lshBucketCol(embCol: Column, nplanes: Int): Column = {
+  def planeCoef(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000000L)
+      .toDouble / 1000000.0 - 0.5
+  }
+
+  /**
+   * Random-hyperplane LSH bucketing: sign bits of projections onto
+   * `nplanes` pseudo-random hyperplanes (no stored model). The (plane, dim)
+   * coefficient matrix is row-independent, so it is computed ONCE on the
+   * driver and shipped as literal arrays — the per-row work is just the
+   * `nplanes` fused dot products (an earlier inline-hash form recomputed
+   * md5 per row per element and cost 2-4s per query at sf0.1).
+   * `dim` is the (fixed) embedding width. Docs in the same bucket are
+   * cosine-similar candidates.
+   */
+  def lshBucketCol(embCol: Column, nplanes: Int, dim: Int): Column = {
     val sig = (0 until nplanes).map { p =>
-      // projection = Σ emb[i] * coef(p, i); coef in [-0.5, 0.5) from the
-      // 32-bit md5 prefix of "p_i"
+      val coefs = array((0 until dim).map(i => lit(planeCoef(p, i))): _*)
       val proj = aggregate(
-        zip_with(embCol, sequence(lit(0), size(embCol) - 1),
-          (x, i) => x.cast("double") *
-            ((conv(substring(md5(concat_ws("_", lit(p.toString), i.cast("string"))
-                .cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L)
-              .cast("double") / 1000000.0 - 0.5)),
+        zip_with(embCol, coefs, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }
     sig.reduce(_ + _)
   }
 
+  /** The embedding width — one head() probe, used to size the literal
+    * coefficient arrays. */
+  def embeddingDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head().getInt(0)
+
   def lshBuckets(emb: DataFrame, nplanes: Int = 8): DataFrame =
     emb.select(col("vec_id"), col("label"),
-      lshBucketCol(col("embedding"), nplanes).as("bucket"))
+      lshBucketCol(col("embedding"), nplanes, embeddingDim(emb)).as("bucket"))
 
   /** Bucket histogram — the observable artifact of LSH bucketing. */
   def lshBucketStats(s: SparkSession, d: String): DataFrame =
