@@ -88,7 +88,11 @@ object SparkEntry {
     "q60_rank_suite" -> (Relational.q60RankSuite _),
     "q61_date_parts" -> (Relational.q61DateParts _),
     "q62_scalar_suite" -> (Relational.q62ScalarSuite _),
-    "q63_percentile_approx" -> ((s: SparkSession, d: String) => Relational.q63PercentileApprox(s, d)))
+    "q63_percentile_approx" -> ((s: SparkSession, d: String) => Relational.q63PercentileApprox(s, d)),
+    // dataset assembly: deterministic split / length bins / contamination
+    "q64_dataset_split" -> (Sampling.datasetSplit _),
+    "q65_length_bins" -> ((s: SparkSession, d: String) => Sampling.lengthBins(s, d)),
+    "q66_contamination" -> ((s: SparkSession, d: String) => Sampling.contamination(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -508,6 +512,39 @@ object SparkEntry {
         | CAST(EXTRACT(dow FROM o_orderdate)+1 AS INTEGER) AS dow,
         | count(*) AS n_orders
         |FROM orders GROUP BY yr, qtr, mon, dow""".stripMargin,
+    // split bucket = md5-hex-prefix of the id string — same engine-
+    // reproducible derivation as the simhash word hash.
+    "q64_dataset_split" ->
+      s"""WITH a AS (
+        | SELECT CASE
+        |   WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 80 THEN 'train'
+        |   WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 90 THEN 'val'
+        |   ELSE 'test' END AS split,
+        |  CAST(len($tokens) AS INTEGER) AS n_tokens
+        | FROM documents)
+        |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM a GROUP BY split""".stripMargin,
+    "q65_length_bins" ->
+      s"""WITH a AS (
+        | SELECT CAST(least(ceil(len($tokens) / 16.0), 6) AS INTEGER) AS bin,
+        |  CAST(len($tokens) AS INTEGER) AS n_tokens
+        | FROM documents)
+        |SELECT bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM a GROUP BY bin""".stripMargin,
+    "q66_contamination" ->
+      s"""WITH b AS (
+        | SELECT doc_id AS bench_id, list_distinct($tokens) AS wb
+        | FROM documents WHERE doc_id % 97 = 0 AND doc_id < 97000),
+        |d AS (SELECT doc_id, source, list_distinct($tokens) AS wd FROM documents),
+        |j AS (
+        | SELECT d.doc_id, d.source, b.bench_id,
+        |  CAST(len(list_intersect(wd, wb)) AS DOUBLE) /
+        |   len(list_distinct(list_concat(wd, wb))) AS jac
+        | FROM d, b WHERE d.doc_id <> b.bench_id)
+        |SELECT source, count(DISTINCT doc_id) AS n_contaminated,
+        | count(DISTINCT bench_id) AS n_bench_hit
+        |FROM j WHERE jac >= 0.8 GROUP BY source""".stripMargin,
     "q62_scalar_suite" ->
       """SELECT l_orderkey, l_linenumber,
         | abs(l_quantity - 25) AS qty_dev,

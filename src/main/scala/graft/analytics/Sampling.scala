@@ -1,0 +1,95 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Dataset-assembly operators for training-data pipelines: deterministic
+ * train/val/test splitting, sequence-length binning, and train-vs-benchmark
+ * contamination detection. All pure column expressions over the `documents`
+ * fixture — no sampling RNG state, no UDFs, nothing driver-side.
+ *
+ * Determinism: split assignment hashes the stable doc id through the same
+ * md5-hex-prefix trick as [[Dedup.mdHash60]], so (a) assignment is stable
+ * across runs/engines — re-shuffling the corpus can never move a document
+ * between train and test — and (b) the DuckDB oracle reproduces every
+ * query bit-for-bit.
+ *
+ * 100 TB posture: split/bin are map-side column adds (zero shuffle until
+ * the final tiny aggregate); contamination joins shuffle on a 128-bit
+ * content hash, never the document body.
+ */
+object Sampling {
+
+  /** Stable per-doc bucket in [0, 100) from the md5 of the id. */
+  def splitBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** 80/10/10 split assignment. */
+  def splitName(idCol: Column): Column = {
+    val b = splitBucket(idCol)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  /** Per-split document and token totals — the sanity dashboard of any
+    * corpus split (and proof the assignment fractions hold). */
+  def datasetSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("split", splitName(col("doc_id")))
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+
+  /** Sequence-length histogram: docs bucketed by token count in steps of
+    * `binTokens`, capped at `maxBin` (the overflow bin) — the shape that
+    * drives context-length packing decisions. */
+  def lengthBins(s: SparkSession, d: String,
+      binTokens: Int = 16, maxBin: Int = 6): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("bin",
+        least(ceil(col("n_tokens") / binTokens.toDouble), lit(maxBin)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+
+  /**
+   * Contamination check: corpus documents whose word-set Jaccard against
+   * any "benchmark" document (doc_id ≡ 0 mod `benchStride`, standing in for
+   * an eval set) reaches `threshold` — the near-match decontamination gate
+   * (exact copies are the j = 1.0 special case). Emits per-source
+   * contaminated counts.
+   *
+   * Scale shape: an eval set is small by definition and additionally
+   * hard-capped by id range (`maxBench`), so the benchmark side is an O(1)
+   * broadcast and scoring is map-side over the corpus — the corpus never
+   * shuffles. (For corpus-vs-corpus near-dup at scale, use the banded LSH
+   * join in [[Dedup.embeddingNearDups]]/[[Dedup.minhashPairs]] instead.)
+   */
+  def contamination(s: SparkSession, d: String, benchStride: Long = 97,
+      threshold: Double = 0.8, maxBench: Long = 1000): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def wordSet(c: Column): Column = array_distinct(split(trim(c), "\\s+"))
+    val bench = docs
+      .filter(col("doc_id") % benchStride === 0 && col("doc_id") < benchStride * maxBench)
+      .select(col("doc_id").as("bench_id"), wordSet(col("text")).as("wb"))
+    docs
+      .select(col("doc_id"), col("source"), wordSet(col("text")).as("wd"))
+      .join(broadcast(bench))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .withColumn("jac",
+        size(array_intersect(col("wd"), col("wb"))).cast("double") /
+          size(array_union(col("wd"), col("wb"))))
+      .filter(col("jac") >= threshold)
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_contaminated"),
+        countDistinct(col("bench_id")).as("n_bench_hit"))
+  }
+}
