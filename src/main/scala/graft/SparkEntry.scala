@@ -92,7 +92,8 @@ object SparkEntry {
     // dataset assembly: deterministic split / length bins / contamination
     "q64_dataset_split" -> (Sampling.datasetSplit _),
     "q65_length_bins" -> ((s: SparkSession, d: String) => Sampling.lengthBins(s, d)),
-    "q66_contamination" -> ((s: SparkSession, d: String) => Sampling.contamination(s, d)))
+    "q66_contamination" -> ((s: SparkSession, d: String) => Sampling.contamination(s, d)),
+    "q67_interval_join" -> (Relational.q67IntervalJoin _))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -545,6 +546,15 @@ object SparkEntry {
         |SELECT source, count(DISTINCT doc_id) AS n_contaminated,
         | count(DISTINCT bench_id) AS n_bench_hit
         |FROM j WHERE jac >= 0.8 GROUP BY source""".stripMargin,
+    "q67_interval_join" ->
+      """SELECT e.event_id, e.user_id,
+        | count(o.o_orderdate) AS n_recent_orders,
+        | round(coalesce(sum(o.o_totalprice), 0), 2) AS recent_spend
+        |FROM events e LEFT JOIN orders o
+        | ON o.o_custkey = e.user_id
+        | AND o.o_orderdate <= e.ts
+        | AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+        |GROUP BY e.event_id, e.user_id""".stripMargin,
     "q62_scalar_suite" ->
       """SELECT l_orderkey, l_linenumber,
         | abs(l_quantity - 25) AS qty_dev,

@@ -214,10 +214,17 @@ object Dedup {
    * 60-bit SimHash from a materialized word-hash column: bit b of the
    * fingerprint is the majority vote of bit b across hash(word).
    * Near-dup docs differ in few bits (small Hamming distance).
-   * Same materialization rule as [[ngramsFromWords]]: `hashesCol` must be a
-   * projected column, the 60 bit votes each scan it once.
+   * Computed by the native single-pass [[graft.functions.SimHash60]]
+   * expression (whole-stage codegen); [[simhashFromHashesDeclarative]] is
+   * the builtin-only formulation, kept as the cross-check oracle for the
+   * native one (equality asserted in CosineSimilaritySpec).
    */
-  def simhashFromHashes(hashesCol: Column): Column = {
+  def simhashFromHashes(hashesCol: Column): Column =
+    graft.functions.SimHash60.simhash60(hashesCol)
+
+  /** Declarative majority-vote form: 60 filter passes over the hash array.
+    * Value-identical to the native expression, ~10× slower — test oracle. */
+  def simhashFromHashesDeclarative(hashesCol: Column): Column = {
     val bits = (0 until SimhashBits).map { b =>
       // bit b set iff strictly more than half the word hashes have it set
       when(size(filter(hashesCol, h => shiftright(h, b).bitwiseAND(1) === 1)) * 2

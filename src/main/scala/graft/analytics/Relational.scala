@@ -348,6 +348,29 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"))
   }
 
+  /**
+   * Interval (range) join: per event, aggregate the same user's orders in
+   * the trailing 30 days — the point-in-range companion to the as-of
+   * join's point-in-time lookup. Plan shape: ONE shuffle hash join on the
+   * equi key (user), the time-range predicate evaluated as the join
+   * residual — at scale the equi key partitions the work and no
+   * cross-product ever forms; per-user order lists are small and uniform.
+   */
+  def q67IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val o = orders(s, d).select(
+      col("o_custkey").as("user_id"), col("o_orderdate"), col("o_totalprice"))
+    e.join(o,
+        e("user_id") === o("user_id") &&
+          col("o_orderdate") <= col("ts") &&
+          col("o_orderdate") >= col("ts") - expr("INTERVAL 30 DAYS"),
+        "left")
+      .groupBy(col("event_id"), e("user_id"))
+      .agg(
+        count(col("o_orderdate")).as("n_recent_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("recent_spend"))
+  }
+
   /** GROUPING SETS (mixed subtotal shapes in one pass). */
   def q49GroupingSets(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

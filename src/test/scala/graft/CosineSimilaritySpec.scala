@@ -49,4 +49,37 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSuite {
     val topk = Similarity.bruteForceTopK(spark, "/root/testdata/sf0.001", k = 3)
     assert(topk.count() > 0)
   }
+
+  test("native simhash60 == declarative majority vote on the fixture") {
+    import graft.analytics.{Dedup, Tables}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .withColumn("whs",
+        transform(array_distinct(split(trim(col("text")), "\\s+")), w => Dedup.mdHash60(w)))
+    val out = docs.select(
+      Dedup.simhashFromHashes(col("whs")).as("native"),
+      Dedup.simhashFromHashesDeclarative(col("whs")).as("decl"))
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, d) => assert(n == d) }
+
+    // null-element and empty-array semantics match; a NULL array is the one
+    // documented divergence (native propagates NULL, the declarative when()
+    // folds the null comparison to 0) — never reachable from the pipeline,
+    // where whs comes from transform() over non-null text
+    val edge = Seq(
+      (1L, Some(Seq(Some(7L), None, Some(7L)))),
+      (2L, Some(Seq.empty[Option[Long]])),
+      (3L, Option.empty[Seq[Option[Long]]]))
+      .toDF("id", "whs")
+    val eo = edge.select(col("id"),
+      Dedup.simhashFromHashes(col("whs")).as("native"),
+      Dedup.simhashFromHashesDeclarative(col("whs")).as("decl")).collect()
+    eo.foreach { r =>
+      r.getLong(0) match {
+        case 3L => assert(r.isNullAt(1) && !r.isNullAt(2) && r.getLong(2) == 0L)
+        case _  => assert(!r.isNullAt(1) && r.getLong(1) == r.getLong(2))
+      }
+    }
+  }
 }
