@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SimHash60}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -12,29 +12,45 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
  *   // or spark.sql.extensions=graft.GraftExtensions on a cluster
  *   spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
+ *   spark.sql("SELECT simhash60(word_hashes) ...")
  *
  * For an already-running session (notebooks, tests) use
  * [[GraftExtensions.register]].
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimilarityFn)
+    e.injectFunction(GraftExtensions.simhash60Fn)
+  }
 }
 
 object GraftExtensions {
 
-  private def build(exprs: Seq[Expression]): Expression = {
+  private def buildCosine(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "cosine_similarity takes exactly 2 arguments")
     CosineSimilarity(exprs(0), exprs(1))
+  }
+
+  private def buildSimhash(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "simhash60 takes exactly 1 argument")
+    SimHash60(exprs(0))
   }
 
   val cosineSimilarityFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_similarity"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-    build _)
+    buildCosine _)
+
+  val simhash60Fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash60"),
+    new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+    buildSimhash _)
 
   /** Runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity", build _, "scala_udf")
+      "cosine_similarity", buildCosine _, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", buildSimhash _, "scala_udf")
+  }
 }

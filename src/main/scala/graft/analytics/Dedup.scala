@@ -263,11 +263,15 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val r = banded.select(col("band_id"), col("band_key"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    // hamming filter BEFORE the distinct: band collisions among unrelated
+    // docs dominate the candidate stream, so deduplicating only surviving
+    // pairs shrinks the exchange by orders of magnitude (same result —
+    // hamming is a function of the pair, so filter∘distinct ≡ distinct∘filter)
     l.join(r, Seq("band_id", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("doc_a") < col("doc_b") &&
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

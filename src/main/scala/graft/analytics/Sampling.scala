@@ -79,9 +79,14 @@ object Sampling {
     val bench = docs
       .filter(col("doc_id") % benchStride === 0 && col("doc_id") < benchStride * maxBench)
       .select(col("doc_id").as("bench_id"), wordSet(col("text")).as("wb"))
+    // size prefilter: jaccard >= t implies |wd|/|wb| ∈ [t, 1/t], so pairs
+    // outside that ratio can be discarded before the set intersection —
+    // output-identical, and it prunes most of the bounded cross product
     docs
       .select(col("doc_id"), col("source"), wordSet(col("text")).as("wd"))
-      .join(broadcast(bench))
+      .join(broadcast(bench),
+        size(col("wd")).cast("double") >= size(col("wb")) * threshold &&
+          size(col("wb")).cast("double") >= size(col("wd")) * threshold)
       .filter(col("doc_id") =!= col("bench_id"))
       .withColumn("jac",
         size(array_intersect(col("wd"), col("wb"))).cast("double") /

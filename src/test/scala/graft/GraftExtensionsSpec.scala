@@ -28,4 +28,15 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSuite {
       spark.sql("SELECT cosine_similarity(array(1.0), array(2.0))").collect()
     }
   }
+
+  test("simhash60 callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    // majority vote over {1b, 1b, 2b}: bit0 set (2/3), bit1 clear (1/3)
+    val v = spark.sql(
+      "SELECT simhash60(array(1L, 1L, 2L)) AS s").collect()(0).getLong(0)
+    assert(v == 1L)
+    intercept[Exception] {
+      spark.sql("SELECT simhash60(array('x'))").collect()
+    }
+  }
 }
