@@ -97,6 +97,49 @@ object SparkEntry {
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** q32's oracle, generated so the permutation constants come from the
+    * same md5 derivation the Spark side uses (Dedup.minhashA/minhashB) —
+    * the full MinHash+LSH pipeline is integer arithmetic over md5 prefixes,
+    * reproducible bit-for-bit in DuckDB. */
+  private def minhashOracle(numPerm: Int = 16, bands: Int = 4): String = {
+    val P = analytics.Dedup.MinhashP
+    val rows = numPerm / bands
+    val sigExprs = (0 until numPerm).map(p =>
+      s"list_min(list_transform(nh, h -> (h*${analytics.Dedup.minhashA(p)} + " +
+        s"${analytics.Dedup.minhashB(p)}) % $P)) AS s$p").mkString(",\n  ")
+    val bandExprs = (0 until bands).map { k =>
+      val terms = (0 until rows).map(r => s"s${k * rows + r}")
+      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc*31 + $t)") + s" AS band_$k"
+    }.mkString(",\n  ")
+    val bandMatch = (0 until bands).map(k => s"a.band_$k = b2.band_$k").mkString(" OR ")
+    s"""WITH d AS (
+       | SELECT doc_id, $tokens AS ws FROM documents),
+       |n AS (
+       | SELECT doc_id, ws,
+       |  list_distinct(list_transform(range(0, greatest(len(ws)-3, 0)+1),
+       |   i -> concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]))) AS ngrams
+       | FROM d),
+       |h AS (
+       | SELECT doc_id, ws,
+       |  list_transform(ngrams, g -> ('0x' || substring(md5(g),1,8))::BIGINT % $P) AS nh
+       | FROM n),
+       |s AS (
+       | SELECT doc_id, ws,
+       |  $sigExprs
+       | FROM h),
+       |b AS (
+       | SELECT doc_id, ws,
+       |  $bandExprs
+       | FROM s),
+       |cand AS (
+       | SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |  CAST(len(list_intersect(list_distinct(a.ws), list_distinct(b2.ws))) AS DOUBLE) /
+       |   len(list_distinct(list_concat(a.ws, b2.ws))) AS jac
+       | FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+       | WHERE $bandMatch)
+       |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM cand WHERE jac >= 0.5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -256,6 +299,7 @@ object SparkEntry {
         | SELECT doc_id, lang, source, n_chars,
         |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         | FROM documents) t WHERE rn = 1""".stripMargin,
+    "q32_minhash_lsh_pairs" -> minhashOracle(),
     "q33_word_jaccard_pairs" ->
       s"""WITH l AS (SELECT doc_id AS doc_a, lang, list_distinct($tokens) AS wa
         |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 50000),

@@ -65,14 +65,48 @@ object Dedup {
     * form for ad-hoc use; pipelines should materialize via ngramsFromWords. */
   def shingles(c: Column, n: Int = 3): Column = ngramsFromWords(words(c), n)
 
+  /** Mersenne prime 2^31-1: the modulus of the MinHash permutation family. */
+  val MinhashP: Long = 2147483647L
+
+  /** Permutation constants for the universal-hash family
+    * `h -> (a*h + b) mod P`, derived from md5 so both engines (and the
+    * oracle SQL, which inlines them as literals) agree. `a` is nonzero. */
+  def minhashA(p: Int): Long = md5Prefix32(s"minhash_a_$p") % (MinhashP - 1) + 1
+  def minhashB(p: Int): Long = md5Prefix32(s"minhash_b_$p") % MinhashP
+
+  /** First 8 hex chars of md5(s) as a long — driver-side twin of the
+    * column-level md5-prefix derivations. */
+  def md5Prefix32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  /** Base shingle hash in [0, P): 32-bit md5 prefix mod P — the
+    * engine-reproducible seed every permutation rides on (one md5 per
+    * shingle; permutations are integer arithmetic). */
+  def shingleHash(g: Column): Column =
+    conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long") % MinhashP
+
   /**
    * MinHash signature: for permutation p, min over shingles of
-   * murmur3(shingle, seed=p). Seeding by permutation index gives k
-   * independent-enough hash families with zero extra columns scanned.
+   * `(a_p * h + b_p) mod P` — the classic universal-hash permutation
+   * family over a single md5-derived base hash. `hashCol` must be a
+   * materialized array<long> of [[shingleHash]] values (HOF
+   * materialization rule). Integer-exact in any engine: no murmur3 /
+   * xxhash dependency, so the whole signature is oracle-checkable.
    */
-  def minhashSignature(shingleCol: Column, numPerm: Int): Column =
+  def minhashSignature(hashCol: Column, numPerm: Int): Column =
     array((0 until numPerm).map(p =>
-      array_min(transform(shingleCol, g => hash(g, lit(p))))): _*)
+      array_min(transform(hashCol,
+        h => (h * minhashA(p) + minhashB(p)) % MinhashP))): _*)
+
+  /** 4-min band key: base-31 polynomial combine of one band's signature
+    * slice (values < 2^31 ⇒ the combine stays < 2^46, exact in a long). */
+  def bandKey(sigCol: Column, band: Int, rowsPerBand: Int): Column =
+    (0 until rowsPerBand)
+      .map(r => get(sigCol, lit(band * rowsPerBand + r)))
+      .reduce((acc, s) => acc * 31 + s)
 
   /**
    * MinHash + LSH near-duplicate pairs: signature → bands → bucket
@@ -87,15 +121,17 @@ object Dedup {
     * plant controlled near-duplicates and assert recall. */
   def minhashPairsFor(documentsDF: DataFrame,
       numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+    val rowsPerBand = numPerm / bands
     val docs = documentsDF
       .select(col("doc_id"), col("text"))
       .withColumn("ws", words(col("text")))
       .withColumn("ngrams", ngramsFromWords(col("ws")))
-      .withColumn("sig", minhashSignature(col("ngrams"), numPerm))
+      .withColumn("nh", transform(col("ngrams"), g => shingleHash(g)))
+      .withColumn("sig", minhashSignature(col("nh"), numPerm))
     val banded = docs.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * (numPerm / bands) + 1, numPerm / bands))): _*))
+        bandKey(col("sig"), b, rowsPerBand)): _*))
         .as(Seq("band_id", "band_hash")))
     // candidate pairs: co-bucketed docs, deduped across bands
     val a = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
