@@ -93,7 +93,9 @@ object SparkEntry {
     "q64_dataset_split" -> (Sampling.datasetSplit _),
     "q65_length_bins" -> ((s: SparkSession, d: String) => Sampling.lengthBins(s, d)),
     "q66_contamination" -> ((s: SparkSession, d: String) => Sampling.contamination(s, d)),
-    "q67_interval_join" -> (Relational.q67IntervalJoin _))
+    "q67_interval_join" -> (Relational.q67IntervalJoin _),
+    "q68_sequence_packing" -> ((s: SparkSession, d: String) => Sampling.sequencePacking(s, d)),
+    "q69_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -590,6 +592,22 @@ object SparkEntry {
         |SELECT source, count(DISTINCT doc_id) AS n_contaminated,
         | count(DISTINCT bench_id) AS n_bench_hit
         |FROM j WHERE jac >= 0.8 GROUP BY source""".stripMargin,
+    "q68_sequence_packing" ->
+      s"""WITH a AS (
+        | SELECT lang, doc_id, CAST(len($tokens) AS INTEGER) AS n_tokens FROM documents),
+        |b AS (
+        | SELECT lang, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        | FROM a)
+        |SELECT lang, CAST(floor(before / 2048.0) AS INTEGER) AS pack_id,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM b GROUP BY lang, pack_id""".stripMargin,
+    "q69_stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+        |   % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang""".stripMargin,
     "q67_interval_join" ->
       """SELECT e.event_id, e.user_id,
         | count(o.o_orderdate) AS n_recent_orders,

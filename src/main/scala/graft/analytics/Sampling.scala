@@ -60,6 +60,43 @@ object Sampling {
         max(col("n_tokens")).as("max_tokens"))
 
   /**
+   * Sequence packing: assign documents to fixed-token-budget context
+   * windows — doc d goes to pack `floor(running_tokens_before_d / budget)`
+   * within its language, in stable doc_id order. One window pass, no
+   * shuffle beyond the partition-by; deterministic, so shards can be packed
+   * independently and reproducibly. Emits per-pack fill stats (the
+   * padding-waste dashboard of a pretraining data loader).
+   */
+  def sequencePacking(s: SparkSession, d: String, budget: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0)))
+      .withColumn("pack_id", floor(col("before") / budget).cast("int"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("pack_tokens"))
+  }
+
+  /**
+   * Stratified sample: a per-language `rate`-fraction sample keyed on the
+   * md5 split bucket (same derivation as [[splitBucket]]) — deterministic,
+   * engine-reproducible, and stable under corpus growth (a doc's
+   * membership never changes as others arrive). Returns per-language
+   * sampled counts vs totals.
+   */
+  def stratifiedSample(s: SparkSession, d: String, ratePct: Int = 10): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("sampled", (splitBucket(col("doc_id")) < ratePct).cast("int"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("sampled")).cast("long").as("n_sampled"))
+
+  /**
    * Contamination check: corpus documents whose word-set Jaccard against
    * any "benchmark" document (doc_id ≡ 0 mod `benchStride`, standing in for
    * an eval set) reaches `threshold` — the near-match decontamination gate

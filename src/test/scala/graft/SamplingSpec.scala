@@ -35,6 +35,30 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("sequence packing: contiguous pack ids, token totals conserved") {
+    import spark.implicits._
+    val packs = Sampling.sequencePacking(spark, d)
+      .as[(String, Int, Long, Long)].collect()
+    val byLang = packs.groupBy(_._1)
+    byLang.foreach { case (lang, ps) =>
+      val ids = ps.map(_._2).sorted
+      assert(ids.head == 0 && ids.toSeq == (0 until ids.length), s"$lang ids: ${ids.toSeq}")
+    }
+    val totalPacked = packs.map(_._4).sum
+    val totalTokens = spark.read.parquet(s"$d/documents.parquet")
+      .selectExpr("size(split(trim(text), '\\\\s+'))").as[Int].collect().map(_.toLong).sum
+    assert(totalPacked == totalTokens) // every token lands in exactly one pack
+  }
+
+  test("stratified sample hits roughly the declared rate in every language") {
+    import spark.implicits._
+    Sampling.stratifiedSample(spark, d)
+      .as[(String, Long, Long)].collect().foreach { case (lang, n, sampled) =>
+        val rate = sampled.toDouble / n
+        assert(rate > 0.02 && rate < 0.25, s"$lang: $sampled/$n") // 10% ± slop at 100-doc strata
+      }
+  }
+
   test("contamination excludes self-pairs and is rerun-stable") {
     import spark.implicits._
     def run() = Sampling.contamination(spark, d)
