@@ -39,15 +39,17 @@ object Multimodal {
   /** Render one deterministic RGB PNG (pixel = f(doc_id, x, y)). */
   def pngBytes(docId: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (docId * 131 + x * 31 + y * 7).toInt & 0xFFFFFF)
+        px(y * w + x) = (docId * 131 + x * 31 + y * 7).toInt & 0xFFFFFF
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w) // one bulk write, not w*h calls
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
