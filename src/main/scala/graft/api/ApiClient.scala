@@ -119,7 +119,21 @@ final class ApiClient(
         Future {
           val paths = artifact.files.map { f =>
             val dest = saveDir.resolve(f.filename)
-            if (!Files.exists(dest)) transport.download(f.url, Map.empty, dest)
+            // download to a temp name and rename only on success: a failed
+            // or interrupted GET must never leave bytes at `dest`, or the
+            // resume-by-existence check would treat the partial/error body
+            // as a completed artifact forever after
+            if (!Files.exists(dest)) {
+              val tmp = saveDir.resolve(f.filename + ".part")
+              try {
+                transport.download(f.url, Map.empty, tmp)
+                Files.move(tmp, dest)
+              } catch {
+                case e: Throwable =>
+                  Files.deleteIfExists(tmp)
+                  throw e
+              }
+            }
             dest.toString
           }
           table -> paths

@@ -43,36 +43,70 @@ object BucketedMerge {
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$BucketColName="))
   }
 
+  /** Marker file recording the layout's bucket count: the hash mod is part
+    * of the on-disk format, so merges must use the WRITER's count, not the
+    * caller's — a mismatched mod would read the wrong dirs (stale-duplicate
+    * PKs) and swap dirs it never read (data loss). */
+  private val BucketCountFile = "_graft_buckets"
+
+  private def writeBucketCount(fs: FileSystem, targetPath: String, n: Int): Unit = {
+    val out = fs.create(new Path(targetPath, BucketCountFile), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The layout's bucket count, if recorded. */
+  def layoutBuckets(spark: SparkSession, targetPath: String): Option[Int] = {
+    val fs = fsOf(spark)
+    val p = new Path(targetPath, BucketCountFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt) finally in.close()
+    }
+  }
+
   /** Full (re)write in bucketed layout via staging + atomic-ish rename. */
-  private def fullRewrite(spark: SparkSession, df: DataFrame, targetPath: String): Unit = {
+  private def fullRewrite(spark: SparkSession, df: DataFrame, targetPath: String,
+      nBuckets: Int): Unit = {
     val tmp = s"$targetPath.__staging"
     df.write.mode(SaveMode.Overwrite).partitionBy(BucketColName).parquet(tmp)
-    val fs = fsOf(spark)
-    val dst = new Path(targetPath)
-    fs.delete(dst, true)
-    fs.rename(new Path(tmp), dst)
+    StagedWrite.swap(spark, tmp, targetPath)
+    writeBucketCount(fsOf(spark), targetPath, nBuckets)
   }
 
   /**
    * Merge `batch` (already deduped per PK — see [[Merge.dedupLatest]]) into
    * the bucketed target at `targetPath`, rewriting only affected buckets.
+   * `nBuckets` applies to the FIRST write; an existing bucketed layout's
+   * recorded count always wins (see [[layoutBuckets]]). When `seqCol` is
+   * set and present on the target, rows merge sequence-aware
+   * ([[Merge.applyIncrementalSeq]]): an out-of-order replay of an older
+   * batch cannot regress newer target rows.
    */
   def mergeInto(spark: SparkSession, targetPath: String, batch: DataFrame,
-      pk: Seq[String], nBuckets: Int = 32): Unit = {
-    val withB = batch.withColumn(BucketColName, bucketExpr(pk, nBuckets))
+      pk: Seq[String], nBuckets: Int = 32, seqCol: Option[String] = None): Unit = {
+    def merge(target: DataFrame, withB: DataFrame): DataFrame =
+      seqCol.filter(target.columns.contains) match {
+        case Some(sc) => Merge.applyIncrementalSeq(target, withB, pk, sc)
+        case None     => Merge.applyIncremental(target, withB, pk)
+      }
     val fs = fsOf(spark)
     if (!fs.exists(new Path(targetPath))) {
-      fullRewrite(spark, withB, targetPath)
+      val withB = batch.withColumn(BucketColName, bucketExpr(pk, nBuckets))
+      fullRewrite(spark, withB, targetPath, nBuckets)
     } else if (!isBucketedLayout(spark, targetPath)) {
       // one-time migration of a flat target; read errors propagate (X-3)
+      val withB = batch.withColumn(BucketColName, bucketExpr(pk, nBuckets))
       val target = spark.read.parquet(targetPath)
         .withColumn(BucketColName, bucketExpr(pk, nBuckets))
-      fullRewrite(spark, Merge.applyIncremental(target, withB, pk), targetPath)
+      fullRewrite(spark, merge(target, withB), targetPath, nBuckets)
     } else {
+      val n = layoutBuckets(spark, targetPath).getOrElse(nBuckets)
+      val withB = batch.withColumn(BucketColName, bucketExpr(pk, n))
       val affected = withB.select(BucketColName).distinct()
         .collect().map(_.getInt(0)).sorted.toIndexedSeq
       val pruned = prunedTarget(spark, targetPath, affected)
-      val merged = Merge.applyIncremental(pruned, withB, pk)
+      val merged = merge(pruned, withB)
       val tmp = s"$targetPath.__staging"
       merged.write.mode(SaveMode.Overwrite).partitionBy(BucketColName).parquet(tmp)
       affected.foreach { b =>

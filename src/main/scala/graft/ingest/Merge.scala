@@ -60,6 +60,32 @@ object Merge {
     target.join(keys, pk, "left_anti").unionByName(batch.select(target.columns.map(col).toIndexedSeq: _*))
   }
 
+  /**
+   * Sequence-aware incremental merge: like [[applyIncremental]], but a
+   * target row only loses to a batch row with an equal-or-newer `seqCol`
+   * (batch wins ties — the replay-of-the-same-dump case). This makes merge
+   * application ORDER-INDEPENDENT across runs: replaying an old dump after
+   * a newer one cannot regress the warehouse, which is what permits
+   * parallel/out-of-order backfill. Target stays unshuffled: batch keys are
+   * broadcast for both the untouched (anti) and contested (semi) splits.
+   */
+  def applyIncrementalSeq(target: DataFrame, batch: DataFrame, pk: Seq[String],
+      seqCol: String, broadcastKeys: Boolean = true): DataFrame = {
+    val keys = {
+      val k = batch.select(pk.map(col).toIndexedSeq: _*).distinct()
+      if (broadcastKeys) broadcast(k) else k
+    }
+    val untouched = target.join(keys, pk, "left_anti")
+    val contested = target.join(keys, pk, "left_semi")
+      .withColumn("__from_batch", lit(0))
+    val challengers = batch.select(target.columns.map(col).toIndexedSeq: _*)
+      .withColumn("__from_batch", lit(1))
+    val winners = dedupLatest(
+      contested.unionByName(challengers), pk, seqCol, tieBreak = Seq("__from_batch"))
+      .drop("__from_batch")
+    untouched.unionByName(winners)
+  }
+
   /** Volatile path: the batch IS the table (drop+recreate ⇒ overwrite). */
   def applyVolatile(batch: DataFrame): DataFrame = batch
 

@@ -25,6 +25,22 @@ import org.apache.spark.sql.types._
  */
 object TsvReader {
 
+  /** The one Canvas-TSV option block, shared by the batch reader and the
+    * streaming ingest source so their parse semantics can never drift. */
+  def csvOptions(failFast: Boolean = true): Map[String, String] = Map(
+    "sep" -> "\t",
+    "header" -> "false",
+    "nullValue" -> "\\N",
+    "emptyValue" -> "",
+    "mode" -> (if (failFast) "FAILFAST" else "PERMISSIVE"),
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss[.SSS]")
+
+  /** All-strings scan schema: the reference's parse model
+    * (BTreeMap<String, Option<String>>); CSV type inference is NOT used
+    * (no header, ordering is the contract). */
+  def stringSchema(table: TableDefinition): StructType =
+    StructType(table.toStructType.fields.map(_.copy(dataType = StringType)))
+
   /** Mode "PERMISSIVE" with a corrupt-record column would silently null rows;
     * ingest wants fail-fast like the reference (X-3), so default FAILFAST. */
   def read(
@@ -32,21 +48,11 @@ object TsvReader {
       paths: Seq[String],
       table: TableDefinition,
       failFast: Boolean = true): DataFrame = {
-    val target = table.toStructType
-    // Read every field as string first — exactly the reference's parse model
-    // (BTreeMap<String, Option<String>>) — then cast per the schema. CSV's
-    // own type inference is NOT used (no header, ordering is the contract).
-    val asStrings = StructType(target.fields.map(f => f.copy(dataType = StringType)))
     val raw = spark.read
-      .schema(asStrings)
-      .option("sep", "\t")
-      .option("header", "false")
-      .option("nullValue", "\\N")
-      .option("emptyValue", "")
-      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSS]")
+      .schema(stringSchema(table))
+      .options(csvOptions(failFast))
       .csv(paths: _*)
-    cast(raw, target)
+    cast(raw, table.toStructType)
   }
 
   /** Cast an all-strings frame to the target schema (op P-1 / I-5, once). */

@@ -44,14 +44,7 @@ final class IngestJob(
       // reference errors when no PK can be inferred for a non-volatile
       // table (`importer.rs:349-356`); we degrade to volatile semantics for
       // robustness but keep the signal in logs.
-      val result = Merge.applyVolatile(batchRaw)
-      // two-phase write: parquet target can't be read+overwritten in place
-      val tmp = s"$targetPath.__staging"
-      result.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      val dst = new org.apache.hadoop.fs.Path(targetPath)
-      fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      graft.ingest.StagedWrite.overwriteFlat(spark, Merge.applyVolatile(batchRaw), targetPath)
       spark.read.parquet(targetPath)
     } else {
       // incremental path: bucket-pruned merge — only partitions whose PK
@@ -60,7 +53,8 @@ final class IngestJob(
       // (X-3) live inside BucketedMerge.
       val pk = pkOpt.get
       val batch = Merge.dedupLatest(batchRaw, Seq(pk), "_dump_seq")
-      graft.ingest.BucketedMerge.mergeInto(spark, targetPath, batch, Seq(pk))
+      graft.ingest.BucketedMerge.mergeInto(
+        spark, targetPath, batch, Seq(pk), seqCol = Some("_dump_seq"))
       graft.ingest.BucketedMerge.read(spark, targetPath)
     }
   }

@@ -69,17 +69,28 @@ final class IngestState(spark: SparkSession, dir: String) {
     fs.listStatus(new Path(path)).count(_.getPath.getName.endsWith(".parquet"))
 
   /** Fold the append log down to one latest-per-key file once it exceeds
-    * the threshold; staged + renamed so readers never see a half state. */
+    * the threshold. Crash-safe at every step: the compacted part is MOVED
+    * INTO the live directory before the old parts are deleted, so a crash
+    * leaves either extra duplicate rows (harmless — `max_by(seq)` resolves
+    * them to the same values) or a partially-deleted old set (a subset of
+    * what the compacted part already holds); state is never lost or
+    * half-visible, unlike a delete-then-rename of the whole directory. */
   private def maybeCompact(threshold: Int = CompactThreshold): Unit =
     if (partCount() > threshold) {
+      val oldParts = fs.listStatus(new Path(path))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
       val latest = readAll()
         .groupBy(col("key"))
         .agg(max_by(col("value"), col("seq")).as("value"), max(col("seq")).as("seq"))
       val tmp = s"$path.__compact"
       latest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-      val p = new Path(path)
-      fs.delete(p, true)
-      fs.rename(new Path(tmp), p)
+      val compacted = fs.listStatus(new Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      compacted.zipWithIndex.foreach { case (src, i) =>
+        fs.rename(src, new Path(path, s"compacted-${nextSeq()}-$i.parquet"))
+      }
+      oldParts.foreach(fs.delete(_, false))
+      fs.delete(new Path(tmp), true)
     }
 
   def dumpStatus(dumpId: String): Option[String] = get(s"dump_processed_$dumpId")

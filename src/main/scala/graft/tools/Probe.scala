@@ -31,10 +31,11 @@ object Probe {
     val sig = docs
       .withColumn("ws", split(trim(col("text")), "\\s+"))
       .withColumn("ngrams", Dedup.ngramsFromWords(col("ws")))
-      .withColumn("sig", Dedup.minhashSignature(col("ngrams"), 16))
+      .withColumn("nh", transform(col("ngrams"), g => Dedup.shingleHash(g)))
+      .withColumn("sig", Dedup.minhashSignature(col("nh"), 16))
     time("signatures")(sig.select(sum(size(col("sig")))).collect()(0).getLong(0) / 16)
     val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b => hash(slice(col("sig"), b * 4 + 1, 4))): _*))
+      posexplode(array((0 until 4).map(b => Dedup.bandKey(col("sig"), b, 4)): _*))
         .as(Seq("band_id", "band_hash")))
     time("banded")(banded.count())
     val a = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))

@@ -12,7 +12,7 @@ import scala.collection.mutable
 
 /** In-memory [[Transport]]: url → bytes, with request/download recording so
   * specs can assert signing headers and resume-on-exists behavior. */
-final class FakeTransport(routes: Map[String, Array[Byte]]) extends Transport {
+class FakeTransport(routes: Map[String, Array[Byte]]) extends Transport {
   val requests: mutable.Buffer[(String, Map[String, String])] = mutable.Buffer.empty
   val downloads: mutable.Buffer[String] = mutable.Buffer.empty
 
@@ -164,5 +164,34 @@ class ApiClientSpec extends AnyFunSuite {
   test("non-2xx fails fast instead of decoding garbage") {
     val t = new FakeTransport(Map.empty)
     intercept[java.io.IOException] { client(t, "/tmp/unused").getDumps() }
+  }
+
+  test("a failed download leaves nothing at dest; the retry re-fetches it") {
+    val save = Files.createTempDirectory("graft_dl3").toString
+    // transport that writes a partial body then dies on the first attempt
+    // for one file — like a mid-stream disconnect or an error page
+    val t = new FakeTransport(routes) {
+      private var failedOnce = false
+      override def download(url: String, headers: Map[String, String], dest: Path): Unit = {
+        if (url.endsWith("user_dim-00001-bb.gz") && !failedOnce) {
+          failedOnce = true
+          Files.write(dest, "partial garbage".getBytes("UTF-8"))
+          throw new java.io.IOException(s"GET $url -> connection reset")
+        }
+        super.download(url, headers, dest)
+      }
+    }
+    val c = client(t, save)
+    intercept[Exception] { c.downloadFilesForDump("dump2") }
+    // neither the real name nor the temp name survived the failure
+    val dir = java.nio.file.Paths.get(save, "dump2")
+    assert(!Files.exists(dir.resolve("user_dim-00001-bb.gz")))
+    assert(!Files.exists(dir.resolve("user_dim-00001-bb.gz.part")))
+
+    // retry succeeds and the artifact now carries the REAL bytes
+    val second = c.downloadFilesForDump("dump2")
+    assert(second("user_dim").size == 2)
+    val bytes = Files.readAllBytes(dir.resolve("user_dim-00001-bb.gz"))
+    assert(bytes.sameElements(FakeTransport.gzBytes(Seq("2\tbob"))))
   }
 }

@@ -93,5 +93,14 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
     val out = BucketedMerge.read(spark, target).as[(Long, String)].collect().toMap
     assert(out.size == 401)
     assert(out(1L) == "v1_updated" && out(401L) == "v401" && out(2L) == "v2")
+
+    // a caller passing a DIFFERENT nBuckets cannot corrupt the layout: the
+    // recorded bucket count wins, so no stale duplicates / lost buckets
+    val batch2 = Seq((2L, "v2_updated")).toDF("id", "payload")
+    BucketedMerge.mergeInto(spark, target, batch2, Seq("id"), nBuckets = 64)
+    assert(BucketedMerge.layoutBuckets(spark, target).contains(nBuckets))
+    val out2 = BucketedMerge.read(spark, target).as[(Long, String)].collect().toMap
+    assert(out2.size == 401)
+    assert(out2(2L) == "v2_updated" && out2(1L) == "v1_updated")
   }
 }

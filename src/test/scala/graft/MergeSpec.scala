@@ -50,6 +50,30 @@ class MergeSpec extends AnyFunSuite with SparkSuite {
     assert(out.select("v").as[Option[String]].collect().toSeq == Seq(None))
   }
 
+  test("applyIncrementalSeq: replaying an older batch cannot regress newer rows") {
+    val target = rows((1L, "new", 5L), (2L, "kept", 5L))
+    val stale = rows((1L, "old", 3L), (3L, "late-backfill", 3L))
+    val out = Merge.applyIncrementalSeq(target, stale, Seq("id"), "seq")
+      .select("id", "v").as[(Long, String)].collect().toSet
+    // id=1 keeps the NEWER target value; id=3 (genuinely new key) lands
+    assert(out == Set((1L, "new"), (2L, "kept"), (3L, "late-backfill")))
+
+    // equal sequence (same dump replayed, possibly re-downloaded) → batch wins
+    val replay = rows((1L, "new-rewrite", 5L))
+    val out2 = Merge.applyIncrementalSeq(target, replay, Seq("id"), "seq")
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(out2 == Set((1L, "new-rewrite"), (2L, "kept")))
+
+    // order-independence across runs: d1-then-d2 == d2-then-d1
+    val d1 = rows((1L, "v1", 1L), (2L, "v1", 1L))
+    val d2 = rows((1L, "v2", 2L))
+    val ab = Merge.applyIncrementalSeq(Merge.applyIncrementalSeq(rows(), d1, Seq("id"), "seq"),
+      d2, Seq("id"), "seq").select("id", "v").as[(Long, String)].collect().toSet
+    val ba = Merge.applyIncrementalSeq(Merge.applyIncrementalSeq(rows(), d2, Seq("id"), "seq"),
+      d1, Seq("id"), "seq").select("id", "v").as[(Long, String)].collect().toSet
+    assert(ab == ba && ab == Set((1L, "v2"), (2L, "v1")))
+  }
+
   test("dedupLatest with duplicate PKs inside one dump uses tie-break") {
     val batch = rows((1L, "first", 1L), (1L, "second", 1L))
       .withColumn("line", when(col("v") === "first", 1L).otherwise(2L))

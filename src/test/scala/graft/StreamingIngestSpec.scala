@@ -64,4 +64,35 @@ class StreamingIngestSpec extends AnyFunSuite with SparkSuite {
     runOnce()
     assert(spark.read.parquet(target).count() == 3)
   }
+
+  test("catch-up batch draining several files resolves PK overlaps by file order") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_singest2").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val target = s"$root/warehouse/user_dim"
+    val table = CanvasSchema.fromJson(schemaJson).tables("user_dim")
+
+    // BOTH artifacts present before the stream ever runs → one micro-batch.
+    // The lexicographically-later file must win the overlapping PK.
+    gz(new File(landing, "user_dim-00000-aa.gz"), Seq("1\talice", "2\tbob"))
+    gz(new File(landing, "user_dim-00001-bb.gz"), Seq("2\tbobby"))
+    val q = StreamingIngest.start(
+      spark, landing.getAbsolutePath, table, target, s"$root/chk")
+    q.awaitTermination()
+
+    assert(spark.read.parquet(target).select("id", "name")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "alice"), (2L, "bobby")))
+  }
+
+  test("a malformed landing line aborts the micro-batch instead of nulling rows") {
+    val root = Files.createTempDirectory("graft_singest3").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val table = CanvasSchema.fromJson(schemaJson).tables("user_dim")
+    gz(new File(landing, "user_dim-00000-aa.gz"), Seq("1\talice\tEXTRA\tCOLS\tHERE"))
+    val q = StreamingIngest.start(
+      spark, landing.getAbsolutePath, table, s"$root/wh/user_dim", s"$root/chk")
+    intercept[Exception] { q.awaitTermination() }
+    assert(!new File(s"$root/wh/user_dim").exists()) // nothing half-written
+  }
 }
