@@ -95,7 +95,8 @@ object SparkEntry {
     "q66_contamination" -> ((s: SparkSession, d: String) => Sampling.contamination(s, d)),
     "q67_interval_join" -> (Relational.q67IntervalJoin _),
     "q68_sequence_packing" -> ((s: SparkSession, d: String) => Sampling.sequencePacking(s, d)),
-    "q69_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)))
+    "q69_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
+    "q70_repetition" -> ((s: SparkSession, d: String) => TextStats.repetitionProfile(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -608,6 +609,20 @@ object SparkEntry {
         | CAST(sum(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
         |   % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang""".stripMargin,
+    "q70_repetition" ->
+      s"""WITH a AS (
+        | SELECT doc_id, $tokens AS ws FROM documents),
+        |n AS (
+        | SELECT doc_id,
+        |  list_transform(range(0, greatest(len(ws)-3, 0)+1),
+        |    i -> concat_ws(' ', ws[i+1], ws[i+2], ws[i+3])) AS ng
+        | FROM a)
+        |SELECT doc_id, CAST(len(ng) AS INTEGER) AS n_ngrams,
+        | round(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE)/greatest(len(ng),1), 6)
+        |   AS rep_ratio,
+        | round(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE)/greatest(len(ng),1), 6) > 0.02
+        |   AS is_repetitive
+        |FROM n""".stripMargin,
     "q67_interval_join" ->
       """SELECT e.event_id, e.user_id,
         | count(o.o_orderdate) AS n_recent_orders,

@@ -32,6 +32,28 @@ object TextStats {
     size(filter(ws, w => w.isin(enStopwords: _*))).cast("double") / size(ws)
   }
 
+  /**
+   * Intra-document repetition (a Gopher-style quality rule): the fraction
+   * of word n-grams that are repeats of an earlier n-gram in the same
+   * document. High ratios flag boilerplate / degenerate generations.
+   * Map-side only — the non-distinct n-gram list stays inside the row.
+   * Flag compares the ROUNDED ratio so both engines agree at the boundary.
+   */
+  def repetitionProfile(s: SparkSession, d: String,
+      n: Int = 3, flagThreshold: Double = 0.02): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("ws", words(col("text")))
+      .withColumn("ng", // NON-distinct shingles: repeats are the signal
+        transform(sequence(lit(0), greatest(size(col("ws")) - n, lit(0))),
+          i => concat_ws(" ", (0 until n).map(k => get(col("ws"), i + k)): _*)))
+      .select(
+        col("doc_id"),
+        size(col("ng")).as("n_ngrams"),
+        round(lit(1.0) - size(array_distinct(col("ng"))).cast("double") /
+          greatest(size(col("ng")), lit(1)), 6).as("rep_ratio"))
+      .withColumn("is_repetitive", col("rep_ratio") > flagThreshold)
+
   /** Per-source token totals: exact whitespace tokens + BPE-ish estimate. */
   def tokenTotals(s: SparkSession, d: String): DataFrame =
     documents(s, d)
