@@ -68,6 +68,10 @@ object Merge {
    * a newer one cannot regress the warehouse, which is what permits
    * parallel/out-of-order backfill. Target stays unshuffled: batch keys are
    * broadcast for both the untouched (anti) and contested (semi) splits.
+   * (The split costs a second columnar scan of the target, deliberately —
+   * the alternative single-scan form shuffles every target row by PK for
+   * the window, and at warehouse scale a pruned re-scan is far cheaper
+   * than a shuffle.)
    */
   def applyIncrementalSeq(target: DataFrame, batch: DataFrame, pk: Seq[String],
       seqCol: String, broadcastKeys: Boolean = true): DataFrame = {
