@@ -96,7 +96,9 @@ object SparkEntry {
     "q67_interval_join" -> (Relational.q67IntervalJoin _),
     "q68_sequence_packing" -> ((s: SparkSession, d: String) => Sampling.sequencePacking(s, d)),
     "q69_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
-    "q70_repetition" -> ((s: SparkSession, d: String) => TextStats.repetitionProfile(s, d)))
+    "q70_repetition" -> ((s: SparkSession, d: String) => TextStats.repetitionProfile(s, d)),
+    "q71_anomaly" -> (Relational.q71Anomaly _),
+    "q72_trade_flows" -> (Relational.q72TradeFlows _))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -623,6 +625,32 @@ object SparkEntry {
         | round(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE)/greatest(len(ng),1), 6) > 0.02
         |   AS is_repetitive
         |FROM n""".stripMargin,
+    "q71_anomaly" ->
+      """WITH h AS (
+        | SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |s AS (
+        | SELECT bucket, event_type, n,
+        |  avg(n) OVER (PARTITION BY event_type) AS mu,
+        |  stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+        | FROM h)
+        |SELECT bucket, event_type, n, round((n - mu)/sd, 6) AS z,
+        | abs(round((n - mu)/sd, 6)) > 3 AS is_anomaly
+        |FROM s WHERE sd > 0""".stripMargin,
+    "q72_trade_flows" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        | CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))), 2)
+        |   AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |GROUP BY cust_nation, supp_nation, yr""".stripMargin,
     "q67_interval_join" ->
       """SELECT e.event_id, e.user_id,
         | count(o.o_orderdate) AS n_recent_orders,

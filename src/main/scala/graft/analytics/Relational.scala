@@ -371,6 +371,56 @@ object Relational {
         round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("recent_spend"))
   }
 
+  /**
+   * Statistical anomaly detection: z-score of hourly event counts against
+   * each event type's own distribution (aggregate once, then a partition
+   * window for the moments — two shuffles total, both on small aggregated
+   * data). Flag compares the ROUNDED score so both engines agree at the
+   * boundary.
+   */
+  def q71Anomaly(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    hourly
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .filter(col("sd") > 0)
+      .withColumn("z", round((col("n") - col("mu")) / col("sd"), 6))
+      .select(col("bucket"), col("event_type"), col("n"), col("z"),
+        (abs(col("z")) > 3).as("is_anomaly"))
+  }
+
+  /**
+   * Two-role dimension join (TPC-H Q7 flavor): revenue flows between the
+   * CUSTOMER's nation and the SUPPLIER's nation — the same dimension table
+   * joined twice in different roles, both broadcast. Exercises a 6-table
+   * join graph (lineitem→orders→customer→nation ×2 + supplier).
+   */
+  def q72TradeFlows(s: SparkSession, d: String): DataFrame = {
+    val n1 = nation(s, d).select(
+      col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val n2 = nation(s, d).select(
+      col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(col("cust_nation"), col("supp_nation"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(
+        // sum in decimal: with 4k+ small groups, double-summation order
+        // jitter (~1e-10) lands on cent-rounding boundaries a handful of
+        // times per run; decimal addition is exact and order-independent,
+        // so the rounded result is engine- and partitioning-stable
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** GROUPING SETS (mixed subtotal shapes in one pass). */
   def q49GroupingSets(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
