@@ -98,9 +98,19 @@ object SparkEntry {
     "q69_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
     "q70_repetition" -> ((s: SparkSession, d: String) => TextStats.repetitionProfile(s, d)),
     "q71_anomaly" -> (Relational.q71Anomaly _),
-    "q72_trade_flows" -> (Relational.q72TradeFlows _))
+    "q72_trade_flows" -> (Relational.q72TradeFlows _),
+    "q73_percentiles_sorted" -> (Relational.q73PercentilesSorted _))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private val percentilesSql =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.25),6) AS price_p25,
+      | round(quantile_cont(l_extendedprice, 0.5),6) AS price_p50,
+      | round(quantile_cont(l_extendedprice, 0.75),6) AS price_p75,
+      | round(quantile_cont(l_quantity, 0.5),6) AS qty_p50,
+      | count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** q32's oracle, generated so the permutation constants come from the
     * same md5 derivation the Spark side uses (Dedup.minhashA/minhashB) —
@@ -418,14 +428,10 @@ object SparkEntry {
       """SELECT doc_id, CAST(t.f AS INTEGER) AS frame_idx, CAST(t.f*256 AS INTEGER) AS byte_offset
         |FROM documents,
         | UNNEST(range(0, greatest(octet_length(encode(text))//256, 1))) AS t(f)""".stripMargin,
-    "q45_percentiles" ->
-      """SELECT l_returnflag,
-        | round(quantile_cont(l_extendedprice, 0.25),6) AS price_p25,
-        | round(quantile_cont(l_extendedprice, 0.5),6) AS price_p50,
-        | round(quantile_cont(l_extendedprice, 0.75),6) AS price_p75,
-        | round(quantile_cont(l_quantity, 0.5),6) AS qty_p50,
-        | count(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q45_percentiles" -> percentilesSql,
+    // sort-based exact percentiles: same oracle as q45 — proving the
+    // buffer-free formulation is value-identical to the builtin
+    "q73_percentiles_sorted" -> percentilesSql,
     "q47_pivot" ->
       """SELECT o_orderpriority,
         | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END),2) AS F,

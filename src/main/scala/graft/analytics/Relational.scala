@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.api.{DumpInList, Manifest}
 import graft.ingest.Merge
-import graft.operators.{AsOfJoin, Skew}
+import graft.operators.{AsOfJoin, ExactPercentile, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -311,6 +311,20 @@ object Relational {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(lit(1)).as("n_rows"))
+
+  /** [[q45Percentiles]] recomputed through the sort-based
+    * [[graft.operators.ExactPercentile]] — identical values (same oracle
+    * SQL hash-checks both), but no per-group value buffering: the exact
+    * order-statistics path that survives 100× group sizes. */
+  def q73PercentilesSorted(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val price = ExactPercentile.of(li, "l_returnflag", "l_extendedprice",
+      Seq(("price_p25", 0.25), ("price_p50", 0.5), ("price_p75", 0.75)))
+    val qty = ExactPercentile.of(li, "l_returnflag", "l_quantity",
+      Seq(("qty_p50", 0.5)))
+    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+    price.join(qty, "l_returnflag").join(counts, "l_returnflag")
+  }
 
   /** Approximate percentiles — the 100×-safe order-statistics path: Spark's
     * `approx_percentile` (KLL-style mergeable sketch, bounded memory) where
