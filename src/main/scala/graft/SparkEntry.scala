@@ -99,7 +99,8 @@ object SparkEntry {
     "q70_repetition" -> ((s: SparkSession, d: String) => TextStats.repetitionProfile(s, d)),
     "q71_anomaly" -> (Relational.q71Anomaly _),
     "q72_trade_flows" -> (Relational.q72TradeFlows _),
-    "q73_percentiles_sorted" -> (Relational.q73PercentilesSorted _))
+    "q73_percentiles_sorted" -> (Relational.q73PercentilesSorted _),
+    "q74_dup_clusters" -> (Dedup.simhashClusters _))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -111,6 +112,41 @@ object SparkEntry {
       | round(quantile_cont(l_quantity, 0.5),6) AS qty_p50,
       | count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Shared simhash fingerprint derivation (see q34 comment). */
+  private def simhashFpCte(prefix: String = "WITH") =
+    s"""$prefix w AS (
+       | SELECT doc_id, list_transform(list_distinct($tokens),
+       |   w -> ('0x' || substring(md5(w),1,15))::BIGINT) AS whs
+       | FROM documents),
+       |fp AS (
+       | SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0,60), b ->
+       |   CASE WHEN 2*len(list_filter(whs, h -> ((h >> b) & 1) = 1)) > len(whs)
+       |        THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+       | FROM w)""".stripMargin
+
+  /** q74's oracle: the q35 pair graph, closed into connected components by
+    * a recursive CTE (component id = min reachable doc_id — the same
+    * fixpoint the Spark label propagation converges to). */
+  private def dupClustersOracle: String =
+    simhashFpCte("WITH RECURSIVE") +
+      """,
+        |p AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        | WHERE (((a.simhash >> 0) & 32767) = ((b.simhash >> 0) & 32767)
+        |     OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
+        |     OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+        |     OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))
+        |   AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+        |reach AS (
+        | SELECT src AS node, src AS lbl FROM (SELECT DISTINCT src FROM e) t
+        | UNION
+        | SELECT e.src AS node, r.lbl FROM e JOIN reach r ON r.node = e.dst)
+        |SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node""".stripMargin
 
   /** q32's oracle, generated so the permutation constants come from the
     * same md5 derivation the Spark side uses (Dedup.minhashA/minhashB) —
@@ -315,6 +351,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         | FROM documents) t WHERE rn = 1""".stripMargin,
     "q32_minhash_lsh_pairs" -> minhashOracle(),
+    "q74_dup_clusters" -> dupClustersOracle,
     "q33_word_jaccard_pairs" ->
       s"""WITH l AS (SELECT doc_id AS doc_a, lang, list_distinct($tokens) AS wa
         |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 50000),

@@ -229,6 +229,68 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  // ------------------------------------------------------- dup clusters
+
+  /**
+   * Connected components of a near-duplicate pair graph — the step that
+   * turns PAIRS into dedup decisions (keep one survivor per component, not
+   * per pair). Iterative min-label propagation: every node starts labeled
+   * with itself; each round a node takes the min of its own and its
+   * neighbors' labels; at the fixpoint each node carries its component's
+   * min doc_id (deterministic — independent of iteration schedule).
+   * Converges in O(component diameter) rounds, each one distributed
+   * shuffle join + aggregate — the standard large-graph CC shape (a
+   * pregel-style label propagation), with a driver-side convergence check
+   * on a 1-row count only.
+   */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint() // materialize once; every round re-reads it
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    // labels only ever DECREASE, so the label sum is a monotone potential:
+    // unchanged sum ⇔ fixpoint (cheaper than a join-compare per round);
+    // -1 sentinel saves the initial counting job — one extra round at most
+    var prevSum = -1L
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val propagated = labels
+        .join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+      // pointer jumping (path halving): follow the label's own label, so
+      // chains collapse in O(log diameter) rounds instead of O(diameter)
+      val lut = propagated.select(
+        col("node").as("pj_node"), col("cluster_id").as("pj_lbl"))
+      val next = propagated
+        .join(lut, propagated("cluster_id") === lut("pj_node"), "left")
+        .select(col("node"),
+          coalesce(col("pj_lbl"), col("cluster_id")).as("cluster_id"))
+        // truncate lineage so plans stay O(1) per round; lazy checkpoint —
+        // the convergence aggregate below is the materializing action
+        .localCheckpoint(eager = false)
+      val newSum = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("cluster_id"))
+  }
+
+  /** [[duplicateClusters]] over the simhash near-dup graph. */
+  def simhashClusters(s: SparkSession, d: String): DataFrame =
+    duplicateClusters(simhashPairs(s, d))
+
   // ------------------------------------------------------------- simhash
 
   /** SimHash geometry: 60-bit fingerprints in 4 bands of 15 bits. */

@@ -55,6 +55,23 @@ class SketchBoundsSpec extends AnyFunSuite with SparkSuite {
     assert(emitted.map { case (a, b, _) => (a, b) }.distinct.length == emitted.length)
   }
 
+  test("q74 label propagation finds exact connected components, incl. long chains") {
+    import spark.implicits._
+    // components: {1,2,3} (fork), {10,11}, {20..25} (chain of diameter 5 —
+    // forces multiple propagation rounds)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L, 25L -> 20L))
+  }
+
   test("q58 banded near-dup: no cartesian / nested-loop join in the physical plan") {
     val plan = Dedup.embeddingNearDups(spark, d)
       .queryExecution.executedPlan.toString
