@@ -126,20 +126,25 @@ object SparkEntry {
        |        THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
        | FROM w)""".stripMargin
 
+  /** The q35/q74 candidate-pair predicate: ≥1 shared 15-bit band AND
+    * Hamming ≤ 6 — single source so the two oracles cannot desynchronize. */
+  private val simhashPairPredicate =
+    """(((a.simhash >> 0) & 32767) = ((b.simhash >> 0) & 32767)
+      |    OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
+      |    OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+      |    OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))
+      |  AND bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin
+
   /** q74's oracle: the q35 pair graph, closed into connected components by
     * a recursive CTE (component id = min reachable doc_id — the same
     * fixpoint the Spark label propagation converges to). */
   private def dupClustersOracle: String =
     simhashFpCte("WITH RECURSIVE") +
-      """,
+      s""",
         |p AS (
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        | WHERE (((a.simhash >> 0) & 32767) = ((b.simhash >> 0) & 32767)
-        |     OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
-        |     OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
-        |     OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))
-        |   AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+        | WHERE $simhashPairPredicate),
         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
         |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
         |reach AS (
@@ -365,41 +370,21 @@ object SparkEntry {
     // bit-identically by Spark (conv(substr(md5,1,15),16,10)) and DuckDB
     // (('0x'||substr(md5,1,15))::BIGINT); fingerprint bit b = majority vote.
     "q34_simhash_fingerprints" ->
-      s"""WITH w AS (
-        | SELECT doc_id, list_transform(list_distinct($tokens),
-        |   w -> ('0x' || substring(md5(w),1,15))::BIGINT) AS whs
-        | FROM documents),
-        |fp AS (
-        | SELECT doc_id,
-        |  CAST(list_sum(list_transform(range(0,60), b ->
-        |   CASE WHEN 2*len(list_filter(whs, h -> ((h >> b) & 1) = 1)) > len(whs)
-        |        THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
-        | FROM w)
-        |SELECT doc_id, simhash,
-        | (simhash >> 0) & 32767 AS band_0,
-        | (simhash >> 15) & 32767 AS band_1,
-        | (simhash >> 30) & 32767 AS band_2,
-        | (simhash >> 45) & 32767 AS band_3
-        |FROM fp""".stripMargin,
+      (simhashFpCte() +
+        """
+          |SELECT doc_id, simhash,
+          | (simhash >> 0) & 32767 AS band_0,
+          | (simhash >> 15) & 32767 AS band_1,
+          | (simhash >> 30) & 32767 AS band_2,
+          | (simhash >> 45) & 32767 AS band_3
+          |FROM fp""".stripMargin),
     "q35_simhash_pairs" ->
-      s"""WITH w AS (
-        | SELECT doc_id, list_transform(list_distinct($tokens),
-        |   w -> ('0x' || substring(md5(w),1,15))::BIGINT) AS whs
-        | FROM documents),
-        |fp AS (
-        | SELECT doc_id,
-        |  CAST(list_sum(list_transform(range(0,60), b ->
-        |   CASE WHEN 2*len(list_filter(whs, h -> ((h >> b) & 1) = 1)) > len(whs)
-        |        THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
-        | FROM w)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE (((a.simhash >> 0) & 32767) = ((b.simhash >> 0) & 32767)
-        |    OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
-        |    OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
-        |    OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))
-        |  AND bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+      (simhashFpCte() +
+        s"""
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           | CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |WHERE $simhashPairPredicate""".stripMargin),
     // hyperplane coefficients from the 32-bit md5 prefix of "plane_dim" —
     // same cross-engine determinism trick as q34/q35.
     "q38_lsh_bucket_stats" ->

@@ -238,10 +238,14 @@ object Dedup {
    * with itself; each round a node takes the min of its own and its
    * neighbors' labels; at the fixpoint each node carries its component's
    * min doc_id (deterministic — independent of iteration schedule).
-   * Converges in O(component diameter) rounds, each one distributed
-   * shuffle join + aggregate — the standard large-graph CC shape (a
-   * pregel-style label propagation), with a driver-side convergence check
-   * on a 1-row count only.
+   * Converges in O(log component-diameter) rounds (pointer jumping), each
+   * one distributed shuffle join + aggregate — the standard large-graph CC
+   * shape (a pregel-style label propagation), with a driver-side
+   * convergence check on a 1-row aggregate only. Fails loudly if the
+   * fixpoint is not reached within `maxIter` rounds rather than returning
+   * half-merged components. Superseded per-round label checkpoints are
+   * (node, long) pairs — retention over the ~log-diameter rounds is
+   * negligible next to the edge set itself.
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
@@ -265,8 +269,8 @@ object Dedup {
         .agg(min(col("cluster_id")).as("n_min"))
       val propagated = labels
         .join(neighborMin, labels("node") === neighborMin("src"), "left")
-        .select(col("node"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+        .select(col("node"), // least() skips the NULL n_min of isolated rounds
+          least(col("cluster_id"), col("n_min")).as("cluster_id"))
       // pointer jumping (path halving): follow the label's own label, so
       // chains collapse in O(log diameter) rounds instead of O(diameter)
       val lut = propagated.select(
@@ -278,12 +282,17 @@ object Dedup {
         // truncate lineage so plans stay O(1) per round; lazy checkpoint —
         // the convergence aggregate below is the materializing action
         .localCheckpoint(eager = false)
-      val newSum = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
+      // sum is null on an empty graph — treat as converged-empty
+      val newSum = Option(next.agg(sum(col("cluster_id"))).collect()(0).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       converged = newSum == prevSum
       prevSum = newSum
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter rounds — raise maxIter")
     labels.select(col("node").as("doc_id"), col("cluster_id"))
   }
 

@@ -319,11 +319,11 @@ object Relational {
   def q73PercentilesSorted(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
     val price = ExactPercentile.of(li, "l_returnflag", "l_extendedprice",
-      Seq(("price_p25", 0.25), ("price_p50", 0.5), ("price_p75", 0.75)))
+      Seq(("price_p25", 0.25), ("price_p50", 0.5), ("price_p75", 0.75)),
+      countAlias = Some("n_rows")) // group count rides the same window pass
     val qty = ExactPercentile.of(li, "l_returnflag", "l_quantity",
       Seq(("qty_p50", 0.5)))
-    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
-    price.join(qty, "l_returnflag").join(counts, "l_returnflag")
+    price.join(qty, "l_returnflag")
   }
 
   /** Approximate percentiles — the 100×-safe order-statistics path: Spark's

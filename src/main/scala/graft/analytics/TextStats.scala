@@ -38,6 +38,10 @@ object TextStats {
    * document. High ratios flag boilerplate / degenerate generations.
    * Map-side only — the non-distinct n-gram list stays inside the row.
    * Flag compares the ROUNDED ratio so both engines agree at the boundary.
+   * Documents shorter than `n` words yield one truncated n-gram (the
+   * remaining words joined — `concat_ws` drops the out-of-range NULLs) with
+   * ratio 0, same convention as [[Dedup.ngramsFromWords]] and reproduced
+   * exactly by the oracle.
    */
   def repetitionProfile(s: SparkSession, d: String,
       n: Int = 3, flagThreshold: Double = 0.02): DataFrame =

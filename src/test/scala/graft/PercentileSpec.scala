@@ -19,6 +19,20 @@ class PercentileSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
+  test("NULL values are ignored, matching percentile_cont semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val df = Seq(("g", Some(1.0)), ("g", None), ("g", Some(3.0)), ("g", Some(2.0)))
+      .toDF("k", "v")
+    val sorted = graft.operators.ExactPercentile
+      .of(df, "k", "v", Seq(("p50", 0.5)), countAlias = Some("n"))
+      .collect()(0)
+    assert(sorted.getDouble(1) == 2.0) // median of {1,2,3}, null excluded
+    assert(sorted.getLong(2) == 3L) // non-null count
+    val builtin = df.groupBy("k").agg(expr("percentile(v, 0.5)")).collect()(0).getDouble(1)
+    assert(sorted.getDouble(1) == builtin)
+  }
+
   test("no Percentile aggregate in the sorted plan") {
     val plan = Relational.q73PercentilesSorted(spark, d)
       .queryExecution.executedPlan.toString

@@ -70,6 +70,10 @@ class SketchBoundsSpec extends AnyFunSuite with SparkSuite {
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L, 25L -> 20L))
+
+    // empty pair graph → empty clusters, not a crash
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.duplicateClusters(none).count() == 0)
   }
 
   test("q58 banded near-dup: no cartesian / nested-loop join in the physical plan") {
