@@ -104,4 +104,71 @@ class IngestMainSpec extends AnyFunSuite with SparkSuite {
     assert(transport.downloads.size == downloadsBefore)
     assert(spark.read.parquet(s"$root/warehouse/user_dim").count() == 3)
   }
+
+  test("only_load_final via settings imports just the newest dump (F-4)") {
+    val root = Files.createTempDirectory("graft_main_f4").toString
+    val gz = FakeTransport.gzBytes _
+    val routes = Map(
+      s"$base/api/account/self/dump" -> dumpsJson.getBytes("UTF-8"),
+      s"$base/api/schema/latest" -> schemaJson.getBytes("UTF-8"),
+      s"$base/api/account/self/file/byDump/dump2" ->
+        filesJson("dump2", 2, Map("user_dim" -> Seq("user_dim-00000-bb.gz"))).getBytes("UTF-8"),
+      s"$base/files/dump2/user_dim-00000-bb.gz" -> gz(Seq("2\tbobby", "3\tcarol")))
+    val transport = new FakeTransport(routes)
+    val settings = Settings.fromMap(Map(
+      "save_location" -> s"$root/save",
+      "rocksdb_location" -> s"$root/state",
+      "database.url" -> s"$root/warehouse",
+      "canvasdataauth.api_key" -> "k",
+      "canvasdataauth.api_secret" -> "s",
+      "only_load_final" -> "true",
+      "api_base_url" -> base))
+
+    IngestMain.run(spark, settings, transport)
+
+    // only the newest finished current-schema dump (dump2) was touched —
+    // dump1's files endpoint isn't even in routes, so any attempt would throw
+    import spark.implicits._
+    assert(spark.read.parquet(s"$root/warehouse/user_dim")
+      .select("id").as[Long].collect().toSet == Set(2L, 3L))
+    val state = new IngestState(spark, s"$root/state")
+    assert(state.dumpStatus("dump2").contains(IngestState.Successful))
+    assert(state.dumpStatus("dump1").isEmpty)
+  }
+
+  test("skip_historical_imports marks an all-requests dump successful without importing (F-5)") {
+    val root = Files.createTempDirectory("graft_main_f5").toString
+    val gz = FakeTransport.gzBytes _
+    val histSchema =
+      """{"version":"1.0.0","schema":{
+        | "requests":{"dw_type":"fact","incremental":false,"tableName":"requests",
+        |  "columns":[{"name":"id","type":"bigint"},{"name":"url","type":"text"}]}
+        |}}""".stripMargin
+    val oneDump =
+      """[{"dumpId":"dumpH","sequence":1,"accountId":"self","numFiles":1,"finished":true,
+        |  "expires":0,"updatedAt":"2024-01-02T00:00:00Z","createdAt":"2024-01-02T00:00:00Z",
+        |  "schemaVersion":"1.0.0"}]""".stripMargin
+    val routes = Map(
+      s"$base/api/account/self/dump" -> oneDump.getBytes("UTF-8"),
+      s"$base/api/schema/latest" -> histSchema.getBytes("UTF-8"),
+      s"$base/api/account/self/file/byDump/dumpH" ->
+        filesJson("dumpH", 1, Map("requests" -> Seq("requests-00000-aa.gz"))).getBytes("UTF-8"),
+      s"$base/files/dumpH/requests-00000-aa.gz" -> gz(Seq("1\t/api/x")))
+    val transport = new FakeTransport(routes)
+    val settings = Settings.fromMap(Map(
+      "save_location" -> s"$root/save",
+      "rocksdb_location" -> s"$root/state",
+      "database.url" -> s"$root/warehouse",
+      "canvasdataauth.api_key" -> "k",
+      "canvasdataauth.api_secret" -> "s",
+      "skip_historical_imports" -> "true",
+      "api_base_url" -> base))
+
+    IngestMain.run(spark, settings, transport)
+
+    // historical refresh: marked successful, nothing materialized
+    val state = new IngestState(spark, s"$root/state")
+    assert(state.dumpStatus("dumpH").contains(IngestState.Successful))
+    assert(!new java.io.File(s"$root/warehouse/requests").exists())
+  }
 }
