@@ -238,67 +238,89 @@ object Dedup {
    * with itself; each round a node takes the min of its own and its
    * neighbors' labels; at the fixpoint each node carries its component's
    * min doc_id (deterministic — independent of iteration schedule).
-   * Converges in O(log component-diameter) rounds (pointer jumping), each
-   * one distributed shuffle join + aggregate — the standard large-graph CC
-   * shape (a pregel-style label propagation), with a driver-side
-   * convergence check on a 1-row aggregate only. Fails loudly if the
-   * fixpoint is not reached within `maxIter` rounds rather than returning
-   * half-merged components. Superseded per-round label checkpoints are
-   * (node, long) pairs — retention over the ~log-diameter rounds is
-   * negligible next to the edge set itself.
+   * Algorithm: iterative **min-contraction** (the Kiveris et al. star-
+   * contraction family). Each round maps every vertex of the CURRENT
+   * contracted graph to `m(v) = min(v, min neighbor(v))`, accelerated by
+   * one step of path halving (`m ∘ m`), rewrites the edge set through `m`
+   * (dropping self-loops), and composes `m` into the node → representative
+   * table. Contraction preserves connectivity, the component's global min
+   * is a fixpoint of `m`, so when the edge set is empty every
+   * representative IS its component's min doc_id — deterministic,
+   * schedule-independent. Fails loudly if `maxIter` rounds don't drain the
+   * graph rather than returning half-merged components.
+   *
+   * Cost model (the 100 TB posture): near-dup graphs are clique-heavy —
+   * every clique collapses to its min in ONE round — so the edge set
+   * shrinks by orders of magnitude per round and only round 0 touches the
+   * full pair stream: one map-side `m` aggregate + one contracted-edge
+   * distinct (both with map-side partial aggregation, so dense duplicate
+   * edges collapse before the exchange). The node → rep table is
+   * node-sized (only docs with ≥1 pair); while it fits
+   * (`broadcastMaxNodes`) its joins are broadcast hash joins — the hint is
+   * load-bearing because `localCheckpoint` erases catalyst size stats
+   * (LogicalRDD reports "huge", so nothing would auto-broadcast). Above
+   * the threshold the same plan degrades gracefully to shuffle joins.
+   * (The previous label-propagation form re-scanned the full edge set
+   * twice per round: 13-35s at sf0.1 vs ~2s for this one, pair gen aside.)
    */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint() // materialize once; every round re-reads it
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("cluster_id", col("node"))
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+      broadcastMaxNodes: Long = 10000000L): DataFrame = {
+    // one pass over pairs (a union of two selects would evaluate the
+    // un-materialized pair plan twice); no pair-level distinct — the
+    // round-0 aggregates collapse duplicate edges map-side anyway
+    var edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    var rep = edges.select(col("src").as("node")).distinct()
+      .withColumn("rep", col("node"))
+      .localCheckpoint()
+    val nNodes = rep.count() // cheap: reads the checkpoint
+    def side(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastMaxNodes) broadcast(df) else df
     var iter = 0
-    var converged = false
-    // labels only ever DECREASE, so the label sum is a monotone potential:
-    // unchanged sum ⇔ fixpoint (cheaper than a join-compare per round);
-    // -1 sentinel saves the initial counting job — one extra round at most
-    var prevSum = -1L
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src"))
-        .agg(min(col("cluster_id")).as("n_min"))
-      val propagated = labels
-        .join(neighborMin, labels("node") === neighborMin("src"), "left")
-        .select(col("node"), // least() skips the NULL n_min of isolated rounds
-          least(col("cluster_id"), col("n_min")).as("cluster_id"))
-      // pointer jumping (path halving): follow the label's own label, so
-      // chains collapse in O(log diameter) rounds instead of O(diameter)
-      val lut = propagated.select(
-        col("node").as("pj_node"), col("cluster_id").as("pj_lbl"))
-      val next = propagated
-        .join(lut, propagated("cluster_id") === lut("pj_node"), "left")
-        .select(col("node"),
-          coalesce(col("pj_lbl"), col("cluster_id")).as("cluster_id"))
-        // truncate lineage so plans stay O(1) per round; lazy checkpoint —
-        // the convergence aggregate below is the materializing action
-        .localCheckpoint(eager = false)
-      // sum is null on an empty graph — treat as converged-empty
-      val newSum = Option(next.agg(sum(col("cluster_id"))).collect()(0).get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      converged = newSum == prevSum
-      prevSum = newSum
-      labels = next
+    var nEdges = edges.count()
+    while (nEdges > 0 && iter < maxIter) {
+      // m(v) = min over the closed neighborhood of v, then path-halved:
+      // m2(v) = m(m(v)) — node-sized, collapses chains in half the rounds
+      val m = edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("src").as("node"), least(col("src"), col("nmin")).as("m"))
+        .localCheckpoint() // read 3× below (self-join + edge rewrite + rep)
+      val m2 = m.as("x")
+        .join(side(m.select(col("node").as("mn"), col("m").as("mm"))),
+          col("x.m") === col("mn"), "left")
+        .select(col("x.node").as("node"), coalesce(col("mm"), col("x.m")).as("m"))
+        .localCheckpoint()
+      val ms = m2.select(col("node").as("sn"), col("m").as("sm"))
+      val md = m2.select(col("node").as("dn"), col("m").as("dm"))
+      edges = edges
+        .join(side(ms), col("src") === col("sn"))
+        .join(side(md), col("dst") === col("dn"))
+        .filter(col("sm") =!= col("dm"))
+        .select(col("sm").as("src"), col("dm").as("dst"))
+        .distinct()
+        .localCheckpoint()
+      rep = rep
+        .join(side(m2), rep("rep") === m2("node"), "left")
+        .select(rep("node"), coalesce(m2("m"), rep("rep")).as("rep"))
+        .localCheckpoint()
+      nEdges = edges.count()
       iter += 1
     }
-    if (!converged)
+    if (nEdges > 0)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter rounds — raise maxIter")
-    labels.select(col("node").as("doc_id"), col("cluster_id"))
+    rep.select(col("node").as("doc_id"), col("rep").as("cluster_id"))
   }
 
-  /** [[duplicateClusters]] over the simhash near-dup graph. */
+  /** [[duplicateClusters]] over the simhash near-dup graph. The pair-level
+    * distinct is skipped (multi-band duplicate candidate edges collapse in
+    * the contraction's own map-side aggregates — same components). */
   def simhashClusters(s: SparkSession, d: String): DataFrame =
-    duplicateClusters(simhashPairs(s, d))
+    duplicateClusters(simhashPairsRaw(s, d))
 
   // ------------------------------------------------------------- simhash
 
@@ -359,9 +381,11 @@ object Dedup {
     fps.select(cols: _*)
   }
 
-  /** SimHash near-dup candidate pairs: equal 16-bit band ⇒ candidate; then
-    * exact Hamming distance filter via bit_count(xor). */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+  /** SimHash near-dup candidate pairs, pre-distinct: a pair appears once
+    * per shared band (≤4×). Consumers that only need the pair GRAPH (e.g.
+    * [[duplicateClusters]], whose first contraction collapses duplicate
+    * edges map-side) take this and skip the dedup exchange entirely. */
+  def simhashPairsRaw(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
     val fps = simhashFingerprints(s, d)
     val banded = fps.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimhashBands).map(k => col(s"band_$k")): _*))
@@ -370,15 +394,19 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val r = banded.select(col("band_id"), col("band_key"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    // hamming filter BEFORE the distinct: band collisions among unrelated
-    // docs dominate the candidate stream, so deduplicating only surviving
-    // pairs shrinks the exchange by orders of magnitude (same result —
-    // hamming is a function of the pair, so filter∘distinct ≡ distinct∘filter)
     l.join(r, Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b") &&
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
   }
+
+  /** SimHash near-dup candidate pairs: equal 15-bit band ⇒ candidate; then
+    * exact Hamming distance filter via bit_count(xor). The hamming filter
+    * runs BEFORE the distinct: band collisions among unrelated docs
+    * dominate the candidate stream, so deduplicating only surviving pairs
+    * shrinks the exchange (same result — hamming is a function of the
+    * pair, so filter∘distinct ≡ distinct∘filter). */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame =
+    simhashPairsRaw(s, d, maxHamming).distinct()
 }
