@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{CosineSimilarity, SimHash60}
+import graft.plans.ApproxPercentileRewrite
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimilarityFn)
     e.injectFunction(GraftExtensions.simhash60Fn)
+    e.injectOptimizerRule(_ => ApproxPercentileRewrite)
   }
 }
 
@@ -46,11 +48,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
     buildSimhash _)
 
-  /** Runtime registration on an existing session. */
+  /** Runtime registration on an existing session (functions via the
+    * registry, the optimizer rule via `experimental.extraOptimizations` —
+    * the rule itself stays inert until its SQLConf flag is set). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", buildCosine _, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", buildSimhash _, "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(ApproxPercentileRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ApproxPercentileRewrite
   }
 }

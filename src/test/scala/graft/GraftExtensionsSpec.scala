@@ -39,4 +39,43 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSuite {
       spark.sql("SELECT simhash60(array('x'))").collect()
     }
   }
+
+  private def percentilePlanOf(sql: String): String = {
+    spark.sql(sql).queryExecution.optimizedPlan.toString
+  }
+
+  test("percentile rewrite: off by default, on under the flag, schema stable") {
+    GraftExtensions.register(spark)
+    spark.range(0, 10001).createOrReplaceTempView("pr_nums")
+    val q = "SELECT percentile(id, array(0.25, 0.5, 0.75)) AS p FROM pr_nums"
+
+    // default: flag unset → exact percentile survives optimization
+    assert(percentilePlanOf(q).contains("percentile("))
+    assert(!percentilePlanOf(q).contains("percentile_approx"))
+
+    spark.conf.set(plans.ApproxPercentileRewrite.EnabledKey, "true")
+    try {
+      val df = spark.sql(q)
+      assert(df.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
+      // result type must be unchanged (exact returns double; approx returns
+      // the child type and the rule casts it back)
+      assert(df.schema("p").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false) ||
+        df.schema("p").dataType.simpleString.startsWith("array<double>"))
+      val got = df.collect()(0).getSeq[Double](0)
+      // uniform 0..10000: rank error at default accuracy is ≤ ~1/10000
+      val want = Seq(2500.0, 5000.0, 7500.0)
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= 10001.0 / 1000, s"got $g want ~$w") }
+
+      // guarded forms pass through: weighted frequency and DISTINCT
+      assert(percentilePlanOf(
+        "SELECT percentile(id, 0.5, 2) AS p FROM pr_nums").contains("percentile("))
+      val distinctPlan = percentilePlanOf(
+        "SELECT percentile(DISTINCT id, 0.5) AS p FROM pr_nums")
+      // distinct flag is preserved through the rewrite
+      assert(distinctPlan.contains("distinct"))
+    } finally spark.conf.unset(plans.ApproxPercentileRewrite.EnabledKey)
+  }
 }
