@@ -100,7 +100,11 @@ object SparkEntry {
     "q71_anomaly" -> (Relational.q71Anomaly _),
     "q72_trade_flows" -> (Relational.q72TradeFlows _),
     "q73_percentiles_sorted" -> (Relational.q73PercentilesSorted _),
-    "q74_dup_clusters" -> (Dedup.simhashClusters _))
+    "q74_dup_clusters" -> (Dedup.simhashClusters _),
+    // round 3: n-gram Jaccard, IDF-style rarity, embedding quantization
+    "q75_char_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.charNgramJaccardPairs(s, d)),
+    "q76_token_rarity" -> ((s: SparkSession, d: String) => TextStats.tokenRarity(s, d)),
+    "q77_embedding_quant" -> (Quantization.int8QuantStats _))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -696,5 +700,57 @@ object SparkEntry {
         | CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
         | greatest(l_tax, l_discount) AS max_rate,
         | coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+    // 1-based substr positions; texts shorter than n yield one truncated
+    // shingle — identical convention to Dedup.charShingles
+    "q75_char_ngram_jaccard" ->
+      """WITH l AS (SELECT doc_id AS doc_a, lang,
+        |  list_distinct(list_transform(range(1, greatest(len(text)-4, 1)+1),
+        |    i -> substr(text, CAST(i AS INT), 5))) AS ga
+        |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 50000),
+        |r AS (SELECT doc_id AS doc_b, lang,
+        |  list_distinct(list_transform(range(1, greatest(len(text)-4, 1)+1),
+        |    i -> substr(text, CAST(i AS INT), 5))) AS gb
+        |  FROM documents),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+        |   len(list_distinct(list_concat(ga, gb))) AS jac
+        | FROM l JOIN r USING (lang) WHERE doc_a < doc_b)
+        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+        |FROM j WHERE jac >= 0.2""".stripMargin,
+    "q76_token_rarity" ->
+      s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($tokens)) AS tok
+        |  FROM documents),
+        |df AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(df) AS BIGINT) AS sum_df,
+        | round(CAST(sum(df) AS DOUBLE) / count(*), 6) AS avg_df,
+        | CAST(sum(CASE WHEN df * 4 < n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |FROM dt JOIN df USING (tok) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin,
+    // every per-element step is one IEEE double op in the same order as the
+    // Spark side, so codes match bit-for-bit; errors are rounded per element
+    // and summed as DECIMAL (order-independent) — see Quantization scaladoc
+    "q77_embedding_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(dim AS INT) AS dim,
+        |  CAST(embedding[CAST(dim AS INT)] AS DOUBLE) AS x
+        | FROM embeddings, range(1, 65) t(dim)),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim),
+        |q AS (SELECT vec_id, x, mn, mx,
+        |  CASE WHEN mx = mn THEN 0
+        |   ELSE CAST(least(255, floor((x - mn) / (mx - mn) * 256.0)) AS BIGINT)
+        |  END AS code
+        | FROM e JOIN st USING (dim)),
+        |err AS (SELECT vec_id, code,
+        |  CASE WHEN mx = mn THEN CAST(0 AS DECIMAL(18,9))
+        |   ELSE CAST(round(abs(x - (mn + (code + 0.5) * ((mx - mn) / 256.0))), 9)
+        |     AS DECIMAL(18,9))
+        |  END AS e9
+        | FROM q)
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+        | min(code) AS code_min, max(code) AS code_max,
+        | round(CAST(sum(e9) AS DOUBLE), 6) AS sum_abs_err,
+        | round(CAST(max(e9) AS DOUBLE), 6) AS max_abs_err
+        |FROM err GROUP BY vec_id""".stripMargin)
 }

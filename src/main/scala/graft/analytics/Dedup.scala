@@ -184,6 +184,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Distinct character n-gram (shingle) set of a text column. Position
+    * `sequence` is 1-based to mirror SQL `substr`; texts shorter than `n`
+    * yield one truncated shingle (the whole text), same convention as the
+    * word-n-gram path. */
+  def charShingles(c: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+      i => c.substr(i, lit(n))))
+
+  /**
+   * Character n-gram Jaccard near-dup pairs — the dedup family's n-gram
+   * member (word Jaccard = [[wordJaccardPairs]]; hashed-shingle LSH =
+   * [[minhashPairs]]). Char shingles are robust to tokenization differences
+   * (whitespace, punctuation) that word sets miss. Same deterministic
+   * candidate bounding as q33: stride-sampled AND id-range-capped probe
+   * side (O(1) broadcast regardless of corpus size), same-lang blocking,
+   * exact set arithmetic so the oracle reproduces it verbatim. The
+   * scale-out path for unbounded all-pairs is LSH candidates (q32) feeding
+   * this exact measure as the verifier.
+   */
+  def charNgramJaccardPairs(s: SparkSession, d: String, n: Int = 5,
+      stride: Long = 50, threshold: Double = 0.2, maxProbes: Long = 1000): DataFrame = {
+    val docs = documents(s, d)
+    val left = docs
+      .filter(col("doc_id") % stride === 0 && col("doc_id") < stride * maxProbes)
+      .select(col("doc_id").as("doc_a"), col("lang"),
+        charShingles(col("text"), n).as("grams_a"))
+    val right = docs
+      .select(col("doc_id").as("doc_b"), col("lang"),
+        charShingles(col("text"), n).as("grams_b"))
+    broadcast(left).join(right, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+        size(array_union(col("grams_a"), col("grams_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /**

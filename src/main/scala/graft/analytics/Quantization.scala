@@ -1,0 +1,60 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding scalar quantization (int8) — the storage path for embedding
+ * columns at corpus scale: a 64-dim float vector is 256 bytes; its uint8
+ * codes are 64 bytes (4×), and the per-dimension min/max codebook is 64
+ * rows TOTAL regardless of corpus size.
+ *
+ * Shape for 100 TB: `posexplode` is a narrow map (rows × dims, no
+ * shuffle); the codebook aggregate shuffles only (dim, partial min/max)
+ * pairs thanks to map-side partial aggregation; the codebook re-join is a
+ * broadcast hash join; the per-vector stats aggregate is the single real
+ * shuffle, keyed by vec_id. Everything stays inside whole-stage codegen —
+ * no UDFs.
+ *
+ * Determinism across engines (this is oracle-checked by value): every
+ * per-element arithmetic step is a single IEEE double op in a fixed order
+ * (`(x-mn)/(mx-mn)*256` then `floor`), so Spark and DuckDB produce
+ * identical codes; the reconstruction errors are rounded per element and
+ * summed as DECIMAL(18,9), which is exact and order-independent, dodging
+ * float-sum association drift. Constant dimensions (mx = mn) quantize to
+ * code 0 with zero error.
+ */
+object Quantization {
+
+  import Tables._
+
+  /**
+   * Per-vector int8 quantization stats: code checksum/min/max plus exact
+   * decimal-summed reconstruction error (mid-rise dequantization — code →
+   * bucket midpoint `mn + (code + 0.5) * step`).
+   */
+  def int8QuantStats(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("xf").cast("double").as("x"))
+    val codebook = e.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    e.join(broadcast(codebook), "dim")
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 256.0))))
+      .withColumn("e9",
+        when(col("mx") === col("mn"), lit(0).cast("decimal(18,9)"))
+          .otherwise(round(abs(col("x") - (col("mn") +
+            (col("code") + 0.5) * ((col("mx") - col("mn")) / 256.0))), 9)
+            .cast("decimal(18,9)")))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(col("code")).as("code_sum"),
+        min(col("code")).as("code_min"),
+        max(col("code")).as("code_max"),
+        round(sum(col("e9")).cast("double"), 6).as("sum_abs_err"),
+        round(max(col("e9")).cast("double"), 6).as("max_abs_err"))
+  }
+}

@@ -125,6 +125,38 @@ object TextStats {
         sum(col("n_tokens").cast("long")).as("total_tokens"))
   }
 
+  /**
+   * Token rarity profile — an IDF-style quality signal without the libm
+   * hazard: per document, the document-frequency mass of its distinct
+   * tokens (docs full of ubiquitous tokens score high `avg_df`; docs
+   * carrying corpus-rare tokens show up in `n_rare`). Two-stage shape that
+   * scales: (1) distinct-token explode → df aggregate (vocabulary-sized —
+   * Zipf keeps this tiny relative to the corpus, so it broadcasts); (2)
+   * map-side re-join of the df table + per-doc aggregate. `avg_df` is one
+   * IEEE division of two exact integers, so both engines produce the same
+   * bits (no float-sum association drift); natural-log IDF would hit libm
+   * ulp differences across engines and is left to callers.
+   * A token is "rare" when `df * rareFactor < n_docs`.
+   */
+  def tokenRarity(s: SparkSession, d: String, rareFactor: Int = 4): DataFrame = {
+    val docs = documents(s, d)
+    val docTokens = docs.select(col("doc_id"),
+      explode(array_distinct(words(col("text")))).as("tok"))
+    val dfTable = docTokens.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    docTokens
+      .join(broadcast(dfTable), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("df")).as("sum_df"),
+        round(sum(col("df")).cast("double") / count(lit(1)), 6).as("avg_df"),
+        sum(when(col("df") * rareFactor < col("n_docs"), 1L).otherwise(0L))
+          .as("n_rare"))
+  }
+
   /** Corpus-wide heavy hitters: the canonical distributed word count with a
     * deterministic top-k (count desc, word asc). Map-side partial aggs do
     * the heavy lifting; only (word, partial_count) pairs shuffle. */
