@@ -702,15 +702,21 @@ object SparkEntry {
         | coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
         |FROM lineitem""".stripMargin,
     // 1-based substr positions; texts shorter than n yield one truncated
-    // shingle — identical convention to Dedup.charShingles
+    // shingle — identical convention to Dedup.charShingles. Shingles are
+    // hashed to 60-bit longs exactly as Dedup.charShingleHashes does
+    // (15-hex md5 prefix), so both engines intersect identical long sets.
     "q75_char_ngram_jaccard" ->
       """WITH l AS (SELECT doc_id AS doc_a, lang,
-        |  list_distinct(list_transform(range(1, greatest(len(text)-4, 1)+1),
-        |    i -> substr(text, CAST(i AS INT), 5))) AS ga
+        |  list_distinct(list_transform(
+        |   list_distinct(list_transform(range(1, greatest(len(text)-4, 1)+1),
+        |    i -> substr(text, CAST(i AS INT), 5))),
+        |   g -> CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT))) AS ga
         |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 50000),
         |r AS (SELECT doc_id AS doc_b, lang,
-        |  list_distinct(list_transform(range(1, greatest(len(text)-4, 1)+1),
-        |    i -> substr(text, CAST(i AS INT), 5))) AS gb
+        |  list_distinct(list_transform(
+        |   list_distinct(list_transform(range(1, greatest(len(text)-4, 1)+1),
+        |    i -> substr(text, CAST(i AS INT), 5))),
+        |   g -> CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT))) AS gb
         |  FROM documents),
         |j AS (SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(ga, gb)) AS DOUBLE) /

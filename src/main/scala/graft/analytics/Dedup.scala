@@ -193,32 +193,51 @@ object Dedup {
       sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
       i => c.substr(i, lit(n))))
 
+  /** Distinct char shingle set hashed to 60-bit longs (15-hex md5 prefix —
+    * fits a signed long, engine-reproducible: DuckDB twin is
+    * `('0x'||substring(md5(g),1,15))::BIGINT`). Set-arithmetic over
+    * array<long> is several-fold cheaper than over array<string>: the
+    * per-pair intersect/union hash-set build touches 8-byte primitives
+    * instead of rehashing ~n_chars short strings. Collisions (~2^-60 per
+    * pair of shingles) hit both engines identically, so Jaccard parity is
+    * preserved by construction. */
+  def charShingleHashes(c: Column, n: Int): Column =
+    array_sort(array_distinct(transform(charShingles(c, n),
+      g => conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long"))))
+
   /**
    * Character n-gram Jaccard near-dup pairs — the dedup family's n-gram
    * member (word Jaccard = [[wordJaccardPairs]]; hashed-shingle LSH =
    * [[minhashPairs]]). Char shingles are robust to tokenization differences
    * (whitespace, punctuation) that word sets miss. Same deterministic
    * candidate bounding as q33: stride-sampled AND id-range-capped probe
-   * side (O(1) broadcast regardless of corpus size), same-lang blocking,
-   * exact set arithmetic so the oracle reproduces it verbatim. The
+   * side (O(1) broadcast regardless of corpus size), same-lang blocking.
+   * Shingles are hashed to longs ([[charShingleHashes]]) before the join so
+   * the hot per-pair set ops run over primitives; the oracle mirrors the
+   * hash, so the result is still exact-arithmetic reproducible. The
    * scale-out path for unbounded all-pairs is LSH candidates (q32) feeding
    * this exact measure as the verifier.
    */
   def charNgramJaccardPairs(s: SparkSession, d: String, n: Int = 5,
       stride: Long = 50, threshold: Double = 0.2, maxProbes: Long = 1000): DataFrame = {
-    val docs = documents(s, d)
+    val docs = spread(s, documents(s, d))
     val left = docs
       .filter(col("doc_id") % stride === 0 && col("doc_id") < stride * maxProbes)
       .select(col("doc_id").as("doc_a"), col("lang"),
-        charShingles(col("text"), n).as("grams_a"))
+        charShingleHashes(col("text"), n).as("grams_a"))
     val right = docs
       .select(col("doc_id").as("doc_b"), col("lang"),
-        charShingles(col("text"), n).as("grams_b"))
+        charShingleHashes(col("text"), n).as("grams_b"))
     broadcast(left).join(right, Seq("lang"))
       .filter(col("doc_a") < col("doc_b"))
+      // merge-walk intersect over the pre-sorted hash sets; union size is
+      // |A|+|B|-|A∩B| (both sides distinct), so no per-pair set builds
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("grams_a"), col("grams_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-        size(array_union(col("grams_a"), col("grams_b"))))
+        col("inter").cast("double") /
+        (size(col("grams_a")) + size(col("grams_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }

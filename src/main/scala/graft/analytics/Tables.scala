@@ -44,4 +44,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /**
+   * Spread a CPU-bound derivation across all cores when the scan has fewer
+   * partitions than the cluster's parallelism. Parquet splits at row-group
+   * boundaries, so a small single-row-group file scans as ONE partition and
+   * serializes everything downstream (per-doc shingling/hashing is
+   * compute-bound, not IO-bound — measured 4× wall-clock on a 1-partition
+   * documents scan at sf0.1). Guarded: when the scan already has ≥
+   * parallelism partitions — any real 100 TB input — this is the identity,
+   * so no shuffle is ever added at scale.
+   */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }
