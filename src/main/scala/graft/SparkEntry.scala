@@ -203,20 +203,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        | round(avg(l_quantity),6) AS avg_qty, round(avg(l_extendedprice),6) AS avg_price,
-        | round(avg(l_discount),6) AS avg_disc, count(*) AS count_order
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))),2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))),2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))),2) AS DOUBLE) AS sum_charge,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,9))) AS DOUBLE)/count(l_quantity),6) AS avg_qty, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,9))) AS DOUBLE)/count(l_extendedprice),6) AS avg_price,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,9))) AS DOUBLE)/count(l_discount),6) AS avg_disc, count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_revenue_band" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_rows
+      """SELECT CAST(round(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))),2) AS DOUBLE) AS revenue, count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q03_segment_revenue" ->
-      """SELECT c_mktsegment, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      """SELECT c_mktsegment, CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))),2) AS DOUBLE) AS revenue,
         | count(*) AS n_rows
         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
         | JOIN customer ON o_custkey=c_custkey
@@ -226,7 +226,7 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey=o_orderkey)
         |GROUP BY o_orderpriority""".stripMargin,
     "q05_nation_revenue" ->
-      """SELECT r_name, n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      """SELECT r_name, n_name, CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))),2) AS DOUBLE) AS revenue,
         | count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
         | JOIN customer ON o_custkey=c_custkey
@@ -234,7 +234,7 @@ object SparkEntry {
         | JOIN region ON n_regionkey=r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
     "q06_region_customers" ->
-      """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal),6) AS avg_bal
+      """SELECT r_name, count(*) AS n_customers, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,9))) AS DOUBLE)/count(c_acctbal),6) AS avg_bal
         |FROM customer JOIN nation ON c_nationkey=n_nationkey
         | JOIN region ON n_regionkey=r_regionkey
         |GROUP BY r_name""".stripMargin,
@@ -251,8 +251,9 @@ object SparkEntry {
         | FROM orders) t WHERE rn <= 2""".stripMargin,
     "q10_running_total" ->
       """SELECT o_custkey, o_orderkey,
-        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DOUBLE) AS running_total
         |FROM orders""".stripMargin,
     "q11_order_gaps" ->
       """SELECT o_custkey, o_orderkey,
@@ -265,7 +266,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q13_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        | round(sum(o_totalprice),2) AS total
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),2) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q14_distinct_stats" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
@@ -283,12 +284,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q19_having_big_customers" ->
-      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS total_spent
+      """SELECT o_custkey, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),2) AS DOUBLE) AS total_spent
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 10""".stripMargin,
     "q20_conditional_agg" ->
       """SELECT l_linestatus,
         | CAST(sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
-        | round(sum(CASE WHEN l_returnflag='R' THEN l_extendedprice ELSE 0 END),2) AS returned_value,
+        | CAST(round(sum(CAST(CASE WHEN l_returnflag='R' THEN l_extendedprice ELSE 0 END AS DECIMAL(18,6))),2) AS DOUBLE) AS returned_value,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q21_string_funcs" ->
@@ -298,7 +299,7 @@ object SparkEntry {
         |FROM part""".stripMargin,
     "q22_monthly_orders" ->
       """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
-        | round(sum(o_totalprice),2) AS total
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),2) AS DOUBLE) AS total
         |FROM orders GROUP BY date_trunc('month', o_orderdate)""".stripMargin,
     "q23_json_extract" ->
       """SELECT event_type,
@@ -307,7 +308,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "q24_hourly_events" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
-        | count(*) AS n_events, round(sum(value),2) AS value_sum
+        | count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,6))),2) AS DOUBLE) AS value_sum
         |FROM events GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type""".stripMargin,
     "q25_sessionize" ->
       """WITH g AS (
@@ -320,7 +321,7 @@ object SparkEntry {
         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
         | FROM g)
         |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n_events,
-        | round(sum(value),2) AS value_sum
+        | CAST(round(sum(CAST(value AS DECIMAL(18,6))),2) AS DOUBLE) AS value_sum
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "q26_merge_upsert" ->
       """WITH d1 AS (SELECT o_orderkey, o_totalprice, 1 AS src_seq FROM orders),
@@ -460,9 +461,9 @@ object SparkEntry {
     "q73_percentiles_sorted" -> percentilesSql,
     "q47_pivot" ->
       """SELECT o_orderpriority,
-        | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END),2) AS F,
-        | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END),2) AS O,
-        | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END),2) AS P
+        | CAST(round(sum(CAST(CASE WHEN o_orderstatus='F' THEN o_totalprice END AS DECIMAL(18,6))),2) AS DOUBLE) AS F,
+        | CAST(round(sum(CAST(CASE WHEN o_orderstatus='O' THEN o_totalprice END AS DECIMAL(18,6))),2) AS DOUBLE) AS O,
+        | CAST(round(sum(CAST(CASE WHEN o_orderstatus='P' THEN o_totalprice END AS DECIMAL(18,6))),2) AS DOUBLE) AS P
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q48_asof_join" ->
       """WITH o AS (
@@ -478,8 +479,9 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q50_trailing_spend" ->
       """SELECT o_custkey, o_orderkey,
-        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-        |   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW),2) AS trailing_30d
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW),2) AS DOUBLE) AS trailing_30d
         |FROM orders""".stripMargin,
     "q51_salted_agg" ->
       """SELECT l_suppkey, sum(l_quantity) AS sum_l_quantity, count(*) AS n_rows
@@ -492,7 +494,7 @@ object SparkEntry {
     // starts floor(t,15m) - k*15m for k=0..3; make_timestamp keeps it naive
     "q53_sliding_windows" ->
       """SELECT make_timestamp((CAST(floor(epoch(ts)/900) AS BIGINT)*900 - t.k*900)*1000000)
-        |   AS bucket, event_type, count(*) AS n_events, round(sum(value),2) AS value_sum
+        |   AS bucket, event_type, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,6))),2) AS DOUBLE) AS value_sum
         |FROM events, UNNEST([0,1,2,3]) AS t(k)
         |GROUP BY bucket, event_type""".stripMargin,
     "q54_distinct_flags" ->
@@ -686,7 +688,7 @@ object SparkEntry {
     "q67_interval_join" ->
       """SELECT e.event_id, e.user_id,
         | count(o.o_orderdate) AS n_recent_orders,
-        | round(coalesce(sum(o.o_totalprice), 0), 2) AS recent_spend
+        | round(coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0), 2) AS recent_spend
         |FROM events e LEFT JOIN orders o
         | ON o.o_custkey = e.user_id
         | AND o.o_orderdate <= e.ts

@@ -220,7 +220,7 @@ object Dedup {
    */
   def charNgramJaccardPairs(s: SparkSession, d: String, n: Int = 5,
       stride: Long = 50, threshold: Double = 0.2, maxProbes: Long = 1000): DataFrame = {
-    val docs = spread(s, documents(s, d))
+    val docs = documents(s, d)
     val left = docs
       .filter(col("doc_id") % stride === 0 && col("doc_id") < stride * maxProbes)
       .select(col("doc_id").as("doc_a"), col("lang"),

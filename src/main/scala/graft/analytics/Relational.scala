@@ -32,6 +32,35 @@ object Relational {
 
   private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /**
+   * Order-independent money sum: per-row cast to DECIMAL(18,6), summed
+   * exactly (decimal addition is associative — no floating-point
+   * summation-order jitter), rounded to cents, returned as double. With
+   * many groups, double-sum jitter (~1e-10 relative) lands on a
+   * cent-rounding boundary a handful of times per run and flips the
+   * result hash whenever partitioning (and thus summation order) changes;
+   * decimal summation makes the rounded value partitioning- and
+   * engine-stable. Oracle twin:
+   * `CAST(round(sum(CAST(e AS DECIMAL(18,6))), 2) AS DOUBLE)`.
+   */
+  private[analytics] def decSum(e: Column): Column =
+    round(sum(e.cast("decimal(18,6)")), 2).cast("double")
+
+  /** [[decSum]] over a window frame (same order-independence argument —
+    * engines disagree on frame summation order, e.g. segment trees vs
+    * running accumulation, long before they disagree on the frame). */
+  private[analytics] def decSumOver(
+      e: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    round(sum(e.cast("decimal(18,6)")).over(w), 2).cast("double")
+
+  /** Order-independent 6-dp average: exact decimal sum → double, divided
+    * by the non-null count — double division of identical operands is
+    * IEEE-identical in both engines, so only the (exact) sum matters.
+    * Oracle twin:
+    * `round(CAST(sum(CAST(e AS DECIMAL(18,9))) AS DOUBLE) / count(e), 6)`. */
+  private[analytics] def decAvg(e: Column): Column =
+    round(sum(e.cast("decimal(18,9)")).cast("double") / count(e), 6)
+
   /** TPC-H Q1 shape: single scan, 4-wide partial agg, 2 grouping keys.
     * Filter + pruning push to parquet; whole-stage codegen end-to-end. */
   def q01PricingSummary(s: SparkSession, d: String): DataFrame =
@@ -40,12 +69,12 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"), // small-int-valued doubles: exact
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(revenue), 2).as("sum_disc_price"),
-        round(sum(revenue * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(revenue).as("sum_disc_price"),
+        decSum(revenue * (lit(1) + col("l_tax"))).as("sum_charge"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        decAvg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q6 shape: pure filter-aggregate; all predicates pushed. */
@@ -55,7 +84,7 @@ object Relational {
         col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(decSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   /** 3-way join, small side broadcast; revenue per market segment. */
@@ -64,7 +93,7 @@ object Relational {
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_rows"))
+      .agg(decSum(revenue).as("revenue"), count(lit(1)).as("n_rows"))
 
   /** Semi-join (EXISTS) + agg: order priorities having at least one line. */
   def q04OrderPriority(s: SparkSession, d: String): DataFrame =
@@ -81,7 +110,7 @@ object Relational {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_lines"))
+      .agg(decSum(revenue).as("revenue"), count(lit(1)).as("n_lines"))
 
   /** Dim-only star probe: customers per region with balance stats. */
   def q06RegionCustomers(s: SparkSession, d: String): DataFrame =
@@ -89,7 +118,7 @@ object Relational {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 6).as("avg_bal"))
+      .agg(count(lit(1)).as("n_customers"), decAvg(col("c_acctbal")).as("avg_bal"))
 
   /** left_semi: customers that have ordered (EXISTS). */
   def q07ExistsCustomers(s: SparkSession, d: String): DataFrame =
@@ -122,7 +151,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        decSumOver(col("o_totalprice"), w).as("running_total"))
   }
 
   /** lag(): days between consecutive orders per customer. */
@@ -143,7 +172,7 @@ object Relational {
   def q13CubeOrders(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total"))
 
   /** Exact distinct counts (expand-based multi-distinct in one pass). */
   def q14DistinctStats(s: SparkSession, d: String): DataFrame =
@@ -180,7 +209,7 @@ object Relational {
   def q19HavingBigCustomers(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_spent"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total_spent"))
       .filter(col("n_orders") >= 10)
 
   /** Conditional aggregation (CASE WHEN inside agg). */
@@ -189,7 +218,7 @@ object Relational {
       .groupBy(col("l_linestatus"))
       .agg(
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
-        round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)), 2)
+        decSum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0))
           .as("returned_value"),
         count(lit(1)).as("n_rows"))
 
@@ -206,7 +235,7 @@ object Relational {
   def q22MonthlyOrders(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total"))
 
   /** JSON extraction from the events.props payload. */
   def q23JsonExtract(s: SparkSession, d: String): DataFrame =
@@ -220,7 +249,7 @@ object Relational {
   def q24HourlyEvents(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n_events"), col("value_sum"))
 
   /** Session windows (1h inactivity gap) per user — batch form of
@@ -228,7 +257,7 @@ object Relational {
   def q25Sessionize(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("value_sum"))
 
@@ -291,7 +320,10 @@ object Relational {
   /** Exact interpolated percentiles (Spark `percentile` == DuckDB
     * `quantile_cont`) — the order-statistics surface. */
   def q45Percentiles(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    // spread: the builtin percentile buffers every value map-side; on a
+    // single-row-group scan that buffering runs on one core (measured
+    // 3.1s → 2.3s at sf0.1 with the spread)
+    spread(s, lineitem(s, d))
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"),
@@ -346,7 +378,7 @@ object Relational {
     orders(s, d)
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(round(sum(col("o_totalprice")), 2))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double"))
 
   /** As-of join: each event picks up the user's latest order at-or-before
     * the event time (point-in-time lookup). One shuffle per side via the
@@ -382,7 +414,7 @@ object Relational {
       .groupBy(col("event_id"), e("user_id"))
       .agg(
         count(col("o_orderdate")).as("n_recent_orders"),
-        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("recent_spend"))
+        round(coalesce(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), lit(0.0)), 2).as("recent_spend"))
   }
 
   /**
@@ -454,7 +486,7 @@ object Relational {
       .rangeBetween(-30L * 86400, 0)
     orders(s, d).select(
       col("o_custkey"), col("o_orderkey"),
-      round(sum(col("o_totalprice")).over(w), 2).as("trailing_30d"))
+      decSumOver(col("o_totalprice"), w).as("trailing_30d"))
   }
 
   /** Salted two-phase aggregation (skew path) — must equal the plain
@@ -467,7 +499,7 @@ object Relational {
   def q53SlidingWindows(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("value_sum"))
 

@@ -17,8 +17,32 @@ object Tables {
 
   val dimensions: Set[String] = Set("region", "nation", "supplier", "part", "customer")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Tables whose consumers do heavy per-row compute BEFORE any shuffle
+    * (shingling, md5 hashing, codec work, vector math) get [[spread]] on
+    * load: a single-row-group file would serialize that work onto one
+    * core. Measured at sf0.1: spreading documents/embeddings cut their
+    * query family 3-25× (q75 11.9→0.46s, q33 2.7→0.36s, q66 2.2→0.48s),
+    * while spreading the relational facts (lineitem/orders/events) only
+    * added an exchange in front of queries whose first operation is
+    * already a shuffle — net regression — so those stay unspread and
+    * call-sites with genuine pre-shuffle compute opt in explicitly. */
+  private val facts: Set[String] = Set("documents", "embeddings")
+
+  /** (path, parallelism) → does this scan need spreading? The layout of a
+    * warehouse file doesn't change mid-session, and the probe
+    * (`df.rdd.getNumPartitions`) costs a full analyze+plan pass on the
+    * driver — cache it so repeated loads pay it once. */
+  private val spreadProbe = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (facts(name)) {
+      val p = spark.sparkContext.defaultParallelism
+      val need = spreadProbe.computeIfAbsent(s"$dir/$name|$p",
+        _ => Boolean.box(df.rdd.getNumPartitions < p))
+      if (need) df.repartition(p) else df
+    } else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
