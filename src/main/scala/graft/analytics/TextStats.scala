@@ -130,9 +130,13 @@ object TextStats {
    * hazard: per document, the document-frequency mass of its distinct
    * tokens (docs full of ubiquitous tokens score high `avg_df`; docs
    * carrying corpus-rare tokens show up in `n_rare`). Two-stage shape that
-   * scales: (1) distinct-token explode → df aggregate (vocabulary-sized —
-   * Zipf keeps this tiny relative to the corpus, so it broadcasts); (2)
-   * map-side re-join of the df table + per-doc aggregate. `avg_df` is one
+   * scales: (1) distinct-token explode → df aggregate; (2) shuffle
+   * hash join of (doc_id, tok) against the df table on `tok`, then a
+   * per-doc aggregate. The df table is deliberately NOT broadcast: a web
+   * corpus's vocabulary is corpus-sized (URLs, typos, hex blobs — billions
+   * of distinct tokens at 100 TB), so forcing it into a broadcast relation
+   * is a driver OOM; the equi-join shuffle-partitions the vocabulary with
+   * uniform (token-hash) keys instead. `avg_df` is one
    * IEEE division of two exact integers, so both engines produce the same
    * bits (no float-sum association drift); natural-log IDF would hit libm
    * ulp differences across engines and is left to callers.
@@ -146,7 +150,7 @@ object TextStats {
       .agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     docTokens
-      .join(broadcast(dfTable), "tok")
+      .join(dfTable.hint("shuffle_hash"), "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(

@@ -50,6 +50,17 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkSuite {
     assert(out(2) == ((2L, 1L, 3L, 3.0, 0L))) // x once (distinct)
   }
 
+  test("q76 plan: vocabulary (unbounded-cardinality) side is never broadcast") {
+    val plan = TextStats.tokenRarity(spark, d).queryExecution.executedPlan.toString
+    // the 1-row corpus count is the ONLY broadcast; the df-table join on
+    // `tok` must be a shuffle join — at 100 TB the vocabulary is
+    // corpus-sized and a broadcast of it is a driver OOM
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(broadcasts == 1, s"expected only the 1-row count broadcast, plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"df-table join is not a shuffle join:\n$plan")
+  }
+
   test("q77 quantization: codes bounded, per-element error ≤ half a bucket") {
     val e = Tables.embeddings(spark, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
