@@ -741,9 +741,10 @@ object SparkEntry {
     // Spark side, so codes match bit-for-bit; errors are rounded per element
     // and summed as DECIMAL (order-independent) — see Quantization scaladoc
     "q77_embedding_quant" ->
-      """WITH e AS (SELECT vec_id, CAST(dim AS INT) AS dim,
-        |  CAST(embedding[CAST(dim AS INT)] AS DOUBLE) AS x
-        | FROM embeddings, range(1, 65) t(dim)),
+      """WITH e AS (SELECT vec_id,
+        |  CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS dim,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x
+        | FROM embeddings),
         |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim),
         |q AS (SELECT vec_id, x, mn, mx,
         |  CASE WHEN mx = mn THEN 0

@@ -322,7 +322,7 @@ object Dedup {
    * twice per round: 13-35s at sf0.1 vs ~2s for this one, pair gen aside.)
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
-      broadcastMaxNodes: Long = 10000000L): DataFrame = {
+      broadcastMaxNodes: Long = 2000000L): DataFrame = {
     // one pass over pairs (a union of two selects would evaluate the
     // un-materialized pair plan twice); no pair-level distinct — the
     // round-0 aggregates collapse duplicate edges map-side anyway

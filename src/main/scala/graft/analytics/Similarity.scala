@@ -162,10 +162,17 @@ object Similarity {
     sig.reduce(_ + _)
   }
 
-  /** The embedding width — one head() probe, used to size the literal
-    * coefficient arrays. */
+  /** (semantic plan hash) → embedding width: the probe is a driver
+    * round-trip (head() job), and the width of a given table never changes
+    * mid-session — cache it so each query invocation doesn't re-run a
+    * 1-row Spark job just to size the literal coefficient arrays. */
+  private val dimCache = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+
+  /** The embedding width — one (cached) head() probe, used to size the
+    * literal coefficient arrays. */
   def embeddingDim(emb: DataFrame): Int =
-    emb.select(size(col("embedding"))).head().getInt(0)
+    dimCache.computeIfAbsent(emb.queryExecution.logical.semanticHash(),
+      _ => Int.box(emb.select(size(col("embedding"))).head().getInt(0)))
 
   def lshBuckets(emb: DataFrame, nplanes: Int = 8): DataFrame =
     emb.select(col("vec_id"), col("label"),

@@ -63,7 +63,7 @@ object ApproxPercentileRewrite extends Rule[LogicalPlan] {
         agg.transformExpressionsUp {
           case ae @ AggregateExpression(
               p @ Percentile(_, _, freq, _, _, reverse), _, _, _, _)
-              if !reverse && isOne(freq) =>
+              if !reverse && isOne(freq) && !ae.isDistinct && ae.filter.isEmpty =>
             val approx = new ApproximatePercentile(
               p.child, p.percentageExpression, Literal(accuracy))
             val rewritten = ae.copy(aggregateFunction = approx)

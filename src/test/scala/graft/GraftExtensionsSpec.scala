@@ -69,13 +69,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSuite {
       got.zip(want).foreach { case (g, w) =>
         assert(math.abs(g - w) <= 10001.0 / 1000, s"got $g want ~$w") }
 
-      // guarded forms pass through: weighted frequency and DISTINCT
+      // guarded forms pass through: weighted frequency, DISTINCT, FILTER
       assert(percentilePlanOf(
         "SELECT percentile(id, 0.5, 2) AS p FROM pr_nums").contains("percentile("))
       val distinctPlan = percentilePlanOf(
         "SELECT percentile(DISTINCT id, 0.5) AS p FROM pr_nums")
-      // distinct flag is preserved through the rewrite
-      assert(distinctPlan.contains("distinct"))
+      // DISTINCT percentile must remain EXACT (semantics change under a
+      // sketch: distinct-ness alters which values feed the quantile)
+      assert(!distinctPlan.contains("percentile_approx"),
+        s"DISTINCT percentile was rewritten to approx:\n$distinctPlan")
+      val filterPlan = percentilePlanOf(
+        "SELECT percentile(id, 0.5) FILTER (WHERE id % 2 = 0) AS p FROM pr_nums")
+      assert(!filterPlan.contains("percentile_approx"),
+        s"FILTER percentile was rewritten to approx:\n$filterPlan")
     } finally spark.conf.unset(plans.ApproxPercentileRewrite.EnabledKey)
   }
 }
