@@ -15,10 +15,14 @@ import org.apache.spark.sql.types._
  */
 object TypeMapping {
 
-  /** Target relational dialects of the reference (`settings.rs` DatabaseType). */
+  /** Target relational dialects of the reference (`settings.rs` DatabaseType),
+    * plus embedded Derby — not a reference target, but the only database
+    * that can run INSIDE this build's sandbox, so it is the live-connection
+    * integration vehicle for the sink (same ANSI quoting family as psql). */
   sealed trait Dialect
   case object Psql  extends Dialect
   case object Mysql extends Dialect
+  case object Derby extends Dialect
 
   final case class UnknownCanvasType(name: String)
       extends IllegalArgumentException(s"Invalid Type to Convert: $name")
@@ -50,6 +54,12 @@ object TypeMapping {
    */
   def toDdlType(canvasType: String, dialect: Dialect): String =
     (canvasType, dialect) match {
+      // Derby first: no TEXT type (bounded VARCHAR stands in), DOUBLE
+      // spelling; everything else shares the ANSI rows below
+      case ("enum" | "text" | "varchar" | "guid", Derby) => "VARCHAR(32672)"
+      case ("double precision", Derby)   => "DOUBLE"
+      case ("boolean", Derby)            => "BOOLEAN"
+      case ("timestamp" | "datetime", Derby) => "TIMESTAMP"
       case ("bigint", _)                 => "BIGINT"
       case ("boolean", Psql)             => "BOOLEAN"
       case ("boolean", Mysql)            => "VARCHAR(10)"
@@ -95,6 +105,7 @@ object TypeMapping {
         case "date"      => "DATE"
         case _           => ""
       }
+    case Derby => "" // parity table is psql/mysql-only; Derby writes are typed
   }
 
   /**

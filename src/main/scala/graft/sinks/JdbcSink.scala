@@ -35,16 +35,38 @@ object JdbcSink {
   }
   val Postgres: Dialect = Dialect(TypeMapping.Psql, "\"")
   val Mysql: Dialect = Dialect(TypeMapping.Mysql, "`")
+  /** Embedded Derby — the in-sandbox live-integration target (JdbcLiveSpec
+    * runs the whole create → stage → merge cycle against it in-memory).
+    * ANSI double-quoting like Postgres; no `IF NOT EXISTS`, so creation
+    * goes through [[ensureTable]]'s metadata probe. */
+  val Derby: Dialect = Dialect(TypeMapping.Derby, "\"")
 
   /** `CREATE TABLE IF NOT EXISTS` DDL — op I-1 (`db_client.rs:147-182,
-    * 336-377`), additive-only like the reference (no ALTER). */
+    * 336-377`), additive-only like the reference (no ALTER). Derby lacks
+    * `IF NOT EXISTS`; its callers go through [[ensureTable]]. */
   def createTableSql(table: TableDefinition, d: Dialect): String = {
+    val ifNotExists = if (d == Derby) "" else "IF NOT EXISTS "
     val cols = table.columns
       .map(c => s"${d.ident(c.name)} ${TypeMapping.toDdlType(c.dbType, d.kind)}")
       .mkString(", ")
     val charset = if (d == Mysql) " CHARACTER SET utf8mb4" else ""
-    s"CREATE TABLE IF NOT EXISTS ${d.ident(table.tableName)} ($cols)$charset"
+    s"CREATE TABLE $ifNotExists${d.ident(table.tableName)} ($cols)$charset"
   }
+
+  /** Case-exact existence probe via connection metadata — the portable
+    * form of `IF NOT EXISTS` (identifiers are created quoted, so the
+    * stored name is exactly `table.tableName`). */
+  def tableExists(conn: java.sql.Connection, tableName: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, tableName, null)
+    try rs.next() finally rs.close()
+  }
+
+  /** I-1 against a live connection: create the target when absent. */
+  def ensureTable(conn: java.sql.Connection, table: TableDefinition, d: Dialect): Unit =
+    if (!tableExists(conn, table.tableName)) {
+      val st = conn.createStatement()
+      try st.execute(createTableSql(table, d)) finally st.close()
+    }
 
   /** `DROP TABLE IF EXISTS` — op I-2, volatile path (`db_client.rs:126-145`). */
   def dropTableSql(tableName: String, d: Dialect): String =
@@ -85,14 +107,25 @@ object JdbcSink {
       .jdbc(url, tableName, props)
   }
 
-  /** Incremental path (op I-3): batch → staging table, then the
-    * transactional merge statements from [[mergeSql]] on one connection. */
+  /** Incremental path (op I-3): ensure target → batch → staging table →
+    * the transactional merge statements from [[mergeSql]] on one
+    * connection. Live-connection lessons (JdbcLiveSpec on embedded Derby):
+    *  - the stage name is passed to Spark PRE-QUOTED (`d.ident`), because
+    *    Spark interpolates the table option verbatim into its DDL/DML —
+    *    unquoted, a case-folding engine (Derby: upper) would store
+    *    QUIZ_DIM__STAGE while [[mergeSql]] references "quiz_dim__stage";
+    *  - batch columns are renamed to their post-[[TypeMapping.compatRename]]
+    *    identifiers before staging, since the merge INSERT lists the
+    *    RENAMED column on both sides (a batch with a raw `default` column
+    *    would otherwise fail at first contact with the database). */
   def mergeBatch(df: DataFrame, url: String, table: TableDefinition,
       d: Dialect, props: java.util.Properties): Unit = {
     val stage = s"${table.tableName}__stage"
-    writeBatch(df, url, stage, props, overwrite = true)
+    val renamed = df.toDF(df.columns.map(TypeMapping.compatRename(_, d.kind)): _*)
+    writeBatch(renamed, url, d.ident(stage), props, overwrite = true)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
+      ensureTable(conn, table, d)
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try mergeSql(table, stage, d).foreach(st.execute)

@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.Timestamp
+import java.util.Properties
+
+import graft.ingest.BucketedMerge
+import graft.schema.{ColumnDefinition, TableDefinition}
+import graft.sinks.JdbcSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * LIVE-DATABASE integration for the relational sink: the reference's whole
+ * product surface (`db_client.rs:184-304` psql / `:379-504` mysql —
+ * create → per-dump upsert) executed against a REAL `java.sql.Connection`
+ * (embedded Derby, in-memory). Everything before this spec asserted SQL
+ * strings; here every generated statement actually runs: CREATE DDL from
+ * the 12-type mapping, Spark's JDBC batch write into a staged table,
+ * the transactional DELETE-IN-SELECT + INSERT merge, stage cleanup,
+ * reserved-word column renames, and idempotent replay. The final table is
+ * compared row-for-row against the lake path (BucketedMerge) fed the same
+ * two dumps — the same-semantics guarantee the engine promises.
+ */
+class JdbcLiveSpec extends AnyFunSuite with SparkSuite {
+
+  System.setProperty("derby.system.home",
+    java.nio.file.Files.createTempDirectory("derby_home").toString)
+
+  private val url = "jdbc:derby:memory:graftlive;create=true"
+  private val props = new Properties()
+  private val d = JdbcSink.Derby
+
+  // includes a reserved-word column ("default" → "_default" in DDL/DML)
+  private val quizDim = TableDefinition(
+    tableName = "quiz_dim",
+    dwType = "dimension",
+    incremental = true,
+    hints = Map.empty,
+    columns = Seq(
+      ColumnDefinition("id", "bigint", None, None, None),
+      ColumnDefinition("name", "varchar", None, Some(255), None),
+      ColumnDefinition("created_at", "timestamp", None, None, None),
+      ColumnDefinition("is_public", "boolean", None, None, None),
+      ColumnDefinition("score", "double precision", None, None, None),
+      ColumnDefinition("default", "text", None, None, None)))
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def dump(seq: Long, ids: Range, tag: String): DataFrame = {
+    import spark.implicits._
+    ids.map { i =>
+      (i.toLong, s"quiz $i $tag", ts(s"2024-01-0${seq} 10:00:00"),
+        i % 2 == 0, i * 1.5 + seq, s"dflt_$tag")
+    }.toDF("id", "name", "created_at", "is_public", "score", "default")
+      .withColumn("_dump_seq", lit(seq))
+  }
+
+  private def readTarget(): DataFrame =
+    spark.read.jdbc(url, d.ident("quiz_dim"), props)
+
+  private def canon(df: DataFrame): Seq[String] = df
+    .select(col("id"), col("name"), col("created_at"), col("is_public"),
+      col("score"), col("_default"))
+    .collect().map(_.toString).sorted.toSeq
+
+  test("create → stage → merge → replay on a live connection equals the lake path") {
+    val dump1 = dump(1, 1 to 10, "v1")
+    val dump2 = dump(2, 5 to 14, "v2") // 5-10 updated, 11-14 new
+
+    // --- JDBC path: the dumps' data columns (the lake keeps _dump_seq as
+    // lineage; the relational target has only the schema's columns)
+    val dataCols = quizDim.columns.map(c => col(c.name))
+    JdbcSink.mergeBatch(dump1.select(dataCols: _*), url, quizDim, d, props)
+    JdbcSink.mergeBatch(dump2.select(dataCols: _*), url, quizDim, d, props)
+
+    val afterTwo = canon(readTarget())
+    assert(afterTwo.length == 14, "ids 1-14 expected after two dumps")
+
+    // --- lake path: same two dumps through the bucket-pruned parquet merge
+    val lakeDir = java.nio.file.Files.createTempDirectory("jdbc_lake").toString + "/quiz_dim"
+    BucketedMerge.mergeInto(spark, lakeDir, dump1, Seq("id"), seqCol = Some("_dump_seq"))
+    BucketedMerge.mergeInto(spark, lakeDir, dump2, Seq("id"), seqCol = Some("_dump_seq"))
+    val lake = BucketedMerge.read(spark, lakeDir)
+      .withColumnRenamed("default", "_default")
+    assert(canon(lake) == afterTwo,
+      "JDBC merge result diverges from the lake-path merge on the same dumps")
+
+    // --- idempotent replay: re-running the last dump must not change rows
+    JdbcSink.mergeBatch(dump2.select(dataCols: _*), url, quizDim, d, props)
+    assert(canon(readTarget()) == afterTwo, "replaying dump2 changed the table")
+
+    // --- the staging table is dropped by the merge transaction
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try assert(!JdbcSink.tableExists(conn, "quiz_dim__stage"),
+      "stage table survived the merge")
+    finally conn.close()
+  }
+
+  test("merge failure rolls back: target unchanged after a bad batch") {
+    val before = canon(readTarget())
+    // a batch with a column the target lacks → INSERT..SELECT fails inside
+    // the transaction, after the DELETE ran — rollback must restore rows
+    import spark.implicits._
+    val bad = Seq((1L, "x")).toDF("id", "name")
+      .withColumn("created_at", lit(ts("2024-01-05 10:00:00")))
+      .withColumn("is_public", lit(true))
+      .withColumn("score", lit(0.0))
+    // note: missing the "default" column entirely
+    intercept[Exception] {
+      JdbcSink.mergeBatch(bad, url, quizDim, d, props)
+    }
+    assert(canon(readTarget()) == before, "failed merge mutated the target")
+  }
+
+  test("volatile overwrite path executes live and is idempotent") {
+    import spark.implicits._
+    val rows = (1 to 20).map(i => (i.toLong, s"req $i")).toDF("id", "body")
+    JdbcSink.writeBatch(rows, url, d.ident("requests_v"), props, overwrite = true)
+    JdbcSink.writeBatch(rows, url, d.ident("requests_v"), props, overwrite = true)
+    val back = spark.read.jdbc(url, d.ident("requests_v"), props)
+    assert(back.count() == 20)
+    assert(back.select(sum(col("id"))).collect()(0).getLong(0) == 210L)
+  }
+}
