@@ -405,6 +405,52 @@ object SparkEntry {
         | FROM v)
         |SELECT bucket, count(*) AS n_vectors, count(DISTINCT label) AS n_labels
         |FROM b GROUP BY bucket""".stripMargin,
+    // the full IVF pipeline replayed in SQL: md5-derived hyperplane cells
+    // (as q38), per-cell centroids, top-nprobe routing with (c_cos, cell)
+    // tie-break, probed-cell scan, exact top-k — every stage is integer- or
+    // fixed-order-arithmetic deterministic, so the "approximate" ANN output
+    // is exactly reproducible wrt its own definition
+    "q37_ivf_topk" ->
+      """WITH v AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cells AS (
+        | SELECT vec_id, e,
+        |  CAST(list_sum(list_transform(range(0,3), p ->
+        |   CASE WHEN list_sum(list_transform(range(1, len(e)+1),
+        |     i -> e[i] * (((('0x' || substring(md5(CAST(p AS VARCHAR) || '_' ||
+        |            CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 1000000)/1000000.0) - 0.5)))
+        |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS cell
+        | FROM v),
+        |cent AS (
+        | SELECT cell, dim, avg(x) AS mean_v FROM (
+        |   SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x
+        |   FROM cells) t
+        | GROUP BY cell, dim),
+        |ca AS (SELECT cell, list(mean_v ORDER BY dim) AS c0 FROM cent GROUP BY cell),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM cells WHERE vec_id % 100 = 0),
+        |routed AS (
+        | SELECT query_id, qe, cell,
+        |  list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*c0[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))) AS c_cos
+        | FROM q CROSS JOIN ca),
+        |probes AS (
+        | SELECT query_id, qe, cell FROM (
+        |  SELECT query_id, qe, cell,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS pr
+        |  FROM routed) t WHERE pr <= 4),
+        |s AS (
+        | SELECT p.query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(p.qe)+1), i -> p.qe[i]*c.e[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, len(p.qe)+1), i -> p.qe[i]*p.qe[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, len(c.e)+1), i -> c.e[i]*c.e[i])))) AS cosine
+        | FROM probes p JOIN cells c ON c.cell = p.cell
+        | WHERE p.query_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        | FROM s)
+        |SELECT query_id, neighbor_id, round(cosine,6) AS cosine, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5""".stripMargin,
     "q36_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id % 100 = 0),
