@@ -104,7 +104,9 @@ object SparkEntry {
     // round 3: n-gram Jaccard, IDF-style rarity, embedding quantization
     "q75_char_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.charNgramJaccardPairs(s, d)),
     "q76_token_rarity" -> ((s: SparkSession, d: String) => TextStats.tokenRarity(s, d)),
-    "q77_embedding_quant" -> (Quantization.int8QuantStats _))
+    "q77_embedding_quant" -> (Quantization.int8QuantStats _),
+    "q78_winnow_fingerprints" -> ((s: SparkSession, d: String) => TextStats.winnowFingerprints(s, d)),
+    "q79_winnow_pairs" -> ((s: SparkSession, d: String) => TextStats.winnowPairs(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -807,5 +809,31 @@ object SparkEntry {
         | min(code) AS code_min, max(code) AS code_max,
         | round(CAST(sum(e9) AS DOUBLE), 6) AS sum_abs_err,
         | round(CAST(max(e9) AS DOUBLE), 6) AS max_abs_err
-        |FROM err GROUP BY vec_id""".stripMargin)
+        |FROM err GROUP BY vec_id""".stripMargin,
+    // winnowing: positional k-grams (list slices clamp like concat_ws drops
+    // out-of-range NULLs), 15-hex md5 hashes, per-window minima — all
+    // integer-exact, mirroring TextStats.winnowFingerprints stage by stage
+    "q78_winnow_fingerprints" -> winnowFpSql,
+    "q79_winnow_pairs" ->
+      (winnowFpCte +
+        """
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |GROUP BY doc_a, doc_b HAVING count(*) >= 2""".stripMargin))
+
+  private val winnowFpCte: String =
+    s"""WITH ws AS (SELECT doc_id, $tokens AS w FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(0, greatest(len(w)-3,0)+1),
+      |  i -> array_to_string(w[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ')) AS grams
+      | FROM ws),
+      |h AS (SELECT doc_id, list_transform(grams,
+      |  s2 -> CAST(('0x' || substring(md5(s2), 1, 15)) AS BIGINT)) AS hs FROM g),
+      |m AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(0, greatest(len(hs)-4,0)+1),
+      |  p -> list_aggregate(hs[CAST(p+1 AS INT):CAST(p+4 AS INT)], 'min'))) AS fps
+      | FROM h),
+      |fp AS (SELECT doc_id, unnest(fps) AS fp FROM m)""".stripMargin
+
+  private val winnowFpSql: String =
+    winnowFpCte + "\nSELECT doc_id, fp FROM fp"
 }

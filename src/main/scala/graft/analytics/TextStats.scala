@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -103,6 +104,72 @@ object TextStats {
       col("doc_id"),
       rollingFingerprint(col("text")).as("fingerprint"),
       tokenCount(col("text")).as("n_tokens"))
+
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash every
+   * positional word k-gram, slide a w-hash window, keep each window's
+   * MINIMUM hash, emit the distinct minima as the document's fingerprint
+   * set. The guarantee that makes this the shift-resistant member of the
+   * dedup family: any shared run of ≥ w+k-1 words between two documents
+   * contributes at least one IDENTICAL fingerprint to both, no matter how
+   * the surrounding text shifts word positions — so near-dups meet in an
+   * equi-join on `fp` where whole-document hashes (q42) miss them.
+   *
+   * Plan shape: deliberately RELATIONAL, not array-HOF. Words explode to
+   * rows; k-grams come from `lead()` windows (the trailing NULLs drop out
+   * of `concat_ws`, giving short docs one truncated gram); the winnowing
+   * minimum is `min() OVER (ROWS w-1 FOLLOWING)`. An earlier nested
+   * `transform`/`slice` formulation was semantically identical but
+   * CollapseProject inlined every stage into the window lambda —
+   * re-tokenizing the document per window element, O(n²·w) interpreted
+   * evals (minutes at sf0.1). The window form is whole-stage-codegen end
+   * to end, shuffles once on `doc_id`, and scales: at 100 TB the word
+   * explosion is a narrow map and every window is partition-local.
+   *
+   * Every hash is exact integer arithmetic on md5 prefixes
+   * (engine-reproducible, [[Dedup.shingleHash]] family), so the full
+   * pipeline is value-oracle-checked.
+   */
+  def winnowFingerprints(s: SparkSession, d: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
+    documents(s, d)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("wpos", "word")))
+      .withColumn("n_words", count(lit(1)).over(byDoc))
+      .withColumn("gram", concat_ws(" ",
+        col("word") +: (1 until k).map(j => lead(col("word"), j).over(ord)): _*))
+      // valid gram starts: 0..n_words-k (one truncated gram for short docs)
+      .withColumn("n_grams", greatest(col("n_words") - k, lit(0)) + 1)
+      .filter(col("wpos") < col("n_grams"))
+      .withColumn("h",
+        conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10).cast("long"))
+      .withColumn("wmin", min(col("h")).over(ord.rowsBetween(0, w - 1)))
+      // valid window starts: 0..n_grams-w (clamped frame for short docs)
+      .filter(col("wpos") <= greatest(col("n_grams") - w, lit(0)))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
+
+  /**
+   * Winnowing near-dup candidates: documents sharing ≥ `minShared`
+   * fingerprints. The join key is a uniform 60-bit hash, so at 100 TB the
+   * candidate generation is a skew-free shuffle equi-join on `fp` (never
+   * all-pairs); the shared-count aggregate is map-side partial. Downstream
+   * verification (exact Jaccard) is [[Dedup.verifyJaccard]]'s job, as with
+   * the MinHash candidates.
+   */
+  def winnowPairs(s: SparkSession, d: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fps = winnowFingerprints(s, d, k, w)
+    val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 
   /**
    * The composite training-data prep pipeline in one plan: language filter →
