@@ -292,86 +292,96 @@ object Dedup {
   /**
    * Connected components of a near-duplicate pair graph — the step that
    * turns PAIRS into dedup decisions (keep one survivor per component, not
-   * per pair). Iterative min-label propagation: every node starts labeled
-   * with itself; each round a node takes the min of its own and its
-   * neighbors' labels; at the fixpoint each node carries its component's
-   * min doc_id (deterministic — independent of iteration schedule).
-   * Algorithm: iterative **min-contraction** (the Kiveris et al. star-
-   * contraction family). Each round maps every vertex of the CURRENT
-   * contracted graph to `m(v) = min(v, min neighbor(v))`, accelerated by
-   * one step of path halving (`m ∘ m`), rewrites the edge set through `m`
-   * (dropping self-loops), and composes `m` into the node → representative
-   * table. Contraction preserves connectivity, the component's global min
-   * is a fixpoint of `m`, so when the edge set is empty every
-   * representative IS its component's min doc_id — deterministic,
-   * schedule-independent. Fails loudly if `maxIter` rounds don't drain the
-   * graph rather than returning half-merged components.
+   * per pair). Output: (doc_id, cluster_id) with cluster_id = the
+   * component's minimum doc_id — deterministic, schedule-independent.
    *
-   * Cost model (the 100 TB posture): near-dup graphs are clique-heavy —
-   * every clique collapses to its min in ONE round — so the edge set
-   * shrinks by orders of magnitude per round and only round 0 touches the
-   * full pair stream: one map-side `m` aggregate + one contracted-edge
-   * distinct (both with map-side partial aggregation, so dense duplicate
-   * edges collapse before the exchange). The node → rep table is
-   * node-sized (only docs with ≥1 pair); while it fits
-   * (`broadcastMaxNodes`) its joins are broadcast hash joins — the hint is
-   * load-bearing because `localCheckpoint` erases catalyst size stats
-   * (LogicalRDD reports "huge", so nothing would auto-broadcast). Above
-   * the threshold the same plan degrades gracefully to shuffle joins.
-   * (The previous label-propagation form re-scanned the full edge set
-   * twice per round: 13-35s at sf0.1 vs ~2s for this one, pair gen aside.)
+   * Algorithm: alternating **large-star / small-star** contraction
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond").
+   * Large-star connects every neighbor u > v to m(v) = min of v's closed
+   * neighborhood; small-star connects v and its neighbors u < v to m(v).
+   * The alternation converges to star forests rooted at component minima
+   * in O(log) rounds on ANY topology. This replaced a single-min
+   * contraction with one step of path halving whose round count was
+   * LINEAR on chain graphs — the clique-heavy production fixtures
+   * converge in 2-3 rounds under either algorithm and hid it; the
+   * ClusterSoakSpec chain soak (an L-node path must drain in ~log₂ L
+   * rounds) is the regression gate. Fails loudly if `maxIter` rounds
+   * don't reach the fixpoint rather than returning half-merged
+   * components.
+   *
+   * Cost model (the 100 TB posture): each phase is one map-side min
+   * aggregate over the (doubled) edge list plus one equi-join of the
+   * edge list against the node-sized m table — dense duplicate candidate
+   * edges collapse in the aggregate's map-side partials, and the edge set
+   * only shrinks (stars absorb their components). While the node table
+   * fits (`broadcastMaxNodes`) the m-joins are broadcast hash joins — the
+   * hint is load-bearing because the per-round checkpoint deliberately
+   * drops stats (see [[org.apache.spark.sql.GraftBridge.checkpointNoStats]]:
+   * Spark ≥3.4 otherwise propagates stats through checkpoints and an
+   * iterative join loop compounds the size estimate into million-bit
+   * BigIntegers that hang the driver in stats code). Above the threshold
+   * the same plan degrades gracefully to shuffle joins.
    */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
-      broadcastMaxNodes: Long = 2000000L): DataFrame = {
-    // one pass over pairs (a union of two selects would evaluate the
-    // un-materialized pair plan twice); no pair-level distinct — the
-    // round-0 aggregates collapse duplicate edges map-side anyway
-    var edges = pairs
-      .select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
-    var rep = edges.select(col("src").as("node")).distinct()
-      .withColumn("rep", col("node"))
-      .localCheckpoint()
-    val nNodes = rep.count() // cheap: reads the checkpoint
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 30,
+      broadcastMaxNodes: Long = 2000000L): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIter, broadcastMaxNodes)._1
+
+  /** [[duplicateClusters]] plus the star-contraction round count (one
+    * round = large-star + small-star) — the observable ClusterSoakSpec
+    * pins against adversarial (chain) topology, where the round count,
+    * not per-round cost, is the scale risk. */
+  def duplicateClustersWithRounds(pairs: DataFrame, maxIter: Int = 30,
+      broadcastMaxNodes: Long = 2000000L): (DataFrame, Int) = {
+    val ckpt = org.apache.spark.sql.GraftBridge.checkpointNoStats _
+    // canonical child > parent edges; self-pairs drop (they carry no
+    // connectivity), duplicate candidate edges collapse in the distinct
+    var edges = ckpt(pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val nNodes = edges.select(col("src").as("n"))
+      .unionByName(edges.select(col("dst").as("n")))
+      .distinct().count()
     def side(df: DataFrame): DataFrame =
       if (nNodes <= broadcastMaxNodes) broadcast(df) else df
+
+    /** One star phase: emit (u, m(v)) for v's neighbors on one side of v
+      * (large: u > v; small: u ≤ v plus v itself). Both phases emit
+      * child > parent, so the canonical orientation is stable. */
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val nb = e.select(col("src").as("v"), col("dst").as("u"))
+        .unionByName(e.select(col("dst").as("v"), col("src").as("u")))
+      val m = nb.groupBy(col("v"))
+        .agg(min(col("u")).as("nmin"))
+        .select(col("v"), least(col("v"), col("nmin")).as("m"))
+      val joined = nb.join(side(m), "v")
+      val emitted =
+        if (large) joined.filter(col("u") > col("v"))
+          .select(col("u").as("src"), col("m").as("dst"))
+        else joined.filter(col("u") < col("v"))
+          .select(col("u").as("src"), col("m").as("dst"))
+          .unionByName(m.select(col("v").as("src"), col("m").as("dst")))
+      emitted.filter(col("src") =!= col("dst")).distinct()
+    }
+
     var iter = 0
-    var nEdges = edges.count()
-    while (nEdges > 0 && iter < maxIter) {
-      // m(v) = min over the closed neighborhood of v, then path-halved:
-      // m2(v) = m(m(v)) — node-sized, collapses chains in half the rounds
-      val m = edges.groupBy(col("src"))
-        .agg(min(col("dst")).as("nmin"))
-        .select(col("src").as("node"), least(col("src"), col("nmin")).as("m"))
-        .localCheckpoint() // read 3× below (self-join + edge rewrite + rep)
-      val m2 = m.as("x")
-        .join(side(m.select(col("node").as("mn"), col("m").as("mm"))),
-          col("x.m") === col("mn"), "left")
-        .select(col("x.node").as("node"), coalesce(col("mm"), col("x.m")).as("m"))
-        .localCheckpoint()
-      val ms = m2.select(col("node").as("sn"), col("m").as("sm"))
-      val md = m2.select(col("node").as("dn"), col("m").as("dm"))
-      edges = edges
-        .join(side(ms), col("src") === col("sn"))
-        .join(side(md), col("dst") === col("dn"))
-        .filter(col("sm") =!= col("dm"))
-        .select(col("sm").as("src"), col("dm").as("dst"))
-        .distinct()
-        .localCheckpoint()
-      rep = rep
-        .join(side(m2), rep("rep") === m2("node"), "left")
-        .select(rep("node"), coalesce(m2("m"), rep("rep")).as("rep"))
-        .localCheckpoint()
-      nEdges = edges.count()
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = ckpt(phase(ckpt(phase(edges, large = true)), large = false))
+      // fixpoint = star forests rooted at component minima; exact check
+      // (count + one anti-join on the shrinking edge set per round)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
       iter += 1
     }
-    if (nEdges > 0)
+    if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter rounds — raise maxIter")
-    rep.select(col("node").as("doc_id"), col("rep").as("cluster_id"))
+    val members = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+    val roots = edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")).distinct()
+    (members.unionByName(roots), iter)
   }
 
   /** [[duplicateClusters]] over the simhash near-dup graph. The pair-level

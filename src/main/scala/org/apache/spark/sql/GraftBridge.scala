@@ -13,4 +13,28 @@ import org.apache.spark.sql.classic.{ColumnConversions, ExpressionColumnNode}
 object GraftBridge {
   def columnOf(e: Expression): Column = Column(ExpressionColumnNode(e))
   def expressionOf(c: Column): Expression = ColumnConversions.expression(c)
+
+  /**
+   * Eager `localCheckpoint` that DROPS plan statistics. Spark ≥3.4
+   * propagates the origin plan's stats through a checkpoint
+   * (`LogicalRDD.originStats`); in an ITERATIVE algorithm (connected-
+   * components contraction) each round's join therefore multiplies the
+   * previous round's already-multiplied sizeInBytes — the estimate
+   * compounds double-exponentially, and by round ~10 the driver spends
+   * minutes multiplying million-bit BigIntegers inside
+   * SizeInBytesOnlyStatsPlanVisitor (caught by ClusterSoakSpec's
+   * chain-topology soak; the clique-heavy fixtures converge in 2-3
+   * rounds and never tripped it). Rebuilding the frame over the
+   * checkpointed RDD with `internalCreateDataFrame` (no originStats)
+   * resets the leaf to the flat default estimate, which is exactly the
+   * "stats-less LogicalRDD" contract the caller's broadcast hints
+   * already assume.
+   */
+  def checkpointNoStats(df: Dataset[Row]): Dataset[Row] = {
+    val cp = df.localCheckpoint()
+    val spark = cp.sparkSession.asInstanceOf[classic.SparkSession]
+    // copy: the scan's UnsafeRows are per-partition reused buffers; handing
+    // them to a LogicalRDD without materialization corrupts downstream rows
+    spark.internalCreateDataFrame(cp.queryExecution.toRdd.map(_.copy()), cp.schema)
+  }
 }
