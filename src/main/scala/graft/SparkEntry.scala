@@ -424,7 +424,9 @@ object SparkEntry {
         |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS cell
         | FROM v),
         |cent AS (
-        | SELECT cell, dim, avg(x) AS mean_v FROM (
+        | SELECT cell, dim,
+        |  CAST(sum(CAST(x AS DECIMAL(18,15))) AS DOUBLE) / count(x) AS mean_v
+        | FROM (
         |   SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x
         |   FROM cells) t
         | GROUP BY cell, dim),

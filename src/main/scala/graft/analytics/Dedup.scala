@@ -352,9 +352,12 @@ object Dedup {
     def phase(e: DataFrame, large: Boolean): DataFrame = {
       val nb = e.select(col("src").as("v"), col("dst").as("u"))
         .unionByName(e.select(col("dst").as("v"), col("src").as("u")))
-      val m = nb.groupBy(col("v"))
+      val m0 = nb.groupBy(col("v"))
         .agg(min(col("u")).as("nmin"))
         .select(col("v"), least(col("v"), col("nmin")).as("m"))
+      // small-star reads m twice (join build + the (v, m) union branch) —
+      // materialize so the doubled-edge min aggregate runs once per phase
+      val m = if (large) m0 else ckpt(m0)
       val joined = nb.join(side(m), "v")
       val emitted =
         if (large) joined.filter(col("u") > col("v"))

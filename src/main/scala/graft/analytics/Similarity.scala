@@ -76,13 +76,22 @@ object Similarity {
   /** Centroid per IVF cell: element-wise mean of member embeddings in
     * exploded (cell, dim, value) form — one shuffle keyed by (cell, dim),
     * then reassembled into an ordered array per cell. The frame must carry
-    * a `cell` column (see [[ivfTopK]]). */
+    * a `cell` column (see [[ivfTopK]]).
+    *
+    * The mean is DECIMAL-summed (float elements are exact in
+    * DECIMAL(18,15); decimal addition is order-independent) then divided
+    * as a double: a plain `avg(double)` depends on summation order, and
+    * since q37 is value-oracle-checked, a routing comparison between two
+    * cells whose cosines differ by ~1e-16 would otherwise flip between
+    * engines/partitionings. With the decimal sum, every q37 stage is
+    * bit-deterministic by construction, not just empirically. */
   def centroids(emb: DataFrame): DataFrame = {
     // explode to (cell, dim_idx, value) — one shuffle keyed by (cell, dim).
     val exploded = emb.select(col("cell"),
       posexplode(col("embedding")).as(Seq("dim", "v")))
     exploded.groupBy(col("cell"), col("dim"))
-      .agg(avg(col("v")).as("mean_v"))
+      .agg((sum(col("v").cast("decimal(18,15)")).cast("double") /
+        count(col("v"))).as("mean_v"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("dim"), col("mean_v")))).as("pairs"))
       .select(col("cell"), transform(col("pairs"), p => p.getField("mean_v")).as("centroid"))
@@ -162,16 +171,19 @@ object Similarity {
     sig.reduce(_ + _)
   }
 
-  /** (semantic plan hash) → embedding width: the probe is a driver
+  /** (canonicalized plan) → embedding width: the probe is a driver
     * round-trip (head() job), and the width of a given table never changes
     * mid-session — cache it so each query invocation doesn't re-run a
-    * 1-row Spark job just to size the literal coefficient arrays. */
-  private val dimCache = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+    * 1-row Spark job just to size the literal coefficient arrays. Keyed
+    * by the full canonicalized plan string, not a 32-bit semantic hash: a
+    * hash collision between two different frames would silently size the
+    * coefficient arrays wrong and corrupt every bucket assignment. */
+  private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** The embedding width — one (cached) head() probe, used to size the
     * literal coefficient arrays. */
   def embeddingDim(emb: DataFrame): Int =
-    dimCache.computeIfAbsent(emb.queryExecution.logical.semanticHash(),
+    dimCache.computeIfAbsent(emb.queryExecution.logical.canonicalized.toString,
       _ => Int.box(emb.select(size(col("embedding"))).head().getInt(0)))
 
   def lshBuckets(emb: DataFrame, nplanes: Int = 8): DataFrame =

@@ -55,9 +55,17 @@ object JdbcSink {
 
   /** Case-exact existence probe via connection metadata — the portable
     * form of `IF NOT EXISTS` (identifiers are created quoted, so the
-    * stored name is exactly `table.tableName`). */
+    * stored name is exactly `table.tableName`). The name is escaped with
+    * the driver's search-string escape: getTables treats its argument as
+    * a LIKE pattern, and every warehouse table name contains `_` (a
+    * single-char wildcard), so an unescaped probe could match a
+    * different table and silently skip the CREATE. */
   def tableExists(conn: java.sql.Connection, tableName: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, tableName, null)
+    val md = conn.getMetaData
+    val esc = md.getSearchStringEscape
+    val pattern = tableName.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+    val rs = md.getTables(null, null, pattern, null)
     try rs.next() finally rs.close()
   }
 
@@ -125,14 +133,21 @@ object JdbcSink {
     writeBatch(renamed, url, d.ident(stage), props, overwrite = true)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      ensureTable(conn, table, d)
+      ensureTable(conn, table, d) // autocommit DDL — outside the txn scope
       conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      try mergeSql(table, stage, d).foreach(st.execute)
-      finally st.close()
-      conn.commit()
-    } catch {
-      case e: Throwable => conn.rollback(); throw e
+      try {
+        val st = conn.createStatement()
+        try mergeSql(table, stage, d).foreach(st.execute)
+        finally st.close()
+        conn.commit()
+      } catch {
+        // rollback is scoped to the transactional section: calling it on
+        // an autocommit connection (DDL failure above) throws and would
+        // mask the root cause
+        case e: Throwable =>
+          try conn.rollback() catch { case s: Throwable => e.addSuppressed(s) }
+          throw e
+      }
     } finally conn.close()
   }
 }

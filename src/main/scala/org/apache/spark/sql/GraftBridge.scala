@@ -33,8 +33,16 @@ object GraftBridge {
   def checkpointNoStats(df: Dataset[Row]): Dataset[Row] = {
     val cp = df.localCheckpoint()
     val spark = cp.sparkSession.asInstanceOf[classic.SparkSession]
-    // copy: the scan's UnsafeRows are per-partition reused buffers; handing
-    // them to a LogicalRDD without materialization corrupts downstream rows
-    spark.internalCreateDataFrame(cp.queryExecution.toRdd.map(_.copy()), cp.schema)
+    cp.queryExecution.analyzed match {
+      // the checkpoint's own RDD already holds per-row COPIES (Dataset
+      // .checkpoint materializes `execute().map(_.copy())`), so it can be
+      // wrapped directly — zero extra copies, no stats
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        spark.internalCreateDataFrame(lr.rdd, cp.schema)
+      // fallback: toRdd goes through RDDScanExec, whose UnsafeProjection
+      // REUSES its result buffer per partition — must copy before caching
+      case _ =>
+        spark.internalCreateDataFrame(cp.queryExecution.toRdd.map(_.copy()), cp.schema)
+    }
   }
 }
