@@ -106,7 +106,9 @@ object SparkEntry {
     "q76_token_rarity" -> ((s: SparkSession, d: String) => TextStats.tokenRarity(s, d)),
     "q77_embedding_quant" -> (Quantization.int8QuantStats _),
     "q78_winnow_fingerprints" -> ((s: SparkSession, d: String) => TextStats.winnowFingerprints(s, d)),
-    "q79_winnow_pairs" -> ((s: SparkSession, d: String) => TextStats.winnowPairs(s, d)))
+    "q79_winnow_pairs" -> ((s: SparkSession, d: String) => TextStats.winnowPairs(s, d)),
+    "q80_chunking" -> ((s: SparkSession, d: String) => Sampling.chunkDocuments(s, d)),
+    "q81_dedup_apply" -> (Sampling.dedupApply _))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -144,7 +146,7 @@ object SparkEntry {
   /** q74's oracle: the q35 pair graph, closed into connected components by
     * a recursive CTE (component id = min reachable doc_id — the same
     * fixpoint the Spark label propagation converges to). */
-  private def dupClustersOracle: String =
+  private def dupClustersCte: String =
     simhashFpCte("WITH RECURSIVE") +
       s""",
         |p AS (
@@ -156,8 +158,12 @@ object SparkEntry {
         |reach AS (
         | SELECT src AS node, src AS lbl FROM (SELECT DISTINCT src FROM e) t
         | UNION
-        | SELECT e.src AS node, r.lbl FROM e JOIN reach r ON r.node = e.dst)
-        |SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node""".stripMargin
+        | SELECT e.src AS node, r.lbl FROM e JOIN reach r ON r.node = e.dst),
+        |clusters AS (
+        | SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  private def dupClustersOracle: String =
+    dupClustersCte + "\nSELECT doc_id, cluster_id FROM clusters"
 
   /** q32's oracle, generated so the permutation constants come from the
     * same md5 derivation the Spark side uses (Dedup.minhashA/minhashB) —
@@ -821,7 +827,29 @@ object SparkEntry {
         """
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
           |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-          |GROUP BY doc_a, doc_b HAVING count(*) >= 2""".stripMargin))
+          |GROUP BY doc_a, doc_b HAVING count(*) >= 2""".stripMargin),
+    // chunk boundaries/hashes are pure integer+md5 arithmetic; slices clamp
+    // identically (Spark slice length vs DuckDB [a:b] both truncate at end)
+    "q80_chunking" ->
+      s"""WITH ws AS (SELECT doc_id, $tokens AS w FROM documents),
+        |c AS (SELECT doc_id, w, len(w) AS n_tokens,
+        |  CAST(unnest(range(0, greatest(len(w), 1), 96)) AS INT) AS chunk_start
+        | FROM ws),
+        |x AS (SELECT doc_id, chunk_start,
+        |  CAST(least(128, n_tokens - chunk_start) AS INT) AS chunk_len,
+        |  array_to_string(w[chunk_start+1:chunk_start+least(128, n_tokens - chunk_start)], ' ') AS chunk_text
+        | FROM c)
+        |SELECT doc_id, CAST(chunk_start / 96 AS INT) AS chunk_idx,
+        | chunk_start, chunk_len,
+        | CAST(('0x' || substring(md5(chunk_text), 1, 15)) AS BIGINT) AS chunk_hash
+        |FROM x""".stripMargin,
+    "q81_dedup_apply" ->
+      (dupClustersCte +
+        """
+          |SELECT d.doc_id, d.lang, d.source, d.n_chars
+          |FROM documents d
+          |WHERE d.doc_id NOT IN
+          |  (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin))
 
   private val winnowFpCte: String =
     s"""WITH ws AS (SELECT doc_id, $tokens AS w FROM documents),

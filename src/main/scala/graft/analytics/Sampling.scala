@@ -134,4 +134,51 @@ object Sampling {
         countDistinct(col("doc_id")).as("n_contaminated"),
         countDistinct(col("bench_id")).as("n_bench_hit"))
   }
+
+  /**
+   * Token-window document chunking — the training-sample assembly step:
+   * each document becomes ⌈tokens/stride⌉ overlapping chunks of up to
+   * `chunkTokens` tokens (stride = chunkTokens - overlap), each carrying
+   * its position and a content hash for downstream sample-level dedup.
+   * One generator + narrow maps — zero shuffles, whatever the corpus
+   * size; chunk hashes are md5-prefix longs so the whole op is
+   * value-oracle-checked.
+   */
+  def chunkDocuments(s: SparkSession, d: String,
+      chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
+    val stride = chunkTokens - overlap
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .withColumn("n_tokens", size(col("ws")))
+      .select(col("doc_id"), col("ws"), col("n_tokens"),
+        explode(sequence(lit(0), greatest(col("n_tokens") - 1, lit(0)),
+          lit(stride))).as("chunk_start"))
+      .withColumn("chunk_len",
+        least(lit(chunkTokens), col("n_tokens") - col("chunk_start")).cast("int"))
+      .withColumn("chunk_text",
+        array_join(slice(col("ws"), col("chunk_start") + 1, col("chunk_len")), " "))
+      .select(
+        col("doc_id"),
+        (col("chunk_start") / stride).cast("int").as("chunk_idx"),
+        col("chunk_start").cast("int").as("chunk_start"),
+        col("chunk_len"),
+        conv(substring(md5(col("chunk_text").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("chunk_hash"))
+  }
+
+  /**
+   * End-to-end dedup application — the step every pair/cluster query
+   * feeds: SimHash near-dup clusters ([[Dedup.simhashClusters]]) reduce to
+   * per-cluster survivors (min doc_id), and the corpus view drops every
+   * non-survivor member. Anti-join on doc_id: the cluster table is
+   * near-dup-sized (tiny vs the corpus), the corpus never reshuffles.
+   */
+  def dedupApply(s: SparkSession, d: String): DataFrame = {
+    val losers = Dedup.simhashClusters(s, d)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    Tables.documents(s, d)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
 }

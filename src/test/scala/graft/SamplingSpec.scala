@@ -71,4 +71,45 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
       .filter("doc_id % 97 = 0").count()
     r.foreach { case (_, _, nBench) => assert(nBench <= benchSize) }
   }
+
+  test("q80 chunking: coverage, overlap, and bounds invariants") {
+    import spark.implicits._
+    val chunks = Sampling.chunkDocuments(spark, d) // 128-token chunks, 32 overlap
+      .as[(Long, Int, Int, Int, Long)].collect()
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_._1)
+    val nTokens = graft.analytics.Tables.documents(spark, d)
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim($"text"), "\\s+")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // contiguous indices from 0; starts advance by the stride
+      sorted.zipWithIndex.foreach { case ((_, idx, start, len, _), i) =>
+        assert(idx == i && start == i * 96, s"doc $doc chunk $i misplaced")
+        assert(len >= 1 && len <= 128, s"doc $doc chunk $i len $len")
+      }
+      // full coverage: last chunk reaches the document's end
+      val (_, _, lastStart, lastLen, _) = sorted.last
+      assert(lastStart + lastLen == nTokens(doc),
+        s"doc $doc: chunks end at ${lastStart + lastLen} of ${nTokens(doc)} tokens")
+    }
+  }
+
+  test("q81 dedup apply: survivors = corpus minus non-min cluster members") {
+    val survivors = Sampling.dedupApply(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusters = graft.analytics.Dedup.simhashClusters(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val losers = clusters.collect { case (n, c) if n != c => n }.toSet
+    val total = graft.analytics.Tables.documents(spark, d).count()
+    assert(survivors.intersect(losers).isEmpty, "a cluster loser survived")
+    assert(survivors.size == total - losers.size)
+    // every cluster still has exactly its min representative present
+    clusters.groupBy(_._2).foreach { case (c, members) =>
+      assert(survivors.contains(c), s"cluster $c lost its survivor")
+      assert(members.map(_._1).min == c, "cluster_id is not the member min")
+    }
+  }
 }
