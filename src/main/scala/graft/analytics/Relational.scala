@@ -64,7 +64,10 @@ object Relational {
   /** TPC-H Q1 shape: single scan, 4-wide partial agg, 2 grouping keys.
     * Filter + pruning push to parquet; whole-stage codegen end-to-end. */
   def q01PricingSummary(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    // spread: 7 aggregates with per-row decimal casts over the whole table
+    // land in the map-side partial agg, which a single-row-group scan runs
+    // on one core (2.0s -> sub-second at sf0.1 with the spread)
+    spread(s, lineitem(s, d))
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
