@@ -146,6 +146,9 @@ object Sampling {
    */
   def chunkDocuments(s: SparkSession, d: String,
       chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap ($overlap) must be in [0, chunkTokens=$chunkTokens): " +
+        "a non-positive stride cannot advance through the document")
     val stride = chunkTokens - overlap
     Tables.documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
@@ -162,8 +165,7 @@ object Sampling {
         (col("chunk_start") / stride).cast("int").as("chunk_idx"),
         col("chunk_start").cast("int").as("chunk_start"),
         col("chunk_len"),
-        conv(substring(md5(col("chunk_text").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("chunk_hash"))
+        Dedup.mdHash60(col("chunk_text")).as("chunk_hash"))
   }
 
   /**

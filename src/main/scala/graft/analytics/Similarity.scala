@@ -171,20 +171,26 @@ object Similarity {
     sig.reduce(_ + _)
   }
 
-  /** (canonicalized plan) → embedding width: the probe is a driver
-    * round-trip (head() job), and the width of a given table never changes
-    * mid-session — cache it so each query invocation doesn't re-run a
-    * 1-row Spark job just to size the literal coefficient arrays. Keyed
-    * by the full canonicalized plan string, not a 32-bit semantic hash: a
-    * hash collision between two different frames would silently size the
-    * coefficient arrays wrong and corrupt every bucket assignment. */
+  /** (resolved input files) → embedding width: the probe is a driver
+    * round-trip (head() job), and the width of a file-backed table never
+    * changes mid-session — cache it so each query invocation doesn't
+    * re-run a 1-row Spark job just to size the literal coefficient
+    * arrays. Keyed by the scan's resolved file set: plan strings don't
+    * include paths (two warehouses with the same schema stringify
+    * identically) and hashes can collide — either would silently size
+    * the arrays wrong. Frames with no input files (in-memory test
+    * fixtures) skip the cache and just probe: correctness over a saved
+    * 1-row job. */
   private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  /** The embedding width — one (cached) head() probe, used to size the
-    * literal coefficient arrays. */
-  def embeddingDim(emb: DataFrame): Int =
-    dimCache.computeIfAbsent(emb.queryExecution.logical.canonicalized.toString,
-      _ => Int.box(emb.select(size(col("embedding"))).head().getInt(0)))
+  /** The embedding width — one (cached per file set) head() probe, used
+    * to size the literal coefficient arrays. */
+  def embeddingDim(emb: DataFrame): Int = {
+    def probe(): Int = emb.select(size(col("embedding"))).head().getInt(0)
+    val files = emb.inputFiles
+    if (files.isEmpty) probe()
+    else dimCache.computeIfAbsent(files.sorted.mkString(","), _ => Int.box(probe()))
+  }
 
   def lshBuckets(emb: DataFrame, nplanes: Int = 8): DataFrame =
     emb.select(col("vec_id"), col("label"),
