@@ -10,10 +10,13 @@ import org.apache.spark.sql.SparkSession
  * produced and serialized by the executors, but nothing hits disk or the
  * driver, so the number measures the plan, not collect() overhead.
  *
- * Queries run SPARK_GRAFT_BENCH_RUNS passes (default 2) and report the
+ * Queries run SPARK_GRAFT_BENCH_RUNS passes (default 3) and report the
  * per-query minimum: first-pass numbers fold in janino codegen compilation
  * and JIT warmup, and this host shows multi-second scheduling stalls that
- * land on random queries — min-of-N measures the plan, not the noise.
+ * land on random queries — min-of-N measures the plan, not the noise. The
+ * JSON additionally carries per-query `"spread"` (max - min across passes)
+ * so the artifact self-documents jitter: a large spread on an unchanged
+ * query is host noise, not a regression.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,7 +29,7 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,12 +50,14 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> ((times.min, times.max - times.min))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + f"$mn%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sp = results.map { case (k, (_, d)) => "\"" + k + "\":" + f"$d%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$sp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

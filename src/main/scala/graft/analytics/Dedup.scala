@@ -115,7 +115,7 @@ object Dedup {
    */
   def minhashPairs(s: SparkSession, d: String,
       numPerm: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame =
-    minhashPairsFor(documents(s, d), numPerm, bands, threshold)
+    minhashPairsFor(documentsSpread(s, d), numPerm, bands, threshold)
 
   /** [[minhashPairs]] over an arbitrary (doc_id, text) frame — lets specs
     * plant controlled near-duplicates and assert recall. */
@@ -168,7 +168,7 @@ object Dedup {
    */
   def wordJaccardPairs(s: SparkSession, d: String,
       stride: Long = 50, threshold: Double = 0.1, maxProbes: Long = 1000): DataFrame = {
-    val docs = documents(s, d)
+    val docs = documentsSpread(s, d) // corpus-wide word-set build is the cost
     val left = docs
       .filter(col("doc_id") % stride === 0 && col("doc_id") < stride * maxProbes)
       .select(col("doc_id").as("doc_a"), col("lang"), words(col("text")).as("words_a"))
@@ -220,7 +220,7 @@ object Dedup {
    */
   def charNgramJaccardPairs(s: SparkSession, d: String, n: Int = 5,
       stride: Long = 50, threshold: Double = 0.2, maxProbes: Long = 1000): DataFrame = {
-    val docs = documents(s, d)
+    val docs = documentsSpread(s, d) // corpus-wide shingle-hash build is the cost
     val left = docs
       .filter(col("doc_id") % stride === 0 && col("doc_id") < stride * maxProbes)
       .select(col("doc_id").as("doc_a"), col("lang"),
@@ -441,7 +441,7 @@ object Dedup {
   /** SimHash fingerprints + 15-bit band keys for Hamming-distance blocking
     * (two docs within Hamming distance 3 share ≥1 of the 4 bands). */
   def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
-    val fps = documents(s, d)
+    val fps = documentsSpread(s, d) // per-word 60-bit hashing before any shuffle
       .select(col("doc_id"), col("text"))
       .withColumn("whs", transform(array_distinct(words(col("text"))), w => mdHash60(w)))
       .withColumn("simhash", simhashFromHashes(col("whs")))

@@ -60,7 +60,7 @@ object Multimodal {
     * the production codec shape). */
   def pngMediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    Tables.documentsSpread(s, d).select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (id, nChars) =>

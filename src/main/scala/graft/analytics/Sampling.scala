@@ -111,7 +111,7 @@ object Sampling {
    */
   def contamination(s: SparkSession, d: String, benchStride: Long = 97,
       threshold: Double = 0.8, maxBench: Long = 1000): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documentsSpread(s, d) // map-side word-set scoring is the cost
     def wordSet(c: Column): Column = array_distinct(split(trim(c), "\\s+"))
     val bench = docs
       .filter(col("doc_id") % benchStride === 0 && col("doc_id") < benchStride * maxBench)
@@ -150,7 +150,7 @@ object Sampling {
       s"overlap ($overlap) must be in [0, chunkTokens=$chunkTokens): " +
         "a non-positive stride cannot advance through the document")
     val stride = chunkTokens - overlap
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d) // zero-shuffle plan: slicing work parallelizes only via the scan
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
       .withColumn("n_tokens", size(col("ws")))
       .select(col("doc_id"), col("ws"), col("n_tokens"),

@@ -17,17 +17,6 @@ object Tables {
 
   val dimensions: Set[String] = Set("region", "nation", "supplier", "part", "customer")
 
-  /** Tables whose consumers do heavy per-row compute BEFORE any shuffle
-    * (shingling, md5 hashing, codec work, vector math) get [[spread]] on
-    * load: a single-row-group file would serialize that work onto one
-    * core. Measured at sf0.1: spreading documents/embeddings cut their
-    * query family 3-25× (q75 11.9→0.46s, q33 2.7→0.36s, q66 2.2→0.48s),
-    * while spreading the relational facts (lineitem/orders/events) only
-    * added an exchange in front of queries whose first operation is
-    * already a shuffle — net regression — so those stay unspread and
-    * call-sites with genuine pre-shuffle compute opt in explicitly. */
-  private val facts: Set[String] = Set("documents", "embeddings")
-
   /** (input files, parallelism) → does this scan need spreading? The
     * layout of a warehouse file doesn't change mid-session, and the probe
     * (`df.rdd.getNumPartitions`) costs a full analyze+plan pass on the
@@ -35,10 +24,8 @@ object Tables {
     * calls on the bench hot path) pay it once. */
   private val spreadProbe = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (facts(name)) spread(spark, df) else df
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -64,6 +51,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /**
+   * Opt-in spread-on-load for `documents`. Spreading is strictly per call
+   * site: round-4's table-wide spread cut the heavy pre-shuffle-compute
+   * family 3-25× (q75 11.9→0.52s, q33 6.4×, q43 4×, q32 3.3×) but taxed
+   * every consumer whose FIRST real operation is already a shuffle with a
+   * full text-body exchange (q39 9.4×, q30 5.1× regressions, BENCH_r03 vs
+   * r04). The rule: shingling / hashing / codec pipelines that do heavy
+   * per-row work before any shuffle call this; cheap-aggregate consumers
+   * call [[documents]] and let their own shuffle do the distribution.
+   */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spread(s, documents(s, d))
 
   /**
    * Spread a CPU-bound derivation across all cores when the scan has fewer

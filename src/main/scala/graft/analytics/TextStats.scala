@@ -46,7 +46,7 @@ object TextStats {
    */
   def repetitionProfile(s: SparkSession, d: String,
       n: Int = 3, flagThreshold: Double = 0.02): DataFrame =
-    documents(s, d)
+    documentsSpread(s, d) // per-row n-gram transform before the (absent) shuffle
       .select(col("doc_id"), col("text"))
       .withColumn("ws", words(col("text")))
       .withColumn("ng", // NON-distinct shingles: repeats are the signal
@@ -100,7 +100,7 @@ object TextStats {
       (acc, w) => pmod(acc * 31 + ascii(w) + length(w), lit(1000000007L)))
 
   def fingerprints(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+    documentsSpread(s, d).select( // per-word rolling hash, map-only plan
       col("doc_id"),
       rollingFingerprint(col("text")).as("fingerprint"),
       tokenCount(col("text")).as("n_tokens"))
