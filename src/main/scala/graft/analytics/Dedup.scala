@@ -332,6 +332,19 @@ object Dedup {
     * not per-round cost, is the scale risk. */
   def duplicateClustersWithRounds(pairs: DataFrame, maxIter: Int = 30,
       broadcastMaxNodes: Long = 2000000L): (DataFrame, Int) = {
+    val (edges, iter) = duplicateClusterEdges(pairs, maxIter, broadcastMaxNodes)
+    val members = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+    val roots = edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")).distinct()
+    (members.unionByName(roots), iter)
+  }
+
+  /** The star-contraction fixpoint as raw (child > root) edges — one row
+    * per NON-ROOT member. Consumers that only need the losers (e.g.
+    * [[Sampling.dedupApply]]'s anti-join) take this directly and skip the
+    * roots union, which would materialize `doc_id == cluster_id` rows just
+    * to filter them straight back out. */
+  def duplicateClusterEdges(pairs: DataFrame, maxIter: Int = 30,
+      broadcastMaxNodes: Long = 2000000L): (DataFrame, Int) = {
     val ckpt = org.apache.spark.sql.GraftBridge.checkpointNoStats _
     // canonical child > parent edges; self-pairs drop (they carry no
     // connectivity), duplicate candidate edges collapse in the distinct
@@ -355,9 +368,11 @@ object Dedup {
       val m0 = nb.groupBy(col("v"))
         .agg(min(col("u")).as("nmin"))
         .select(col("v"), least(col("v"), col("nmin")).as("m"))
-      // small-star reads m twice (join build + the (v, m) union branch) —
-      // materialize so the doubled-edge min aggregate runs once per phase
-      val m = if (large) m0 else ckpt(m0)
+      // small-star reads m twice (join build + the (v, m) union branch);
+      // the agg's shuffle exchange is identical in both subtrees, so
+      // ReuseExchange shares it within the job — no checkpoint needed,
+      // and skipping it saves one eager materialization job per round
+      val m = m0
       val joined = nb.join(side(m), "v")
       val emitted =
         if (large) joined.filter(col("u") > col("v"))
@@ -365,26 +380,52 @@ object Dedup {
         else joined.filter(col("u") < col("v"))
           .select(col("u").as("src"), col("m").as("dst"))
           .unionByName(m.select(col("v").as("src"), col("m").as("dst")))
-      emitted.filter(col("src") =!= col("dst")).distinct()
+      val kept = emitted.filter(col("src") =!= col("dst"))
+      // only small-star (the round boundary) pays a distinct shuffle:
+      // large-star's input is distinct, so its output is ≤|E| rows whose
+      // incidental dups (two v's mapping one u to the same m) collapse in
+      // small-star's min aggregate and the round-final distinct anyway
+      if (large) kept else kept.distinct()
     }
 
+    // In the broadcast-sized regime every per-round exchange is tiny, so
+    // AQE's per-stage materialization (each stage = its own job) is pure
+    // scheduling overhead — ~13 jobs/round measured on a 64-node chain.
+    // Suspend it for the loop and restore after. Above the threshold
+    // (a genuinely large dup graph) AQE stays on: coalescing and skew
+    // handling matter exactly there.
+    val spark = pairs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = spark.conf.get(aqeKey)
+    if (nNodes <= broadcastMaxNodes) spark.conf.set(aqeKey, "false")
+    try {
     var iter = 0
+    var edgeCount = -1L // lazily filled; nNodes above already scanned edges
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
-      val next = ckpt(phase(ckpt(phase(edges, large = true)), large = false))
-      // fixpoint = star forests rooted at component minima; exact check
-      // (count + one anti-join on the shrinking edge set per round)
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      // one lineage truncation per round; the large-star subplan inside is
+      // referenced twice by small-star's nb union, but its exchanges are
+      // identical and shared (ReuseExchange), so only the cheap post-
+      // shuffle compute doubles — cheaper than an extra checkpoint job
+      val next = ckpt(phase(phase(edges, large = true), large = false))
+      // fixpoint = star forests rooted at component minima. Exact check,
+      // cheap form: counts first (cached across rounds — one count action
+      // per round, not two), and only when they match a left-anti probe.
+      // Both sides are post-distinct sets, so the anti-join is equivalent
+      // to EXCEPT minus EXCEPT's redundant re-distinct shuffle.
+      if (edgeCount < 0) edgeCount = edges.count()
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter rounds — raise maxIter")
-    val members = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
-    val roots = edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")).distinct()
-    (members.unionByName(roots), iter)
+    (edges, iter)
+    } finally spark.conf.set(aqeKey, aqeBefore)
   }
 
   /** [[duplicateClusters]] over the simhash near-dup graph. The pair-level

@@ -176,9 +176,10 @@ object Sampling {
    * near-dup-sized (tiny vs the corpus), the corpus never reshuffles.
    */
   def dedupApply(s: SparkSession, d: String): DataFrame = {
-    val losers = Dedup.simhashClusters(s, d)
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id"))
+    // the contraction's (child > root) edges ARE the losers — one row per
+    // non-survivor member, no roots union to build and filter back out
+    val losers = Dedup.duplicateClusterEdges(Dedup.simhashPairsRaw(s, d))._1
+      .select(col("src").as("doc_id"))
     Tables.documents(s, d)
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
