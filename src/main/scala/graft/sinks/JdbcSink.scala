@@ -59,13 +59,17 @@ object JdbcSink {
     * the driver's search-string escape: getTables treats its argument as
     * a LIKE pattern, and every warehouse table name contains `_` (a
     * single-char wildcard), so an unescaped probe could match a
-    * different table and silently skip the CREATE. */
+    * different table and silently skip the CREATE. The probe is scoped to
+    * the connection's current catalog/schema and to TABLE objects — a
+    * null scope would let a same-named table in ANY schema satisfy the
+    * probe, silently skipping the CREATE and sending the merge at a
+    * table we never made. */
   def tableExists(conn: java.sql.Connection, tableName: String): Boolean = {
     val md = conn.getMetaData
     val esc = md.getSearchStringEscape
     val pattern = tableName.replace(esc, esc + esc)
       .replace("_", esc + "_").replace("%", esc + "%")
-    val rs = md.getTables(null, null, pattern, null)
+    val rs = md.getTables(conn.getCatalog, conn.getSchema, pattern, Array("TABLE"))
     try rs.next() finally rs.close()
   }
 
@@ -146,6 +150,17 @@ object JdbcSink {
         // mask the root cause
         case e: Throwable =>
           try conn.rollback() catch { case s: Throwable => e.addSuppressed(s) }
+          // the rollback also undid the in-transaction DROP of the stage,
+          // which writeBatch created under autocommit — without this
+          // best-effort cleanup a failed merge leaks <table>__stage into
+          // the target database until the next run's overwrite
+          try {
+            conn.setAutoCommit(true)
+            val st = conn.createStatement()
+            // plain DROP (no IF EXISTS — Derby lacks it): writeBatch just
+            // created the stage, so absence is itself an error worth noting
+            try st.execute(s"DROP TABLE ${d.ident(stage)}") finally st.close()
+          } catch { case s: Throwable => e.addSuppressed(s) }
           throw e
       }
     } finally conn.close()

@@ -38,7 +38,7 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkSuite {
       (0L, "x y z"), (1L, "x y"), (2L, "x x")) // dup x in doc 2 counts once
       .toDF("doc_id", "text").withColumn("lang", lit("en"))
       .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
-    val tmp = java.nio.file.Files.createTempDirectory("rarity").toString
+    val tmp = TempDirs.tempDir("rarity").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = TextStats.tokenRarity(spark, tmp)
       .orderBy("doc_id")

@@ -129,7 +129,7 @@ class ApiClientSpec extends AnyFunSuite {
   }
 
   test("downloadFilesForDump fetches all files once and resumes on re-run (S-5)") {
-    val save = Files.createTempDirectory("graft_dl").toString
+    val save = TempDirs.tempDir("graft_dl").toString
     val t = new FakeTransport(routes)
     val c = client(t, save)
 
@@ -149,7 +149,7 @@ class ApiClientSpec extends AnyFunSuite {
   }
 
   test("partial resume: only the missing file is re-fetched") {
-    val save = Files.createTempDirectory("graft_dl2").toString
+    val save = TempDirs.tempDir("graft_dl2").toString
     val t = new FakeTransport(routes)
     val c = client(t, save)
     c.downloadFilesForDump("dump2")
@@ -167,7 +167,7 @@ class ApiClientSpec extends AnyFunSuite {
   }
 
   test("a failed download leaves nothing at dest; the retry re-fetches it") {
-    val save = Files.createTempDirectory("graft_dl3").toString
+    val save = TempDirs.tempDir("graft_dl3").toString
     // transport that writes a partial body then dies on the first attempt
     // for one file — like a mid-stream disconnect or an error page
     val t = new FakeTransport(routes) {

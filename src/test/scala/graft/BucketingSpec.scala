@@ -18,7 +18,7 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
 
   test("join of co-bucketed tables plans without a shuffle exchange") {
-    val dir = Files.createTempDirectory("graft_buckets").toString
+    val dir = TempDirs.tempDir("graft_buckets").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
 
     val li = (1 to 2000).map(i => (i.toLong % 500, i.toDouble)).toDF("k", "price")
@@ -46,7 +46,7 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
 
   test("bucket-pruned merge reads and rewrites a strict subset of buckets") {
     import graft.ingest.BucketedMerge
-    val dir = Files.createTempDirectory("graft_bmerge").toString
+    val dir = TempDirs.tempDir("graft_bmerge").toString
     val target = s"$dir/t"
     val nBuckets = 8
 

@@ -23,7 +23,7 @@ class DecimalStabilitySpec extends AnyFunSuite with SparkSuite {
   private val src = "/root/testdata/sf0.001"
 
   private lazy val shuffledDir: String = {
-    val dir = Files.createTempDirectory("graft_repart").toString
+    val dir = TempDirs.tempDir("graft_repart").toString
     Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")

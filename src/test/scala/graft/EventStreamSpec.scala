@@ -18,7 +18,7 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
   private def ts(s: String) = Timestamp.valueOf(s)
 
   private lazy val eventsDir: String = {
-    val dir = Files.createTempDirectory("graft_stream").toString
+    val dir = TempDirs.tempDir("graft_stream").toString
     Seq(
       (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, """{"k": 1}"""),
       (2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0, """{"k": 2}"""),

@@ -50,7 +50,7 @@ class IngestJobSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("two-dump ingest: incremental keep-latest + volatile overwrite + state machine") {
-    val root = Files.createTempDirectory("graft_ingest").toFile
+    val root = TempDirs.tempDir("graft_ingest").toFile
     val schema = CanvasSchema.fromJson(schemaJson)
     val state = new IngestState(spark, s"$root/state")
     val wh = s"$root/warehouse"
@@ -105,7 +105,7 @@ class IngestJobSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("multi-file table: shards union before merge; empty shard contributes zero rows") {
-    val root = Files.createTempDirectory("graft_shards").toFile
+    val root = TempDirs.tempDir("graft_shards").toFile
     val schema = CanvasSchema.fromJson(schemaJson)
     val shard0 = gz(new File(root, "user_dim-00000-aa.gz"), Seq(
       "1\talice\t2024-01-01 00:00:00\tnormal"))
@@ -126,7 +126,7 @@ class IngestJobSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("existing-but-unreadable target fails the load instead of overwriting it") {
-    val root = Files.createTempDirectory("graft_corrupt").toFile
+    val root = TempDirs.tempDir("graft_corrupt").toFile
     val schema = CanvasSchema.fromJson(schemaJson)
     val state = new IngestState(spark, s"$root/state")
     val wh = s"$root/wh"
@@ -150,7 +150,7 @@ class IngestJobSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("TsvReader: \\N decodes to typed NULL, values keep quotes (I-6 divergence)") {
-    val root = Files.createTempDirectory("graft_tsv").toFile
+    val root = TempDirs.tempDir("graft_tsv").toFile
     val schema = CanvasSchema.fromJson(schemaJson)
     val f = gz(new File(root, "user_dim-00000-cc.gz"), Seq(
       "\\N\tit's \"quoted\"\t\\N\t\\N"))

@@ -50,7 +50,7 @@ class IngestMainSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("IngestMain.run: two dumps ingested, unfinished + out-of-date skipped") {
-    val root = Files.createTempDirectory("graft_main").toString
+    val root = TempDirs.tempDir("graft_main").toString
     val gz = FakeTransport.gzBytes _
 
     val routes = Map(
@@ -106,7 +106,7 @@ class IngestMainSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("only_load_final via settings imports just the newest dump (F-4)") {
-    val root = Files.createTempDirectory("graft_main_f4").toString
+    val root = TempDirs.tempDir("graft_main_f4").toString
     val gz = FakeTransport.gzBytes _
     val routes = Map(
       s"$base/api/account/self/dump" -> dumpsJson.getBytes("UTF-8"),
@@ -137,7 +137,7 @@ class IngestMainSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("skip_historical_imports marks an all-requests dump successful without importing (F-5)") {
-    val root = Files.createTempDirectory("graft_main_f5").toString
+    val root = TempDirs.tempDir("graft_main_f5").toString
     val gz = FakeTransport.gzBytes _
     val histSchema =
       """{"version":"1.0.0","schema":{

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class IngestStateSpec extends AnyFunSuite with SparkSuite {
 
   test("many transitions keep the part-file count bounded; latest values survive compaction") {
-    val dir = Files.createTempDirectory("graft_state").toString
+    val dir = TempDirs.tempDir("graft_state").toString
     val state = new IngestState(spark, dir)
 
     // 3 × IngestState.CompactThreshold transitions, incl. repeated
@@ -40,7 +40,7 @@ class IngestStateSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("a fresh instance (new JVM counter seed) still orders after old writes") {
-    val dir = Files.createTempDirectory("graft_state2").toString
+    val dir = TempDirs.tempDir("graft_state2").toString
     val s1 = new IngestState(spark, dir)
     s1.setDumpStatus("d", IngestState.InProgress)
     val s2 = new IngestState(spark, dir) // fresh counter, wall-clock seeded

@@ -25,7 +25,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class JdbcLiveSpec extends AnyFunSuite with SparkSuite {
 
   System.setProperty("derby.system.home",
-    java.nio.file.Files.createTempDirectory("derby_home").toString)
+    TempDirs.tempDir("derby_home").toString)
 
   private val url = "jdbc:derby:memory:graftlive;create=true"
   private val props = new Properties()
@@ -78,7 +78,7 @@ class JdbcLiveSpec extends AnyFunSuite with SparkSuite {
     assert(afterTwo.length == 14, "ids 1-14 expected after two dumps")
 
     // --- lake path: same two dumps through the bucket-pruned parquet merge
-    val lakeDir = java.nio.file.Files.createTempDirectory("jdbc_lake").toString + "/quiz_dim"
+    val lakeDir = TempDirs.tempDir("jdbc_lake").toString + "/quiz_dim"
     BucketedMerge.mergeInto(spark, lakeDir, dump1, Seq("id"), seqCol = Some("_dump_seq"))
     BucketedMerge.mergeInto(spark, lakeDir, dump2, Seq("id"), seqCol = Some("_dump_seq"))
     val lake = BucketedMerge.read(spark, lakeDir)
@@ -111,6 +111,12 @@ class JdbcLiveSpec extends AnyFunSuite with SparkSuite {
       JdbcSink.mergeBatch(bad, url, quizDim, d, props)
     }
     assert(canon(readTarget()) == before, "failed merge mutated the target")
+    // the rollback un-dropped the stage; the failure path's best-effort
+    // autocommit DROP must have cleaned it up anyway
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try assert(!JdbcSink.tableExists(conn, "quiz_dim__stage"),
+      "failed merge leaked the staging table")
+    finally conn.close()
   }
 
   test("volatile overwrite path executes live and is idempotent") {

@@ -35,7 +35,7 @@ class SettingsSpec extends AnyFunSuite {
   }
 
   test("local.toml overrides default; cdl__ env overrides both; defaults apply") {
-    val dir = Files.createTempDirectory("graft_cfg")
+    val dir = TempDirs.tempDir("graft_cfg")
     Files.writeString(dir.resolve("default.toml"), defaultToml)
     Files.writeString(dir.resolve("local.toml"),
       """[canvasdataauth]

@@ -12,4 +12,22 @@ trait SparkSuite { self: AnyFunSuite =>
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  def tempDir(prefix: String): java.nio.file.Path = TempDirs.tempDir(prefix)
+}
+
+/** Temp dirs that are recursively deleted on JVM exit — suites otherwise
+  * accumulate rewritten fixture copies across test runs. */
+object TempDirs {
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () } // best-effort cleanup
+    }))
+    p
+  }
 }

@@ -35,7 +35,7 @@ class StreamingIngestSpec extends AnyFunSuite with SparkSuite {
 
   test("streaming ingest merges arriving artifacts with keep-latest semantics") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft_singest").toFile
+    val root = TempDirs.tempDir("graft_singest").toFile
     val landing = new File(root, "landing"); landing.mkdirs()
     val target = s"$root/warehouse/user_dim"
     val table = CanvasSchema.fromJson(schemaJson).tables("user_dim")
@@ -67,7 +67,7 @@ class StreamingIngestSpec extends AnyFunSuite with SparkSuite {
 
   test("catch-up batch draining several files resolves PK overlaps by file order") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft_singest2").toFile
+    val root = TempDirs.tempDir("graft_singest2").toFile
     val landing = new File(root, "landing"); landing.mkdirs()
     val target = s"$root/warehouse/user_dim"
     val table = CanvasSchema.fromJson(schemaJson).tables("user_dim")
@@ -86,7 +86,7 @@ class StreamingIngestSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("a malformed landing line aborts the micro-batch instead of nulling rows") {
-    val root = Files.createTempDirectory("graft_singest3").toFile
+    val root = TempDirs.tempDir("graft_singest3").toFile
     val landing = new File(root, "landing"); landing.mkdirs()
     val table = CanvasSchema.fromJson(schemaJson).tables("user_dim")
     gz(new File(landing, "user_dim-00000-aa.gz"), Seq("1\talice\tEXTRA\tCOLS\tHERE"))

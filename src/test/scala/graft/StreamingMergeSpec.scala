@@ -21,7 +21,7 @@ class StreamingMergeSpec extends AnyFunSuite with SparkSuite {
   private def ts(s: String) = Timestamp.valueOf(s)
 
   test("foreachBatch applies keep-latest merge per micro-batch") {
-    val root = Files.createTempDirectory("graft_smerge").toString
+    val root = TempDirs.tempDir("graft_smerge").toString
     val srcDir = s"$root/src"
     val target = s"$root/warehouse/user_dim"
 

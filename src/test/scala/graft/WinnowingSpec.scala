@@ -14,7 +14,7 @@ class WinnowingSpec extends AnyFunSuite with SparkSuite {
 
   private def corpusDir(docs: Seq[(Long, String)]): String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    val dir = TempDirs.tempDir("winnow").toString
     docs.toDF("doc_id", "text")
       .withColumn("lang", lit("en"))
       .withColumn("source", lit("t"))
