@@ -431,7 +431,7 @@ object SparkEntry {
         | FROM v),
         |cent AS (
         | SELECT cell, dim,
-        |  CAST(sum(CAST(x AS DECIMAL(18,15))) AS DOUBLE) / count(x) AS mean_v
+        |  CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
         | FROM (
         |   SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x
         |   FROM cells) t

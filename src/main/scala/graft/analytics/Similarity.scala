@@ -78,19 +78,23 @@ object Similarity {
     * then reassembled into an ordered array per cell. The frame must carry
     * a `cell` column (see [[ivfTopK]]).
     *
-    * The mean is DECIMAL-summed (float elements are exact in
-    * DECIMAL(18,15); decimal addition is order-independent) then divided
-    * as a double: a plain `avg(double)` depends on summation order, and
-    * since q37 is value-oracle-checked, a routing comparison between two
-    * cells whose cosines differ by ~1e-16 would otherwise flip between
-    * engines/partitionings. With the decimal sum, every q37 stage is
-    * bit-deterministic by construction, not just empirically. */
+    * The mean is DECIMAL-summed (decimal addition is order-independent)
+    * then divided as a double: a plain `avg(double)` depends on summation
+    * order, and since q37 is value-oracle-checked, a routing comparison
+    * between two cells whose cosines differ by ~1e-16 would otherwise
+    * flip between engines/partitionings. DECIMAL(28,15) holds 13 integer
+    * digits, so unit-scale and raw-feature embeddings alike are safe from
+    * cast overflow. Parity caveat: 15 fractional digits rounds the double
+    * (binary floats generally need more decimal digits to round-trip), so
+    * cross-engine equality rests on Spark and DuckDB applying the SAME
+    * double→decimal cast rounding — empirically true and pinned by the
+    * q37 value oracle, not exact "by construction". */
   def centroids(emb: DataFrame): DataFrame = {
     // explode to (cell, dim_idx, value) — one shuffle keyed by (cell, dim).
     val exploded = emb.select(col("cell"),
       posexplode(col("embedding")).as(Seq("dim", "v")))
     exploded.groupBy(col("cell"), col("dim"))
-      .agg((sum(col("v").cast("decimal(18,15)")).cast("double") /
+      .agg((sum(col("v").cast("decimal(28,15)")).cast("double") /
         count(col("v"))).as("mean_v"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("dim"), col("mean_v")))).as("pairs"))
