@@ -145,12 +145,19 @@ object Sampling {
    * value-oracle-checked.
    */
   def chunkDocuments(s: SparkSession, d: String,
-      chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
+      chunkTokens: Int = 128, overlap: Int = 32): DataFrame =
+    // zero-shuffle plan: slicing work parallelizes only via the scan
+    chunkDocumentsOf(Tables.documentsSpread(s, d), chunkTokens, overlap)
+
+  /** [[chunkDocuments]] over an arbitrary (doc_id, text) frame — the form
+    * the streaming path applies per micro-batch ([[graft.streaming.StreamingCorpus]]). */
+  def chunkDocumentsOf(docs: DataFrame,
+      chunkTokens: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap ($overlap) must be in [0, chunkTokens=$chunkTokens): " +
         "a non-positive stride cannot advance through the document")
     val stride = chunkTokens - overlap
-    Tables.documentsSpread(s, d) // zero-shuffle plan: slicing work parallelizes only via the scan
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
       .withColumn("n_tokens", size(col("ws")))
       .select(col("doc_id"), col("ws"), col("n_tokens"),

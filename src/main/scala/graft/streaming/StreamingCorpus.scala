@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.analytics.Sampling
+import graft.ingest.{BucketedMerge, Merge}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * The training-data pipeline run INCREMENTALLY: documents land as parquet
+ * files and each micro-batch applies the same operators as the batch
+ * queries — token-window chunking (q80, [[Sampling.chunkDocumentsOf]]) and
+ * exact-dedup survivorship (q31 semantics) — merging into two bucketed
+ * tables that converge to the batch results on the same corpus, whatever
+ * the file arrival order.
+ *
+ * Convergence argument (the piece streaming adds over the batch queries):
+ *  - chunks are keyed `(doc_id, chunk_idx)`; a chunk's content is a pure
+ *    function of its document, so re-delivery under any batch id merges to
+ *    the identical row (idempotent replay);
+ *  - survivors are keyed by the 128-bit content hash with `-doc_id` as the
+ *    merge sequence: "newest wins" under a negated id IS "lowest doc_id
+ *    wins", so late arrival of an earlier duplicate correctly displaces a
+ *    higher-id survivor — order-independence comes from the same
+ *    `(pk, seq)` machinery the warehouse merge uses ([[Merge.dedupLatest]]
+ *    + [[BucketedMerge.mergeInto]]'s seq-aware path), not from assuming
+ *    in-order delivery.
+ * The corpus contract is append-only: a doc_id's text never changes
+ * (re-delivery is fine; revision is not — a shrunken revision would strand
+ * its highest chunk_idx rows), matching the reference's download-once
+ * landing layout.
+ *
+ * 100 TB posture: per micro-batch, chunking is a generator + narrow maps
+ * (zero shuffle), the survivor dedup shuffles only the batch by content
+ * hash (never the corpus), and both merges rewrite only affected buckets.
+ * The corpus-wide tables never re-shuffle on ingest.
+ */
+object StreamingCorpus {
+
+  /** Chunk + survivor columns derived per batch; pure so the spec can
+    * assert streaming output == the batch operator on the same data. */
+  def survivorsOf(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Merge.dedupLatest(
+      batch
+        .withColumn("text_md5", md5(col("text").cast("binary")))
+        .withColumn("_keep_rank", -col("doc_id")),
+      Seq("text_md5"), "_keep_rank")
+      .select(col("text_md5"), col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("_keep_rank"))
+
+  /** Start the continuous corpus prep of documents landing in
+    * `landingDir` (parquet, `schema`) into bucketed `chunksPath` and
+    * `survivorsPath`. Caller owns the returned query's lifecycle. */
+  def start(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      chunksPath: String,
+      survivorsPath: String,
+      checkpointDir: String,
+      chunkTokens: Int = 128,
+      overlap: Int = 32,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // chunks: content is a function of the doc, so the batch id only
+        // serves replay idempotence through the seq-aware merge
+        val chunks = Sampling.chunkDocumentsOf(batch, chunkTokens, overlap)
+          .withColumn("_dump_seq", lit(batchId))
+        BucketedMerge.mergeInto(spark, chunksPath, chunks,
+          Seq("doc_id", "chunk_idx"), nBuckets, seqCol = Some("_dump_seq"))
+        // survivors: lowest doc_id per content hash, across all batches
+        BucketedMerge.mergeInto(spark, survivorsPath, survivorsOf(batch),
+          Seq("text_md5"), nBuckets, seqCol = Some("_keep_rank"))
+      }
+      .start()
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.io.File
+
+import graft.analytics.{Dedup, Sampling}
+import graft.ingest.BucketedMerge
+import graft.streaming.StreamingCorpus
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The LLM operators run INCREMENTALLY: documents arriving as a file stream
+ * pass through chunking (q80) and exact-dedup survivorship (q31) per
+ * micro-batch, and the streamed tables must equal the batch queries run
+ * over the same corpus in one shot — including under out-of-order
+ * delivery and replay.
+ */
+class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
+
+  private def doc(id: Long, words: Int, tag: String): (Long, String, String, String, Long) = {
+    val text = (0 until words).map(w => s"w${(id * 31 + w * 7) % 11}_$tag").mkString(" ")
+    (id, text, if (id % 3 == 0) "en" else "other", s"src${id % 2}", text.length.toLong)
+  }
+
+  private def docsDF(rows: Seq[(Long, String, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Land `df` as ONE parquet file directly in `landing` (the stream
+    * source lists plain files, not nested write directories). */
+  private def land(df: DataFrame, landing: File, name: String): Unit = {
+    val stage = new File(landing.getParentFile, s"stage_$name")
+    df.coalesce(1).write.parquet(stage.getAbsolutePath)
+    val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, new File(landing, s"$name.parquet").toPath)
+  }
+
+  test("streamed chunks and survivors equal the batch operators, under replay and late dups") {
+    val root = TempDirs.tempDir("graft_scorpus").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val chunksPath = s"$root/wh/chunks"
+    val survivorsPath = s"$root/wh/survivors"
+
+    // wave 1: docs 10-19, plus doc 20 duplicating doc 12's text exactly
+    val base = (10L to 19L).map(i => doc(i, 40 + (i % 5).toInt * 17, s"t${i % 4}"))
+    val w1 = base :+ base(2).copy(_1 = 20L)
+    // wave 2 arrives LATER but carries LOWER ids, incl. doc 6 duplicating
+    // doc 12's text — the late-arriving lower id must take the survivorship
+    val w2 = (1L to 5L).map(i => doc(i, 30 + (i % 3).toInt * 23, s"t${i % 4}")) :+
+      base(2).copy(_1 = 6L)
+
+    val schema = docsDF(w1).schema
+    land(docsDF(w1), landing, "wave1")
+
+    def drain(): Unit = {
+      val q = StreamingCorpus.start(spark, landing.getAbsolutePath, schema,
+        chunksPath, survivorsPath, s"$root/chk", chunkTokens = 16, overlap = 4,
+        nBuckets = 8)
+      q.awaitTermination()
+    }
+    drain()
+
+    // wave 2 lands in a separate micro-batch
+    land(docsDF(w2), landing, "wave2")
+    drain()
+
+    val corpus = docsDF(w1 ++ w2)
+
+    // chunks converge to the batch operator over the whole corpus
+    val streamedChunks = BucketedMerge.read(spark, chunksPath).drop("_dump_seq")
+    val batchChunks = Sampling.chunkDocumentsOf(corpus, chunkTokens = 16, overlap = 4)
+    assert(streamedChunks.count() == batchChunks.count())
+    assert(streamedChunks.exceptAll(batchChunks).isEmpty &&
+      batchChunks.exceptAll(streamedChunks).isEmpty,
+      "streamed chunks diverge from the batch chunking")
+
+    // survivors converge to q31 semantics (lowest doc_id per exact text)
+    val streamedSurv = BucketedMerge.read(spark, survivorsPath)
+      .select("doc_id", "lang", "source", "n_chars")
+    val batchSurv = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+      corpus.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    }
+    assert(streamedSurv.exceptAll(batchSurv).isEmpty &&
+      batchSurv.exceptAll(streamedSurv).isEmpty,
+      "streamed survivors diverge from batch exact-dedup survivorship")
+    // the late lower-id duplicate displaced the earlier survivor: the text
+    // shared by docs {12, 20, 6} must survive as doc 6 alone
+    val dupText = base(2)._2
+    val survivorOfDup = streamedSurv
+      .join(corpus.filter(col("text") === dupText).select("doc_id"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(survivorOfDup == Seq(6L),
+      s"expected late-arriving doc 6 to take survivorship, got $survivorOfDup")
+
+    // replay wave 1 under a new file name: tables must not change
+    val chunksBefore = streamedChunks.collect().map(_.toString).sorted.toSeq
+    land(docsDF(w1), landing, "wave1_replay")
+    drain()
+    val chunksAfter = BucketedMerge.read(spark, chunksPath).drop("_dump_seq")
+      .collect().map(_.toString).sorted.toSeq
+    assert(chunksAfter == chunksBefore, "replay changed the chunks table")
+    assert(BucketedMerge.read(spark, survivorsPath)
+      .select("doc_id", "lang", "source", "n_chars")
+      .exceptAll(batchSurv).isEmpty, "replay changed the survivors table")
+  }
+}
