@@ -1,0 +1,83 @@
+package graft
+
+import graft.analytics.{Dedup, Sampling, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * 10× (sf1-scale) soak of the dedup family — the operators whose scale
+ * story otherwise rests on design argument + sf0.1 measurements.
+ *
+ * Fixture: 10 shards, each a word-renamed copy of sf0.1's `documents`
+ * (every token prefixed with a shard namespace, ids offset by shard).
+ * Renaming every token keeps the WITHIN-shard duplicate/near-dup structure
+ * bit-identical to sf0.1 while making shards mutually unrelated — so the
+ * 10× corpus has the same cluster-size distribution as sf0.1, just 10×
+ * the volume: the honest "same workload, more of it" scaling shape (a
+ * naive 10× copy would instead square the within-cluster pair counts).
+ *
+ * Assertions: the star contraction's round count must stay logarithmic
+ * (shard-local clusters ⇒ sf1 rounds == sf0.1 rounds, allowing +2 slack),
+ * and each operator's min-of-2 wall must grow ≲ linearly (generous 6×
+ * headroom over the 10× data ratio — this host stalls for seconds at a
+ * time; the recorded times in the test output are the real artifact).
+ * Generated data is cached under target/ across runs.
+ */
+class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
+
+  private val sf01 = "/root/testdata/sf0.1"
+  private val soakDir = "target/soak_sf1"
+
+  private def ensureSf1(): Unit = {
+    val marker = new java.io.File(s"$soakDir/documents.parquet/_SUCCESS")
+    if (marker.exists()) return
+    val base = spark.read.parquet(s"$sf01/documents.parquet")
+    val shards = (0 until 10).map { k =>
+      base.select(
+        (col("doc_id") + lit(k * 5000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"s${k}_$$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    shards.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
+  }
+
+  private def minOf2(f: => Long): (Double, Long) = {
+    val runs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    (runs.map(_._1).min, runs.head._2)
+  }
+
+  test("dedup family at 10x: linear-ish wall growth, logarithmic contraction rounds") {
+    ensureSf1()
+    val ops: Seq[(String, String => Long)] = Seq(
+      "q32_minhash" -> (d => Dedup.minhashPairs(spark, d).count()),
+      "q35_simhash_pairs" -> (d => Dedup.simhashPairs(spark, d).count()),
+      "q78_winnow_fps" -> (d => TextStats.winnowFingerprints(spark, d).count()),
+      "q79_winnow_pairs" -> (d => TextStats.winnowPairs(spark, d).count()),
+      "q81_dedup_apply" -> (d => Sampling.dedupApply(spark, d).count()))
+
+    ops.foreach { case (name, op) =>
+      val (t01, n01) = minOf2(op(sf01))
+      val (t1, n1) = minOf2(op(soakDir))
+      info(f"$name: sf0.1 $t01%.1fs ($n01 rows) -> sf1 $t1%.1fs ($n1 rows), ratio ${t1 / t01}%.1fx")
+      assert(n1 >= n01, s"$name: 10x corpus produced fewer rows than sf0.1")
+      assert(t1 <= t01 * 60 + 30,
+        f"$name: super-linear blowup — sf0.1 $t01%.1fs vs sf1 $t1%.1fs (10x data, 60x+30s budget)")
+    }
+
+    // q74: contraction rounds are the scale observable — shard-local
+    // clusters mean the 10x corpus must converge in the same O(log) rounds
+    val (_, r01) = Dedup.duplicateClusterEdges(Dedup.simhashPairsRaw(spark, sf01))
+    val t0 = System.nanoTime()
+    val (edges1, r1) = Dedup.duplicateClusterEdges(Dedup.simhashPairsRaw(spark, soakDir))
+    val n1 = edges1.count()
+    info(f"q74: sf0.1 rounds=$r01 -> sf1 rounds=$r1 (${(System.nanoTime() - t0) / 1e9}%.1fs, $n1 member edges)")
+    assert(r1 <= r01 + 2,
+      s"contraction rounds grew from $r01 to $r1 at 10x — not logarithmic in cluster size")
+  }
+}
