@@ -108,7 +108,9 @@ object SparkEntry {
     "q78_winnow_fingerprints" -> ((s: SparkSession, d: String) => TextStats.winnowFingerprints(s, d)),
     "q79_winnow_pairs" -> ((s: SparkSession, d: String) => TextStats.winnowPairs(s, d)),
     "q80_chunking" -> ((s: SparkSession, d: String) => Sampling.chunkDocuments(s, d)),
-    "q81_dedup_apply" -> (Sampling.dedupApply _))
+    "q81_dedup_apply" -> (Sampling.dedupApply _),
+    "q82_pii_redaction" -> (TextStats.piiRedactionProfile _),
+    "q83_kmeans_cells" -> ((s: SparkSession, d: String) => Similarity.kmeansCellStats(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -849,7 +851,75 @@ object SparkEntry {
           |SELECT d.doc_id, d.lang, d.source, d.n_chars
           |FROM documents d
           |WHERE d.doc_id NOT IN
-          |  (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin))
+          |  (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin),
+    // PII markers are planted doc_id-derived (identical arithmetic in both
+    // engines); patterns use only Java-regex/RE2-common syntax; DuckDB's
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    "q82_pii_redaction" ->
+      """WITH t AS (
+        | SELECT source,
+        |  text ||
+        |   CASE WHEN doc_id % 7 = 0
+        |        THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |        ELSE '' END ||
+        |   CASE WHEN doc_id % 11 = 0
+        |        THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |        ELSE '' END AS text2
+        | FROM documents),
+        |r AS (
+        | SELECT source, text2,
+        |  regexp_replace(
+        |    regexp_replace(text2, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+        | FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN regexp_matches(text2, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+        | CAST(sum(CASE WHEN regexp_matches(text2, '([0-9]{1,3}\.){3}[0-9]{1,3}')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_ip,
+        | CAST(sum(length(text2) - length(redacted)) AS BIGINT) AS chars_removed
+        |FROM r GROUP BY source""".stripMargin,
+    // Lloyd k-means unrolled: init cell = vec_id % 8, two (centroid →
+    // argmax-cosine) rounds — centroids decimal-summed, the assignment key
+    // rounded to 12 dp with ties to lowest cell, exactly as the engine
+    "q83_kmeans_cells" ->
+      """WITH v AS (
+        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |a0 AS (SELECT vec_id, label, e, vec_id % 8 AS cell FROM v),
+        |cent1 AS (
+        | SELECT cell, dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+        | FROM (SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x FROM a0) t
+        | GROUP BY cell, dim),
+        |ca1 AS (SELECT cell AS c_cell, list(mean_v ORDER BY dim) AS c0 FROM cent1 GROUP BY cell),
+        |s1 AS (
+        | SELECT vec_id, label, e, c_cell,
+        |  round(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*c0[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))), 12) AS c_cos
+        | FROM a0 CROSS JOIN ca1),
+        |a1 AS (SELECT vec_id, label, e, c_cell AS cell FROM (
+        |  SELECT vec_id, label, e, c_cell, c_cos,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_cell) AS rn
+        |  FROM s1) t WHERE rn = 1),
+        |cent2 AS (
+        | SELECT cell, dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+        | FROM (SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x FROM a1) t
+        | GROUP BY cell, dim),
+        |ca2 AS (SELECT cell AS c_cell, list(mean_v ORDER BY dim) AS c0 FROM cent2 GROUP BY cell),
+        |s2 AS (
+        | SELECT vec_id, label, e, c_cell,
+        |  round(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*c0[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))), 12) AS c_cos
+        | FROM a1 CROSS JOIN ca2),
+        |a2 AS (SELECT vec_id, label, e, c_cell AS cell FROM (
+        |  SELECT vec_id, label, e, c_cell, c_cos,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_cell) AS rn
+        |  FROM s2) t WHERE rn = 1)
+        |SELECT cell, count(*) AS n_members,
+        | round(CAST(sum(CAST(list_sum(e) AS DECIMAL(28,15))) AS DOUBLE), 6) AS member_checksum,
+        | count(DISTINCT label) AS n_labels
+        |FROM a2 GROUP BY cell""".stripMargin)
 
   private val winnowFpCte: String =
     s"""WITH ws AS (SELECT doc_id, $tokens AS w FROM documents),

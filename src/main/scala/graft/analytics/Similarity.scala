@@ -205,4 +205,61 @@ object Similarity {
     lshBuckets(embeddings(s, d))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"), countDistinct(col("label")).as("n_labels"))
+
+  /**
+   * Lloyd k-means over the embedding corpus — the trained-cells
+   * counterpart of [[ivfTopK]]'s hyperplane cells (on a real clustered
+   * corpus this is how IVF cells are fit; the routing/probing machinery is
+   * shared). Deterministic and fully oracle-checkable BY CONSTRUCTION:
+   *  - init: cell = vec_id % k (stable, engine-independent);
+   *  - centroids: the decimal-summed [[centroids]] (order-independent);
+   *  - assignment: argmax cosine with the comparison key ROUNDED to 12 dp
+   *    and ties broken by lowest cell — a 1-ulp double divergence between
+   *    engines cannot flip an assignment unless two cells are genuinely
+   *    equidistant, which rounding + the tie-break resolves identically.
+   * A FIXED iteration count (no convergence probe) keeps the plan static:
+   * `iters` chained broadcast-join + aggregate rounds, no driver loop
+   * state. 100 TB posture: per iteration the corpus is scored map-side
+   * against k broadcast centroids, and the argmax is a `min(struct)`
+   * aggregate — the ×k scored stream collapses back to one row per vector
+   * in the map-side partials (no window sort of the corpus); the centroid
+   * aggregates shuffle k×dim rows, independent of corpus size.
+   */
+  def kmeansCells(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    var assigned = emb.withColumn("cell", pmod(col("vec_id"), lit(k.toLong)))
+    (1 to iters).foreach { _ =>
+      val cents = centroids(assigned) // (cell, centroid), k rows
+      assigned = assigned.drop("cell")
+        .join(broadcast(cents.select(col("cell").as("c_cell"), col("centroid"))))
+        .withColumn("c_cos",
+          round(cosine(col("embedding"), col("centroid")), 12))
+        // argmax cosine, ties to lowest cell: lexicographic min over
+        // (-cos, cell); label/embedding ride along (identical across the
+        // k candidate rows of a vector, so they never decide the compare)
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("c_cos")).as("neg"), col("c_cell").as("cell"),
+          col("label").as("label"), col("embedding").as("embedding"))).as("b"))
+        .select(col("vec_id"), col("b.embedding").as("embedding"),
+          col("b.label").as("label"), col("b.cell").as("cell"))
+    }
+    assigned
+  }
+
+  /**
+   * q83: the k-means observable — per-cell membership count and a
+   * decimal-exact member checksum (Σ over members of the vec's element
+   * sum), plus the distinct labels landing in the cell. Checksums are
+   * decimal-summed so the value is partition-order-independent; per-vec
+   * element sums are sequential doubles (identical in both engines).
+   */
+  def kmeansCellStats(s: SparkSession, d: String, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansCells(embeddings(s, d), k, iters)
+      .withColumn("vec_sum",
+        aggregate(col("embedding"), lit(0.0), (acc, v) => acc + v.cast("double")))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(sum(col("vec_sum").cast("decimal(28,15)")).cast("double"), 6)
+          .as("member_checksum"),
+        countDistinct(col("label")).as("n_labels"))
 }

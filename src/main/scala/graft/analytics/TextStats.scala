@@ -228,6 +228,46 @@ object TextStats {
           .as("n_rare"))
   }
 
+  /**
+   * PII redaction profile — the scrubbing pass every training corpus runs
+   * before release: detect + redact emails and IPv4 addresses, report
+   * per-source hit counts and how many characters redaction removed.
+   * The fixture corpus is synthetic word salad, so deterministic PII
+   * markers are PLANTED first (doc_id-derived, identical in both engines)
+   * — the operator then detects and redacts them from real column data.
+   *
+   * Regex parity: patterns restricted to syntax Java regex and RE2
+   * (DuckDB) interpret identically — character classes, `{m,n}` bounds,
+   * no backreferences/lookaround. Redaction is `regexp_replace` (Spark
+   * replaces all matches; the oracle passes the 'g' flag).
+   *
+   * 100 TB posture: pure narrow maps over the scan feeding a tiny
+   * per-source aggregate — the scrub pipelines inside whole-stage codegen
+   * and shuffles only (source, partials).
+   */
+  def piiRedactionProfile(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    documents(s, d)
+      .withColumn("text2", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" reach user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 256, lit(".7")))
+          .otherwise(lit(""))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text2"), emailRe, "<EMAIL>"), ipRe, "<IP>"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text2").rlike(emailRe), 1L).otherwise(0L)).as("n_email"),
+        sum(when(col("text2").rlike(ipRe), 1L).otherwise(0L)).as("n_ip"),
+        sum((length(col("text2")) - length(col("redacted"))).cast("long"))
+          .as("chars_removed"))
+  }
+
   /** Corpus-wide heavy hitters: the canonical distributed word count with a
     * deterministic top-k (count desc, word asc). Map-side partial aggs do
     * the heavy lifting; only (word, partial_count) pairs shuffle. */
