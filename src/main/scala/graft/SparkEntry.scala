@@ -110,7 +110,9 @@ object SparkEntry {
     "q80_chunking" -> ((s: SparkSession, d: String) => Sampling.chunkDocuments(s, d)),
     "q81_dedup_apply" -> (Sampling.dedupApply _),
     "q82_pii_redaction" -> (TextStats.piiRedactionProfile _),
-    "q83_kmeans_cells" -> ((s: SparkSession, d: String) => Similarity.kmeansCellStats(s, d)))
+    "q83_kmeans_cells" -> ((s: SparkSession, d: String) => Similarity.kmeansCellStats(s, d)),
+    "q84_shared_gram_pairs" -> ((s: SparkSession, d: String) => TextStats.sharedGramPairs(s, d)),
+    "q85_ngram_contamination" -> ((s: SparkSession, d: String) => TextStats.ngramContamination(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -919,7 +921,39 @@ object SparkEntry {
         |SELECT cell, count(*) AS n_members,
         | round(CAST(sum(CAST(list_sum(e) AS DECIMAL(28,15))) AS DOUBLE), 6) AS member_checksum,
         | count(DISTINCT label) AS n_labels
-        |FROM a2 GROUP BY cell""".stripMargin)
+        |FROM a2 GROUP BY cell""".stripMargin,
+    // every positional 8-gram hash (distinct per doc), self-joined — the
+    // same md5-prefix hashing as the winnow CTE, minus the min-window
+    "q84_shared_gram_pairs" ->
+      (allGramCte(8) +
+        """
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+          |GROUP BY doc_a, doc_b HAVING count(*) >= 3""".stripMargin),
+    "q85_ngram_contamination" ->
+      (allGramCte(8) +
+        """,
+          |bench AS (SELECT DISTINCT h FROM fp WHERE doc_id % 97 = 0 AND doc_id < 97000),
+          |x AS (
+          | SELECT f.doc_id, count(*) AS n_grams,
+          |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          | FROM fp f LEFT JOIN bench b ON f.h = b.h
+          | WHERE f.doc_id % 97 <> 0
+          | GROUP BY f.doc_id)
+          |SELECT doc_id, n_grams, n_hit,
+          | round(CAST(n_hit AS DOUBLE) / n_grams, 6) AS hit_ratio
+          |FROM x WHERE round(CAST(n_hit AS DOUBLE) / n_grams, 6) >= 0.5""".stripMargin))
+
+  /** CTE `fp(doc_id, h)`: distinct positional word k-gram hashes per doc —
+    * the exhaustive sibling of [[winnowFpCte]] (no min-window sampling). */
+  private def allGramCte(k: Int): String =
+    s"""WITH ws AS (SELECT doc_id, $tokens AS w FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(0, greatest(len(w)-$k,0)+1),
+      |  i -> array_to_string(w[CAST(i+1 AS INT):CAST(i+$k AS INT)], ' ')) AS grams
+      | FROM ws),
+      |fp AS (SELECT DISTINCT doc_id,
+      |  CAST(('0x' || substring(md5(g2), 1, 15)) AS BIGINT) AS h
+      | FROM (SELECT doc_id, unnest(grams) AS g2 FROM g) t)""".stripMargin
 
   private val winnowFpCte: String =
     s"""WITH ws AS (SELECT doc_id, $tokens AS w FROM documents),

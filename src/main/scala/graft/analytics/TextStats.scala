@@ -171,6 +171,83 @@ object TextStats {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** All positional word k-gram hashes of each document, distinct per doc
+    * — the relational (posexplode + lead) form shared with
+    * [[winnowFingerprints]], minus the winnowing min-window. */
+  def allGramHashes(s: SparkSession, d: String, k: Int): DataFrame = {
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("wpos", "word")))
+      .withColumn("n_words", count(lit(1)).over(byDoc))
+      .withColumn("gram", concat_ws(" ",
+        col("word") +: (1 until k).map(j => lead(col("word"), j).over(ord)): _*))
+      .filter(col("wpos") < greatest(col("n_words") - k, lit(0)) + 1)
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+  }
+
+  /**
+   * Exhaustive shared-n-gram duplication pairs — the EXACT-substring
+   * member of the dedup family (Lee et al., "Deduplicating Training Data
+   * Makes Language Models Better"): two documents sharing any run of ≥ k
+   * words share at least one identical k-gram hash, with no sampling loss.
+   * [[winnowPairs]] is the sampled variant (window minima, ~1/w of the
+   * grams); this one trades gram-table volume for total recall — the
+   * choice a pipeline makes per corpus tier. Emits pairs with the count
+   * of distinct shared k-gram hashes ≥ `minShared`.
+   *
+   * 100 TB posture: the gram table is corpus-word-sized (the declared
+   * cost of exactness); its key is a uniform 60-bit hash, so the
+   * self-equi-join shuffle partitions evenly, candidate pairs collapse in
+   * map-side partial counts, and no stage is ever all-pairs.
+   */
+  def sharedGramPairs(s: SparkSession, d: String,
+      k: Int = 8, minShared: Int = 3): DataFrame = {
+    val g = allGramHashes(s, d, k)
+    val a = g.select(col("doc_id").as("doc_a"), col("h"))
+    val b = g.select(col("doc_id").as("doc_b"), col("h"))
+    a.join(b, "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
+   * N-gram-level contamination — the train/test overlap gate at k-gram
+   * granularity (the GPT-3 report's 13-gram dedup, parameterized): for
+   * every corpus document, the fraction of its distinct k-gram hashes
+   * that appear anywhere in the "benchmark" slice (doc_id ≡ 0 mod
+   * `benchStride`, id-capped like q66). Word-set Jaccard (q66) misses
+   * reordered copies; shared k-grams catch verbatim spans specifically.
+   *
+   * Scale shape: the benchmark gram set is eval-sized and hard-capped —
+   * a broadcast — so corpus docs are scored in one map-side semi-join
+   * pass plus their own per-doc aggregate; the corpus never shuffles by
+   * content.
+   */
+  def ngramContamination(s: SparkSession, d: String, k: Int = 8,
+      benchStride: Long = 97, maxBench: Long = 1000,
+      flagThreshold: Double = 0.5): DataFrame = {
+    val grams = allGramHashes(s, d, k)
+    val benchGrams = grams
+      .filter(col("doc_id") % benchStride === 0 && col("doc_id") < benchStride * maxBench)
+      .select(col("h")).distinct()
+    grams
+      .filter(col("doc_id") % benchStride =!= 0)
+      .join(broadcast(benchGrams).withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("hit_ratio",
+        round(col("n_hit").cast("double") / col("n_grams"), 6))
+      .filter(col("hit_ratio") >= flagThreshold)
+  }
+
   /**
    * The composite training-data prep pipeline in one plan: language filter →
    * quality gate (token-count band) → exact dedup (keep lowest doc_id per

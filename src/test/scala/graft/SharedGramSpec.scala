@@ -1,0 +1,44 @@
+package graft
+
+import graft.analytics.TextStats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q84/q85: exact-substring recall the sampled (winnowing) variant can't
+  * guarantee, and n-gram-level contamination flagging. */
+class SharedGramSpec extends AnyFunSuite with SparkSuite {
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = TempDirs.tempDir("sharedgram").toString
+    rows.map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q84: a verbatim k-word span is always caught; unrelated docs are not") {
+    val span = (1 to 10).map(i => s"span$i").mkString(" ") // 10 words = 3 distinct 8-grams
+    val d = writeDocs(Seq(
+      1L -> s"alpha beta $span gamma delta",
+      2L -> s"unrelated prefix words here $span and a suffix",
+      3L -> "completely different content with no overlap at all whatsoever"))
+    val pairs = TextStats.sharedGramPairs(spark, d, k = 8, minShared = 3)
+      .select("doc_a", "doc_b", "n_shared").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      s"expected exactly the span-sharing pair, got ${pairs.mkString(",")}")
+    assert(pairs.head.getLong(2) >= 3, "the 10-word span must yield >= 3 shared 8-grams")
+  }
+
+  test("q85: a verbatim copy of a benchmark doc is flagged at ratio 1.0") {
+    val body = (1 to 20).map(i => s"bench$i").mkString(" ")
+    val d = writeDocs(Seq(
+      0L -> body, // doc_id 0 ≡ 0 mod 97 → benchmark slice
+      5L -> body, // verbatim copy → every gram hits
+      7L -> "none of these words appear in the benchmark document at all today"))
+    val out = TextStats.ngramContamination(spark, d, k = 8)
+      .select("doc_id", "hit_ratio").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((5L, 1.0)),
+      s"expected only the verbatim copy flagged at 1.0, got ${out.mkString(",")}")
+  }
+}
