@@ -399,27 +399,29 @@ object Dedup {
     val aqeBefore = spark.conf.get(aqeKey)
     if (nNodes <= broadcastMaxNodes) spark.conf.set(aqeKey, "false")
     try {
+    // Fixpoints of the alternating contraction are star forests rooted at
+    // component minima (Kiveris et al.), and under the canonical
+    // child > parent orientation every star's parent is below all its
+    // children — i.e. the star IS rooted at its minimum. So convergence
+    // is the purely STRUCTURAL property "no node appears as both child
+    // and parent", checkable on the CURRENT edge set with one semi-join:
+    // no confirming round, no edge-set diff. (On a star: a child's only
+    // neighbor is its smaller parent, so large-star re-emits (child,
+    // parent) and small-star emits (parent, parent) — dropped — plus the
+    // union branch (child, parent); both phases are the identity.)
+    def isStarForest(e: DataFrame): Boolean =
+      e.join(side(e.select(col("dst").as("src")).distinct()),
+        Seq("src"), "left_semi").isEmpty
     var iter = 0
-    var edgeCount = -1L // lazily filled; nNodes above already scanned edges
-    var converged = edges.isEmpty
+    var converged = isStarForest(edges)
     while (!converged && iter < maxIter) {
       // one lineage truncation per round; the large-star subplan inside is
       // referenced twice by small-star's nb union, but its exchanges are
       // identical and shared (ReuseExchange), so only the cheap post-
       // shuffle compute doubles — cheaper than an extra checkpoint job
-      val next = ckpt(phase(phase(edges, large = true), large = false))
-      // fixpoint = star forests rooted at component minima. Exact check,
-      // cheap form: counts first (cached across rounds — one count action
-      // per round, not two), and only when they match a left-anti probe.
-      // Both sides are post-distinct sets, so the anti-join is equivalent
-      // to EXCEPT minus EXCEPT's redundant re-distinct shuffle.
-      if (edgeCount < 0) edgeCount = edges.count()
-      val nextCount = next.count()
-      converged = nextCount == edgeCount &&
-        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
-      edges = next
-      edgeCount = nextCount
+      edges = ckpt(phase(phase(edges, large = true), large = false))
       iter += 1
+      converged = isStarForest(edges)
     }
     if (!converged)
       throw new IllegalStateException(
