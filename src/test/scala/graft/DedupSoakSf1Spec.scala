@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{Dedup, Sampling, TextStats}
+import graft.analytics.{Dedup, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -30,17 +30,39 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
 
   private def ensureSf1(): Unit = {
     val marker = new java.io.File(s"$soakDir/documents.parquet/_SUCCESS")
-    if (marker.exists()) return
-    val base = spark.read.parquet(s"$sf01/documents.parquet")
-    val shards = (0 until 10).map { k =>
-      base.select(
-        (col("doc_id") + lit(k * 5000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"s${k}_$$1").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+    if (!marker.exists()) {
+      val base = spark.read.parquet(s"$sf01/documents.parquet")
+      val shards = (0 until 10).map { k =>
+        base.select(
+          (col("doc_id") + lit(k * 5000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"s${k}_$$1").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      shards.reduce(_ unionByName _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
     }
-    shards.reduce(_ unionByName _)
-      .repartition(8)
-      .write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
+    val embMarker = new java.io.File(s"$soakDir/embeddings.parquet/_SUCCESS")
+    if (!embMarker.exists()) {
+      val base = spark.read.parquet(s"$sf01/embeddings.parquet")
+      val n = base.count()
+      // shard k flips a deterministic sign pattern into every vector: an
+      // orthogonal transform, so within-shard cosine structure is exactly
+      // sf0.1's while shards land in decorrelated hyperplane buckets —
+      // volume scales 10x without inflating any bucket or cell 10x
+      val shards = (0 until 10).map { k =>
+        base.select(
+          (col("vec_id") + lit(k * n)).as("vec_id"),
+          zip_with(col("embedding"),
+            transform(sequence(lit(0), size(col("embedding")) - 1),
+              i => when((i * 31 + lit(k * 7)) % 5 % 2 === 0, lit(1.0f)).otherwise(lit(-1.0f))),
+            (x, s2) => x * s2).as("embedding"),
+          col("label"))
+      }
+      shards.reduce(_ unionByName _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$soakDir/embeddings.parquet")
+    }
   }
 
   private def minOf2(f: => Long): (Double, Long) = {
@@ -68,6 +90,22 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
       assert(n1 >= n01, s"$name: 10x corpus produced fewer rows than sf0.1")
       assert(t1 <= t01 * 60 + 30,
         f"$name: super-linear blowup — sf0.1 $t01%.1fs vs sf1 $t1%.1fs (10x data, 60x+30s budget)")
+    }
+
+    // ANN family: per-QUERY cost is the scale observable (brute/IVF work
+    // is |Q| x scanned-corpus, so the query stride scales with the corpus
+    // to hold |Q| fixed; bucket/cell/quant ops are corpus-linear as-is)
+    val annOps: Seq[(String, (String, Long) => Long)] = Seq(
+      "q36_brute_topk" -> ((d, st) => Similarity.bruteForceTopK(spark, d, stride = st).count()),
+      "q37_ivf_topk" -> ((d, st) => Similarity.ivfTopK(spark, d, stride = st).count()),
+      "q38_lsh_buckets" -> ((d, _) => Similarity.lshBucketStats(spark, d).count()),
+      "q83_kmeans" -> ((d, _) => Similarity.kmeansCellStats(spark, d).count()))
+    annOps.foreach { case (name, op) =>
+      val (t01, n01) = minOf2(op(sf01, 100))
+      val (t1, n1) = minOf2(op(soakDir, 1000))
+      info(f"$name: sf0.1 $t01%.1fs ($n01 rows) -> sf1 $t1%.1fs ($n1 rows), ratio ${t1 / t01}%.1fx")
+      assert(t1 <= t01 * 60 + 30,
+        f"$name: super-linear blowup — sf0.1 $t01%.1fs vs sf1 $t1%.1fs")
     }
 
     // q74: contraction rounds are the scale observable — shard-local
