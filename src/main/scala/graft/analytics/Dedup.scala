@@ -393,7 +393,10 @@ object Dedup {
     // scheduling overhead — ~13 jobs/round measured on a 64-node chain.
     // Suspend it for the loop and restore after. Above the threshold
     // (a genuinely large dup graph) AQE stays on: coalescing and skew
-    // handling matter exactly there.
+    // handling matter exactly there. The conf flip is session-scoped:
+    // a query planned CONCURRENTLY in the same session during the loop
+    // would also skip AQE for that window — harmless for plans this
+    // engine emits, but callers multiplexing one session should know.
     val spark = pairs.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeBefore = spark.conf.get(aqeKey)
