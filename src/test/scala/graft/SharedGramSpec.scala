@@ -30,6 +30,19 @@ class SharedGramSpec extends AnyFunSuite with SparkSuite {
     assert(pairs.head.getLong(2) >= 3, "the 10-word span must yield >= 3 shared 8-grams")
   }
 
+  test("winnowing pairs are contained in exhaustive gram pairs at equal k") {
+    // winnow fingerprints are window-minima of the very gram hashes q84
+    // joins on, so every winnow-detected pair must also be gram-detected —
+    // the sampled/exhaustive family relationship, asserted on real data
+    val d = "/root/testdata/sf0.001"
+    val winnow = TextStats.winnowPairs(spark, d, k = 3, w = 4, minShared = 1)
+      .select("doc_a", "doc_b")
+    val exhaustive = TextStats.sharedGramPairs(spark, d, k = 3, minShared = 1)
+      .select("doc_a", "doc_b")
+    assert(winnow.exceptAll(exhaustive).isEmpty,
+      "winnowing found a pair the exhaustive gram join missed — hashing diverged")
+  }
+
   test("q85: a verbatim copy of a benchmark doc is flagged at ratio 1.0") {
     val body = (1 to 20).map(i => s"bench$i").mkString(" ")
     val d = writeDocs(Seq(
