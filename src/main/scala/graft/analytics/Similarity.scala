@@ -228,22 +228,32 @@ object Similarity {
   def kmeansCells(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     var assigned = emb.withColumn("cell", pmod(col("vec_id"), lit(k.toLong)))
     (1 to iters).foreach { _ =>
-      val cents = centroids(assigned) // (cell, centroid), k rows
-      assigned = assigned.drop("cell")
-        .join(broadcast(cents.select(col("cell").as("c_cell"), col("centroid"))))
-        .withColumn("c_cos",
-          round(cosine(col("embedding"), col("centroid")), 12))
-        // argmax cosine, ties to lowest cell: lexicographic min over
-        // (-cos, cell); label/embedding ride along (identical across the
-        // k candidate rows of a vector, so they never decide the compare)
-        .groupBy(col("vec_id"))
-        .agg(min(struct((-col("c_cos")).as("neg"), col("c_cell").as("cell"),
-          col("label").as("label"), col("embedding").as("embedding"))).as("b"))
-        .select(col("vec_id"), col("b.embedding").as("embedding"),
-          col("b.label").as("label"), col("b.cell").as("cell"))
+      assigned = assignCells(assigned.drop("cell"), centroids(assigned))
     }
     assigned
   }
+
+  /**
+   * Assign each vector its argmax-cosine cell from `cents`
+   * (cell, centroid) — one Lloyd assignment step, shared by the training
+   * loop and the incremental index-maintenance path
+   * ([[graft.streaming.StreamingCorpus]]: new embeddings scored against a
+   * FROZEN codebook). Deterministic: 12-dp-rounded keys, ties to lowest
+   * cell. The argmax is a lexicographic `min(struct)` — the ×k scored
+   * stream collapses in map-side partials, no window sort; label and
+   * embedding ride along (identical across a vector's k candidate rows,
+   * so they never decide the compare).
+   */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb
+      .join(broadcast(cents.select(col("cell").as("c_cell"), col("centroid"))))
+      .withColumn("c_cos",
+        round(cosine(col("embedding"), col("centroid")), 12))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c_cos")).as("neg"), col("c_cell").as("cell"),
+        col("label").as("label"), col("embedding").as("embedding"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.label").as("label"), col("b.cell").as("cell"))
 
   /**
    * q83: the k-means observable — per-cell membership count and a

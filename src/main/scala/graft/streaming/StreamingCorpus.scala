@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.analytics.Sampling
+import graft.analytics.{Sampling, Similarity}
 import graft.ingest.{BucketedMerge, Merge}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -79,6 +79,47 @@ object StreamingCorpus {
         // survivors: lowest doc_id per content hash, across all batches
         BucketedMerge.mergeInto(spark, survivorsPath, survivorsOf(batch),
           Seq("text_md5"), nBuckets, seqCol = Some("_keep_rank"))
+      }
+      .start()
+  }
+
+  /**
+   * Incremental ANN index maintenance: embeddings landing in `landingDir`
+   * are assigned to a FROZEN centroid codebook (`cents`, e.g. the output
+   * of [[Similarity.centroids]] over a [[Similarity.kmeansCells]] training
+   * run on the bootstrap corpus) and merged into the bucketed cell index.
+   * Freezing the codebook is what makes maintenance incremental — cell
+   * ids stay stable as vectors arrive, so the index equals the batch
+   * assignment of the full corpus regardless of arrival order (replay
+   * idempotent via the seq-aware merge; assignment is deterministic,
+   * [[Similarity.assignCells]]). Retraining the codebook is a batch event
+   * that rebuilds the index — the standard IVF operating model.
+   *
+   * 100 TB posture: per micro-batch the new vectors score against k
+   * broadcast centroids map-side and merge into only their affected
+   * buckets; the existing index is never rescored or reshuffled.
+   */
+  def startCellIndex(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      cents: org.apache.spark.sql.DataFrame,
+      cellsPath: String,
+      checkpointDir: String,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val assigned = Similarity.assignCells(batch, cents)
+          .select(col("vec_id"), col("cell"), col("label"))
+          .withColumn("_dump_seq", lit(batchId))
+        BucketedMerge.mergeInto(spark, cellsPath, assigned,
+          Seq("vec_id"), nBuckets, seqCol = Some("_dump_seq"))
       }
       .start()
   }

@@ -2,7 +2,7 @@ package graft
 
 import java.io.File
 
-import graft.analytics.{Dedup, Sampling}
+import graft.analytics.{Sampling, Similarity}
 import graft.ingest.BucketedMerge
 import graft.streaming.StreamingCorpus
 import org.apache.spark.sql.DataFrame
@@ -107,5 +107,40 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     assert(BucketedMerge.read(spark, survivorsPath)
       .select("doc_id", "lang", "source", "n_chars")
       .exceptAll(batchSurv).isEmpty, "replay changed the survivors table")
+  }
+
+  test("streamed cell index against a frozen codebook equals the batch assignment") {
+    val root = TempDirs.tempDir("graft_scells").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val cellsPath = s"$root/wh/cells"
+
+    // frozen codebook: trained on the bootstrap wave only
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val wave1 = all.filter(col("vec_id") < 250)
+    val wave2 = all.filter(col("vec_id") >= 250)
+    val cents = Similarity.centroids(
+      Similarity.kmeansCells(wave1, k = 4, iters = 1)).cache()
+    cents.count()
+
+    def landEmb(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new File(root, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new File(landing, s"$name.parquet").toPath)
+    }
+    def drain(): Unit = {
+      val q = StreamingCorpus.startCellIndex(spark, landing.getAbsolutePath,
+        all.schema, cents, cellsPath, s"$root/chk", nBuckets = 8)
+      q.awaitTermination()
+    }
+    landEmb(wave1, "wave1"); drain()
+    landEmb(wave2, "wave2"); drain()
+
+    val streamed = BucketedMerge.read(spark, cellsPath).select("vec_id", "cell")
+    val batch = Similarity.assignCells(all, cents).select("vec_id", "cell")
+    assert(streamed.count() == all.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "incremental cell index diverges from the batch assignment")
+    cents.unpersist()
   }
 }
