@@ -4,9 +4,32 @@ import graft.api.{DumpInList, Manifest}
 import graft.ingest.{Merge, TsvReader, Volatile}
 import graft.keys.KeyInference
 import graft.schema.{SchemaDefinition, TableDefinition}
+import graft.sinks.JdbcSink
 import graft.state.IngestState
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** A relational load target — the reference's actual sink
+  * (`db_client.rs`): JDBC url + dialect + connection properties. */
+final case class JdbcTarget(
+    url: String,
+    dialect: JdbcSink.Dialect,
+    props: java.util.Properties = new java.util.Properties())
+
+object JdbcTarget {
+  /** Dialect resolution: the url's engine wins (Derby is the in-sandbox
+    * live target and rejects `IF NOT EXISTS`); otherwise the configured
+    * db_type picks between the reference's two dialects. */
+  def forUrl(url: String, dbType: graft.config.DatabaseType): JdbcTarget = {
+    val d =
+      if (url.startsWith("jdbc:derby")) JdbcSink.Derby
+      else dbType match {
+        case graft.config.DatabaseType.Mysql => JdbcSink.Mysql
+        case _                               => JdbcSink.Postgres
+      }
+    JdbcTarget(url, d)
+  }
+}
 
 /**
  * End-to-end dump ingestion — the Spark re-expression of
@@ -25,9 +48,13 @@ final class IngestJob(
     warehouseDir: String,
     state: IngestState,
     skipHistoricalImports: Boolean = false,
-    allVolatile: Boolean = false) {
+    allVolatile: Boolean = false,
+    jdbc: Option[JdbcTarget] = None) {
 
-  /** Load one table's files of one dump into the warehouse. */
+  /** Load one table's files of one dump into the warehouse (and, when a
+    * [[JdbcTarget]] is configured, into the RDBMS — the reference's
+    * actual sink, same dump ordering semantics: dumps replay in sequence
+    * order and the staged merge is last-writer-wins per PK). */
   def loadTable(
       table: TableDefinition,
       files: Seq[String],
@@ -39,12 +66,19 @@ final class IngestJob(
     val targetPath = s"$warehouseDir/$name"
     val volatileLoad = Volatile.isVolatile(name, allVolatile) || forceVolatile
     val pkOpt = KeyInference.idLikeColumn(name, table.columns.map(_.name))
+    // the relational sink receives exactly the schema's columns
+    def dataCols(df: DataFrame): DataFrame =
+      df.select(table.columns.map(c => col(c.name)).toIndexedSeq: _*)
 
     if (volatileLoad || pkOpt.isEmpty) {
       // reference errors when no PK can be inferred for a non-volatile
       // table (`importer.rs:349-356`); we degrade to volatile semantics for
       // robustness but keep the signal in logs.
       graft.ingest.StagedWrite.overwriteFlat(spark, Merge.applyVolatile(batchRaw), targetPath)
+      jdbc.foreach { t =>
+        JdbcSink.writeBatch(dataCols(batchRaw), t.url,
+          t.dialect.ident(name), t.props, overwrite = true)
+      }
       spark.read.parquet(targetPath)
     } else {
       // incremental path: bucket-pruned merge — only partitions whose PK
@@ -55,6 +89,9 @@ final class IngestJob(
       val batch = Merge.dedupLatest(batchRaw, Seq(pk), "_dump_seq")
       graft.ingest.BucketedMerge.mergeInto(
         spark, targetPath, batch, Seq(pk), seqCol = Some("_dump_seq"))
+      jdbc.foreach { t =>
+        JdbcSink.mergeBatch(dataCols(batch), t.url, table, t.dialect, t.props)
+      }
       graft.ingest.BucketedMerge.read(spark, targetPath)
     }
   }

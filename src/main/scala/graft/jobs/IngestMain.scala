@@ -12,10 +12,13 @@ import org.apache.spark.sql.SparkSession
  * skip rules and state transitions delegated to [[IngestJob.run]].
  *
  * Mapping note (SURVEY §4): the Spark-native "database" is the parquet
- * warehouse, so `database.url` in config is the warehouse root path; pushing
- * the warehouse onward to an RDBMS is [[graft.sinks.JdbcSink]]'s separate
- * concern. Config keys otherwise carry the reference's names verbatim
- * (`settings.rs:40-57`).
+ * warehouse. A plain-path `database.url` is the warehouse root; a
+ * `jdbc:…` url activates the reference's ACTUAL semantics — every dump
+ * additionally loads into the RDBMS through [[graft.sinks.JdbcSink]]'s
+ * staged merge (dialect from `database.db_type`, Derby auto-detected for
+ * the in-sandbox live path) while the lake lives under
+ * `save_location/warehouse` as the engine's working store. Config keys
+ * otherwise carry the reference's names verbatim (`settings.rs:40-57`).
  */
 object IngestMain {
 
@@ -36,13 +39,18 @@ object IngestMain {
     val schema = client.getLatestSchema()
     val state = new IngestState(spark, settings.rocksdbLocation)
 
+    val isJdbc = settings.databaseUrl.startsWith("jdbc:")
     val job = new IngestJob(
       spark,
       schema,
-      warehouseDir = settings.databaseUrl,
+      warehouseDir =
+        if (isJdbc) s"${settings.saveLocation}/warehouse" else settings.databaseUrl,
       state = state,
       skipHistoricalImports = settings.skipHistoricalImports,
-      allVolatile = settings.allTablesVolatile)
+      allVolatile = settings.allTablesVolatile,
+      jdbc =
+        if (isJdbc) Some(JdbcTarget.forUrl(settings.databaseUrl, settings.databaseType))
+        else None)
 
     job.run(dumps, client.downloadFilesForDump, settings.onlyLoadFinal)
   }

@@ -136,6 +136,51 @@ class IngestMainSpec extends AnyFunSuite with SparkSuite {
     assert(state.dumpStatus("dump1").isEmpty)
   }
 
+  test("a jdbc: database.url loads the RDBMS end-to-end alongside the lake") {
+    val root = TempDirs.tempDir("graft_main_db").toString
+    val gz = FakeTransport.gzBytes _
+    val routes = Map(
+      s"$base/api/account/self/dump" -> dumpsJson.getBytes("UTF-8"),
+      s"$base/api/schema/latest" -> schemaJson.getBytes("UTF-8"),
+      s"$base/api/account/self/file/byDump/dump1" ->
+        filesJson("dump1", 1, Map(
+          "user_dim" -> Seq("user_dim-00000-aa.gz"),
+          "quiz_dim" -> Seq("quiz_dim-00000-aa.gz"))).getBytes("UTF-8"),
+      s"$base/api/account/self/file/byDump/dump2" ->
+        filesJson("dump2", 2, Map(
+          "user_dim" -> Seq("user_dim-00000-bb.gz"),
+          "quiz_dim" -> Seq("quiz_dim-00000-bb.gz"))).getBytes("UTF-8"),
+      s"$base/files/dump1/user_dim-00000-aa.gz" -> gz(Seq("1\talice", "2\tbob")),
+      s"$base/files/dump1/quiz_dim-00000-aa.gz" -> gz(Seq("10\tfirst quiz")),
+      s"$base/files/dump2/user_dim-00000-bb.gz" -> gz(Seq("2\tbobby", "3\tcarol")),
+      s"$base/files/dump2/quiz_dim-00000-bb.gz" -> gz(Seq("11\tsecond quiz")))
+    val dbUrl = "jdbc:derby:memory:ingestmaindb;create=true"
+    val settings = Settings.fromMap(Map(
+      "save_location" -> s"$root/save",
+      "rocksdb_location" -> s"$root/state",
+      "database.url" -> dbUrl, // the reference's actual semantics
+      "canvasdataauth.api_key" -> "k",
+      "canvasdataauth.api_secret" -> "s",
+      "api_base_url" -> base))
+
+    IngestMain.run(spark, settings, transport = new FakeTransport(routes))
+
+    import spark.implicits._
+    val props = new java.util.Properties()
+    // incremental table: keep-latest across both dumps, merged in the DB
+    val dbUsers = spark.read.jdbc(dbUrl, "\"user_dim\"", props)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(dbUsers == Set((1L, "alice"), (2L, "bobby"), (3L, "carol")))
+    // volatile table: last dump's overwrite wins
+    val dbQuizzes = spark.read.jdbc(dbUrl, "\"quiz_dim\"", props)
+      .select("id").as[Long].collect().toSet
+    assert(dbQuizzes == Set(11L))
+    // the lake still materialized as the working store, and matches the DB
+    val lakeUsers = spark.read.parquet(s"$root/save/warehouse/user_dim")
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(lakeUsers == dbUsers, "lake and RDBMS diverged on the same dumps")
+  }
+
   test("skip_historical_imports marks an all-requests dump successful without importing (F-5)") {
     val root = TempDirs.tempDir("graft_main_f5").toString
     val gz = FakeTransport.gzBytes _
