@@ -76,4 +76,40 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       assert(KeyInference.idLikeColumn(table, Seq("id", s"${table}_id")).contains("id"))
     }
   }
+
+  private val docGen: Gen[(Long, Int)] = for {
+    id <- Gen.choose(0L, 1000L)
+    words <- Gen.choose(1, 400)
+  } yield (id, words)
+
+  test("chunking tiles every document: coverage, stride, bounds (40 generated docs)") {
+    import org.apache.spark.sql.functions._
+    val cases = samples(Gen.listOfN(8, docGen), 5).flatten.distinctBy(_._1)
+    val docs = cases.map { case (id, words) =>
+      (id, (0 until words).map(w => s"w$w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunkTokens = 32
+    val overlap = 8
+    val stride = chunkTokens - overlap
+    val chunks = graft.analytics.Sampling
+      .chunkDocumentsOf(docs, chunkTokens, overlap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    cases.foreach { case (id, words) =>
+      val cs = chunks(id).sortBy(_._2)
+      // chunk_idx consecutive from 0; starts advance by exactly the stride
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq, s"doc $id: non-consecutive idx")
+      cs.foreach { case (_, idx, start, len) =>
+        assert(start == idx * stride, s"doc $id chunk $idx: start $start")
+        assert(len >= 1 && len <= chunkTokens, s"doc $id chunk $idx: len $len")
+        assert(start + len <= words, s"doc $id chunk $idx overruns the document")
+      }
+      // every token is covered by at least one chunk
+      val covered = cs.flatMap { case (_, _, start, len) => start until (start + len) }.toSet
+      assert(covered == (0 until words).toSet, s"doc $id: coverage hole")
+      // the last chunk reaches the document end
+      val (_, _, ls, ll) = cs.last
+      assert(ls + ll == words, s"doc $id: tail not covered")
+    }
+  }
 }
