@@ -173,11 +173,22 @@ object TextStats {
 
   /** All positional word k-gram hashes of each document, distinct per doc
     * — the relational (posexplode + lead) form shared with
-    * [[winnowFingerprints]], minus the winnowing min-window. */
-  def allGramHashes(s: SparkSession, d: String, k: Int): DataFrame = {
+    * [[winnowFingerprints]], minus the winnowing min-window. Deliberately
+    * NOT the array-HOF form: measured 10× slower here (19 s vs 2 s at
+    * sf0.1) because CollapseProject inlines the materialized words column
+    * into the gram lambda, re-splitting the text per element — the same
+    * hazard that bit the winnowing HOF form. The posexplode Generate is a
+    * collapse barrier, and the per-word rows it adds shuffle on doc_id
+    * once (partition-local windows thereafter). */
+  def allGramHashes(s: SparkSession, d: String, k: Int): DataFrame =
+    allGramHashesOf(documents(s, d), k)
+
+  /** [[allGramHashes]] over an arbitrary (doc_id, text) frame — the form
+    * a streaming decontamination gate applies per micro-batch. */
+  def allGramHashesOf(docs: DataFrame, k: Int): DataFrame = {
     val ord = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
     val byDoc = Window.partitionBy(col("doc_id"))
-    documents(s, d)
+    docs
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("wpos", "word")))
       .withColumn("n_words", count(lit(1)).over(byDoc))
       .withColumn("gram", concat_ws(" ",
