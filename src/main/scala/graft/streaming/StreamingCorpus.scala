@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.analytics.{Sampling, Similarity}
+import graft.analytics.{Sampling, Similarity, TextStats}
 import graft.ingest.{BucketedMerge, Merge}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -123,4 +123,61 @@ object StreamingCorpus {
       }
       .start()
   }
+
+  /**
+   * Online decontamination gate: documents landing in `landingDir` are
+   * scored against a FROZEN benchmark k-gram set (`benchGrams`, one `h`
+   * column — e.g. [[TextStats.allGramHashesOf]] over the eval suite) and
+   * docs whose distinct-gram hit ratio reaches `flagThreshold` merge into
+   * the quarantine table at `flaggedPath`. The q85 semantics applied
+   * per micro-batch: scoring is a pure function of (doc, bench set), so
+   * the quarantine table equals the batch scoring of the full corpus
+   * under any arrival order or replay.
+   *
+   * 100 TB posture: the bench gram set is eval-sized (broadcast); each
+   * batch's grams shuffle once on doc_id for the gram windows and once
+   * for the per-doc aggregate; the already-quarantined table is never
+   * rescanned.
+   */
+  def startContaminationGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      benchGrams: org.apache.spark.sql.DataFrame,
+      flaggedPath: String,
+      checkpointDir: String,
+      k: Int = 8,
+      flagThreshold: Double = 0.5,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val flagged = scoreContamination(batch, benchGrams, k, flagThreshold)
+          .withColumn("_dump_seq", lit(batchId))
+        BucketedMerge.mergeInto(spark, flaggedPath, flagged,
+          Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+      }
+      .start()
+  }
+
+  /** The gate's scoring step — pure so the spec can equate stream and
+    * batch: per doc, distinct-gram hit ratio against the bench set. */
+  def scoreContamination(docs: org.apache.spark.sql.DataFrame,
+      benchGrams: org.apache.spark.sql.DataFrame,
+      k: Int, flagThreshold: Double): org.apache.spark.sql.DataFrame =
+    TextStats.allGramHashesOf(docs, k)
+      .join(broadcast(benchGrams.select(col("h"))).withColumn("hit", lit(1)),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("hit_ratio",
+        round(col("n_hit").cast("double") / col("n_grams"), 6))
+      .filter(col("hit_ratio") >= flagThreshold)
 }

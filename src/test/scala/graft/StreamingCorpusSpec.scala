@@ -109,6 +109,48 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       .exceptAll(batchSurv).isEmpty, "replay changed the survivors table")
   }
 
+  test("streamed contamination gate equals batch scoring under replay") {
+    import graft.analytics.TextStats
+    val root = TempDirs.tempDir("graft_sgate").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val flaggedPath = s"$root/wh/flagged"
+
+    // frozen bench set: one doc whose grams define contamination
+    val benchBody = (1 to 30).map(i => s"bench$i").mkString(" ")
+    val benchGrams = TextStats.allGramHashesOf(
+      docsDF(Seq((0L, benchBody, "en", "src0", benchBody.length.toLong))), k = 8).cache()
+    benchGrams.count()
+
+    // wave 1: a verbatim copy (flagged) and a clean doc; wave 2: a half
+    // copy (first 15 bench words + fresh tail — ratio < 0.5, not flagged)
+    val w1 = Seq(
+      doc(11L, 40, "w1a").copy(_2 = benchBody),
+      doc(12L, 40, "w1b"))
+    val halfCopy = (1 to 15).map(i => s"bench$i").mkString(" ") + " " +
+      (1 to 15).map(i => s"fresh$i").mkString(" ")
+    val w2 = Seq(doc(21L, 40, "w2a").copy(_2 = halfCopy))
+
+    def drain(): Unit = {
+      val q = StreamingCorpus.startContaminationGate(spark, landing.getAbsolutePath,
+        docsDF(w1).schema, benchGrams, flaggedPath, s"$root/chk", k = 8, nBuckets = 8)
+      q.awaitTermination()
+    }
+    land(docsDF(w1), landing, "wave1"); drain()
+    land(docsDF(w2), landing, "wave2"); drain()
+    // replay wave 1 under a new name: quarantine must not change
+    land(docsDF(w1), landing, "wave1_replay"); drain()
+
+    val streamed = BucketedMerge.read(spark, flaggedPath)
+      .select("doc_id", "n_grams", "n_hit", "hit_ratio")
+    val batch = StreamingCorpus.scoreContamination(
+      docsDF(w1 ++ w2), benchGrams, k = 8, flagThreshold = 0.5)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed quarantine diverges from batch scoring")
+    val ids = streamed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(11L), s"expected only the verbatim copy flagged, got $ids")
+    benchGrams.unpersist()
+  }
+
   test("streamed cell index against a frozen codebook equals the batch assignment") {
     val root = TempDirs.tempDir("graft_scells").toFile
     val landing = new File(root, "landing"); landing.mkdirs()
