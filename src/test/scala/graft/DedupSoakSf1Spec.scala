@@ -81,7 +81,9 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
       "q35_simhash_pairs" -> (d => Dedup.simhashPairs(spark, d).count()),
       "q78_winnow_fps" -> (d => TextStats.winnowFingerprints(spark, d).count()),
       "q79_winnow_pairs" -> (d => TextStats.winnowPairs(spark, d).count()),
-      "q81_dedup_apply" -> (d => Sampling.dedupApply(spark, d).count()))
+      "q81_dedup_apply" -> (d => Sampling.dedupApply(spark, d).count()),
+      "q84_shared_grams" -> (d => TextStats.sharedGramPairs(spark, d).count()),
+      "q85_ngram_contam" -> (d => TextStats.ngramContamination(spark, d).count()))
 
     ops.foreach { case (name, op) =>
       val (t01, n01) = minOf2(op(sf01))
