@@ -112,7 +112,8 @@ object SparkEntry {
     "q82_pii_redaction" -> (TextStats.piiRedactionProfile _),
     "q83_kmeans_cells" -> ((s: SparkSession, d: String) => Similarity.kmeansCellStats(s, d)),
     "q84_shared_gram_pairs" -> ((s: SparkSession, d: String) => TextStats.sharedGramPairs(s, d)),
-    "q85_ngram_contamination" -> ((s: SparkSession, d: String) => TextStats.ngramContamination(s, d)))
+    "q85_ngram_contamination" -> ((s: SparkSession, d: String) => TextStats.ngramContamination(s, d)),
+    "q86_training_pipeline" -> ((s: SparkSession, d: String) => Sampling.trainingPipeline(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -942,7 +943,40 @@ object SparkEntry {
           | GROUP BY f.doc_id)
           |SELECT doc_id, n_grams, n_hit,
           | round(CAST(n_hit AS DOUBLE) / n_grams, 6) AS hit_ratio
-          |FROM x WHERE round(CAST(n_hit AS DOUBLE) / n_grams, 6) >= 0.5""".stripMargin))
+          |FROM x WHERE round(CAST(n_hit AS DOUBLE) / n_grams, 6) >= 0.5""".stripMargin),
+    // the whole assembly replayed: cluster losers (q81's recursive CTE) →
+    // exact-dedup window among the remainder → quality band → chunk
+    // generation (q80 shape) → q64's split label → per-split accounting
+    "q86_training_pipeline" ->
+      (dupClustersCte +
+        s""",
+          |kept AS (
+          | SELECT d.doc_id, d.text FROM documents d
+          | WHERE d.doc_id NOT IN
+          |   (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)),
+          |sv AS (
+          | SELECT doc_id, text FROM (
+          |  SELECT doc_id, text,
+          |   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |  FROM kept) t WHERE rn = 1),
+          |q2 AS (
+          | SELECT doc_id, $tokens AS w FROM sv
+          | WHERE len($tokens) BETWEEN 10 AND 1000),
+          |c AS (
+          | SELECT doc_id, w, len(w) AS n_tokens,
+          |  CAST(unnest(range(0, greatest(len(w), 1), 96)) AS INT) AS chunk_start
+          | FROM q2),
+          |x AS (
+          | SELECT doc_id,
+          |  CAST(least(128, n_tokens - chunk_start) AS INT) AS chunk_len
+          | FROM c)
+          |SELECT CASE
+          |  WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 80 THEN 'train'
+          |  WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 90 THEN 'val'
+          |  ELSE 'test' END AS split,
+          | count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+          | CAST(sum(chunk_len) AS BIGINT) AS total_chunk_tokens
+          |FROM x GROUP BY 1""".stripMargin))
 
   /** CTE `fp(doc_id, h)`: distinct positional word k-gram hashes per doc —
     * the exhaustive sibling of [[winnowFpCte]] (no min-window sampling). */

@@ -182,6 +182,40 @@ object Sampling {
    * non-survivor member. Anti-join on doc_id: the cluster table is
    * near-dup-sized (tiny vs the corpus), the corpus never reshuffles.
    */
+  /**
+   * The full training-data assembly as ONE plan — the composite every
+   * other query is a stage of: near-dup cluster losers dropped (q81
+   * semantics, full-corpus simhash contraction), exact-dedup survivorship
+   * among the remainder (q31), token-count quality gate, token-window
+   * chunking (q80), split assignment (q64), per-split sample accounting.
+   *
+   * Plan shape at 100 TB: the contraction works on the (tiny) dup graph;
+   * the corpus itself flows through one anti-join, one content-hash
+   * window, then NARROW stages (quality filter, chunk generator, split
+   * label) straight into a map-side-combined aggregate — after the
+   * survivorship window the corpus is never reshuffled.
+   */
+  def trainingPipeline(s: SparkSession, d: String,
+      minTokens: Int = 10, maxTokens: Int = 1000,
+      chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
+    val losers = Dedup.duplicateClusterEdges(Dedup.simhashPairsRaw(s, d))._1
+      .select(col("src").as("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    val kept = Tables.documents(s, d)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .filter(col("n_tokens").between(minTokens, maxTokens))
+      .select(col("doc_id"), col("text"))
+    chunkDocumentsOf(kept, chunkTokens, overlap)
+      .groupBy(splitName(col("doc_id")).as("split"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len").cast("long")).as("total_chunk_tokens"))
+  }
+
   def dedupApply(s: SparkSession, d: String): DataFrame = {
     // the contraction's (child > root) edges ARE the losers — one row per
     // non-survivor member, no roots union to build and filter back out
