@@ -112,4 +112,20 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
       assert(members.map(_._1).min == c, "cluster_id is not the member min")
     }
   }
+
+  test("q86 composite: stage invariants against its own constituent queries") {
+    val out = Sampling.trainingPipeline(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    val nDocs = out.map(_._2).sum
+    // docs entering chunking = dedup-applied corpus minus exact dups and
+    // quality-gate rejects — strictly fewer than the dedup-applied count
+    val afterClusters = Sampling.dedupApply(spark, d).count()
+    assert(nDocs <= afterClusters, "composite kept more docs than dedupApply")
+    assert(nDocs > 0, "quality gate rejected everything — fixture drifted")
+    out.foreach { case (split, docs, chunks, toks) =>
+      assert(chunks >= docs, s"$split: fewer chunks than docs")
+      assert(toks >= docs, s"$split: token total below doc count")
+    }
+  }
 }
