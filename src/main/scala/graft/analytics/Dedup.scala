@@ -310,17 +310,19 @@ object Dedup {
    * components.
    *
    * Cost model (the 100 TB posture): each phase is one map-side min
-   * aggregate over the (doubled) edge list plus one equi-join of the
-   * edge list against the node-sized m table — dense duplicate candidate
-   * edges collapse in the aggregate's map-side partials, and the edge set
-   * only shrinks (stars absorb their components). While the node table
-   * fits (`broadcastMaxNodes`) the m-joins are broadcast hash joins — the
-   * hint is load-bearing because the per-round checkpoint deliberately
-   * drops stats (see [[org.apache.spark.sql.GraftBridge.checkpointNoStats]]:
+   * aggregate over the (doubled) edge list plus one shuffle equi-join of
+   * the edge list against the node-sized m table (m's agg exchange is
+   * reused as its join side) — dense duplicate candidate edges collapse
+   * in the aggregate's map-side partials, and the edge set only shrinks
+   * (stars absorb their components). Per-round checkpoints deliberately
+   * drop stats (see [[org.apache.spark.sql.GraftBridge.checkpointNoStats]]:
    * Spark ≥3.4 otherwise propagates stats through checkpoints and an
    * iterative join loop compounds the size estimate into million-bit
-   * BigIntegers that hang the driver in stats code). Above the threshold
-   * the same plan degrades gracefully to shuffle joins.
+   * BigIntegers that hang the driver in stats code) and are LAZY: the
+   * round's convergence probe materializes them, so one round = one
+   * scheduler job while the node table fits `broadcastMaxNodes` (the
+   * AQE-suspension threshold); above it AQE stays on for skew handling
+   * and the same plan splits into per-stage jobs.
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 30,
       broadcastMaxNodes: Long = 2000000L): DataFrame =
@@ -345,7 +347,36 @@ object Dedup {
     * to filter them straight back out. */
   def duplicateClusterEdges(pairs: DataFrame, maxIter: Int = 30,
       broadcastMaxNodes: Long = 2000000L): (DataFrame, Int) = {
-    val ckpt = org.apache.spark.sql.GraftBridge.checkpointNoStats _
+    // lazy checkpoints: each round's edge set is materialized BY the
+    // convergence probe's aggregate (one scheduler job per round), not by
+    // a separate eager-checkpoint job — halves the tiny-job count that
+    // dominates the contraction's wall clock on small dup graphs
+    val ckpt = (df: DataFrame) =>
+      org.apache.spark.sql.GraftBridge.checkpointNoStats(df, eager = false)
+
+    /**
+     * One job: materializes `e`'s pending local checkpoint AND returns
+     * (starForestViolations, nNodes). Under the canonical child > parent
+     * orientation a star forest rooted at component minima is exactly:
+     * (a) no node is both child and parent, and (b) every child has ONE
+     * parent (each `src` appears exactly once — without this, edges
+     * (5,1),(5,2) pass check (a) alone while doc 5 sits in two clusters
+     * and the true component {1,2,5} is never contracted). Both checks
+     * reduce to one per-node (timesAsSrc, timesAsDst) aggregate.
+     */
+    def probe(e: DataFrame): (Long, Long) = {
+      val nodes = e.select(col("src").as("n"), lit(1L).as("s"), lit(0L).as("d"))
+        .unionByName(e.select(col("dst").as("n"), lit(0L).as("s"), lit(1L).as("d")))
+      val row = nodes.groupBy(col("n"))
+        .agg(sum(col("s")).as("s"), sum(col("d")).as("d"))
+        .agg(
+          sum(when(col("s") > 1 || (col("s") > 0 && col("d") > 0), 1L)
+            .otherwise(0L)).as("violations"),
+          count(lit(1)).as("n_nodes"))
+        .collect()(0)
+      (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+    }
+
     // canonical child > parent edges; self-pairs drop (they carry no
     // connectivity), duplicate candidate edges collapse in the distinct
     var edges = ckpt(pairs
@@ -353,11 +384,9 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct())
-    val nNodes = edges.select(col("src").as("n"))
-      .unionByName(edges.select(col("dst").as("n")))
-      .distinct().count()
-    def side(df: DataFrame): DataFrame =
-      if (nNodes <= broadcastMaxNodes) broadcast(df) else df
+    // the initial probe doubles as the nNodes count that gates the AQE
+    // suspension — no separate count job
+    val (violations, nNodes) = probe(edges)
 
     /** One star phase: emit (u, m(v)) for v's neighbors on one side of v
       * (large: u > v; small: u ≤ v plus v itself). Both phases emit
@@ -373,7 +402,15 @@ object Dedup {
       // ReuseExchange shares it within the job — no checkpoint needed,
       // and skipping it saves one eager materialization job per round
       val m = m0
-      val joined = nb.join(side(m), "v")
+      // shuffle join by design, both regimes: m and nb hash-partition on
+      // v (the agg's exchange doubles as the join's left side, reused).
+      // A broadcast(m) hint would skip nb's exchange, but every broadcast
+      // exchange is its own collect JOB — in the AQE-off small regime the
+      // whole round then pipelines into the probe's single job, which is
+      // the cheaper shape (per-job scheduler overhead dominates tiny
+      // graphs); in the large regime m is node-count-sized — not a
+      // broadcast candidate at all.
+      val joined = nb.join(m, "v")
       val emitted =
         if (large) joined.filter(col("u") > col("v"))
           .select(col("u").as("src"), col("m").as("dst"))
@@ -406,25 +443,23 @@ object Dedup {
     // component minima (Kiveris et al.), and under the canonical
     // child > parent orientation every star's parent is below all its
     // children — i.e. the star IS rooted at its minimum. So convergence
-    // is the purely STRUCTURAL property "no node appears as both child
-    // and parent", checkable on the CURRENT edge set with one semi-join:
-    // no confirming round, no edge-set diff. (On a star: a child's only
-    // neighbor is its smaller parent, so large-star re-emits (child,
-    // parent) and small-star emits (parent, parent) — dropped — plus the
-    // union branch (child, parent); both phases are the identity.)
-    def isStarForest(e: DataFrame): Boolean =
-      e.join(side(e.select(col("dst").as("src")).distinct()),
-        Seq("src"), "left_semi").isEmpty
+    // is the purely STRUCTURAL star-forest property checked by `probe`
+    // on the CURRENT edge set: no confirming round, no edge-set diff.
+    // (On a star: a child's only neighbor is its smaller parent, so
+    // large-star re-emits (child, parent) and small-star emits (parent,
+    // parent) — dropped — plus the union branch (child, parent); both
+    // phases are the identity.)
     var iter = 0
-    var converged = isStarForest(edges)
+    var converged = violations == 0L
     while (!converged && iter < maxIter) {
-      // one lineage truncation per round; the large-star subplan inside is
-      // referenced twice by small-star's nb union, but its exchanges are
-      // identical and shared (ReuseExchange), so only the cheap post-
-      // shuffle compute doubles — cheaper than an extra checkpoint job
+      // one lineage truncation per round, materialized by the probe's own
+      // aggregate job; the large-star subplan inside is referenced twice
+      // by small-star's nb union, but its exchanges are identical and
+      // shared (ReuseExchange), so only the cheap post-shuffle compute
+      // doubles — cheaper than an extra checkpoint job
       edges = ckpt(phase(phase(edges, large = true), large = false))
       iter += 1
-      converged = isStarForest(edges)
+      converged = probe(edges)._1 == 0L
     }
     if (!converged)
       throw new IllegalStateException(
@@ -433,11 +468,13 @@ object Dedup {
     } finally spark.conf.set(aqeKey, aqeBefore)
   }
 
-  /** [[duplicateClusters]] over the simhash near-dup graph. The pair-level
-    * distinct is skipped (multi-band duplicate candidate edges collapse in
-    * the contraction's own map-side aggregates — same components). */
+  /** [[duplicateClusters]] over the simhash near-dup graph
+    * ([[simhashDupGraph]]: exact duplicates collapsed before banding).
+    * The pair-level distinct is skipped (multi-band duplicate candidate
+    * edges collapse in the contraction's own map-side aggregates — same
+    * components). */
   def simhashClusters(s: SparkSession, d: String): DataFrame =
-    duplicateClusters(simhashPairsRaw(s, d))
+    duplicateClusters(simhashDupGraph(s, d))
 
   // ------------------------------------------------------------- simhash
 
@@ -498,14 +535,15 @@ object Dedup {
     fps.select(cols: _*)
   }
 
-  /** SimHash near-dup candidate pairs, pre-distinct: a pair appears once
-    * per shared band (≤4×). Consumers that only need the pair GRAPH (e.g.
-    * [[duplicateClusters]], whose first contraction collapses duplicate
-    * edges map-side) take this and skip the dedup exchange entirely. */
-  def simhashPairsRaw(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
-    val fps = simhashFingerprints(s, d)
+  /** The band-blocked near-dup pair join over a (doc_id, simhash) frame:
+    * equal 15-bit band ⇒ candidate; exact Hamming filter via
+    * bit_count(xor). Shared by the full-corpus pair queries and the
+    * exact-first dup graph. */
+  private def bandPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     val banded = fps.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimhashBands).map(k => col(s"band_$k")): _*))
+      posexplode(array((0 until SimhashBands).map(k =>
+        shiftright(col("simhash"), k * SimhashBandBits)
+          .bitwiseAND(SimhashBandMask)): _*))
         .as(Seq("band_id", "band_key")))
     val l = banded.select(col("band_id"), col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
@@ -516,6 +554,65 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+  }
+
+  /** SimHash near-dup candidate pairs, pre-distinct: a pair appears once
+    * per shared band (≤4×). This is the EXHAUSTIVE pair surface (q35's
+    * semantics: every near-dup pair, including pairs of identical texts);
+    * graph consumers use [[simhashDupGraph]] instead, which collapses
+    * exact duplicates before banding. */
+  def simhashPairsRaw(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame =
+    bandPairs(simhashFingerprints(s, d).select(col("doc_id"), col("simhash")),
+      maxHamming)
+
+  /**
+   * The simhash near-dup graph with EXACT duplicates collapsed before
+   * banding — the edge set [[duplicateClusters]] and its consumers
+   * (dedup application, the training pipeline) contract.
+   *
+   * Why not band the full corpus: identical texts share an identical
+   * fingerprint, hence all four bands, so a text duplicated n times puts
+   * n rows into each of its band groups and the band self-join emits
+   * ~4·n²/2 candidate rows INSIDE ONE KEY GROUP — a quadratic blowup and
+   * a straggler partition at once on real web corpora (30–60% exact
+   * dups). Collapsing by content hash first caps every such group at one
+   * row per DISTINCT text; the n duplicate members re-enter as n−1
+   * (member → representative) edges, which is linear by construction.
+   *
+   * The contracted components are UNCHANGED vs banding the full corpus:
+   * exact copies have equal fingerprints, so (m, x) is a full-graph edge
+   * iff (rep(m), rep(x)) is a rep-graph edge (same bands, same Hamming
+   * distance), and every member reaches its rep through its exact edge —
+   * the component partition over doc_ids, and each component's minimum
+   * (the representative IS the group minimum), are identical. Pinned by
+   * the planted-duplicate soak in ClusterSoakSpec.
+   *
+   * 100 TB shape: fingerprint + content hash are narrow maps; ONE shuffle
+   * on the 128-bit hash (a window keyed by it — group sizes are the
+   * duplicate multiplicities, linear); banding then joins on unique
+   * fingerprints only. The corpus body never shuffles — the windowed rows
+   * carry (doc_id, h128, simhash).
+   */
+  def simhashDupGraph(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame =
+    simhashDupGraphOf(
+      documentsSpread(s, d).select(col("doc_id"), col("text")), maxHamming)
+
+  /** [[simhashDupGraph]] over an arbitrary (doc_id, text) frame. */
+  def simhashDupGraphOf(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h128"),
+        simhashFromHashes(
+          transform(array_distinct(words(col("text"))), w => mdHash60(w)))
+          .as("simhash"))
+    val byText = Window.partitionBy(col("h128"))
+    val withRep = fps.withColumn("rep", min(col("doc_id")).over(byText))
+    val exactEdges = withRep.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"),
+        lit(0).as("hamming"))
+    val uniq = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("simhash"))
+    bandPairs(uniq, maxHamming).unionByName(exactEdges)
   }
 
   /** SimHash near-dup candidate pairs: equal 15-bit band ⇒ candidate; then

@@ -198,7 +198,9 @@ object Sampling {
   def trainingPipeline(s: SparkSession, d: String,
       minTokens: Int = 10, maxTokens: Int = 1000,
       chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
-    val losers = Dedup.duplicateClusterEdges(Dedup.simhashPairsRaw(s, d))._1
+    // exact-first graph: identical texts collapse before banding, so a
+    // duplicate-heavy corpus can't blow the band join up quadratically
+    val losers = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(s, d))._1
       .select(col("src").as("doc_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
@@ -218,8 +220,10 @@ object Sampling {
 
   def dedupApply(s: SparkSession, d: String): DataFrame = {
     // the contraction's (child > root) edges ARE the losers — one row per
-    // non-survivor member, no roots union to build and filter back out
-    val losers = Dedup.duplicateClusterEdges(Dedup.simhashPairsRaw(s, d))._1
+    // non-survivor member, no roots union to build and filter back out;
+    // exact-first graph (see Dedup.simhashDupGraph) keeps the band join
+    // linear on duplicate-heavy corpora
+    val losers = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(s, d))._1
       .select(col("src").as("doc_id"))
     Tables.documents(s, d)
       .join(losers, Seq("doc_id"), "left_anti")

@@ -27,14 +27,19 @@ object JobCount {
       case Some(d) =>
         (1 to 2).foreach { pass =>
           println(s"--- pass $pass")
-          val pairs = timed("pairs_count") {
-            val p = graft.analytics.Dedup.simhashPairsRaw(spark, d)
+          val pairs = timed("dup_graph_count") {
+            val p = graft.analytics.Dedup.simhashDupGraph(spark, d)
             p.write.format("noop").mode("overwrite").save(); p
           }
-          timed("contraction") {
-            val (df, rounds) = graft.analytics.Dedup.duplicateClustersWithRounds(pairs)
-            df.write.format("noop").mode("overwrite").save()
-            println(s"rounds=$rounds")
+          val (edges, rounds) = timed("edge_loop") {
+            graft.analytics.Dedup.duplicateClusterEdges(pairs)
+          }
+          println(s"rounds=$rounds")
+          timed("members_write") {
+            import org.apache.spark.sql.functions.col
+            edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+              .unionByName(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")).distinct())
+              .write.format("noop").mode("overwrite").save()
           }
         }
       case None =>

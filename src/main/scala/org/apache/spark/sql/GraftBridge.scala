@@ -30,8 +30,20 @@ object GraftBridge {
    * "stats-less LogicalRDD" contract the caller's broadcast hints
    * already assume.
    */
-  def checkpointNoStats(df: Dataset[Row]): Dataset[Row] = {
-    val cp = df.localCheckpoint()
+  def checkpointNoStats(df: Dataset[Row]): Dataset[Row] =
+    checkpointNoStats(df, eager = true)
+
+  /**
+   * `eager = false` defers materialization to the FIRST ACTION on the
+   * returned frame: `localCheckpoint(eager=false)` only marks the
+   * checkpoint RDD, and Spark persists it (and truncates lineage) when
+   * the first job computes it. An iterative caller that must run a
+   * per-round convergence aggregate anyway can therefore fold the
+   * checkpoint materialization into that aggregate's job — one scheduler
+   * round-trip per iteration instead of two (materialize, then probe).
+   */
+  def checkpointNoStats(df: Dataset[Row], eager: Boolean): Dataset[Row] = {
+    val cp = df.localCheckpoint(eager)
     val spark = cp.sparkSession.asInstanceOf[classic.SparkSession]
     cp.queryExecution.analyzed match {
       // the checkpoint's own RDD already holds per-row COPIES (Dataset

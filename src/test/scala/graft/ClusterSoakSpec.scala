@@ -46,6 +46,49 @@ class ClusterSoakSpec extends AnyFunSuite with SparkSuite {
       s"4x chain cost ${r256 - r64} extra rounds over $r64 — not logarithmic")
   }
 
+  test("multi-parent initial state is NOT a fixpoint: (5,1),(5,2) → {1,2,5}") {
+    // Regression: edges (5,1),(5,2) satisfy "no node is both child and
+    // parent" — the INCOMPLETE star-forest test that convergence once
+    // used — while doc 5 has two parents, so the true component {1,2,5}
+    // is still uncontracted. The corrected predicate also requires every
+    // child to have exactly one parent, forcing another round here.
+    val (df, rounds) = Dedup.duplicateClustersWithRounds(
+      Seq((5L, 1L), (5L, 2L)).toDF("doc_a", "doc_b"))
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rounds >= 1, "a multi-parent state must trigger at least one round")
+    assert(out == Set((1L, 1L), (2L, 1L), (5L, 1L)),
+      s"expected the single component {1,2,5} rooted at 1, got $out")
+  }
+
+  test("planted exact duplicates: candidate edges stay linear, components exact") {
+    // A text duplicated n times puts n identical fingerprints into each of
+    // its 4 band groups, so banding the FULL corpus emits ~4·n²/2 candidate
+    // rows (~2M here) inside single key groups — the quadratic blowup a
+    // 30–60%-duplicate web corpus hits. The exact-first graph
+    // (simhashDupGraphOf) must stay linear: n−1 member→rep edges plus
+    // rep-level pairs among distinct texts only.
+    val n = 1000
+    val copies = (0 until n).map(i =>
+      (1000L + i, "the quick brown fox jumps over the lazy dog again and again"))
+    // background ids ABOVE the planted block so the planted component's
+    // minimum (= its cluster root) is 1000 even if a background doc is a
+    // chance near-dup of the copy text
+    val background = (0 until 200).map(i =>
+      (100000L + i, s"unique background document number $i carrying words " +
+        s"alpha${i * 7} beta${i * 13} gamma${i * 29} delta${i * 31}"))
+    val docs = (copies ++ background).toDF("doc_id", "text")
+    val graph = Dedup.simhashDupGraphOf(docs)
+    val rows = graph.count()
+    assert(rows < 5L * (n + 200),
+      s"dup-graph rows $rows not linear in corpus size — exact-first collapse broken")
+    val clusters = Dedup.duplicateClusters(graph)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0 until n).foreach { i =>
+      assert(clusters(1000L + i) == 1000L,
+        s"copy ${1000 + i} not in the planted cluster rooted at 1000")
+    }
+  }
+
   test("mixed topology: cliques + chains + singleton pairs in one graph") {
     val cliques = (0 until 50).flatMap { c =>
       val ids = (0 until 6).map(i => 100000L + c * 6 + i)

@@ -112,9 +112,9 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
 
     // q74: contraction rounds are the scale observable — shard-local
     // clusters mean the 10x corpus must converge in the same O(log) rounds
-    val (_, r01) = Dedup.duplicateClusterEdges(Dedup.simhashPairsRaw(spark, sf01))
+    val (_, r01) = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(spark, sf01))
     val t0 = System.nanoTime()
-    val (edges1, r1) = Dedup.duplicateClusterEdges(Dedup.simhashPairsRaw(spark, soakDir))
+    val (edges1, r1) = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(spark, soakDir))
     val n1 = edges1.count()
     info(f"q74: sf0.1 rounds=$r01 -> sf1 rounds=$r1 (${(System.nanoTime() - t0) / 1e9}%.1fs, $n1 member edges)")
     assert(r1 <= r01 + 2,
