@@ -80,9 +80,22 @@ object JdbcSink {
       try st.execute(createTableSql(table, d)) finally st.close()
     }
 
-  /** `DROP TABLE IF EXISTS` — op I-2, volatile path (`db_client.rs:126-145`). */
+  /** `DROP TABLE IF EXISTS` — op I-2, volatile path (`db_client.rs:126-145`).
+    * Derby has no `IF EXISTS` (same gap as its CREATE — see
+    * [[createTableSql]]), so its statement is a plain DROP and existence
+    * is the caller's job: use [[dropTable]], which probes via
+    * [[tableExists]] first, exactly like the staged-merge rollback path. */
   def dropTableSql(tableName: String, d: Dialect): String =
-    s"DROP TABLE IF EXISTS ${d.ident(tableName)}"
+    if (d == Derby) s"DROP TABLE ${d.ident(tableName)}"
+    else s"DROP TABLE IF EXISTS ${d.ident(tableName)}"
+
+  /** I-2 against a live connection: drop-if-exists on every dialect,
+    * including Derby (probe + plain DROP). */
+  def dropTable(conn: java.sql.Connection, tableName: String, d: Dialect): Unit =
+    if (d != Derby || tableExists(conn, tableName)) {
+      val st = conn.createStatement()
+      try st.execute(dropTableSql(tableName, d)) finally st.close()
+    }
 
   /** The staged-merge statement pair — the set-based replacement of the
     * reference's per-row delete/insert loop (op I-3). Run inside ONE

@@ -71,9 +71,16 @@ object StreamingCorpus {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         // chunks: content is a function of the doc, so the batch id only
-        // serves replay idempotence through the seq-aware merge
-        val chunks = Sampling.chunkDocumentsOf(batch, chunkTokens, overlap)
-          .withColumn("_dump_seq", lit(batchId))
+        // serves replay idempotence through the seq-aware merge. The
+        // pre-merge dedup matters on the TABLE-CREATION path: mergeInto's
+        // contract requires a per-PK-unique batch (later batches dedup
+        // contested∪challengers inside applyIncrementalSeq, but the first
+        // batch is written as-is), and the corpus contract explicitly
+        // allows the same doc to be re-delivered within one micro-batch.
+        val chunks = Merge.dedupLatest(
+          Sampling.chunkDocumentsOf(batch, chunkTokens, overlap)
+            .withColumn("_dump_seq", lit(batchId)),
+          Seq("doc_id", "chunk_idx"), "_dump_seq")
         BucketedMerge.mergeInto(spark, chunksPath, chunks,
           Seq("doc_id", "chunk_idx"), nBuckets, seqCol = Some("_dump_seq"))
         // survivors: lowest doc_id per content hash, across all batches

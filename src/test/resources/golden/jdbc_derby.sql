@@ -1,7 +1,7 @@
 -- createTableSql
 CREATE TABLE "account_dim" ("id" BIGINT, "_default" VARCHAR(32672), "generated" VARCHAR(32672), "flag" BOOLEAN, "score" DOUBLE, "kind" VARCHAR(32672), "n" INT, "body" VARCHAR(32672), "created_at" TIMESTAMP, "on_date" DATE, "label" VARCHAR(32672), "uid" VARCHAR(32672), "updated_at" TIMESTAMP)
 -- dropTableSql
-DROP TABLE IF EXISTS "account_dim"
+DROP TABLE "account_dim"
 -- columnTypesOption
 id BIGINT, _default VARCHAR(32672), generated VARCHAR(32672), flag BOOLEAN, score DOUBLE, kind VARCHAR(32672), n INT, body VARCHAR(32672), created_at TIMESTAMP, on_date DATE, label VARCHAR(32672), uid VARCHAR(32672), updated_at TIMESTAMP
 -- mergeSql

@@ -128,4 +128,18 @@ class JdbcLiveSpec extends AnyFunSuite with SparkSuite {
     assert(back.count() == 20)
     assert(back.select(sum(col("id"))).collect()(0).getLong(0) == 210L)
   }
+
+  test("dropTable is drop-if-exists on Derby: absent table is a no-op, present table drops") {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      // absent: Derby has no IF EXISTS, so this exercises the probe branch
+      JdbcSink.dropTable(conn, "never_created", d)
+      // present: created, dropped, gone; second drop is again a no-op
+      JdbcSink.ensureTable(conn, quizDim, d)
+      assert(JdbcSink.tableExists(conn, quizDim.tableName))
+      JdbcSink.dropTable(conn, quizDim.tableName, d)
+      assert(!JdbcSink.tableExists(conn, quizDim.tableName))
+      JdbcSink.dropTable(conn, quizDim.tableName, d)
+    } finally conn.close()
+  }
 }
