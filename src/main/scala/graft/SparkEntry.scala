@@ -827,11 +827,15 @@ object SparkEntry {
     // out-of-range NULLs), 15-hex md5 hashes, per-window minima — all
     // integer-exact, mirroring TextStats.winnowFingerprints stage by stage
     "q78_winnow_fingerprints" -> winnowFpSql,
+    // same df-cap predicate as the engine (TextStats.dfCapped): keys
+    // shared by > 128 docs are dropped before the pair join
     "q79_winnow_pairs" ->
       (winnowFpCte +
-        """
+        """,
+          |fpk AS (SELECT doc_id, fp FROM fp
+          |  QUALIFY count(*) OVER (PARTITION BY fp) <= 128)
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
           |GROUP BY doc_a, doc_b HAVING count(*) >= 2""".stripMargin),
     // chunk boundaries/hashes are pure integer+md5 arithmetic; slices clamp
     // identically (Spark slice length vs DuckDB [a:b] both truncate at end)
@@ -925,11 +929,14 @@ object SparkEntry {
         |FROM a2 GROUP BY cell""".stripMargin,
     // every positional 8-gram hash (distinct per doc), self-joined — the
     // same md5-prefix hashing as the winnow CTE, minus the min-window
+    // same df-cap predicate as the engine (TextStats.dfCapped)
     "q84_shared_gram_pairs" ->
       (allGramCte(8) +
-        """
+        """,
+          |fpk AS (SELECT doc_id, h FROM fp
+          |  QUALIFY count(*) OVER (PARTITION BY h) <= 128)
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-          |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+          |FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
           |GROUP BY doc_a, doc_b HAVING count(*) >= 3""".stripMargin),
     "q85_ngram_contamination" ->
       (allGramCte(8) +

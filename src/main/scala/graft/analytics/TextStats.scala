@@ -160,8 +160,9 @@ object TextStats {
    * the MinHash candidates.
    */
   def winnowPairs(s: SparkSession, d: String,
-      k: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
-    val fps = winnowFingerprints(s, d, k, w)
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      dfCap: Int = 128): DataFrame = {
+    val fps = dfCapped(winnowFingerprints(s, d, k, w), "fp", dfCap)
     val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
     val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
     a.join(b, "fp")
@@ -170,6 +171,32 @@ object TextStats {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /**
+   * Hot-key guard for the pair self-joins: drop join keys whose document
+   * frequency exceeds `dfCap` BEFORE the join. A boilerplate gram ("click
+   * here to accept the terms of …") present in d documents would emit
+   * d²/2 candidate rows inside ONE key group — quadratic volume and a
+   * straggler partition at once, and the join key being uniform over
+   * DISTINCT grams spreads groups but cannot shrink one. Declared
+   * semantics change: a pair attested ONLY by ultra-common keys (shared
+   * by > dfCap docs) is noise, not duplication evidence — the standard
+   * call in exact-substring dedup (suffix-array pipelines cap or drop
+   * boilerplate runs the same way). The default cap is far above the
+   * corpus fixtures' maximum df (4 at sf0.1), so test-scale output is
+   * unchanged; the ORACLE carries the same predicate (QUALIFY
+   * count(*) OVER (PARTITION BY h)), keeping the queries value-checked.
+   *
+   * Shape: one window count over the key — a linear, uniformly-keyed
+   * shuffle that leaves the frame hash-partitioned on the key, exactly
+   * the partitioning the self-join needs. No broadcast of a "hot set"
+   * (at 100 TB the hot tail itself can exceed broadcast size).
+   */
+  private def dfCapped(keyed: DataFrame, keyCol: String, dfCap: Int): DataFrame =
+    keyed
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("_df") <= dfCap)
+      .drop("_df")
 
   /** All positional word k-gram hashes of each document, distinct per doc
     * — the relational (posexplode + lead) form shared with
@@ -213,11 +240,18 @@ object TextStats {
    * 100 TB posture: the gram table is corpus-word-sized (the declared
    * cost of exactness); its key is a uniform 60-bit hash, so the
    * self-equi-join shuffle partitions evenly, candidate pairs collapse in
-   * map-side partial counts, and no stage is ever all-pairs.
+   * map-side partial counts, and no stage is ever all-pairs. Hot
+   * boilerplate grams are dropped by [[dfCapped]] before the join — the
+   * one key shape uniform hashing cannot defuse.
    */
   def sharedGramPairs(s: SparkSession, d: String,
-      k: Int = 8, minShared: Int = 3): DataFrame = {
-    val g = allGramHashes(s, d, k)
+      k: Int = 8, minShared: Int = 3, dfCap: Int = 128): DataFrame =
+    sharedGramPairsOf(documents(s, d), k, minShared, dfCap)
+
+  /** [[sharedGramPairs]] over an arbitrary (doc_id, text) frame. */
+  def sharedGramPairsOf(docs: DataFrame,
+      k: Int, minShared: Int, dfCap: Int): DataFrame = {
+    val g = dfCapped(allGramHashesOf(docs, k), "h", dfCap)
     val a = g.select(col("doc_id").as("doc_a"), col("h"))
     val b = g.select(col("doc_id").as("doc_b"), col("h"))
     a.join(b, "h")

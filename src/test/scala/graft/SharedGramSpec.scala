@@ -43,6 +43,31 @@ class SharedGramSpec extends AnyFunSuite with SparkSuite {
       "winnowing found a pair the exhaustive gram join missed — hashing diverged")
   }
 
+  test("q84 df cap: a boilerplate gram shared by hundreds of docs attests no pairs") {
+    import spark.implicits._
+    // 400 docs: unique bodies + ONE common 8-word boilerplate tail. Without
+    // the df cap the tail's grams put 400 rows into one join key group —
+    // ~80k candidate rows from a single gram (d²/2, the quadratic shape a
+    // real corpus hits with "click here to accept the terms of" tails).
+    // With the cap (df 400 > 128) the hot gram is dropped BEFORE the join.
+    val boiler = (1 to 8).map(i => s"boiler$i").mkString(" ")
+    val docs = (0 until 400).map(i =>
+      (i.toLong, s"unique${i}a unique${i}b unique${i}c unique${i}d $boiler"))
+      .toDF("doc_id", "text")
+    val capped = TextStats.sharedGramPairsOf(docs, k = 8, minShared = 1, dfCap = 128)
+    assert(capped.isEmpty,
+      "pairs attested only by a >cap boilerplate gram must be dropped")
+    // rare-gram recall is untouched: two docs sharing a RARE span still pair
+    val withRare = docs.unionByName(Seq(
+      (1000L, "rare1 rare2 rare3 rare4 rare5 rare6 rare7 rare8 tail9"),
+      (1001L, "head0 rare1 rare2 rare3 rare4 rare5 rare6 rare7 rare8"))
+      .toDF("doc_id", "text"))
+    val pairs = TextStats.sharedGramPairsOf(withRare, k = 8, minShared = 1, dfCap = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1000L, 1001L)),
+      s"expected only the rare-span pair, got ${pairs.mkString(",")}")
+  }
+
   test("q85: a verbatim copy of a benchmark doc is flagged at ratio 1.0") {
     val body = (1 to 20).map(i => s"bench$i").mkString(" ")
     val d = writeDocs(Seq(
