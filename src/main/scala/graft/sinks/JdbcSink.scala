@@ -66,11 +66,25 @@ object JdbcSink {
     * table we never made. */
   def tableExists(conn: java.sql.Connection, tableName: String): Boolean = {
     val md = conn.getMetaData
-    val esc = md.getSearchStringEscape
-    val pattern = tableName.replace(esc, esc + esc)
-      .replace("_", esc + "_").replace("%", esc + "%")
-    val rs = md.getTables(conn.getCatalog, conn.getSchema, pattern, Array("TABLE"))
-    try rs.next() finally rs.close()
+    // drivers MAY return null/empty here (DuckDB does); then the pattern
+    // cannot be escaped and the exact-name re-check below carries alone
+    val pattern = Option(md.getSearchStringEscape).filter(_.nonEmpty) match {
+      case Some(esc) => tableName.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
+      case None => tableName
+    }
+    // both spellings of the base-table type: classic drivers say TABLE,
+    // information_schema-styled ones (DuckDB) say BASE TABLE
+    val rs = md.getTables(conn.getCatalog, conn.getSchema, pattern,
+      Array("TABLE", "BASE TABLE"))
+    // exact-name re-check: even escaped, getTables is a LIKE scan, and an
+    // unescapable pattern could match siblings (every warehouse table name
+    // contains `_`, a single-char wildcard)
+    try {
+      var found = false
+      while (!found && rs.next()) found = rs.getString("TABLE_NAME") == tableName
+      found
+    } finally rs.close()
   }
 
   /** I-1 against a live connection: create the target when absent. */
