@@ -598,13 +598,24 @@ object Dedup {
       documentsSpread(s, d).select(col("doc_id"), col("text")), maxHamming)
 
   /** [[simhashDupGraph]] over an arbitrary (doc_id, text) frame. */
-  def simhashDupGraphOf(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val fps = docs
-      .select(col("doc_id"),
-        md5(col("text").cast("binary")).as("h128"),
-        simhashFromHashes(
-          transform(array_distinct(words(col("text"))), w => mdHash60(w)))
-          .as("simhash"))
+  def simhashDupGraphOf(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    simhashDupGraphFromMeta(simhashMetaOf(docs), maxHamming)
+
+  /** The per-doc dedup fingerprint row (doc_id, h128, simhash) — a narrow
+    * map over the corpus, and the ONLY state the near-dup graph needs.
+    * The streaming path maintains exactly this table incrementally
+    * ([[graft.streaming.StreamingCorpus]]): fingerprinting is per-doc
+    * work done once on arrival; the graph and its contraction are then
+    * derivable from fingerprints alone, never re-reading document text. */
+  def simhashMetaOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h128"),
+      simhashFromHashes(
+        transform(array_distinct(words(col("text"))), w => mdHash60(w)))
+        .as("simhash"))
+
+  /** [[simhashDupGraph]] from a (doc_id, h128, simhash) fingerprint frame. */
+  def simhashDupGraphFromMeta(fps: DataFrame, maxHamming: Int = 6): DataFrame = {
     val byText = Window.partitionBy(col("h128"))
     val withRep = fps.withColumn("rep", min(col("doc_id")).over(byText))
     val exactEdges = withRep.filter(col("doc_id") =!= col("rep"))

@@ -58,7 +58,11 @@ final class ApiClient(
     transport: Transport,
     baseUrl: String = "https://portal.inshosteddata.com",
     clock: () => Instant = () => Instant.now(),
-    downloadParallelism: Int = 8) {
+    downloadParallelism: Int = 8,
+    // gz is unsplittable: artifacts larger than this (compressed bytes)
+    // are re-chunked locally after download so the table scan is not
+    // serialized behind one partition (graft.ingest.GzRechunk)
+    gzRechunkMaxBytes: Long = 1L << 30) {
 
   private val host = URIHost.of(baseUrl)
 
@@ -117,13 +121,15 @@ final class ApiClient(
     try {
       val work = Future.traverse(artifacts) { case (table, artifact) =>
         Future {
-          val paths = artifact.files.map { f =>
+          val paths = artifact.files.flatMap { f =>
             val dest = saveDir.resolve(f.filename)
             // download to a temp name and rename only on success: a failed
             // or interrupted GET must never leave bytes at `dest`, or the
             // resume-by-existence check would treat the partial/error body
-            // as a completed artifact forever after
-            if (!Files.exists(dest)) {
+            // as a completed artifact forever after. An already-RE-CHUNKED
+            // artifact (original deleted after the split) counts as
+            // present — GzRechunk.isChunked must be consulted first.
+            if (!Files.exists(dest) && !graft.ingest.GzRechunk.isChunked(dest)) {
               val tmp = saveDir.resolve(f.filename + ".part")
               try {
                 transport.download(f.url, Map.empty, tmp)
@@ -134,7 +140,8 @@ final class ApiClient(
                   throw e
               }
             }
-            dest.toString
+            graft.ingest.GzRechunk.ensureChunked(dest, gzRechunkMaxBytes)
+              .map(_.toString)
           }
           table -> paths
         }

@@ -62,7 +62,11 @@ object StreamingCorpus {
       chunkTokens: Int = 128,
       overlap: Int = 32,
       nBuckets: Int = 32,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      fpsPath: Option[String] = None,
+      accountingPath: Option[String] = None,
+      minTokens: Int = 10,
+      maxTokens: Int = 1000): StreamingQuery = {
     spark.readStream
       .schema(schema)
       .parquet(landingDir)
@@ -86,8 +90,72 @@ object StreamingCorpus {
         // survivors: lowest doc_id per content hash, across all batches
         BucketedMerge.mergeInto(spark, survivorsPath, survivorsOf(batch),
           Seq("text_md5"), nBuckets, seqCol = Some("_keep_rank"))
+        // dedup fingerprints: the per-doc state the q86 composite needs —
+        // fingerprinting happens ONCE on arrival; downstream (graph,
+        // contraction, accounting) never re-reads document text
+        fpsPath.foreach { fp =>
+          val fps = Merge.dedupLatest(
+            graft.analytics.Dedup.simhashMetaOf(batch)
+              .withColumn("_dump_seq", lit(batchId)),
+            Seq("doc_id"), "_dump_seq")
+          BucketedMerge.mergeInto(spark, fp, fps,
+            Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+          // the continuously-maintained q86 output: recomputed from the
+          // incremental state after every batch (3 rows — trivially cheap
+          // to overwrite; the expensive per-doc work above is incremental)
+          accountingPath.foreach { ap =>
+            splitAccounting(spark, fp, chunksPath, minTokens, maxTokens)
+              .write.mode("overwrite").parquet(ap)
+          }
+        }
       }
       .start()
+  }
+
+  /**
+   * The q86 training-assembly accounting ([[Sampling.trainingPipeline]]'s
+   * output) REPLAYED over the incrementally-maintained state tables
+   * instead of the raw corpus: near-dup cluster losers from the
+   * fingerprint table's dup graph, survivorship and the token-count
+   * quality gate, then per-split chunk accounting from the chunk table.
+   *
+   * Equivalence to the batch composite: the exact-first dup graph is a
+   * pure function of (doc_id, h128, simhash); the batch pipeline's
+   * post-anti-join survivorship window keeps at most one doc per text
+   * group (every other same-text member is a contraction loser by
+   * construction), so dropping losers IS the survivorship; and a doc's
+   * token count equals the end of its last chunk (stride covers the final
+   * token), so the quality gate needs no text either. Asserted
+   * stream ≡ [[Sampling.trainingPipeline]] in StreamingCorpusSpec under
+   * shuffled arrival.
+   *
+   * 100 TB posture: the only non-incremental work here is the contraction
+   * over the near-dup GRAPH (fingerprint-sized rows, never text) and a
+   * re-aggregate of the chunk table — the per-document heavy lifting
+   * (fingerprinting, chunking) stays per-batch.
+   */
+  def splitAccounting(spark: SparkSession, fpsPath: String,
+      chunksPath: String, minTokens: Int, maxTokens: Int): org.apache.spark.sql.DataFrame = {
+    import graft.analytics.{Dedup, Sampling}
+    val fps = BucketedMerge.read(spark, fpsPath)
+      .select(col("doc_id"), col("h128"), col("simhash"))
+    val losers = Dedup.duplicateClusterEdges(Dedup.simhashDupGraphFromMeta(fps))._1
+      .select(col("src").as("doc_id"))
+    val chunks = BucketedMerge.read(spark, chunksPath)
+      .select(col("doc_id"), col("chunk_start"), col("chunk_len"))
+    val nTokens = chunks.groupBy(col("doc_id"))
+      .agg(max(col("chunk_start") + col("chunk_len")).as("n_tokens"))
+    val kept = fps.select(col("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(nTokens, Seq("doc_id"))
+      .filter(col("n_tokens").between(minTokens, maxTokens))
+      .select(col("doc_id"))
+    chunks.join(kept, Seq("doc_id"), "left_semi")
+      .groupBy(Sampling.splitName(col("doc_id")).as("split"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len").cast("long")).as("total_chunk_tokens"))
   }
 
   /**

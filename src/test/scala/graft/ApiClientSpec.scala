@@ -161,6 +161,38 @@ class ApiClientSpec extends AnyFunSuite {
     assert(t.downloads.last.endsWith("user_dim-00001-bb.gz"))
   }
 
+  test("oversized artifact is re-chunked after download; the marker resumes without re-fetch") {
+    val save = TempDirs.tempDir("graft_dl_rechunk").toString
+    val bigLines = (1 to 500).map(i => s"$i\tuser_$i")
+    val t = new FakeTransport(routes +
+      (s"$base/files/user_dim-00000-aa.gz" -> FakeTransport.gzBytes(bigLines)))
+    // threshold below the big artifact but above the small ones
+    val c = new ApiClient("the_key", "the_secret", save, t, baseUrl = base,
+      clock = () => fixedNow, gzRechunkMaxBytes = 512L)
+    val first = c.downloadFilesForDump("dump2")
+    val userPaths = first("user_dim")
+    assert(userPaths.count(_.contains("user_dim-00000-aa.gz.rechunk")) > 1,
+      s"oversized artifact not split: $userPaths")
+    assert(userPaths.exists(_.endsWith("user_dim-00001-bb.gz")),
+      "small artifact must pass through untouched")
+
+    // resume: original is gone, marker stands in — zero re-fetches
+    val fetched = t.downloads.size
+    val second = c.downloadFilesForDump("dump2")
+    assert(second == first)
+    assert(t.downloads.size == fetched)
+
+    // byte identity through the split
+    val lines = userPaths.filter(_.contains(".rechunk")).flatMap { p =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(Files.newInputStream(
+          java.nio.file.Paths.get(p))), "UTF-8"))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null).toList
+      finally in.close()
+    }
+    assert(lines == bigLines, "re-chunked parts must concatenate to the original lines")
+  }
+
   test("non-2xx fails fast instead of decoding garbage") {
     val t = new FakeTransport(Map.empty)
     intercept[java.io.IOException] { client(t, "/tmp/unused").getDumps() }

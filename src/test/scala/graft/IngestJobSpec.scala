@@ -125,6 +125,34 @@ class IngestJobSpec extends AnyFunSuite with SparkSuite {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("oversized gz artifact: re-chunk yields >1 scan partition, byte-identical table") {
+    val root = TempDirs.tempDir("graft_rechunk").toFile
+    val schema = CanvasSchema.fromJson(schemaJson)
+    // one unsplittable artifact carrying many rows — 1 partition, 1 thread
+    val rows = (1 to 2000).map(i => s"$i\tuser_$i\t2024-01-01 00:00:00\tnormal")
+    val big = gz(new File(root, "user_dim-00000-aa.gz"), rows)
+    val expected = graft.ingest.TsvReader
+      .read(spark, Seq(big), schema.tables("user_dim"))
+      .collect().map(_.toString).sorted
+
+    // re-chunk at a tiny threshold so the fixture splits like a multi-GB
+    // artifact would; part size bounded by UNCOMPRESSED bytes
+    val parts = graft.ingest.GzRechunk.ensureChunked(
+      new File(big).toPath, maxBytes = 1L, partUncompressedBytes = 16L << 10)
+    assert(parts.size > 1, s"expected multiple parts, got ${parts.size}")
+    assert(!new File(big).exists(), "original replaced by the part set")
+    // idempotent resume: marker present, same part set, no original needed
+    assert(graft.ingest.GzRechunk.isChunked(new File(big).toPath))
+    assert(graft.ingest.GzRechunk.ensureChunked(new File(big).toPath, 1L) == parts)
+
+    val df = graft.ingest.TsvReader.read(spark, parts.map(_.toString),
+      schema.tables("user_dim"))
+    assert(df.rdd.getNumPartitions > 1,
+      s"re-chunked scan still single-partition (${df.rdd.getNumPartitions})")
+    assert(df.collect().map(_.toString).sorted.sameElements(expected),
+      "re-chunked table differs from the single-file read")
+  }
+
   test("existing-but-unreadable target fails the load instead of overwriting it") {
     val root = TempDirs.tempDir("graft_corrupt").toFile
     val schema = CanvasSchema.fromJson(schemaJson)

@@ -109,6 +109,46 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       .exceptAll(batchSurv).isEmpty, "replay changed the survivors table")
   }
 
+  test("q86 accounting is continuously maintained and equals the batch composite") {
+    val root = TempDirs.tempDir("graft_sacct").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val chunksPath = s"$root/wh/chunks"
+    val survivorsPath = s"$root/wh/surv"
+    val fpsPath = s"$root/wh/fps"
+    val acctPath = s"$root/wh/acct"
+
+    // shuffled arrival: high ids first; wave 2 brings LOWER ids, an exact
+    // duplicate of a wave-1 text (survivorship must move to id 8), and a
+    // 2-token doc the quality gate must drop on both paths
+    val w1 = (50L to 69L).map(i => doc(i, 20 + (i % 7).toInt * 13, s"t${i % 5}"))
+    val w2 = (1L to 7L).map(i => doc(i, 15 + (i % 4).toInt * 9, s"t${i % 5}")) ++
+      Seq(w1(5).copy(_1 = 8L), (9L, "tiny doc", "en", "src0", 8L))
+
+    val schema = docsDF(w1).schema
+    def drain(): Unit = {
+      val q = StreamingCorpus.start(spark, landing.getAbsolutePath, schema,
+        chunksPath, survivorsPath, s"$root/chk", nBuckets = 8,
+        fpsPath = Some(fpsPath), accountingPath = Some(acctPath))
+      q.awaitTermination()
+    }
+    land(docsDF(w1), landing, "wave1")
+    drain()
+    // maintained already after the first wave, not only at the end
+    assert(spark.read.parquet(acctPath).count() > 0,
+      "accounting table absent after the first micro-batch")
+
+    land(docsDF(w2), landing, "wave2")
+    drain()
+
+    // batch composite over the identical corpus in one shot
+    val corpusDir = new File(root, "corpus")
+    docsDF(w1 ++ w2).write.parquet(s"${corpusDir.getAbsolutePath}/documents.parquet")
+    val batch = Sampling.trainingPipeline(spark, corpusDir.getAbsolutePath)
+    val streamed = spark.read.parquet(acctPath)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"stream=${streamed.collect().mkString(",")} batch=${batch.collect().mkString(",")}")
+  }
+
   test("streamed contamination gate equals batch scoring under replay") {
     import graft.analytics.TextStats
     val root = TempDirs.tempDir("graft_sgate").toFile
