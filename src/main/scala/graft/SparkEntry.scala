@@ -113,7 +113,12 @@ object SparkEntry {
     "q83_kmeans_cells" -> ((s: SparkSession, d: String) => Similarity.kmeansCellStats(s, d)),
     "q84_shared_gram_pairs" -> ((s: SparkSession, d: String) => TextStats.sharedGramPairs(s, d)),
     "q85_ngram_contamination" -> ((s: SparkSession, d: String) => TextStats.ngramContamination(s, d)),
-    "q86_training_pipeline" -> ((s: SparkSession, d: String) => Sampling.trainingPipeline(s, d)))
+    "q86_training_pipeline" -> ((s: SparkSession, d: String) => Sampling.trainingPipeline(s, d)),
+    // round 6: semantic dedup over k-means cells, Gopher quality rules,
+    // temperature-weighted mixture sampling
+    "q87_semdedup" -> ((s: SparkSession, d: String) => Similarity.semdedupStats(s, d)),
+    "q88_gopher_quality" -> ((s: SparkSession, d: String) => TextStats.gopherQuality(s, d)),
+    "q89_temperature_mixture" -> ((s: SparkSession, d: String) => Sampling.temperatureMixture(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -890,43 +895,12 @@ object SparkEntry {
     // argmax-cosine) rounds — centroids decimal-summed, the assignment key
     // rounded to 12 dp with ties to lowest cell, exactly as the engine
     "q83_kmeans_cells" ->
-      """WITH v AS (
-        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |a0 AS (SELECT vec_id, label, e, vec_id % 8 AS cell FROM v),
-        |cent1 AS (
-        | SELECT cell, dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
-        | FROM (SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x FROM a0) t
-        | GROUP BY cell, dim),
-        |ca1 AS (SELECT cell AS c_cell, list(mean_v ORDER BY dim) AS c0 FROM cent1 GROUP BY cell),
-        |s1 AS (
-        | SELECT vec_id, label, e, c_cell,
-        |  round(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*c0[i])) /
-        |   (sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i]))) *
-        |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))), 12) AS c_cos
-        | FROM a0 CROSS JOIN ca1),
-        |a1 AS (SELECT vec_id, label, e, c_cell AS cell FROM (
-        |  SELECT vec_id, label, e, c_cell, c_cos,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_cell) AS rn
-        |  FROM s1) t WHERE rn = 1),
-        |cent2 AS (
-        | SELECT cell, dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
-        | FROM (SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x FROM a1) t
-        | GROUP BY cell, dim),
-        |ca2 AS (SELECT cell AS c_cell, list(mean_v ORDER BY dim) AS c0 FROM cent2 GROUP BY cell),
-        |s2 AS (
-        | SELECT vec_id, label, e, c_cell,
-        |  round(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*c0[i])) /
-        |   (sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i]))) *
-        |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))), 12) AS c_cos
-        | FROM a1 CROSS JOIN ca2),
-        |a2 AS (SELECT vec_id, label, e, c_cell AS cell FROM (
-        |  SELECT vec_id, label, e, c_cell, c_cos,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_cell) AS rn
-        |  FROM s2) t WHERE rn = 1)
-        |SELECT cell, count(*) AS n_members,
-        | round(CAST(sum(CAST(list_sum(e) AS DECIMAL(28,15))) AS DOUBLE), 6) AS member_checksum,
-        | count(DISTINCT label) AS n_labels
-        |FROM a2 GROUP BY cell""".stripMargin,
+      (kmeansCte +
+        """
+          |SELECT cell, count(*) AS n_members,
+          | round(CAST(sum(CAST(list_sum(e) AS DECIMAL(28,15))) AS DOUBLE), 6) AS member_checksum,
+          | count(DISTINCT label) AS n_labels
+          |FROM a2 GROUP BY cell""".stripMargin),
     // every positional 8-gram hash (distinct per doc), self-joined — the
     // same md5-prefix hashing as the winnow CTE, minus the min-window
     // same df-cap predicate as the engine (TextStats.dfCapped)
@@ -983,7 +957,119 @@ object SparkEntry {
           |  ELSE 'test' END AS split,
           | count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
           | CAST(sum(chunk_len) AS BIGINT) AS total_chunk_tokens
-          |FROM x GROUP BY 1""".stripMargin))
+          |FROM x GROUP BY 1""".stripMargin),
+    // SemDeDup replayed: the q83 k-means CTE, then the within-cell pair
+    // sweep at the same 12-dp-rounded cosine threshold and keep-lowest rule
+    "q87_semdedup" ->
+      (kmeansCte +
+        """
+          |, pairs AS (
+          | SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |  round(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])) /
+          |   (sqrt(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*a.e[i]))) *
+          |    sqrt(list_sum(list_transform(range(1, len(b.e)+1), i -> b.e[i]*b.e[i])))), 12) AS cos
+          | FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+          |hit AS (SELECT cell, vec_a, vec_b FROM pairs WHERE cos >= 0.35),
+          |mem AS (SELECT cell, count(*) AS n_members FROM a2 GROUP BY cell),
+          |pa AS (SELECT cell, count(*) AS n_dup_pairs FROM hit GROUP BY cell),
+          |da AS (SELECT cell, count(*) AS n_dropped,
+          |  CAST(sum(vec_b) AS BIGINT) AS dropped_checksum
+          | FROM (SELECT DISTINCT cell, vec_b FROM hit) t GROUP BY cell)
+          |SELECT m.cell, m.n_members,
+          | coalesce(pa.n_dup_pairs, 0) AS n_dup_pairs,
+          | coalesce(da.n_dropped, 0) AS n_dropped,
+          | coalesce(da.dropped_checksum, 0) AS dropped_checksum
+          |FROM mem m LEFT JOIN pa USING (cell) LEFT JOIN da USING (cell)""".stripMargin),
+    "q88_gopher_quality" ->
+      s"""WITH t AS (
+        | SELECT source, $tokens AS ws FROM documents),
+        |f AS (
+        | SELECT source, len(ws) AS nw,
+        |  round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws), 6) AS mean_len,
+        |  round(CAST(len(list_filter(ws, w -> w IN ('the','a','of','to','and','in'))) AS DOUBLE) / len(ws), 6) AS stop_frac,
+        |  round(CAST(len(list_filter(ws, w -> regexp_matches(w, '^[a-z]+$$'))) AS DOUBLE) / len(ws), 6) AS alpha_frac
+        | FROM t),
+        |g AS (
+        | SELECT source,
+        |  CASE WHEN nw < 20 OR nw > 90 THEN 1 ELSE 0 END AS f_words,
+        |  CASE WHEN mean_len < 4.0 OR mean_len > 5.0 THEN 1 ELSE 0 END AS f_mean_len,
+        |  CASE WHEN stop_frac < 0.02 THEN 1 ELSE 0 END AS f_stop,
+        |  CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END AS f_alpha
+        | FROM f)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(f_words) AS BIGINT) AS n_fail_words,
+        | CAST(sum(f_mean_len) AS BIGINT) AS n_fail_mean_len,
+        | CAST(sum(f_stop) AS BIGINT) AS n_fail_stopword,
+        | CAST(sum(f_alpha) AS BIGINT) AS n_fail_alpha,
+        | CAST(sum(CASE WHEN f_words + f_mean_len + f_stop + f_alpha = 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM g GROUP BY source""".stripMargin,
+    // √n-weighted mixture: decimal-summed denominator, 12-dp-rounded
+    // weight/probability, floored integer bucket threshold — identical
+    // operation order to Sampling.temperatureMixture
+    "q89_temperature_mixture" ->
+      s"""WITH ls AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (
+        | SELECT lang, n_docs,
+        |  round(sqrt(n_docs) /
+        |   CAST((SELECT sum(CAST(sqrt(n_docs) AS DECIMAL(28,15))) FROM ls) AS DOUBLE), 12) AS weight
+        | FROM ls),
+        |w2 AS (
+        | SELECT lang, n_docs, weight,
+        |  CAST(floor(least(1.0, round(250 * weight / n_docs, 12)) * 1000000) AS BIGINT) AS thresh
+        | FROM w),
+        |k AS (
+        | SELECT d.lang,
+        |  CASE WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT % 1000000 < w2.thresh
+        |       THEN 1 ELSE 0 END AS kept,
+        |  len($tokens) AS n_tokens
+        | FROM documents d JOIN w2 ON d.lang = w2.lang),
+        |ka AS (
+        | SELECT lang, CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(kept * n_tokens) AS BIGINT) AS kept_tokens
+        | FROM k GROUP BY lang)
+        |SELECT w2.lang, w2.n_docs, round(w2.weight, 6) AS weight,
+        | ka.n_kept, ka.kept_tokens
+        |FROM w2 JOIN ka USING (lang)""".stripMargin)
+
+  /** DuckDB replay of the two Lloyd k-means iterations (shared by q83 and
+    * q87): init cell = vec_id % 8, decimal-summed centroids, 12-dp-rounded
+    * argmax-cosine assignment with ties to lowest cell. Ends with
+    * `a2(vec_id, label, e, cell)` — the final assignment. */
+  private def kmeansCte: String =
+    """WITH v AS (
+      | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |a0 AS (SELECT vec_id, label, e, vec_id % 8 AS cell FROM v),
+      |cent1 AS (
+      | SELECT cell, dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+      | FROM (SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x FROM a0) t
+      | GROUP BY cell, dim),
+      |ca1 AS (SELECT cell AS c_cell, list(mean_v ORDER BY dim) AS c0 FROM cent1 GROUP BY cell),
+      |s1 AS (
+      | SELECT vec_id, label, e, c_cell,
+      |  round(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*c0[i])) /
+      |   (sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i]))) *
+      |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))), 12) AS c_cos
+      | FROM a0 CROSS JOIN ca1),
+      |a1 AS (SELECT vec_id, label, e, c_cell AS cell FROM (
+      |  SELECT vec_id, label, e, c_cell, c_cos,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_cell) AS rn
+      |  FROM s1) t WHERE rn = 1),
+      |cent2 AS (
+      | SELECT cell, dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+      | FROM (SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x FROM a1) t
+      | GROUP BY cell, dim),
+      |ca2 AS (SELECT cell AS c_cell, list(mean_v ORDER BY dim) AS c0 FROM cent2 GROUP BY cell),
+      |s2 AS (
+      | SELECT vec_id, label, e, c_cell,
+      |  round(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*c0[i])) /
+      |   (sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i]))) *
+      |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))), 12) AS c_cos
+      | FROM a1 CROSS JOIN ca2),
+      |a2 AS (SELECT vec_id, label, e, c_cell AS cell FROM (
+      |  SELECT vec_id, label, e, c_cell, c_cos,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_cell) AS rn
+      |  FROM s2) t WHERE rn = 1)""".stripMargin
 
   /** CTE `fp(doc_id, h)`: distinct positional word k-gram hashes per doc —
     * the exhaustive sibling of [[winnowFpCte]] (no min-window sampling). */

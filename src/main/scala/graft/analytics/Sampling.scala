@@ -97,6 +97,64 @@ object Sampling {
         sum(col("sampled")).cast("long").as("n_sampled"))
 
   /**
+   * Temperature-weighted mixture sampling — the multilingual / multi-source
+   * rebalancing step of a pretraining mix (the exponentiated-smoothing
+   * α = 0.5 of XLM/mBERT; the Pile's per-source epochs are the same idea):
+   * group weight ∝ √n normalized across groups, so low-resource languages
+   * are upsampled relative to their raw share, then each group keeps a
+   * deterministic md5-bucket fraction sized to `budgetDocs` total expected
+   * documents. Emits per-language raw count, normalized weight, kept count
+   * and kept tokens.
+   *
+   * Determinism/parity: the weight denominator (Σ √n over groups) is
+   * decimal-summed (order-independent), weights and keep-probabilities are
+   * 12-dp-rounded before the integer bucket threshold is floored — the
+   * same convention as the k-means compare keys — and membership hashes
+   * doc_id through [[splitBucket]]'s md5 derivation at 1e-6 granularity,
+   * so a document's fate never changes as the corpus grows or reshuffles.
+   *
+   * 100 TB posture: two corpus scans — a count-by-group scan (column-pruned
+   * to `lang`, map-side combined into one row per group) and the keep pass
+   * with the per-group thresholds BROADCAST back (the group table is
+   * bounded by language/source cardinality, never corpus-sized). No
+   * corpus shuffle at all: both aggregates combine map-side on the tiny
+   * group key.
+   */
+  def temperatureMixture(s: SparkSession, d: String, budgetDocs: Long = 250): DataFrame =
+    temperatureMixtureOf(Tables.documents(s, d), budgetDocs)
+
+  /** [[temperatureMixture]] over an arbitrary (lang, doc_id, text) frame. */
+  def temperatureMixtureOf(documents: DataFrame, budgetDocs: Long): DataFrame = {
+    val docs = documents
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val langStats = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq", sqrt(col("n_docs")))
+      .withColumn("denom",
+        sum(col("sq").cast("decimal(28,15)")).over(all).cast("double"))
+      .withColumn("weight", round(col("sq") / col("denom"), 12))
+      .withColumn("thresh",
+        floor(least(lit(1.0),
+          round(lit(budgetDocs) * col("weight") / col("n_docs"), 12)) * 1000000))
+      .select(col("lang"), col("n_docs"), col("weight"), col("thresh"))
+    val kept = docs
+      .join(broadcast(langStats.select(col("lang"), col("thresh"))), "lang")
+      .withColumn("kept",
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 1000000 < col("thresh")).cast("int"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("kept")).cast("long").as("n_kept"),
+        sum((col("kept") * col("n_tokens")).cast("long")).as("kept_tokens"))
+    langStats
+      .select(col("lang"), col("n_docs"), round(col("weight"), 6).as("weight"))
+      .join(kept, "lang")
+  }
+
+  /**
    * Contamination check: corpus documents whose word-set Jaccard against
    * any "benchmark" document (doc_id ≡ 0 mod `benchStride`, standing in for
    * an eval set) reaches `threshold` — the near-match decontamination gate

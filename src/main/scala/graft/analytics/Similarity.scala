@@ -256,6 +256,64 @@ object Similarity {
         col("b.label").as("label"), col("b.cell").as("cell"))
 
   /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): cluster the embedding
+   * corpus with k-means, then within each cluster drop every vector whose
+   * cosine to a LOWER-id member reaches `threshold` — semantic near-dups
+   * that text-level dedup (shingles, simhash) cannot see. The keep-lowest
+   * rule replaces the paper's greedy order-dependent sweep with the same
+   * deterministic survivor convention as the exact/near-dup family
+   * (q30/q81), so output is schedule- and engine-independent.
+   *
+   * Observable: per-cell member count, duplicate-pair count, dropped-vector
+   * count and id checksum — value-oracle-checked against a full SQL replay
+   * of both k-means iterations AND the pair sweep (q87).
+   *
+   * 100 TB posture: pair generation is an equi-join on `cell` — never
+   * all-pairs across the corpus. Within-cell quadratic cost is the
+   * algorithm's declared knob: k scales with the corpus (k ≈ n/target
+   * cell size) so cell population stays bounded; the cells frame is
+   * lazily checkpointed so the two k-means rounds run once, not once per
+   * consumer branch. The demo threshold is low (fixture embeddings are
+   * near-orthogonal, max within-cell cosine ≈ 0.47); on a real embedding
+   * corpus the published operating point is ~0.95+ where the same plan
+   * prunes far harder.
+   */
+  def semdedupStats(s: SparkSession, d: String, k: Int = 8, iters: Int = 2,
+      threshold: Double = 0.35): DataFrame =
+    semdedupStatsOf(embeddings(s, d), k, iters, threshold)
+
+  /** [[semdedupStats]] over an arbitrary (vec_id, embedding, label) frame. */
+  def semdedupStatsOf(emb: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val cells = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      kmeansCells(emb, k, iters)
+        .select(col("cell"), col("vec_id"), col("embedding")), eager = false)
+    val a = cells.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = cells.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      // rounded compare key, q83 convention: a 1-ulp cross-engine cosine
+      // divergence cannot flip the threshold test
+      .withColumn("cos", round(cosineNative(col("e_a"), col("e_b")), 12))
+      .filter(col("cos") >= threshold)
+      .select(col("cell"), col("vec_a"), col("vec_b"))
+    // a vector lives in exactly one cell, so distinct vec_b IS per-cell
+    val dropped = pairs.select(col("cell"), col("vec_b")).distinct()
+    cells.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_dup_pairs")),
+        Seq("cell"), "left")
+      .join(dropped.groupBy(col("cell")).agg(
+          count(lit(1)).as("n_dropped"),
+          sum(col("vec_b")).as("dropped_checksum")),
+        Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("dropped_checksum"), lit(0L)).as("dropped_checksum"))
+  }
+
+  /**
    * q83: the k-means observable — per-cell membership count and a
    * decimal-exact member checksum (Σ over members of the vec's element
    * sum), plus the distinct labels landing in the cell. Checksums are

@@ -90,6 +90,66 @@ object TextStats {
       .agg(count(lit(1)).as("n_docs"))
 
   /**
+   * Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+   * ... Gopher", table A1): per-document repetition-independent filters —
+   * word count in [minWords, maxWords], mean word length in [minMeanLen,
+   * maxMeanLen], stopword fraction ≥ minStopFrac (a real-prose signal),
+   * alphabetic-word fraction ≥ minAlphaFrac. Emits the per-source rule
+   * ledger: how many documents each rule rejects and how many survive all
+   * of them — the dashboard a corpus-quality pass is tuned against.
+   * Bounds here are tightened to the fixture's synthetic distribution
+   * (words 10–99, mean len 3.7–5.3) so every rule is exercised; the
+   * published operating points (50–100k words, 3–10 chars) are parameter
+   * choices, not different code.
+   *
+   * 100 TB posture: one narrow map over (source, text) — all four signals
+   * come out of a single word-split in the row — then a map-side-combined
+   * aggregate on the (tiny) source key. No shuffle of document bodies.
+   * Ratio compares use 6-dp-rounded keys so the DuckDB oracle agrees at
+   * rule boundaries.
+   */
+  def gopherQuality(s: SparkSession, d: String,
+      minWords: Int = 20, maxWords: Int = 90,
+      minMeanLen: Double = 4.0, maxMeanLen: Double = 5.0,
+      minStopFrac: Double = 0.02, minAlphaFrac: Double = 0.8): DataFrame =
+    gopherQualityOf(documents(s, d), minWords, maxWords, minMeanLen,
+      maxMeanLen, minStopFrac, minAlphaFrac)
+
+  /** [[gopherQuality]] over an arbitrary (source, text) frame. */
+  def gopherQualityOf(docs: DataFrame,
+      minWords: Int, maxWords: Int, minMeanLen: Double, maxMeanLen: Double,
+      minStopFrac: Double, minAlphaFrac: Double): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in")
+    val flagged = docs
+      .withColumn("ws", words(col("text")))
+      .withColumn("nw", size(col("ws")))
+      .withColumn("mean_len",
+        round(aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / col("nw"), 6))
+      .withColumn("stop_frac",
+        round(size(filter(col("ws"), w => w.isin(stop: _*))).cast("double") /
+          col("nw"), 6))
+      .withColumn("alpha_frac",
+        round(size(filter(col("ws"), w => w.rlike("^[a-z]+$"))).cast("double") /
+          col("nw"), 6))
+      .select(col("source"),
+        (col("nw") < minWords || col("nw") > maxWords).cast("int").as("f_words"),
+        (col("mean_len") < minMeanLen || col("mean_len") > maxMeanLen)
+          .cast("int").as("f_mean_len"),
+        (col("stop_frac") < minStopFrac).cast("int").as("f_stop"),
+        (col("alpha_frac") < minAlphaFrac).cast("int").as("f_alpha"))
+    flagged.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("f_words")).cast("long").as("n_fail_words"),
+        sum(col("f_mean_len")).cast("long").as("n_fail_mean_len"),
+        sum(col("f_stop")).cast("long").as("n_fail_stopword"),
+        sum(col("f_alpha")).cast("long").as("n_fail_alpha"),
+        sum(when(col("f_words") + col("f_mean_len") + col("f_stop") +
+          col("f_alpha") === 0, 1L).otherwise(0L)).as("n_pass"))
+  }
+
+  /**
    * Document fingerprint: Karp-Rabin polynomial rolling hash over word
    * codepoints (base 31, mod 1e9+7), computed with a sequential
    * higher-order `aggregate` — the building block for shift-resistant

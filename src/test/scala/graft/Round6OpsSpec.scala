@@ -1,0 +1,122 @@
+package graft
+
+import graft.analytics.{Sampling, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 pipeline operators: q87 SemDeDup (within-cell semantic
+  * near-dups over k-means cells), q88 Gopher quality rules, q89
+  * temperature-weighted mixture sampling. Value-exactness is the DuckDB
+  * oracle's job; these pin planted-fixture semantics, determinism, and
+  * the plan shapes the 100 TB posture depends on. */
+class Round6OpsSpec extends AnyFunSuite with SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------------- q87
+
+  private def embFixture() = {
+    import spark.implicits._
+    // vec 9 duplicates vec 1 exactly; everything else is axis-orthogonal
+    // (cosine 0 across axes), so the ONLY pair at cosine >= 0.9 is (1, 9)
+    def axis(i: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == i % 8) 1f else 0f)
+    (Seq((1L, axis(1), 0), (9L, axis(1), 0)) ++
+      (2L to 8L).map(i => (i, axis(i.toInt), 0)))
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("q87: an exact duplicate vector is dropped, keep-lowest, schedule-stable") {
+    val out = Similarity.semdedupStatsOf(embFixture(), k = 2, iters = 1,
+      threshold = 0.9)
+    val total = out.agg(
+      sum(col("n_members")), sum(col("n_dup_pairs")),
+      sum(col("n_dropped")), sum(col("dropped_checksum"))).head()
+    assert(total.getLong(0) == 9, "cells must partition the corpus")
+    assert(total.getLong(1) == 1, s"expected exactly the planted pair, got $out")
+    assert(total.getLong(2) == 1, "exactly one vector is a semantic dup")
+    assert(total.getLong(3) == 9L, "keep-lowest must drop vec 9, not vec 1")
+    val re = Similarity.semdedupStatsOf(embFixture().repartition(5), k = 2,
+      iters = 1, threshold = 0.9)
+    assert(out.exceptAll(re).isEmpty && re.exceptAll(out).isEmpty,
+      "semdedup output depends on input partitioning")
+  }
+
+  test("q87 plan: pair generation equi-joins on cell, never a cartesian") {
+    val plan = Similarity.semdedupStats(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cell pair sweep fell back to a cartesian:\n$plan")
+    // members tally: cells partition the fixture corpus
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val out = Similarity.semdedupStats(spark, d)
+    assert(out.agg(sum(col("n_members"))).head().getLong(0) == emb.count())
+  }
+
+  // ---------------------------------------------------------------- q88
+
+  test("q88: each rule fires on exactly its planted offender") {
+    import spark.implicits._
+    def w(n: Int, len: Int) = Seq.fill(n)("a" * len)
+    val pass = ("the" +: w(24, 5)).mkString(" ")        // mean 4.92, stop .04
+    val shortDoc = ("the" +: w(4, 5)).mkString(" ")      // 5 words
+    val longWords = w(25, 7).mkString(" ")               // mean 7, stop 0
+    val digits = ("the" +: Seq.fill(24)("a1b2c")).mkString(" ") // alpha .04
+    val docs = Seq(
+      ("s_pass", pass), ("s_words", shortDoc),
+      ("s_longw", longWords), ("s_digit", digits)).toDF("source", "text")
+    val out = TextStats.gopherQualityOf(docs, minWords = 20, maxWords = 90,
+      minMeanLen = 4.0, maxMeanLen = 5.0, minStopFrac = 0.02,
+      minAlphaFrac = 0.8)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out("s_pass") == ((0L, 0L, 0L, 0L, 1L)), s"clean doc flagged: $out")
+    assert(out("s_words") == ((1L, 0L, 0L, 0L, 0L)), s"word-count rule: $out")
+    // 7-char words also carry zero stopwords: two rules fire, n_pass 0
+    assert(out("s_longw") == ((0L, 1L, 1L, 0L, 0L)), s"mean-len rule: $out")
+    assert(out("s_digit") == ((0L, 0L, 0L, 1L, 0L)), s"alpha rule: $out")
+  }
+
+  test("q88: fixture rules all exercise and pass+fails tally per source") {
+    import spark.implicits._
+    val out = TextStats.gopherQuality(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(out.map(_._2).sum == docs)
+    // every doc either passes or fails >= 1 rule (never negative slack)
+    out.foreach { r =>
+      assert(r._7 <= r._2 && r._7 >= r._2 - (r._3 + r._4 + r._5 + r._6),
+        s"pass/fail ledger inconsistent: $r")
+    }
+    assert(out.map(_._3).sum > 0 || out.map(_._4).sum > 0,
+      "no rule fired on the fixture — thresholds are dead")
+  }
+
+  // ---------------------------------------------------------------- q89
+
+  test("q89: sqrt weighting upsamples the low-resource group, keep-set is stable") {
+    import spark.implicits._
+    // lang a: 4 docs, lang b: 1 doc -> weights 2/3, 1/3; budget 3 ->
+    // p_a = 0.5, p_b = 1.0 (capped): every b doc survives
+    val docs = (1L to 4L).map(i => ("a", i, "x y z")) :+ (("b", 5L, "x y"))
+    val df = docs.toDF("lang", "doc_id", "text")
+    val out = Sampling.temperatureMixtureOf(df, budgetDocs = 3)
+      .as[(String, Long, Double, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("a")._2 == 4 && out("b")._2 == 1)
+    assert(math.abs(out("a")._3 - 0.666667) < 1e-9, s"weight: ${out("a")}")
+    assert(math.abs(out("b")._3 - 0.333333) < 1e-9, s"weight: ${out("b")}")
+    assert(out("b")._4 == 1, "capped keep-probability must keep every b doc")
+    assert(out("b")._5 == 2, "kept tokens must count the kept doc's words")
+    assert(out("a")._4 <= 4)
+    val re = Sampling.temperatureMixtureOf(df.repartition(3), budgetDocs = 3)
+      .as[(String, Long, Double, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out == re, "mixture keep-set depends on partitioning")
+  }
+
+  test("q89 plan: per-group thresholds broadcast back, corpus never shuffles for the join") {
+    val plan = Sampling.temperatureMixture(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast threshold join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
