@@ -38,10 +38,13 @@ object Similarity {
     * (used for float-vs-double centroid routing). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Native codegen'd cosine for float×float corpus scans — numerically
-    * identical to [[cosine]] (same order, same formula), ~one fused loop
-    * per row instead of interpreted lambdas; see
-    * [[graft.functions.CosineSimilarity]]. */
+  /** Native codegen'd cosine for corpus scans (float or double element
+    * arrays per side) — numerically identical to [[cosine]] (same order,
+    * same formula, floats widened to double exactly like cast("double")),
+    * ~one fused loop per row instead of interpreted lambdas; see
+    * [[graft.functions.CosineSimilarity]]. The n x k assignment scoring
+    * (assignCells) is the hot path this buys back: at k=80 on the 10x
+    * soak it is ~5x the whole-pipeline wall when interpreted. */
   def cosineNative(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosineSim(a, b)
 
@@ -126,7 +129,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // route: per query, nprobe nearest cells by centroid cosine
     val routed = queries.join(broadcast(cents))
-      .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_cos", cosineNative(col("q_emb"), col("centroid")))
     val wr = Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("cell"))
     val probes = routed.withColumn("pr", row_number().over(wr))
       .filter(col("pr") <= nprobe)
@@ -248,7 +251,7 @@ object Similarity {
     emb
       .join(broadcast(cents.select(col("cell").as("c_cell"), col("centroid"))))
       .withColumn("c_cos",
-        round(cosine(col("embedding"), col("centroid")), 12))
+        round(cosineNative(col("embedding"), col("centroid")), 12))
       .groupBy(col("vec_id"))
       .agg(min(struct((-col("c_cos")).as("neg"), col("c_cell").as("cell"),
         col("label").as("label"), col("embedding").as("embedding"))).as("b"))
@@ -283,12 +286,30 @@ object Similarity {
       threshold: Double = 0.35): DataFrame =
     semdedupStatsOf(embeddings(s, d), k, iters, threshold)
 
-  /** [[semdedupStats]] over an arbitrary (vec_id, embedding, label) frame. */
+  /** [[semdedupStats]] over an arbitrary (vec_id, embedding, label) frame.
+    *
+    * `trainSampleMod` > 1 is the 100 TB training knob: Lloyd iterations run
+    * on the deterministic 1/mod md5-bucket sample of the corpus (the
+    * FAISS/IVF convention — codebooks are fit on a sample, never the full
+    * collection) and only the single assignment pass touches every vector.
+    * Identical vectors co-assign under ANY codebook (equal cosines, equal
+    * tie-break), so duplicate detection is sample-independent; the default
+    * mod=1 trains on everything, which is what the q87 oracle replays.
+    * Pass mod>1 only for corpus-scale frames: a sample that misses every
+    * vector would leave the codebook (and the assignment) empty.
+    */
   def semdedupStatsOf(emb: DataFrame, k: Int, iters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, trainSampleMod: Int = 1): DataFrame = {
+    val assigned =
+      if (trainSampleMod <= 1) kmeansCells(emb, k, iters)
+      else {
+        val sample = emb.filter(
+          conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % trainSampleMod === 0)
+        assignCells(emb, centroids(kmeansCells(sample, k, iters)))
+      }
     val cells = org.apache.spark.sql.GraftBridge.checkpointNoStats(
-      kmeansCells(emb, k, iters)
-        .select(col("cell"), col("vec_id"), col("embedding")), eager = false)
+      assigned.select(col("cell"), col("vec_id"), col("embedding")), eager = false)
     val a = cells.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
     val b = cells.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
     val pairs = a.join(b, Seq("cell"))

@@ -37,6 +37,18 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(m(3L) + 1.0) < 1e-12)
   }
 
+  test("mixed float x double (centroid routing shape) matches the HOF cosine bitwise") {
+    val out = vecs
+      .withColumn("bd", expr("transform(b, x -> cast(x as double))"))
+      .select(
+        CosineSimilarity.cosineSim(col("a"), col("bd")).as("native"),
+        Similarity.cosine(col("a"), col("bd")).as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
   test("null array propagates null") {
     val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
       .toDF("a", "b")

@@ -101,7 +101,18 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
       "q36_brute_topk" -> ((d, st) => Similarity.bruteForceTopK(spark, d, stride = st).count()),
       "q37_ivf_topk" -> ((d, st) => Similarity.ivfTopK(spark, d, stride = st).count()),
       "q38_lsh_buckets" -> ((d, _) => Similarity.lshBucketStats(spark, d).count()),
-      "q83_kmeans" -> ((d, _) => Similarity.kmeansCellStats(spark, d).count()))
+      "q83_kmeans" -> ((d, _) => Similarity.kmeansCellStats(spark, d).count()),
+      // SemDeDup's declared scale knobs: k grows with the corpus so cell
+      // population (the quadratic term) stays constant, and Lloyd training
+      // runs on the 1/4 md5 sample (FAISS convention) so only the single
+      // assignment pass is corpus x k
+      "q87_semdedup" -> ((d, _) => {
+        val big = d != sf01
+        Similarity.semdedupStatsOf(
+          graft.analytics.Tables.embeddings(spark, d),
+          k = if (big) 80 else 8, iters = 2, threshold = 0.35,
+          trainSampleMod = if (big) 4 else 1).count()
+      }))
     annOps.foreach { case (name, op) =>
       val (t01, n01) = minOf2(op(sf01, 100))
       val (t1, n1) = minOf2(op(soakDir, 1000))

@@ -41,6 +41,24 @@ class Round6OpsSpec extends AnyFunSuite with SparkSuite {
       "semdedup output depends on input partitioning")
   }
 
+  test("q87: sample-trained codebook still catches every exact duplicate") {
+    // identical vectors have equal cosine to EVERY centroid and identical
+    // tie-breaks, so co-assignment (and the dup pair) cannot depend on
+    // which vectors trained the codebook
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val dup = emb.limit(0).unionByName( // vec (max+1) duplicates vec of min id
+      emb.orderBy(col("vec_id")).limit(1)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+    val corpus = emb.unionByName(dup)
+    val out = Similarity.semdedupStatsOf(corpus, k = 4, iters = 2,
+      threshold = 0.999999, trainSampleMod = 4)
+    val total = out.agg(sum(col("n_members")), sum(col("n_dropped")),
+      sum(col("dropped_checksum"))).head()
+    assert(total.getLong(0) == corpus.count(), "assignment lost vectors")
+    assert(total.getLong(1) >= 1, "planted exact duplicate not dropped")
+  }
+
   test("q87 plan: pair generation equi-joins on cell, never a cartesian") {
     val plan = Similarity.semdedupStats(spark, d)
       .queryExecution.executedPlan.toString
