@@ -118,7 +118,8 @@ object SparkEntry {
     // temperature-weighted mixture sampling
     "q87_semdedup" -> ((s: SparkSession, d: String) => Similarity.semdedupStats(s, d)),
     "q88_gopher_quality" -> ((s: SparkSession, d: String) => TextStats.gopherQuality(s, d)),
-    "q89_temperature_mixture" -> ((s: SparkSession, d: String) => Sampling.temperatureMixture(s, d)))
+    "q89_temperature_mixture" -> ((s: SparkSession, d: String) => Sampling.temperatureMixture(s, d)),
+    "q90_chunk_dedup" -> ((s: SparkSession, d: String) => Sampling.chunkDedup(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1030,7 +1031,27 @@ object SparkEntry {
         | FROM k GROUP BY lang)
         |SELECT w2.lang, w2.n_docs, round(w2.weight, 6) AS weight,
         | ka.n_kept, ka.kept_tokens
-        |FROM w2 JOIN ka USING (lang)""".stripMargin)
+        |FROM w2 JOIN ka USING (lang)""".stripMargin,
+    // q80's chunk CTE, then keep the lexicographic-first (doc_id,
+    // chunk_idx) instance per chunk hash — same window rule as the engine
+    "q90_chunk_dedup" ->
+      s"""WITH ws AS (SELECT doc_id, $tokens AS w FROM documents),
+        |c AS (SELECT doc_id, w, len(w) AS n_tokens,
+        |  CAST(unnest(range(0, greatest(len(w), 1), 96)) AS INT) AS chunk_start
+        | FROM ws),
+        |x AS (SELECT doc_id, chunk_start,
+        |  CAST(least(128, n_tokens - chunk_start) AS INT) AS chunk_len,
+        |  array_to_string(w[chunk_start+1:chunk_start+least(128, n_tokens - chunk_start)], ' ') AS chunk_text
+        | FROM c),
+        |h AS (SELECT doc_id, CAST(chunk_start / 96 AS INT) AS chunk_idx,
+        |  ('0x' || substring(md5(chunk_text), 1, 15))::BIGINT AS chunk_hash
+        | FROM x),
+        |r AS (SELECT doc_id,
+        |  row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn
+        | FROM h)
+        |SELECT doc_id, count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM r GROUP BY doc_id""".stripMargin)
 
   /** DuckDB replay of the two Lloyd k-means iterations (shared by q83 and
     * q87): init cell = vec_id % 8, decimal-summed centroids, 12-dp-rounded

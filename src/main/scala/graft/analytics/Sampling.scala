@@ -97,6 +97,42 @@ object Sampling {
         sum(col("sampled")).cast("long").as("n_sampled"))
 
   /**
+   * Chunk-level exact dedup — the sequence-level member of the dedup
+   * family: after token-window chunking (q80), identical spans that
+   * survive DOCUMENT-level dedup (boilerplate headers, licence blocks,
+   * quoted passages shared by otherwise-distinct documents) still collide
+   * at the chunk hash, and a training pipeline drops the copies so the
+   * model never sees the same sequence twice (the sequence-granularity
+   * complement of Lee et al.'s substring dedup). Keeps the lexicographic
+   * first instance (doc_id, chunk_idx) per chunk hash; emits the per-doc
+   * kept/dropped ledger.
+   *
+   * 100 TB posture: the window shuffles only (doc_id, chunk_idx,
+   * chunk_hash) — chunk text is reduced to its 60-bit hash inside the
+   * chunker's narrow map and never moves. The hash is uniform, so
+   * partitions balance; a pathological hash group (one span repeated
+   * millions of times) is bounded by the corpus' copy count of ONE span —
+   * rows collapse in the per-doc map-side partial right after.
+   */
+  def chunkDedup(s: SparkSession, d: String,
+      chunkTokens: Int = 128, overlap: Int = 32): DataFrame =
+    chunkDedupOf(chunkDocuments(s, d, chunkTokens, overlap))
+
+  /** [[chunkDedup]] over an arbitrary chunked (doc_id, chunk_idx,
+    * chunk_hash) frame ([[chunkDocumentsOf]] output shape). */
+  def chunkDedupOf(chunks: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  /**
    * Temperature-weighted mixture sampling — the multilingual / multi-source
    * rebalancing step of a pretraining mix (the exponentiated-smoothing
    * α = 0.5 of XLM/mBERT; the Pile's per-source epochs are the same idea):

@@ -130,6 +130,31 @@ class Round6OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out == re, "mixture keep-set depends on partitioning")
   }
 
+  // ---------------------------------------------------------------- q90
+
+  test("q90: a span shared by two documents is dropped once, first instance kept") {
+    import spark.implicits._
+    // chunk stride 4/0: docB's second chunk is byte-identical to docA's
+    // first; the lexicographic-first instance (docA, idx 0) must survive
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z w a b c d")).toDF("doc_id", "text")
+    val out = Sampling.chunkDedupOf(Sampling.chunkDocumentsOf(docs, 4, 0))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2L, 0L)), s"first instance must be kept: $out")
+    assert(out(2L) == ((2L, 1L)), s"later duplicate span must drop: $out")
+  }
+
+  test("q90: dropped tally equals chunks minus distinct hashes on the fixture") {
+    val chunks = Sampling.chunkDocuments(spark, d)
+    val out = Sampling.chunkDedupOf(chunks)
+    val totals = out.agg(sum(col("n_chunks")), sum(col("n_dropped"))).head()
+    assert(totals.getLong(0) == chunks.count())
+    assert(totals.getLong(1) ==
+      chunks.count() - chunks.select("chunk_hash").distinct().count(),
+      "every duplicate instance beyond the first must be dropped, none else")
+  }
+
   test("q89 plan: per-group thresholds broadcast back, corpus never shuffles for the join") {
     val plan = Sampling.temperatureMixture(spark, d)
       .queryExecution.executedPlan.toString
