@@ -310,15 +310,7 @@ object Similarity {
       }
     val cells = org.apache.spark.sql.GraftBridge.checkpointNoStats(
       assigned.select(col("cell"), col("vec_id"), col("embedding")), eager = false)
-    val a = cells.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-    val b = cells.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
-      // rounded compare key, q83 convention: a 1-ulp cross-engine cosine
-      // divergence cannot flip the threshold test
-      .withColumn("cos", round(cosineNative(col("e_a"), col("e_b")), 12))
-      .filter(col("cos") >= threshold)
-      .select(col("cell"), col("vec_a"), col("vec_b"))
+    val pairs = semanticPairs(cells, threshold)
     // a vector lives in exactly one cell, so distinct vec_b IS per-cell
     val dropped = pairs.select(col("cell"), col("vec_b")).distinct()
     cells.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
@@ -332,6 +324,24 @@ object Similarity {
         coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         coalesce(col("dropped_checksum"), lit(0L)).as("dropped_checksum"))
+  }
+
+  /** Within-cell semantic near-dup pairs over a (cell, vec_id, embedding)
+    * frame — the pure pair sweep shared by [[semdedupStatsOf]] and the
+    * streaming semantic gate ([[graft.streaming.StreamingCorpus]]): an
+    * equi-join on cell, 12-dp-rounded native cosine at `threshold`,
+    * canonical vec_a < vec_b orientation. Order-independent by
+    * construction, so stream and batch agree under any arrival order. */
+  def semanticPairs(cells: DataFrame, threshold: Double): DataFrame = {
+    val a = cells.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = cells.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      // rounded compare key, q83 convention: a 1-ulp cross-engine cosine
+      // divergence cannot flip the threshold test
+      .withColumn("cos", round(cosineNative(col("e_a"), col("e_b")), 12))
+      .filter(col("cos") >= threshold)
+      .select(col("cell"), col("vec_a"), col("vec_b"))
   }
 
   /**

@@ -200,6 +200,64 @@ object StreamingCorpus {
   }
 
   /**
+   * Online SEMANTIC dedup gate — the streaming counterpart of q87
+   * (SemDeDup), completing the streaming dedup family (exact + simhash in
+   * [[start]], n-gram contamination below, semantic here): arriving
+   * embeddings are assigned to a FROZEN codebook cell, merged into the
+   * cell index, and swept against their cell's members; any vector within
+   * `threshold` cosine of a LOWER-id member merges into the quarantine
+   * table. The dup rule (∃ u < v, same cell, cos ≥ t) is a pure function
+   * of the final corpus — every qualifying pair is examined in the batch
+   * where its LATER element arrives, so quarantine equals the batch sweep
+   * under any arrival order, replay, or out-of-order delivery (a
+   * late-arriving low id retroactively quarantines an already-indexed
+   * higher id — asserted in StreamingCorpusSpec).
+   *
+   * 100 TB posture: per batch only the batch's AFFECTED cells are swept
+   * (cell-semi-join against the index — the unaffected index is read but
+   * never pair-joined; a cell-partitioned index layout would prune the
+   * read too, traded here for the vec_id-keyed merge's idempotence), and
+   * the codebook stays broadcast-sized. Quarantine re-merges are
+   * idempotent per vec_id.
+   */
+  def startSemanticGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      cents: org.apache.spark.sql.DataFrame,
+      indexPath: String,
+      quarantinePath: String,
+      checkpointDir: String,
+      threshold: Double = 0.35,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val assigned = Similarity.assignCells(batch, cents)
+          .select(col("vec_id"), col("cell"), col("embedding"))
+          .withColumn("_dump_seq", lit(batchId))
+        BucketedMerge.mergeInto(spark, indexPath, assigned,
+          Seq("vec_id"), nBuckets, seqCol = Some("_dump_seq"))
+        val affected = assigned.select(col("cell")).distinct()
+        val members = BucketedMerge.read(spark, indexPath)
+          .join(broadcast(affected), Seq("cell"), "left_semi")
+          .select(col("cell"), col("vec_id"), col("embedding"))
+        val dropped = Similarity.semanticPairs(members, threshold)
+          .select(col("vec_b").as("vec_id"), col("cell"))
+          .distinct()
+          .withColumn("_dump_seq", lit(batchId))
+        BucketedMerge.mergeInto(spark, quarantinePath, dropped,
+          Seq("vec_id"), nBuckets, seqCol = Some("_dump_seq"))
+      }
+      .start()
+  }
+
+  /**
    * Online decontamination gate: documents landing in `landingDir` are
    * scored against a FROZEN benchmark k-gram set (`benchGrams`, one `h`
    * column — e.g. [[TextStats.allGramHashesOf]] over the eval suite) and

@@ -225,4 +225,60 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       "incremental cell index diverges from the batch assignment")
     cents.unpersist()
   }
+
+  test("streamed semantic gate equals the batch sweep; late low id retroactively quarantines") {
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_ssem").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val indexPath = s"$root/wh/semindex"
+    val quarantinePath = s"$root/wh/semq"
+
+    // axis-orthogonal corpus; vec 50 (wave 1) is an exact copy of vec 2,
+    // which only arrives in wave 2 — the gate must then quarantine 50
+    // retroactively; vec 51 duplicates 50 within wave 1
+    def axis(i: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == i % 7) 1f else 0f)
+    val w1 = Seq((50L, axis(2), 0), (51L, axis(2), 0)) ++
+      (10L to 15L).map(i => (i, axis(i.toInt), 0)) // 10..15 -> axes 3,4,5,6,0,1
+    val w2 = Seq((2L, axis(2), 0)) ++ (3L to 6L).map(i => (i, axis(i.toInt), 0)) ++
+      Seq((51L, axis(2), 0)) // re-delivery of a wave-1 row
+    val allRows = (w1 ++ w2).distinct
+    val allDf = allRows.toDF("vec_id", "embedding", "label")
+
+    // frozen codebook trained on wave 1 only
+    val cents = Similarity.centroids(
+      Similarity.kmeansCells(w1.toDF("vec_id", "embedding", "label"), k = 3, iters = 1)).cache()
+    cents.count()
+
+    def landEmb(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new File(root, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new File(landing, s"$name.parquet").toPath)
+    }
+    def drain(): Unit = {
+      val q = StreamingCorpus.startSemanticGate(spark, landing.getAbsolutePath,
+        allDf.schema, cents, indexPath, quarantinePath, s"$root/chk",
+        threshold = 0.999999, nBuckets = 8)
+      q.awaitTermination()
+    }
+    landEmb(w1.toDF("vec_id", "embedding", "label"), "wave1"); drain()
+    val afterW1 = BucketedMerge.read(spark, quarantinePath)
+      .select("vec_id").as[Long].collect().toSet
+    assert(afterW1 == Set(51L), s"within-wave dup must quarantine first: $afterW1")
+
+    landEmb(w2.toDF("vec_id", "embedding", "label"), "wave2"); drain()
+    val streamed = BucketedMerge.read(spark, quarantinePath)
+      .select("vec_id").as[Long].collect().toSet
+    // batch sweep over the identical final corpus and the same codebook
+    val batch = Similarity.semanticPairs(
+      Similarity.assignCells(allDf, cents)
+        .select(col("cell"), col("vec_id"), col("embedding")), 0.999999)
+      .select("vec_b").as[Long].collect().toSet
+    assert(streamed == batch,
+      s"stream quarantine $streamed diverges from batch sweep $batch")
+    assert(Set(50L, 51L).subsetOf(streamed),
+      s"late-arriving low id 2 must retroactively quarantine 50: $streamed")
+    assert(!streamed.contains(2L), "the lowest id of the dup group must survive")
+    cents.unpersist()
+  }
 }
