@@ -166,7 +166,12 @@ object Sampling {
         size(split(trim(col("text")), "\\s+")).as("n_tokens"))
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val langStats = docs.groupBy(col("lang"))
+    // group-cardinality rows; materialized once (eager local checkpoint) so
+    // the two consumers below — threshold broadcast and output weights —
+    // share ONE column-pruned count scan instead of re-aggregating the
+    // corpus each (visible as twin lang-only scans in the explain)
+    val langStats = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("sq", sqrt(col("n_docs")))
       .withColumn("denom",
@@ -175,7 +180,8 @@ object Sampling {
       .withColumn("thresh",
         floor(least(lit(1.0),
           round(lit(budgetDocs) * col("weight") / col("n_docs"), 12)) * 1000000))
-      .select(col("lang"), col("n_docs"), col("weight"), col("thresh"))
+      .select(col("lang"), col("n_docs"), col("weight"), col("thresh")),
+      eager = true)
     val kept = docs
       .join(broadcast(langStats.select(col("lang"), col("thresh"))), "lang")
       .withColumn("kept",
