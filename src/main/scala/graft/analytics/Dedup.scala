@@ -394,14 +394,13 @@ object Dedup {
     def phase(e: DataFrame, large: Boolean): DataFrame = {
       val nb = e.select(col("src").as("v"), col("dst").as("u"))
         .unionByName(e.select(col("dst").as("v"), col("src").as("u")))
-      val m0 = nb.groupBy(col("v"))
-        .agg(min(col("u")).as("nmin"))
-        .select(col("v"), least(col("v"), col("nmin")).as("m"))
       // small-star reads m twice (join build + the (v, m) union branch);
       // the agg's shuffle exchange is identical in both subtrees, so
       // ReuseExchange shares it within the job — no checkpoint needed,
       // and skipping it saves one eager materialization job per round
-      val m = m0
+      val m = nb.groupBy(col("v"))
+        .agg(min(col("u")).as("nmin"))
+        .select(col("v"), least(col("v"), col("nmin")).as("m"))
       // shuffle join by design, both regimes: m and nb hash-partition on
       // v (the agg's exchange doubles as the join's left side, reused).
       // A broadcast(m) hint would skip nb's exchange, but every broadcast
@@ -614,14 +613,21 @@ object Dedup {
         transform(array_distinct(words(col("text"))), w => mdHash60(w)))
         .as("simhash"))
 
-  /** [[simhashDupGraph]] from a (doc_id, h128, simhash) fingerprint frame. */
+  /** [[simhashDupGraph]] from a (doc_id, h128, simhash) fingerprint frame.
+    *
+    * NULL fingerprints never pair: a window PARTITION BY groups nulls
+    * together (unlike the equi-join of the banding step, where null keys
+    * never match), so without the isNotNull guard every null-text doc
+    * would become an "exact duplicate" of every other and q81 would
+    * silently drop all but one of them. */
   def simhashDupGraphFromMeta(fps: DataFrame, maxHamming: Int = 6): DataFrame = {
     val byText = Window.partitionBy(col("h128"))
     val withRep = fps.withColumn("rep", min(col("doc_id")).over(byText))
-    val exactEdges = withRep.filter(col("doc_id") =!= col("rep"))
+    val exactEdges = withRep
+      .filter(col("h128").isNotNull && col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"),
         lit(0).as("hamming"))
-    val uniq = withRep.filter(col("doc_id") === col("rep"))
+    val uniq = withRep.filter(col("h128").isNull || col("doc_id") === col("rep"))
       .select(col("doc_id"), col("simhash"))
     bandPairs(uniq, maxHamming).unionByName(exactEdges)
   }

@@ -311,14 +311,16 @@ object Similarity {
     val cells = org.apache.spark.sql.GraftBridge.checkpointNoStats(
       assigned.select(col("cell"), col("vec_id"), col("embedding")), eager = false)
     val pairs = semanticPairs(cells, threshold)
-    // a vector lives in exactly one cell, so distinct vec_b IS per-cell
-    val dropped = pairs.select(col("cell"), col("vec_b")).distinct()
+    // ONE aggregate over the quadratic pair stream: feeding the dropped
+    // stats from a second `pairs` branch would re-run the whole cosine
+    // sweep (only the join-input exchanges are reused). A vector lives in
+    // exactly one cell, so DISTINCT vec_b within the cell group is the
+    // dropped set and its sum the checksum.
     cells.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
-      .join(pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_dup_pairs")),
-        Seq("cell"), "left")
-      .join(dropped.groupBy(col("cell")).agg(
-          count(lit(1)).as("n_dropped"),
-          sum(col("vec_b")).as("dropped_checksum")),
+      .join(pairs.groupBy(col("cell")).agg(
+          count(lit(1)).as("n_dup_pairs"),
+          countDistinct(col("vec_b")).as("n_dropped"),
+          sum_distinct(col("vec_b")).as("dropped_checksum")),
         Seq("cell"), "left")
       .select(col("cell"), col("n_members"),
         coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),

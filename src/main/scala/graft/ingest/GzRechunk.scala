@@ -1,6 +1,6 @@
 package graft.ingest
 
-import java.io.{BufferedInputStream, BufferedOutputStream, BufferedReader, InputStreamReader}
+import java.io.{BufferedInputStream, BufferedOutputStream, BufferedReader, InputStreamReader, OutputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
@@ -14,14 +14,19 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
  * serializes its table's entire load behind a single thread. When a
  * downloaded artifact exceeds `maxBytes` (compressed), this re-chunks it
  * locally into N smaller gz parts at LINE boundaries — the scan then runs
- * with one partition per part and byte-identical row content.
+ * with one partition per part and byte-identical row content (line
+ * terminators normalized to `\n`, the TSV reader's own delimiter).
  *
- * Crash safety mirrors the downloader's tmp→rename discipline: parts are
- * written under temp names, renamed into place, a done-marker is written
- * LAST, and only then is the original deleted. Every prefix of that
- * sequence resumes correctly: no marker ⇒ the original still exists and
- * the split re-runs from scratch (part overwrites are idempotent);
- * marker present ⇒ the part set is complete and the original may be gone.
+ * Crash safety mirrors the downloader's tmp→rename discipline: any stale
+ * parts from an earlier crashed attempt are deleted first (their count
+ * could differ under a different part-size setting, and `parts` trusts
+ * contiguous numbering), parts are written under a temp name and renamed
+ * into place, a done-marker is written LAST, and only then is the original
+ * deleted. Every prefix of that sequence resumes correctly: no marker ⇒
+ * the original still exists and the split re-runs from scratch; marker
+ * present ⇒ the part set is complete (the marker branch also retries the
+ * original's delete, so a crash between marker and delete cannot orphan a
+ * multi-GB file forever).
  */
 object GzRechunk {
 
@@ -44,29 +49,34 @@ object GzRechunk {
    * Ensure `gz` is scan-parallel: returns the paths to feed the reader —
    * either the original (small or non-gz artifacts) or the re-chunked
    * parts. `partUncompressedBytes` bounds each part by DECOMPRESSED
-   * volume (the quantity that actually costs scan time); the compressed
-   * parts come out smaller by the data's own ratio. Non-positive means
-   * `maxBytes / 4`: a just-oversized artifact still splits into several
-   * parts (uncompressed quarter-threshold ⇒ ≥ ~8-16 parts at typical
-   * 2-4× text compression), and the default tracks whatever threshold
-   * the caller configured.
+   * volume; the compressed parts come out smaller by the data's own
+   * ratio. Non-positive means `maxBytes / 4`: a just-oversized artifact
+   * still splits into several parts (uncompressed quarter-threshold ⇒
+   * ≥ ~8-16 parts at typical 2-4× text compression), and the default
+   * tracks whatever threshold the caller configured.
    */
   def ensureChunked(gz: Path, maxBytes: Long,
       partUncompressedBytes: Long = -1L): Seq[Path] = {
-    if (isChunked(gz)) return parts(gz)
+    if (isChunked(gz)) {
+      if (Files.exists(gz)) Files.delete(gz) // crashed between marker+delete
+      return parts(gz)
+    }
     if (!gz.getFileName.toString.endsWith(".gz") ||
         !Files.exists(gz) || Files.size(gz) <= maxBytes) return Seq(gz)
     val partBytes =
       if (partUncompressedBytes > 0) partUncompressedBytes
       else math.max(maxBytes / 4, 1L)
 
+    parts(gz).foreach(Files.delete(_)) // stale output of a crashed attempt
+    val tmp = gz.resolveSibling(gz.getFileName.toString + ".rechunk.tmp")
     val in = new BufferedReader(new InputStreamReader(
       new GZIPInputStream(new BufferedInputStream(Files.newInputStream(gz))), UTF_8))
     try {
       var idx = 0
-      var out: java.io.Writer = null
-      var tmp: Path = null
-      var written = 0L
+      var out: OutputStream = null
+      var written = 0L // UNCOMPRESSED bytes in the current part — counted
+      // from the UTF-8 encoding, not String.length (code units), which
+      // undercounts multibyte text up to 4x and re-creates the skew
       def roll(): Unit = {
         if (out != null) {
           out.close()
@@ -74,24 +84,33 @@ object GzRechunk {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           idx += 1
         }
-        tmp = gz.resolveSibling(gz.getFileName.toString + s".rechunk.tmp")
-        out = new java.io.OutputStreamWriter(new GZIPOutputStream(
-          new BufferedOutputStream(Files.newOutputStream(tmp))), UTF_8)
+        out = new GZIPOutputStream(
+          new BufferedOutputStream(Files.newOutputStream(tmp)))
         written = 0L
       }
-      roll()
-      var line = in.readLine()
-      while (line != null) {
-        out.write(line); out.write('\n')
-        written += line.length + 1L
-        if (written >= partBytes) roll()
-        line = in.readLine()
+      try {
+        roll()
+        var line = in.readLine()
+        while (line != null) {
+          val bytes = line.getBytes(UTF_8)
+          out.write(bytes); out.write('\n')
+          written += bytes.length + 1L
+          if (written >= partBytes) roll()
+          line = in.readLine()
+        }
+        out.close(); out = null
+        if (written > 0 || idx == 0) // avoid a trailing empty part
+          Files.move(tmp, partName(gz, idx),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else Files.delete(tmp)
+      } catch {
+        case e: Throwable =>
+          // release the deflater/fd and drop the partial temp — the next
+          // attempt restarts from the (still present) original
+          if (out != null) { try out.close() catch { case _: Throwable => () } }
+          Files.deleteIfExists(tmp)
+          throw e
       }
-      out.close()
-      if (written > 0 || idx == 0) // avoid a trailing empty part
-        Files.move(tmp, partName(gz, idx),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      else Files.delete(tmp)
     } finally in.close()
 
     Files.write(markerOf(gz), Array.emptyByteArray) // marker LAST

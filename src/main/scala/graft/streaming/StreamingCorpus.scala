@@ -67,6 +67,9 @@ object StreamingCorpus {
       accountingPath: Option[String] = None,
       minTokens: Int = 10,
       maxTokens: Int = 1000): StreamingQuery = {
+    require(accountingPath.isEmpty || fpsPath.nonEmpty,
+      "accountingPath requires fpsPath: the q86 accounting is replayed from " +
+        "the incrementally-maintained fingerprint table")
     spark.readStream
       .schema(schema)
       .parquet(landingDir)

@@ -46,6 +46,21 @@ class ClusterSoakSpec extends AnyFunSuite with SparkSuite {
       s"4x chain cost ${r256 - r64} extra rounds over $r64 — not logarithmic")
   }
 
+  test("null-text docs never pair as exact duplicates (window nulls-group hazard)") {
+    import spark.implicits._
+    // PARTITION BY groups nulls together, unlike an equi-join where null
+    // keys never match: without the guard, docs 7/8/9 would all become
+    // "copies" of 7 and dedupApply would silently drop two of them
+    val docs = Seq(
+      (1L, Option("real text one")), (2L, Option("real text one")),
+      (7L, Option.empty[String]), (8L, Option.empty[String]),
+      (9L, Option.empty[String])).toDF("doc_id", "text")
+    val edges = graft.analytics.Dedup.simhashDupGraphOf(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(edges == Set((2L, 1L)),
+      s"only the real exact pair may edge; null texts must stay unpaired: $edges")
+  }
+
   test("multi-parent initial state is NOT a fixpoint: (5,1),(5,2) → {1,2,5}") {
     // Regression: edges (5,1),(5,2) satisfy "no node is both child and
     // parent" — the INCOMPLETE star-forest test that convergence once

@@ -153,6 +153,34 @@ class IngestJobSpec extends AnyFunSuite with SparkSuite {
       "re-chunked table differs from the single-file read")
   }
 
+  test("re-chunk restart discards a crashed attempt's stale parts") {
+    val root = TempDirs.tempDir("graft_rechunk_stale").toFile
+    val rows = (1 to 400).map(i => s"$i\tuser_$i\t2024-01-01 00:00:00\tnormal")
+    val big = gz(new File(root, "user_dim-00000-aa.gz"), rows)
+    val p = new File(big).toPath
+    // simulate attempt 1 (smaller parts) dying before its marker: its
+    // higher-numbered parts must NOT survive into the completed set
+    val stale = (0 until 6).map(i =>
+      p.resolveSibling(f"${p.getFileName}%s.rechunk$i%03d.gz"))
+    stale.foreach(sp => java.nio.file.Files.write(sp, "bogus\n".getBytes("UTF-8")))
+
+    val parts = graft.ingest.GzRechunk.ensureChunked(p, maxBytes = 1L,
+      partUncompressedBytes = 4L << 10)
+    assert(parts.size > 1 && parts.size < 6,
+      s"fixture should split into 2-5 real parts, got ${parts.size}")
+    // contiguity check: nothing beyond the completed set remains on disk
+    assert(!java.nio.file.Files.exists(
+      p.resolveSibling(f"${p.getFileName}%s.rechunk${parts.size}%03d.gz")),
+      "stale part beyond the completed set survived the restart")
+    val lines = parts.flatMap { part =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(java.nio.file.Files.newInputStream(part)), "UTF-8"))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null).toList
+      finally in.close()
+    }
+    assert(lines == rows, "re-chunked parts must concatenate to the original rows")
+  }
+
   test("existing-but-unreadable target fails the load instead of overwriting it") {
     val root = TempDirs.tempDir("graft_corrupt").toFile
     val schema = CanvasSchema.fromJson(schemaJson)
