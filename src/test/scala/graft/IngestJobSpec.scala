@@ -181,6 +181,35 @@ class IngestJobSpec extends AnyFunSuite with SparkSuite {
     assert(lines == rows, "re-chunked parts must concatenate to the original rows")
   }
 
+  test("re-chunk bounds parts by UTF-8 bytes, not code units, on multibyte text") {
+    val root = TempDirs.tempDir("graft_rechunk_utf8").toFile
+    // 3-byte CJK + 4-byte emoji per line: ~3.4x more bytes than chars
+    val rows = (1 to 200).map(i => s"$i\t文書${"😀" * 8}テスト_$i")
+    val big = gz(new File(root, "user_dim-00000-aa.gz"), rows)
+    val p = new File(big).toPath
+    val partBytes = 2048L
+    val parts = graft.ingest.GzRechunk.ensureChunked(p, maxBytes = 1L,
+      partUncompressedBytes = partBytes)
+    assert(parts.size > 1)
+    val maxLine = rows.map(_.getBytes("UTF-8").length + 1).max
+    parts.foreach { part =>
+      val in = new java.util.zip.GZIPInputStream(
+        java.nio.file.Files.newInputStream(part))
+      val n = try Iterator.continually(in.read(new Array[Byte](8192)))
+        .takeWhile(_ >= 0).map(_.toLong).sum
+      finally in.close()
+      assert(n <= partBytes + maxLine,
+        s"part $part holds $n uncompressed bytes — the roll must trigger on BYTES")
+    }
+    val lines = parts.flatMap { part =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(java.nio.file.Files.newInputStream(part)), "UTF-8"))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null).toList
+      finally in.close()
+    }
+    assert(lines == rows, "multibyte content must round-trip byte-identically")
+  }
+
   test("existing-but-unreadable target fails the load instead of overwriting it") {
     val root = TempDirs.tempDir("graft_corrupt").toFile
     val schema = CanvasSchema.fromJson(schemaJson)
