@@ -167,7 +167,20 @@ object Similarity {
    * `dim` is the (fixed) embedding width. Docs in the same bucket are
    * cosine-similar candidates.
    */
-  def lshBucketCol(embCol: Column, nplanes: Int, dim: Int): Column = {
+  def lshBucketCol(embCol: Column, nplanes: Int, dim: Int): Column =
+    graft.functions.HyperplaneSignature.signature(embCol, coefMatrix(nplanes, dim))
+
+  /** The literal (plane, dim) coefficient matrix [[lshBucketCol]] ships to
+    * executors; also the spec's reference for the HOF parity check. */
+  def coefMatrix(nplanes: Int, dim: Int): Vector[Vector[Double]] =
+    Vector.tabulate(nplanes)(p => Vector.tabulate(dim)(i => planeCoef(p, i)))
+
+  /** The pre-round-6 higher-order-function spelling of [[lshBucketCol]] —
+    * kept as the bitwise parity reference (HyperplaneSignatureSpec): the
+    * native fused pass accumulates each plane's projection in the same
+    * element order, so signatures are identical; interpreted per-element
+    * lambdas × nplanes made this the banding scans' hot path. */
+  def lshBucketColHof(embCol: Column, nplanes: Int, dim: Int): Column = {
     val sig = (0 until nplanes).map { p =>
       val coefs = array((0 until dim).map(i => lit(planeCoef(p, i))): _*)
       val proj = aggregate(

@@ -1,0 +1,45 @@
+package graft
+
+import graft.analytics.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native fused hyperplane signature vs the higher-order-function
+  * formulation: bitwise-identical signatures (same per-plane element
+  * order), so swapping the implementation cannot move oracle results
+  * (q37 cells, q38 buckets, q58 bands). */
+class HyperplaneSignatureSpec extends AnyFunSuite with SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("matches the HOF signature on every fixture embedding (float input)") {
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val dim = Similarity.embeddingDim(emb)
+    for (nplanes <- Seq(3, 8, 16)) {
+      val diff = emb.select(
+        Similarity.lshBucketCol(col("embedding"), nplanes, dim).as("native"),
+        Similarity.lshBucketColHof(col("embedding"), nplanes, dim).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diff == 0, s"nplanes=$nplanes: $diff signatures diverge from the HOF form")
+    }
+  }
+
+  test("matches the HOF signature on double arrays (centroid-typed input)") {
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .withColumn("embd", expr("transform(embedding, x -> cast(x as double))"))
+    val dim = Similarity.embeddingDim(emb)
+    val diff = emb.select(
+      Similarity.lshBucketCol(col("embd"), 8, dim).as("native"),
+      Similarity.lshBucketColHof(col("embd"), 8, dim).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"$diff double-array signatures diverge from the HOF form")
+  }
+
+  test("null embedding propagates null") {
+    import spark.implicits._
+    val df = Seq(Option.empty[Array[Float]]).toDF("e")
+      .select(graft.functions.HyperplaneSignature.signature(
+        col("e"), Similarity.coefMatrix(4, 3)).as("sig"))
+    assert(df.collect()(0).isNullAt(0))
+  }
+}
