@@ -97,6 +97,15 @@ object Dedup {
    * xxhash dependency, so the whole signature is oracle-checkable.
    */
   def minhashSignature(hashCol: Column, numPerm: Int): Column =
+    graft.functions.MinhashSignature.signature(hashCol,
+      Vector.tabulate(numPerm)(minhashA), Vector.tabulate(numPerm)(minhashB),
+      MinhashP)
+
+  /** The pre-round-6 higher-order-function spelling of [[minhashSignature]]
+    * — kept as the bitwise parity reference (spec): one interpreted
+    * `transform` traversal per permutation vs the native fused pass, with
+    * identical Java-long arithmetic and order-independent minima. */
+  def minhashSignatureHof(hashCol: Column, numPerm: Int): Column =
     array((0 until numPerm).map(p =>
       array_min(transform(hashCol,
         h => (h * minhashA(p) + minhashB(p)) % MinhashP))): _*)

@@ -42,4 +42,28 @@ class HyperplaneSignatureSpec extends AnyFunSuite with SparkSuite {
         col("e"), Similarity.coefMatrix(4, 3)).as("sig"))
     assert(df.collect()(0).isNullAt(0))
   }
+
+  test("native minhash signature matches the HOF form on every fixture doc") {
+    import graft.analytics.Dedup
+    val docs = graft.analytics.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        transform(Dedup.ngramsFromWords(split(trim(col("text")), "\\s+")),
+          g => Dedup.shingleHash(g)).as("nh"))
+    val diff = docs.select(
+      Dedup.minhashSignature(col("nh"), 16).as("native"),
+      Dedup.minhashSignatureHof(col("nh"), 16).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"$diff minhash signatures diverge from the HOF form")
+  }
+
+  test("native minhash signature: empty hash array yields all-null minima") {
+    import spark.implicits._
+    val out = Seq(Seq.empty[Long], Seq(7L)).toDF("nh")
+      .select(graft.analytics.Dedup.minhashSignature(col("nh"), 4).as("sig"))
+      .collect()
+    val empty = out(0).getSeq[Any](0)
+    assert(empty.length == 4 && empty.forall(_ == null),
+      s"empty input must give per-permutation nulls like array_min: $empty")
+    assert(out(1).getSeq[Any](0).forall(_ != null))
+  }
 }
