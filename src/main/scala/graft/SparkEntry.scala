@@ -119,7 +119,11 @@ object SparkEntry {
     "q87_semdedup" -> ((s: SparkSession, d: String) => Similarity.semdedupStats(s, d)),
     "q88_gopher_quality" -> ((s: SparkSession, d: String) => TextStats.gopherQuality(s, d)),
     "q89_temperature_mixture" -> ((s: SparkSession, d: String) => Sampling.temperatureMixture(s, d)),
-    "q90_chunk_dedup" -> ((s: SparkSession, d: String) => Sampling.chunkDedup(s, d)))
+    "q90_chunk_dedup" -> ((s: SparkSession, d: String) => Sampling.chunkDedup(s, d)),
+    // classifier-based quality filter (GPT-3/fastText family) and
+    // D4-style prototype pruning (the diversification half of D4)
+    "q91_classifier_filter" -> ((s: SparkSession, d: String) => TextStats.classifierQualityStats(s, d)),
+    "q92_proto_prune" -> ((s: SparkSession, d: String) => Similarity.protoPruneStats(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1051,7 +1055,67 @@ object SparkEntry {
         | FROM h)
         |SELECT doc_id, count(*) AS n_chunks,
         | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-        |FROM r GROUP BY doc_id""".stripMargin)
+        |FROM r GROUP BY doc_id""".stripMargin,
+    // hashed bag-of-tokens linear classifier: integer count-difference
+    // weights (pos_b*N - neg_b*P — no libm), md5 feature buckets, md5
+    // lottery re-inclusion — identical arithmetic to the engine
+    "q91_classifier_filter" ->
+      s"""WITH tb AS (
+        | SELECT doc_id, source, (lang = 'en') AS pos,
+        |  ('0x' || substring(md5(w), 1, 15))::BIGINT % 256 AS b
+        | FROM (SELECT doc_id, source, lang, unnest($tokens) AS w FROM documents) t),
+        |counts AS (
+        | SELECT b,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_b,
+        |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_b
+        | FROM tb GROUP BY b),
+        |w AS (
+        | SELECT b,
+        |  pos_b * (SELECT CAST(sum(neg_b) AS BIGINT) FROM counts)
+        |   - neg_b * (SELECT CAST(sum(pos_b) AS BIGINT) FROM counts) AS wt
+        | FROM counts),
+        |sc AS (
+        | SELECT t.doc_id, t.source, CAST(sum(w.wt) AS BIGINT) AS score
+        | FROM tb t JOIN w USING (b) GROUP BY t.doc_id, t.source),
+        |k AS (
+        | SELECT source, score,
+        |  (score > 0 OR
+        |   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10 = 0) AS kept
+        | FROM sc)
+        |SELECT source, kept, count(*) AS n_docs,
+        | CAST(sum(score) AS DECIMAL(38,0)) AS sum_score
+        |FROM k GROUP BY source, kept""".stripMargin,
+    // D4 prototype pruning replayed: the q83 k-means CTE, a THIRD centroid
+    // pass over the final assignment, 12-dp-rounded cosine-to-centroid,
+    // per-cell rank (pcos desc, vec_id) and floor(n/4) prune count
+    "q92_proto_prune" ->
+      (kmeansCte +
+        """
+          |, cent3 AS (
+          | SELECT cell, dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+          | FROM (SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x FROM a2) t
+          | GROUP BY cell, dim),
+          |ca3 AS (SELECT cell AS c_cell, list(mean_v ORDER BY dim) AS c0 FROM cent3 GROUP BY cell),
+          |p AS (
+          | SELECT a.cell, a.vec_id,
+          |  round(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*c0[i])) /
+          |   (sqrt(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*a.e[i]))) *
+          |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))), 12) AS pcos
+          | FROM a2 a JOIN ca3 ON a.cell = ca3.c_cell),
+          |r AS (
+          | SELECT cell, vec_id, pcos,
+          |  row_number() OVER (PARTITION BY cell ORDER BY pcos DESC, vec_id) AS rk,
+          |  count(*) OVER (PARTITION BY cell) AS n_cell
+          | FROM p),
+          |f AS (
+          | SELECT cell, vec_id, pcos,
+          |  CASE WHEN rk <= floor(n_cell * 1 / 4.0) THEN 1 ELSE 0 END AS pruned
+          | FROM r)
+          |SELECT cell, count(*) AS n_members,
+          | CAST(sum(pruned) AS BIGINT) AS n_pruned,
+          | CAST(coalesce(sum(CASE WHEN pruned = 1 THEN vec_id END), 0) AS BIGINT) AS pruned_checksum,
+          | round(CAST(coalesce(sum(CASE WHEN pruned = 0 THEN CAST(pcos AS DECIMAL(28,15)) END), 0) AS DOUBLE), 6) AS kept_cos_sum
+          |FROM f GROUP BY cell""".stripMargin))
 
   /** DuckDB replay of the two Lloyd k-means iterations (shared by q83 and
     * q87): init cell = vec_id % 8, decimal-summed centroids, 12-dp-rounded

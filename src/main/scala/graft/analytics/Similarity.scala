@@ -313,16 +313,9 @@ object Similarity {
     */
   def semdedupStatsOf(emb: DataFrame, k: Int, iters: Int,
       threshold: Double, trainSampleMod: Int = 1): DataFrame = {
-    val assigned =
-      if (trainSampleMod <= 1) kmeansCells(emb, k, iters)
-      else {
-        val sample = emb.filter(
-          conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
-            .cast("long") % trainSampleMod === 0)
-        assignCells(emb, centroids(kmeansCells(sample, k, iters)))
-      }
     val cells = org.apache.spark.sql.GraftBridge.checkpointNoStats(
-      assigned.select(col("cell"), col("vec_id"), col("embedding")), eager = false)
+      trainedCells(emb, k, iters, trainSampleMod)
+        .select(col("cell"), col("vec_id"), col("embedding")), eager = false)
     val pairs = semanticPairs(cells, threshold)
     // ONE aggregate over the quadratic pair stream: feeding the dropped
     // stats from a second `pairs` branch would re-run the whole cosine
@@ -340,6 +333,21 @@ object Similarity {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         coalesce(col("dropped_checksum"), lit(0L)).as("dropped_checksum"))
   }
+
+  /** Cell assignment with the FAISS/IVF training convention shared by
+    * [[semdedupStatsOf]] and [[protoPruneStatsOf]]: `trainSampleMod` > 1
+    * fits the Lloyd codebook on the deterministic 1/mod md5-bucket sample
+    * and only the single assignment pass touches every vector; mod = 1
+    * trains on the full frame (what the q87/q92 oracles replay). */
+  private def trainedCells(emb: DataFrame, k: Int, iters: Int,
+      trainSampleMod: Int): DataFrame =
+    if (trainSampleMod <= 1) kmeansCells(emb, k, iters)
+    else {
+      val sample = emb.filter(
+        conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % trainSampleMod === 0)
+      assignCells(emb, centroids(kmeansCells(sample, k, iters)))
+    }
 
   /** Within-cell semantic near-dup pairs over a (cell, vec_id, embedding)
     * frame — the pure pair sweep shared by [[semdedupStatsOf]] and the
@@ -376,4 +384,59 @@ object Similarity {
         round(sum(col("vec_sum").cast("decimal(28,15)")).cast("double"), 6)
           .as("member_checksum"),
         countDistinct(col("label")).as("n_labels"))
+
+  /**
+   * D4-style prototype pruning (Tirumala et al. 2023, "D4: Improving LLM
+   * Pretraining via Document De-Duplication and Diversification") — the
+   * diversification half of the D4 recipe, composing with [[semdedupStats]]
+   * (its deduplication half) over the same k-means codebook: rank each
+   * cell's members by cosine to their OWN cell centroid and drop the most
+   * prototypical `pruneNum/pruneDen` fraction. Points nearest the cluster
+   * center are the most redundant with their neighbors, so pruning them
+   * trades the least diversity for the most volume.
+   *
+   * Deterministic / oracle-exact: the prototype cosine is 12-dp-rounded
+   * (q83's convention — a 1-ulp cross-engine divergence cannot reorder a
+   * rank unless two members are genuinely equidistant, which the vec_id
+   * tie-break resolves identically); the prune count is
+   * floor(n_cell·pruneNum/pruneDen) in identical arithmetic both engines.
+   *
+   * 100 TB posture: the per-cell window is the declared knob shared with
+   * SemDeDup — k scales with the corpus so cell population stays bounded
+   * and no window partition grows with corpus size; centroids are a k-row
+   * broadcast; the cells frame is lazily checkpointed so the two Lloyd
+   * rounds run once across the centroid/score branches, not once per
+   * consumer.
+   */
+  def protoPruneStats(s: SparkSession, d: String, k: Int = 8, iters: Int = 2,
+      pruneNum: Int = 1, pruneDen: Int = 4): DataFrame =
+    protoPruneStatsOf(embeddings(s, d), k, iters, pruneNum, pruneDen)
+
+  /** [[protoPruneStats]] over an arbitrary (vec_id, embedding, label)
+    * frame. `trainSampleMod` is the shared [[trainedCells]] scale knob. */
+  def protoPruneStatsOf(emb: DataFrame, k: Int, iters: Int,
+      pruneNum: Int, pruneDen: Int, trainSampleMod: Int = 1): DataFrame = {
+    val cells = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      trainedCells(emb, k, iters, trainSampleMod)
+        .select(col("cell"), col("vec_id"), col("embedding")),
+      eager = false)
+    val byCell = Window.partitionBy(col("cell"))
+    cells
+      .join(broadcast(centroids(cells)), Seq("cell"))
+      .withColumn("pcos",
+        round(cosineNative(col("embedding"), col("centroid")), 12))
+      .withColumn("rk", row_number().over(
+        byCell.orderBy(col("pcos").desc, col("vec_id"))))
+      .withColumn("n_cell", count(lit(1)).over(byCell))
+      .withColumn("pruned",
+        col("rk") <= floor(col("n_cell") * lit(pruneNum) / lit(pruneDen.toDouble)))
+      .groupBy(col("cell")).agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+        coalesce(sum(when(col("pruned"), col("vec_id"))), lit(0L))
+          .as("pruned_checksum"),
+        round(coalesce(sum(when(!col("pruned"),
+            col("pcos").cast("decimal(28,15)"))), lit(0)).cast("double"), 6)
+          .as("kept_cos_sum"))
+  }
 }

@@ -450,6 +450,77 @@ object TextStats {
           .as("chars_removed"))
   }
 
+  /**
+   * Classifier-based quality filtering — the third published filter family
+   * next to heuristic rules (q88 Gopher) and contamination gates (q85/q66):
+   * a linear bag-of-hashed-tokens model (the fastText hashing trick,
+   * Joulin et al. 2016; the GPT-3 appendix-A quality classifier is the
+   * same shape trained WebText-vs-CommonCrawl) scores every document, and
+   * a deterministic md5 lottery re-admits a slice of the rejected tail —
+   * the reproducible analog of GPT-3's `np.random.pareto` re-inclusion,
+   * which keeps the filtered corpus from collapsing onto the classifier's
+   * head.
+   *
+   * Deterministic and oracle-exact BY CONSTRUCTION — no trained floats:
+   *  - feature bucket = 60-bit md5-prefix token hash mod `nBuckets`
+   *    ([[Dedup.mdHash60]] convention — both engines compute it
+   *    bit-identically);
+   *  - class proxy: `lang = 'en'` positive (the DSIR-style target domain),
+   *    everything else negative;
+   *  - per-bucket weight = pos_b·N − neg_b·P (bucket occurrences in each
+   *    class vs class totals): an exact integer whose sign is
+   *    sign(p̂_pos(b) − p̂_neg(b)) — the count-difference linear score;
+   *    log-odds weights would hit libm ulp divergence across engines;
+   *  - doc score = Σ weight over the doc's token occurrences;
+   *  - keep ⇔ score > 0 OR md5(doc_id) ≡ 0 (mod `lotteryMod`).
+   *
+   * 100 TB posture: the model is `nBuckets` rows — FIXED size by the
+   * hashing trick (unlike q76's deliberately-shuffled corpus-sized
+   * vocabulary), so broadcasting it is correct at any corpus size.
+   * Training is one explode → groupBy(bucket) with map-side combine
+   * (≤ nBuckets×partitions partial rows shuffle); the weight frame is
+   * eagerly checkpointed so train and score are two clean corpus scans —
+   * exactly the passes the real pipeline makes. Scoring shuffles one
+   * combined (doc_id, score) row per doc; the ledger sums are
+   * DECIMAL(38,0) because un-normalized weights grow with the square of
+   * corpus token count (int64 saturates near sf~10).
+   */
+  def classifierQualityStats(s: SparkSession, d: String,
+      nBuckets: Int = 256, lotteryMod: Int = 10): DataFrame =
+    classifierQualityStatsOf(documents(s, d), nBuckets, lotteryMod)
+
+  /** [[classifierQualityStats]] over an arbitrary
+    * (doc_id, text, lang, source) frame. */
+  def classifierQualityStatsOf(docs: DataFrame,
+      nBuckets: Int, lotteryMod: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("pos"),
+        explode(words(col("text"))).as("w"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+          .cast("long"), lit(nBuckets.toLong)))
+    val counts = toks.groupBy(col("b")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("pos_b"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("neg_b"))
+    val tot = counts.agg(
+      sum(col("pos_b")).as("p_tot"), sum(col("neg_b")).as("n_tot"))
+    val weights = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      counts.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (col("pos_b") * col("n_tot") - col("neg_b") * col("p_tot")).as("wt")),
+      eager = true)
+    toks.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("wt")).as("score"))
+      .withColumn("kept",
+        col("score") > 0 ||
+          pmod(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+            .cast("long"), lit(lotteryMod.toLong)) === 0)
+      .groupBy(col("source"), col("kept"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score").cast("decimal(38,0)")).as("sum_score"))
+  }
+
   /** Corpus-wide heavy hitters: the canonical distributed word count with a
     * deterministic top-k (count desc, word asc). Map-side partial aggs do
     * the heavy lifting; only (word, partial_count) pairs shuffle. */

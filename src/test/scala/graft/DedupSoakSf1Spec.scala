@@ -83,7 +83,10 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
       "q79_winnow_pairs" -> (d => TextStats.winnowPairs(spark, d).count()),
       "q81_dedup_apply" -> (d => Sampling.dedupApply(spark, d).count()),
       "q84_shared_grams" -> (d => TextStats.sharedGramPairs(spark, d).count()),
-      "q85_ngram_contam" -> (d => TextStats.ngramContamination(spark, d).count()))
+      "q85_ngram_contam" -> (d => TextStats.ngramContamination(spark, d).count()),
+      // classifier filter: two clean corpus scans (train, score) against a
+      // FIXED-size broadcast model — the per-row cost is the observable
+      "q91_classifier" -> (d => TextStats.classifierQualityStats(spark, d).count()))
 
     ops.foreach { case (name, op) =>
       val (t01, n01) = minOf2(op(sf01))
@@ -111,6 +114,15 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
         Similarity.semdedupStatsOf(
           graft.analytics.Tables.embeddings(spark, d),
           k = if (big) 80 else 8, iters = 2, threshold = 0.35,
+          trainSampleMod = if (big) 4 else 1).count()
+      }),
+      // D4 prototype pruning: same codebook knobs as q87 (k grows with the
+      // corpus so the per-cell window stays bounded; sample-trained Lloyd)
+      "q92_proto_prune" -> ((d, _) => {
+        val big = d != sf01
+        Similarity.protoPruneStatsOf(
+          graft.analytics.Tables.embeddings(spark, d),
+          k = if (big) 80 else 8, iters = 2, pruneNum = 1, pruneDen = 4,
           trainSampleMod = if (big) 4 else 1).count()
       }))
     annOps.foreach { case (name, op) =>

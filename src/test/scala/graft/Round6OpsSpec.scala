@@ -162,4 +162,75 @@ class Round6OpsSpec extends AnyFunSuite with SparkSuite {
       s"expected a broadcast threshold join in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  // ---------------------------------------------------------------- q91
+
+  test("q91: count-difference weights keep positive-class docs, lottery re-admits the tail") {
+    import spark.implicits._
+    // hand-computed: alpha occurs 6x in 'en' docs + 1x outside, beta 8x
+    // outside only => wt(alpha) = 6*9 - 1*6 = +48, wt(beta) = -48.
+    // Scores: d1=d2=+144 (kept on score), d3=-144 but wins the md5
+    // lottery (bucket 0), d4=-144 / d5=-48 lose (buckets 7, 7).
+    // alpha/beta hash to distinct feature buckets (251, 235 mod 256).
+    val docs = Seq(
+      (1L, "alpha alpha alpha", "en", "s1"),
+      (2L, "alpha alpha alpha", "en", "s1"),
+      (3L, "beta beta beta", "de", "s1"),
+      (4L, "beta beta beta", "fr", "s1"),
+      (5L, "alpha beta beta", "zh", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextStats.classifierQualityStatsOf(docs, nBuckets = 256, lotteryMod = 10)
+      .select(col("kept"), col("n_docs"), col("sum_score").cast("long"))
+      .as[(Boolean, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(true) == ((3L, 144L)), s"kept ledger wrong: $out")
+    assert(out(false) == ((2L, -192L)), s"dropped ledger wrong: $out")
+  }
+
+  test("q91: every document lands in exactly one ledger row; partition-stable") {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val out = TextStats.classifierQualityStatsOf(docs, 256, 10)
+    assert(out.agg(sum(col("n_docs"))).head().getLong(0) == docs.count(),
+      "ledger must partition the corpus")
+    val re = TextStats.classifierQualityStatsOf(docs.repartition(7), 256, 10)
+    assert(out.exceptAll(re).isEmpty && re.exceptAll(out).isEmpty,
+      "classifier ledger depends on input partitioning")
+  }
+
+  test("q91 plan: fixed-size model broadcast, no cartesian") {
+    val plan = TextStats.classifierQualityStats(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the nBuckets-row weight model broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  // ---------------------------------------------------------------- q92
+
+  test("q92: the most prototypical member is pruned, floor(n/4) count, ties to lowest id") {
+    import spark.implicits._
+    // three identical axis-1 vectors + one axis-2: centroid leans to
+    // axis 1, so the A-copies out-rank B; floor(4/4) = 1 pruned and the
+    // vec_id tie-break picks vec 1 among the equal-cosine copies
+    def axis(i: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == i) 1f else 0f)
+    val emb = Seq(
+      (1L, axis(1), 0), (2L, axis(1), 0), (3L, axis(1), 0), (4L, axis(2), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.protoPruneStatsOf(emb, k = 1, iters = 1,
+      pruneNum = 1, pruneDen = 4)
+    val r = out.select("n_members", "n_pruned", "pruned_checksum")
+      .as[(Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((4L, 1L, 1L)),
+      s"expected the lowest-id prototypical copy pruned: ${r.toSeq}")
+  }
+
+  test("q92: prune count is exactly floor(n/4) per cell; partition-stable") {
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val out = Similarity.protoPruneStatsOf(emb, 8, 2, 1, 4)
+    assert(out.withColumn("n_cell_chk", col("n_members") / 4)
+      .filter(col("n_pruned") =!= floor(col("n_cell_chk"))).count() == 0,
+      "per-cell prune count must be floor(n_members/4)")
+    val re = Similarity.protoPruneStatsOf(emb.repartition(5), 8, 2, 1, 4)
+    assert(out.exceptAll(re).isEmpty && re.exceptAll(out).isEmpty,
+      "prototype pruning depends on input partitioning")
+  }
 }
