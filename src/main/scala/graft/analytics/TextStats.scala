@@ -493,33 +493,54 @@ object TextStats {
     * (doc_id, text, lang, source) frame. */
   def classifierQualityStatsOf(docs: DataFrame,
       nBuckets: Int, lotteryMod: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), col("source"),
+    val weights = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      classifierWeights(docs, nBuckets), eager = true)
+    classifierScores(docs, weights, nBuckets, lotteryMod)
+      .groupBy(col("source"), col("kept"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score").cast("decimal(38,0)")).as("sum_score"))
+  }
+
+  /** The hashed-token frame shared by classifier training and scoring:
+    * one row per token occurrence with its md5 feature bucket. */
+  private def hashedTokens(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"),
         (col("lang") === "en").as("pos"),
         explode(words(col("text"))).as("w"))
       .withColumn("b",
         pmod(conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
           .cast("long"), lit(nBuckets.toLong)))
-    val counts = toks.groupBy(col("b")).agg(
+
+  /** Train the count-difference weight model over `docs`: an
+    * `nBuckets`-row (b, wt) frame. A model-training batch event — the
+    * streaming gate ([[graft.streaming.StreamingCorpus
+    * .startClassifierGate]]) scores against a FROZEN copy of this. */
+  def classifierWeights(docs: DataFrame, nBuckets: Int): DataFrame = {
+    val counts = hashedTokens(docs, nBuckets).groupBy(col("b")).agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("pos_b"),
       sum(when(col("pos"), 0L).otherwise(1L)).as("neg_b"))
     val tot = counts.agg(
       sum(col("pos_b")).as("p_tot"), sum(col("neg_b")).as("n_tot"))
-    val weights = org.apache.spark.sql.GraftBridge.checkpointNoStats(
-      counts.crossJoin(broadcast(tot))
-        .select(col("b"),
-          (col("pos_b") * col("n_tot") - col("neg_b") * col("p_tot")).as("wt")),
-      eager = true)
-    toks.join(broadcast(weights), Seq("b"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (col("pos_b") * col("n_tot") - col("neg_b") * col("p_tot")).as("wt"))
+  }
+
+  /** Score `docs` against a trained (b, wt) model: one
+    * (doc_id, source, score, kept) row per doc. Pure in (docs, weights)
+    * — the streaming gate's per-batch quarantine equals the batch
+    * filter's dropped set under any arrival order because nothing here
+    * depends on what else is in the batch. `nBuckets` must match the
+    * model's training value (it fixes the feature hash range). */
+  def classifierScores(docs: DataFrame, weights: DataFrame,
+      nBuckets: Int, lotteryMod: Int): DataFrame =
+    hashedTokens(docs, nBuckets).join(broadcast(weights), Seq("b"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("wt")).as("score"))
       .withColumn("kept",
         col("score") > 0 ||
           pmod(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
             .cast("long"), lit(lotteryMod.toLong)) === 0)
-      .groupBy(col("source"), col("kept"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("score").cast("decimal(38,0)")).as("sum_score"))
-  }
 
   /** Corpus-wide heavy hitters: the canonical distributed word count with a
     * deterministic top-k (count desc, word asc). Map-side partial aggs do

@@ -316,4 +316,53 @@ object StreamingCorpus {
       .withColumn("hit_ratio",
         round(col("n_hit").cast("double") / col("n_grams"), 6))
       .filter(col("hit_ratio") >= flagThreshold)
+
+  /**
+   * Online quality-classifier gate — the streaming counterpart of the
+   * q91 batch filter ([[graft.analytics.TextStats
+   * .classifierQualityStatsOf]]), completing the pattern that every
+   * batch filter family here has a streaming form: documents landing in
+   * `landingDir` are scored against a FROZEN weight model (`weights` —
+   * the (b, wt) frame from a batch
+   * [[graft.analytics.TextStats.classifierWeights]] training run; model
+   * refresh is a batch event, exactly like the ANN codebook in
+   * [[startCellIndex]]) and rejected documents (score ≤ 0 that also lose
+   * the md5 lottery) are quarantined. Scoring is a pure per-document
+   * function of the frozen model, so the quarantine table equals the
+   * batch filter's dropped set under any arrival order and replay
+   * (seq-aware bucket merge).
+   *
+   * 100 TB posture: per micro-batch, explode → nBuckets-row broadcast
+   * model join → per-doc map-side partial aggregate; the already-accepted
+   * corpus is never rescored and only affected quarantine buckets
+   * rewrite.
+   */
+  def startClassifierGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      weights: org.apache.spark.sql.DataFrame,
+      quarantinePath: String,
+      checkpointDir: String,
+      featureBuckets: Int = 256,
+      lotteryMod: Int = 10,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val dropped = TextStats
+          .classifierScores(batch, weights, featureBuckets, lotteryMod)
+          .filter(!col("kept"))
+          .select(col("doc_id"), col("source"), col("score"))
+          .withColumn("_dump_seq", lit(batchId))
+        BucketedMerge.mergeInto(spark, quarantinePath, dropped,
+          Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+      }
+      .start()
+  }
 }

@@ -281,4 +281,51 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     assert(!streamed.contains(2L), "the lowest id of the dup group must survive")
     cents.unpersist()
   }
+
+  test("streamed classifier gate equals the batch filter under replay; lottery still re-admits") {
+    import graft.analytics.TextStats
+    val root = TempDirs.tempDir("graft_cgate").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val quarantinePath = s"$root/wh/quarantine"
+
+    // frozen model from a batch training run: alpha is the en-class
+    // token (wt +9), beta the negative one (wt -9)
+    val trainDocs = docsDF(Seq(
+      (1L, "alpha alpha alpha", "en", "src0", 17L),
+      (2L, "beta beta beta", "de", "src0", 14L)))
+    val weights = TextStats.classifierWeights(trainDocs, 256).cache()
+    weights.count()
+
+    // wave 1: doc 11 kept on score, doc 12 rejected (lottery bucket 1);
+    // wave 2: doc 10 rejected on score but WINS the md5 lottery (bucket
+    // 0), doc 9 rejected (bucket 6)
+    val w1 = docsDF(Seq(
+      (11L, "alpha alpha", "en", "src1", 11L),
+      (12L, "beta beta", "de", "src1", 9L)))
+    val w2 = docsDF(Seq(
+      (10L, "beta beta", "de", "src0", 9L),
+      (9L, "beta", "de", "src0", 4L)))
+
+    def drain(): Unit = {
+      val q = StreamingCorpus.startClassifierGate(spark, landing.getAbsolutePath,
+        w1.schema, weights, quarantinePath, s"$root/chk",
+        featureBuckets = 256, lotteryMod = 10, nBuckets = 8)
+      q.awaitTermination()
+    }
+    land(w1, landing, "wave1"); drain()
+    land(w2, landing, "wave2"); drain()
+    land(w1, landing, "wave1_replay"); drain()
+
+    val streamed = BucketedMerge.read(spark, quarantinePath)
+      .select("doc_id", "source", "score")
+    val batch = TextStats.classifierScores(
+      w1.unionByName(w2), weights, 256, 10)
+      .filter(!col("kept")).select("doc_id", "source", "score")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed quarantine diverges from the batch filter's dropped set")
+    val ids = streamed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(9L, 12L),
+      s"expected score-rejected lottery losers only, got $ids")
+    weights.unpersist()
+  }
 }
