@@ -38,6 +38,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var anyFailed = false
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -46,6 +47,7 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
           case e: Throwable =>
+            anyFailed = true
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
@@ -63,8 +65,13 @@ object Bench {
     // min-of-N line (with per-query spread) where the round artifacts live,
     // so a reader comparing BENCH_r{N}.json lines across rounds can see
     // whether a "regression" reproduces under min-of-N on this host.
-    // Full runs only — a dev-loop subset must not overwrite the evidence.
-    if (only.isEmpty) {
+    // Full CLEAN runs only — a dev-loop subset must not overwrite the
+    // evidence, and neither may a failed run: a query that threw records
+    // a near-zero elapsed time, which would clobber the committed
+    // min-of-N record with bogus "improvements".
+    if (anyFailed) {
+      System.err.println("[bench] failures above — NOT writing the self-record")
+    } else if (only.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json")
       try java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))

@@ -1071,12 +1071,13 @@ object SparkEntry {
         | FROM tb GROUP BY b),
         |w AS (
         | SELECT b,
-        |  pos_b * (SELECT CAST(sum(neg_b) AS BIGINT) FROM counts)
-        |   - neg_b * (SELECT CAST(sum(pos_b) AS BIGINT) FROM counts) AS wt
+        |  CAST(pos_b AS DECIMAL(38,0)) * (SELECT CAST(sum(neg_b) AS BIGINT) FROM counts)
+        |   - CAST(neg_b AS DECIMAL(38,0)) * (SELECT CAST(sum(pos_b) AS BIGINT) FROM counts) AS wt
         | FROM counts),
         |sc AS (
-        | SELECT t.doc_id, t.source, CAST(sum(w.wt) AS BIGINT) AS score
-        | FROM tb t JOIN w USING (b) GROUP BY t.doc_id, t.source),
+        | SELECT t.doc_id, t.source,
+        |  sum(coalesce(w.wt, CAST(0 AS DECIMAL(38,0)))) AS score
+        | FROM tb t LEFT JOIN w USING (b) GROUP BY t.doc_id, t.source),
         |k AS (
         | SELECT source, score,
         |  (score > 0 OR

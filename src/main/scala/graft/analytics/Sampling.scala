@@ -21,10 +21,17 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  /** Stable per-doc bucket in [0, 100) from the md5 of the id. */
-  def splitBucket(idCol: Column): Column =
+  /** Stable per-doc bucket in [0, `mod`) from the md5 of the id — THE
+    * deterministic-lottery idiom shared by splits (mod 100), mixture
+    * thresholds (mod 1e6, [[temperatureMixture]]) and the classifier
+    * re-admission lottery ([[TextStats.classifierScores]]); one
+    * definition so a hash-family swap cannot fork the convention. */
+  def idBucket(idCol: Column, mod: Long): Column =
     conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % 100
+      .cast("long") % mod
+
+  /** Stable per-doc bucket in [0, 100) from the md5 of the id. */
+  def splitBucket(idCol: Column): Column = idBucket(idCol, 100L)
 
   /** 80/10/10 split assignment. */
   def splitName(idCol: Column): Column = {
@@ -185,8 +192,7 @@ object Sampling {
     val kept = docs
       .join(broadcast(langStats.select(col("lang"), col("thresh"))), "lang")
       .withColumn("kept",
-        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-          .cast("long") % 1000000 < col("thresh")).cast("int"))
+        (idBucket(col("doc_id"), 1000000L) < col("thresh")).cast("int"))
       .groupBy(col("lang"))
       .agg(
         sum(col("kept")).cast("long").as("n_kept"),

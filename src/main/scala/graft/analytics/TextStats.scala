@@ -481,9 +481,10 @@ object TextStats {
    * (≤ nBuckets×partitions partial rows shuffle); the weight frame is
    * eagerly checkpointed so train and score are two clean corpus scans —
    * exactly the passes the real pipeline makes. Scoring shuffles one
-   * combined (doc_id, score) row per doc; the ledger sums are
-   * DECIMAL(38,0) because un-normalized weights grow with the square of
-   * corpus token count (int64 saturates near sf~10).
+   * combined (doc_id, score) row per doc; weights, scores and ledger
+   * sums are DECIMAL(38,0) end to end because the un-normalized weights
+   * grow with the square of corpus token count, which wraps int64
+   * silently (non-ANSI Spark) near ~5e10 tokens.
    */
   def classifierQualityStats(s: SparkSession, d: String,
       nBuckets: Int = 256, lotteryMod: Int = 10): DataFrame =
@@ -498,32 +499,34 @@ object TextStats {
     classifierScores(docs, weights, nBuckets, lotteryMod)
       .groupBy(col("source"), col("kept"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("score").cast("decimal(38,0)")).as("sum_score"))
+        sum(col("score")).cast("decimal(38,0)").as("sum_score"))
   }
 
-  /** The hashed-token frame shared by classifier training and scoring:
-    * one row per token occurrence with its md5 feature bucket. */
-  private def hashedTokens(docs: DataFrame, nBuckets: Int): DataFrame =
-    docs.select(col("doc_id"), col("source"),
-        (col("lang") === "en").as("pos"),
-        explode(words(col("text"))).as("w"))
-      .withColumn("b",
-        pmod(conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
-          .cast("long"), lit(nBuckets.toLong)))
+  /** Token feature bucket — [[Dedup.mdHash60]] folded to the model's
+    * fixed hash range (the fastText hashing trick). */
+  private def featureBucket(w: Column, nBuckets: Int): Column =
+    pmod(Dedup.mdHash60(w), lit(nBuckets.toLong))
 
   /** Train the count-difference weight model over `docs`: an
-    * `nBuckets`-row (b, wt) frame. A model-training batch event — the
-    * streaming gate ([[graft.streaming.StreamingCorpus
-    * .startClassifierGate]]) scores against a FROZEN copy of this. */
+    * (up to `nBuckets`)-row (b, wt) frame. A model-training batch event —
+    * the streaming gate ([[graft.streaming.StreamingCorpus
+    * .startClassifierGate]]) scores against a FROZEN copy of this.
+    * Weights are DECIMAL(38,0): the un-normalized products grow with the
+    * square of corpus token count, which wraps int64 (silently, in
+    * non-ANSI Spark) near ~5e10 tokens — exactly the scale this is for. */
   def classifierWeights(docs: DataFrame, nBuckets: Int): DataFrame = {
-    val counts = hashedTokens(docs, nBuckets).groupBy(col("b")).agg(
+    val toks = docs.select((col("lang") === "en").as("pos"),
+        explode(words(col("text"))).as("w"))
+      .withColumn("b", featureBucket(col("w"), nBuckets))
+    val counts = toks.groupBy(col("b")).agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("pos_b"),
       sum(when(col("pos"), 0L).otherwise(1L)).as("neg_b"))
     val tot = counts.agg(
       sum(col("pos_b")).as("p_tot"), sum(col("neg_b")).as("n_tot"))
     counts.crossJoin(broadcast(tot))
       .select(col("b"),
-        (col("pos_b") * col("n_tot") - col("neg_b") * col("p_tot")).as("wt"))
+        (col("pos_b").cast("decimal(38,0)") * col("n_tot")
+          - col("neg_b").cast("decimal(38,0)") * col("p_tot")).as("wt"))
   }
 
   /** Score `docs` against a trained (b, wt) model: one
@@ -531,16 +534,24 @@ object TextStats {
     * — the streaming gate's per-batch quarantine equals the batch
     * filter's dropped set under any arrival order because nothing here
     * depends on what else is in the batch. `nBuckets` must match the
-    * model's training value (it fixes the feature hash range). */
+    * model's training value (it fixes the feature hash range). The model
+    * join is LEFT with weight-0 fill: a token in a bucket the training
+    * corpus never produced carries no evidence, and a doc of only such
+    * tokens must still score 0 and face the keep rule — an inner join
+    * would silently admit it with no row at all. Scoring needs only
+    * (doc_id, source, text); the class-proxy `lang` column is a
+    * training-time concern. */
   def classifierScores(docs: DataFrame, weights: DataFrame,
       nBuckets: Int, lotteryMod: Int): DataFrame =
-    hashedTokens(docs, nBuckets).join(broadcast(weights), Seq("b"))
+    docs.select(col("doc_id"), col("source"),
+        explode(words(col("text"))).as("w"))
+      .withColumn("b", featureBucket(col("w"), nBuckets))
+      .join(broadcast(weights), Seq("b"), "left")
       .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("wt")).as("score"))
+      .agg(sum(coalesce(col("wt"), lit(0).cast("decimal(38,0)"))).as("score"))
       .withColumn("kept",
         col("score") > 0 ||
-          pmod(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-            .cast("long"), lit(lotteryMod.toLong)) === 0)
+          Sampling.idBucket(col("doc_id"), lotteryMod.toLong) === 0)
 
   /** Corpus-wide heavy hitters: the canonical distributed word count with a
     * deterministic top-k (count desc, word asc). Map-side partial aggs do

@@ -355,8 +355,13 @@ object StreamingCorpus {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the corpus contract allows re-delivery, including twice within
+        // ONE micro-batch; a doc's rows are identical by contract, but
+        // scoring a doubled doc would double its stored score — dedup
+        // first (the chunk path does the same via dedupLatest)
         val dropped = TextStats
-          .classifierScores(batch, weights, featureBuckets, lotteryMod)
+          .classifierScores(batch.dropDuplicates(Seq("doc_id")),
+            weights, featureBuckets, lotteryMod)
           .filter(!col("kept"))
           .select(col("doc_id"), col("source"), col("score"))
           .withColumn("_dump_seq", lit(batchId))

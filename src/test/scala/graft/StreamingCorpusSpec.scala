@@ -298,13 +298,19 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
 
     // wave 1: doc 11 kept on score, doc 12 rejected (lottery bucket 1);
     // wave 2: doc 10 rejected on score but WINS the md5 lottery (bucket
-    // 0), doc 9 rejected (bucket 6)
+    // 0); doc 9 rejected (bucket 6) and RE-DELIVERED within the same
+    // micro-batch (allowed by the corpus contract — its stored score
+    // must still be -9, not -18); doc 13's token hits a bucket the model
+    // never trained (score 0, lottery bucket 4 ⇒ still quarantined —
+    // the left-join-with-zero-fill path)
     val w1 = docsDF(Seq(
       (11L, "alpha alpha", "en", "src1", 11L),
       (12L, "beta beta", "de", "src1", 9L)))
     val w2 = docsDF(Seq(
       (10L, "beta beta", "de", "src0", 9L),
-      (9L, "beta", "de", "src0", 4L)))
+      (9L, "beta", "de", "src0", 4L),
+      (13L, "gamma gamma", "de", "src0", 11L)))
+    val w2land = w2.unionByName(docsDF(Seq((9L, "beta", "de", "src0", 4L))))
 
     def drain(): Unit = {
       val q = StreamingCorpus.startClassifierGate(spark, landing.getAbsolutePath,
@@ -313,7 +319,7 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       q.awaitTermination()
     }
     land(w1, landing, "wave1"); drain()
-    land(w2, landing, "wave2"); drain()
+    land(w2land, landing, "wave2"); drain()
     land(w1, landing, "wave1_replay"); drain()
 
     val streamed = BucketedMerge.read(spark, quarantinePath)
@@ -323,9 +329,12 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       .filter(!col("kept")).select("doc_id", "source", "score")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "streamed quarantine diverges from the batch filter's dropped set")
-    val ids = streamed.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(ids == Set(9L, 12L),
-      s"expected score-rejected lottery losers only, got $ids")
+    val byId = streamed.collect()
+      .map(r => r.getLong(0) -> r.getDecimal(2).longValueExact()).toMap
+    assert(byId.keySet == Set(9L, 12L, 13L),
+      s"expected score-rejected lottery losers only, got $byId")
+    assert(byId(9L) == -9L, s"in-batch re-delivery must not double the score: $byId")
+    assert(byId(13L) == 0L, s"untrained-bucket doc must score 0, not vanish: $byId")
     weights.unpersist()
   }
 }
