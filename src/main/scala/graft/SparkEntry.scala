@@ -123,7 +123,11 @@ object SparkEntry {
     // classifier-based quality filter (GPT-3/fastText family) and
     // D4-style prototype pruning (the diversification half of D4)
     "q91_classifier_filter" -> ((s: SparkSession, d: String) => TextStats.classifierQualityStats(s, d)),
-    "q92_proto_prune" -> ((s: SparkSession, d: String) => Similarity.protoPruneStats(s, d)))
+    "q92_proto_prune" -> ((s: SparkSession, d: String) => Similarity.protoPruneStats(s, d)),
+    // shard export accounting (the release "last mile") and repeat-factor
+    // (epoch-aware) upsampling — q89's data-constrained counterpart
+    "q93_training_shards" -> ((s: SparkSession, d: String) => Sampling.trainingShardStats(s, d)),
+    "q94_repeat_mixture" -> ((s: SparkSession, d: String) => Sampling.repeatFactorMixture(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1116,7 +1120,45 @@ object SparkEntry {
           | CAST(sum(pruned) AS BIGINT) AS n_pruned,
           | CAST(coalesce(sum(CASE WHEN pruned = 1 THEN vec_id END), 0) AS BIGINT) AS pruned_checksum,
           | round(CAST(coalesce(sum(CASE WHEN pruned = 0 THEN CAST(pcos AS DECIMAL(28,15)) END), 0) AS DOUBLE), 6) AS kept_cos_sum
-          |FROM f GROUP BY cell""".stripMargin))
+          |FROM f GROUP BY cell""".stripMargin),
+    // md5 shard buckets + md5-hex within-shard order; arg_min/arg_max pin
+    // the deterministic shuffle order, not just the partition
+    "q93_training_shards" ->
+      s"""WITH t AS (
+        | SELECT doc_id,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 16 AS shard,
+        |  md5(CAST(doc_id AS VARCHAR)) AS ord,
+        |  len($tokens) AS n_tokens
+        | FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | arg_min(doc_id, ord) AS first_doc,
+        | arg_max(doc_id, ord) AS last_doc
+        |FROM t GROUP BY shard""".stripMargin,
+    // one 12-dp-rounded double ratio per language, floored repeats and
+    // floored 1e-6 residual threshold — q89's determinism conventions
+    "q94_repeat_mixture" ->
+      s"""WITH wt AS (
+        | SELECT doc_id, lang, len($tokens) AS n_tokens FROM documents),
+        |ls AS (
+        | SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+        | FROM wt GROUP BY lang),
+        |p2 AS (
+        | SELECT lang, lang_tokens,
+        |  CAST(floor(round(CAST((SELECT max(lang_tokens) FROM ls) AS DOUBLE) / lang_tokens, 12)) AS BIGINT) AS repeats,
+        |  CAST(floor(round(round(CAST((SELECT max(lang_tokens) FROM ls) AS DOUBLE) / lang_tokens, 12)
+        |    - floor(round(CAST((SELECT max(lang_tokens) FROM ls) AS DOUBLE) / lang_tokens, 12)), 12) * 1000000) AS BIGINT) AS residual_thresh
+        | FROM ls),
+        |x AS (
+        | SELECT w.lang, w.n_tokens, p2.repeats,
+        |  CASE WHEN ('0x' || substring(md5(CAST(w.doc_id AS VARCHAR)),1,8))::BIGINT % 1000000 < p2.residual_thresh
+        |       THEN 1 ELSE 0 END AS extra
+        | FROM wt w JOIN p2 USING (lang))
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS lang_tokens, repeats,
+        | CAST(sum(extra) AS BIGINT) AS n_extra_docs,
+        | CAST(sum(n_tokens * repeats) + sum(extra * n_tokens) AS BIGINT) AS planned_tokens
+        |FROM x GROUP BY lang, repeats""".stripMargin)
 
   /** DuckDB replay of the two Lloyd k-means iterations (shared by q83 and
     * q87): init cell = vec_id % 8, decimal-summed centroids, 12-dp-rounded

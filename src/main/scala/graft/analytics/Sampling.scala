@@ -335,4 +335,102 @@ object Sampling {
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
+
+  /**
+   * Training-shard export accounting — the pipeline's "last mile": a
+   * released corpus ships as N shard files whose assignment is a GLOBAL
+   * deterministic shuffle (every public corpus release — Pile, RedPajama,
+   * Dolma — does this so sequential readers see source- and
+   * time-decorrelated documents). Shard = [[idBucket]](doc_id, nShards)
+   * (uniform md5 buckets ⇒ balanced shards, stable under corpus growth
+   * and across engines); within-shard order = the md5 hex of the id (the
+   * deterministic shuffle order [[writeTrainingShards]] sorts by).
+   * first/last doc in shard order are the order-sensitive observables
+   * that pin the shuffle order itself, not just the partition.
+   *
+   * 100 TB posture: ONE shuffle keyed by uniform hash buckets; the sort
+   * is within-partition only (no global orderBy — nothing ever
+   * single-threads); the writer streams each shard independently.
+   */
+  def trainingShardStats(s: SparkSession, d: String, nShards: Int = 16): DataFrame =
+    trainingShardStatsOf(Tables.documents(s, d), nShards)
+
+  /** [[trainingShardStats]] over an arbitrary (doc_id, text) frame. */
+  def trainingShardStatsOf(docs: DataFrame, nShards: Int): DataFrame =
+    docs
+      .withColumn("shard", idBucket(col("doc_id"), nShards.toLong))
+      .withColumn("ord", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        min_by(col("doc_id"), col("ord")).as("first_doc"),
+        max_by(col("doc_id"), col("ord")).as("last_doc"))
+
+  /** Materialize the shards: repartition BY the shard key (each output
+    * task owns whole shards), sort within partitions by the deterministic
+    * shuffle order, write one directory per shard. The read-back contract
+    * — every row in shard=k has idBucket(doc_id) = k, file order = `ord`
+    * order — is pinned in SamplingSpec. */
+  def writeTrainingShards(docs: DataFrame, nShards: Int, outPath: String): Unit =
+    docs
+      .withColumn("shard", idBucket(col("doc_id"), nShards.toLong))
+      .withColumn("ord", md5(col("doc_id").cast("string").cast("binary")))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+
+  /**
+   * Repeat-factor (epoch-aware) mixing — the UPSAMPLING counterpart of
+   * [[temperatureMixture]]'s downsampling: when the budget calls for more
+   * tokens of a group than exist, the group is repeated whole `repeats`
+   * times plus a deterministic md5-bucket fraction of its documents once
+   * more (data-constrained scaling à la Muennighoff et al. 2023 — up to
+   * ~4 epochs of repeated data is near-as-good as fresh). Budget here:
+   * equalize every language to the LARGEST language's token count.
+   *
+   * Determinism (q89's conventions exactly): the only division is one
+   * IEEE double ratio per language, 12-dp-rounded before the floored
+   * integer threshold, so both engines compute identical repeats and
+   * identical residual membership; everything after is exact integer
+   * arithmetic.
+   */
+  def repeatFactorMixture(s: SparkSession, d: String): DataFrame =
+    repeatFactorMixtureOf(Tables.documents(s, d))
+
+  /** [[repeatFactorMixture]] over an arbitrary (doc_id, text, lang)
+    * frame. */
+  def repeatFactorMixtureOf(docs: DataFrame): DataFrame = {
+    val withTok = docs.select(col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val stats = withTok.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+    val budget = stats.agg(max(col("lang_tokens")).as("budget_tokens"))
+    // repeats = floor(budget/T); residual fraction at 1e-6 granularity.
+    // One job up front (the plan is lang-count rows) so the corpus pass
+    // below joins against a literal-sized broadcast, scans once.
+    val plan = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      stats.crossJoin(broadcast(budget))
+        .withColumn("ratio",
+          round(col("budget_tokens").cast("double") / col("lang_tokens"), 12))
+        .withColumn("repeats", floor(col("ratio")).cast("long"))
+        .withColumn("residual_thresh",
+          floor(round(col("ratio") - col("repeats"), 12) * 1000000).cast("long")),
+      eager = true)
+    withTok
+      .join(broadcast(plan.select(col("lang"), col("repeats"),
+        col("residual_thresh"))), Seq("lang"))
+      .withColumn("extra",
+        (idBucket(col("doc_id"), 1000000L) < col("residual_thresh")).cast("long"))
+      .groupBy(col("lang"), col("repeats"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("lang_tokens"),
+        sum(col("extra")).as("n_extra_docs"),
+        (sum(col("n_tokens") * col("repeats")) +
+          sum(col("extra") * col("n_tokens"))).as("planned_tokens"))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("repeats"),
+        col("n_extra_docs"), col("planned_tokens"))
+  }
 }

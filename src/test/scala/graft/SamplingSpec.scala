@@ -128,4 +128,66 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
       assert(toks >= docs, s"$split: token total below doc count")
     }
   }
+
+  test("q93: written shards honor the assignment and the within-shard shuffle order") {
+    import org.apache.spark.sql.functions._
+    val nShards = 8
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val out = TempDirs.tempDir("graft_shards").toString
+    Sampling.writeTrainingShards(docs, nShards, out)
+    val back = spark.read.parquet(out)
+    // nothing lost, nothing duplicated
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    // every row sits in its md5-assigned shard
+    val misplaced = back.filter(
+      Sampling.idBucket(col("doc_id"), nShards.toLong) =!= col("shard")).count()
+    assert(misplaced == 0, s"$misplaced rows landed outside their md5 shard")
+    // within each shard FILE, physical row order == the md5 shuffle order
+    // (read per-file with order-preserving narrow ops only)
+    import spark.implicits._
+    val files = back.inputFiles
+    files.foreach { f =>
+      val ords = spark.read.parquet(f)
+        .select(md5(col("doc_id").cast("string").cast("binary")))
+        .as[String].collect()
+      assert(ords.sameElements(ords.sorted),
+        s"file $f is not in the deterministic shuffle order")
+    }
+    // stats agree with a direct recomputation over the written shards
+    val stats = Sampling.trainingShardStatsOf(docs, nShards)
+    assert(stats.agg(sum(col("n_docs"))).head().getLong(0) == docs.count())
+    assert(stats.count() == nShards)
+  }
+
+  test("q94: integer-budget fixture gets exact whole-corpus repeats, no residual") {
+    import spark.implicits._
+    // en = 9 tokens across 3 docs, de = 3 tokens: budget 9 => en repeats
+    // once (it IS the budget), de repeats 3x whole — ratios are exact
+    // integers so residual thresholds must be exactly zero
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "a b c", "en"), (3L, "a b c", "en"),
+      (4L, "x y z", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Sampling.repeatFactorMixtureOf(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out("en") == ((3L, 9L, 1L, 0L, 9L)), s"en row wrong: $out")
+    assert(out("de") == ((1L, 3L, 3L, 0L, 9L)), s"de row wrong: $out")
+  }
+
+  test("q94: every language's plan lands within one pass of the shared budget; partition-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val out = Sampling.repeatFactorMixtureOf(docs)
+    val budget = out.agg(max(col("lang_tokens"))).head().getLong(0)
+    // planned = repeats*T + (residual md5 slice) => within [budget - T, budget + T]
+    val off = out.filter(
+      col("planned_tokens") < lit(budget) - col("lang_tokens") ||
+      col("planned_tokens") > lit(budget) + col("lang_tokens")).count()
+    assert(off == 0, "a language's planned tokens strayed more than one corpus pass from budget")
+    val re = Sampling.repeatFactorMixtureOf(docs.repartition(7))
+    assert(out.exceptAll(re).isEmpty && re.exceptAll(out).isEmpty,
+      "repeat plan depends on input partitioning")
+  }
 }
