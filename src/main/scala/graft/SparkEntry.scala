@@ -127,7 +127,9 @@ object SparkEntry {
     // shard export accounting (the release "last mile") and repeat-factor
     // (epoch-aware) upsampling — q89's data-constrained counterpart
     "q93_training_shards" -> ((s: SparkSession, d: String) => Sampling.trainingShardStats(s, d)),
-    "q94_repeat_mixture" -> ((s: SparkSession, d: String) => Sampling.repeatFactorMixture(s, d)))
+    "q94_repeat_mixture" -> ((s: SparkSession, d: String) => Sampling.repeatFactorMixture(s, d)),
+    // BPE tokenizer-training merge selection over the word-frequency table
+    "q95_bpe_pairs" -> ((s: SparkSession, d: String) => TextStats.bpePairCounts(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1158,7 +1160,20 @@ object SparkEntry {
         | CAST(sum(n_tokens) AS BIGINT) AS lang_tokens, repeats,
         | CAST(sum(extra) AS BIGINT) AS n_extra_docs,
         | CAST(sum(n_tokens * repeats) + sum(extra * n_tokens) AS BIGINT) AS planned_tokens
-        |FROM x GROUP BY lang, repeats""".stripMargin)
+        |FROM x GROUP BY lang, repeats""".stripMargin,
+    // BPE merge selection replayed: corpus → word-frequency table →
+    // weighted adjacent char pairs → deterministic (count desc, pair) top-k
+    "q95_bpe_pairs" ->
+      s"""WITH wc AS (
+        | SELECT w AS word, count(*) AS n
+        | FROM (SELECT unnest($tokens) AS w FROM documents) t
+        | WHERE length(w) >= 2 GROUP BY w),
+        |p AS (
+        | SELECT substring(word, CAST(i AS INT), 2) AS pair, n
+        | FROM (SELECT word, n, unnest(range(1, length(word))) AS i FROM wc) t)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+        |FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin)
 
   /** DuckDB replay of the two Lloyd k-means iterations (shared by q83 and
     * q87): init cell = vec_id % 8, decimal-summed centroids, 12-dp-rounded

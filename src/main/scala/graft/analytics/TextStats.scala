@@ -553,6 +553,40 @@ object TextStats {
         col("score") > 0 ||
           Sampling.idBucket(col("doc_id"), lotteryMod.toLong) === 0)
 
+  /**
+   * BPE tokenizer-training pair counts (Sennrich et al. 2016, "Neural
+   * Machine Translation of Rare Words with Subword Units") — the merge-
+   * selection step of byte-pair-encoding training: corpus-weighted counts
+   * of adjacent character pairs, ranked. The top pair IS the next BPE
+   * merge; training iterates this over a progressively merged symbol
+   * vocabulary (a driver loop over vocab-sized data — the standard
+   * implementation shape), so the distributed observable is this step.
+   *
+   * 100 TB posture — the classic BPE trick: pair counting runs over the
+   * WORD-FREQUENCY TABLE, not the raw corpus. The corpus is scanned once
+   * into (word, n) — a vocab-sized map-side-combined aggregate — and the
+   * character-pair explode multiplies vocab rows (bounded by vocabulary
+   * growth, not corpus growth). Deterministic top-k: (count desc, pair
+   * asc) total order, single-char words carry no pairs by definition.
+   */
+  def bpePairCounts(s: SparkSession, d: String, topK: Int = 20): DataFrame =
+    bpePairCountsOf(documents(s, d), topK)
+
+  /** [[bpePairCounts]] over an arbitrary (text) frame. */
+  def bpePairCountsOf(docs: DataFrame, topK: Int): DataFrame = {
+    val wordCounts = docs
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    wordCounts
+      .select(col("n"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Corpus-wide heavy hitters: the canonical distributed word count with a
     * deterministic top-k (count desc, word asc). Map-side partial aggs do
     * the heavy lifting; only (word, partial_count) pairs shuffle. */

@@ -204,6 +204,23 @@ class Round6OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  // ---------------------------------------------------------------- q95
+
+  test("q95: BPE pair counts weight by word frequency and break ties lexicographically") {
+    import spark.implicits._
+    // 'abab' x2 in the corpus => ab: 2*2=4, ba: 2*1=2; 'cd' adds cd: 1;
+    // the single-char word 'x' contributes no pairs
+    val docs = Seq("abab abab cd x").toDF("text")
+    val out = TextStats.bpePairCountsOf(docs, topK = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("ab", 4L), ("ba", 2L), ("cd", 1L)), s"got $out")
+    // a count tie at the cut must resolve by pair order, identically in
+    // the oracle's ORDER BY
+    val tie = TextStats.bpePairCountsOf(Seq("aa bb").toDF("text"), topK = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(tie == Seq(("aa", 1L)), s"tie-break drifted: $tie")
+  }
+
   // ---------------------------------------------------------------- q92
 
   test("q92: the most prototypical member is pruned, floor(n/4) count, ties to lowest id") {
