@@ -129,7 +129,10 @@ object SparkEntry {
     "q93_training_shards" -> ((s: SparkSession, d: String) => Sampling.trainingShardStats(s, d)),
     "q94_repeat_mixture" -> ((s: SparkSession, d: String) => Sampling.repeatFactorMixture(s, d)),
     // BPE tokenizer-training merge selection over the word-frequency table
-    "q95_bpe_pairs" -> ((s: SparkSession, d: String) => TextStats.bpePairCounts(s, d)))
+    "q95_bpe_pairs" -> ((s: SparkSession, d: String) => TextStats.bpePairCounts(s, d)),
+    // the full D4 recipe in one DAG: SemDeDup drop -> survivor re-centroid
+    // -> prototype prune -> per-cell accounting
+    "q96_d4_pipeline" -> ((s: SparkSession, d: String) => Similarity.d4PipelineStats(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1173,7 +1176,54 @@ object SparkEntry {
         | FROM (SELECT word, n, unnest(range(1, length(word))) AS i FROM wc) t)
         |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
         |FROM p GROUP BY pair
-        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin)
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
+    // D4 replayed end to end: q87's pair sweep names the semantic drops,
+    // survivors get a FOURTH centroid pass, then q92's rank/prune logic
+    // over the survivor set
+    "q96_d4_pipeline" ->
+      (kmeansCte +
+        """
+          |, pairs AS (
+          | SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |  round(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])) /
+          |   (sqrt(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*a.e[i]))) *
+          |    sqrt(list_sum(list_transform(range(1, len(b.e)+1), i -> b.e[i]*b.e[i])))), 12) AS cos
+          | FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+          |dropped AS (SELECT DISTINCT vec_b AS vec_id FROM pairs WHERE cos >= 0.35),
+          |surv AS (
+          | SELECT a.* FROM a2 a WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)),
+          |cent4 AS (
+          | SELECT cell, dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+          | FROM (SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x FROM surv) t
+          | GROUP BY cell, dim),
+          |ca4 AS (SELECT cell AS c_cell, list(mean_v ORDER BY dim) AS c0 FROM cent4 GROUP BY cell),
+          |p AS (
+          | SELECT s.cell, s.vec_id,
+          |  round(list_sum(list_transform(range(1, len(s.e)+1), i -> s.e[i]*c0[i])) /
+          |   (sqrt(list_sum(list_transform(range(1, len(s.e)+1), i -> s.e[i]*s.e[i]))) *
+          |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))), 12) AS pcos
+          | FROM surv s JOIN ca4 ON s.cell = ca4.c_cell),
+          |r AS (
+          | SELECT cell, vec_id, pcos,
+          |  row_number() OVER (PARTITION BY cell ORDER BY pcos DESC, vec_id) AS rk,
+          |  count(*) OVER (PARTITION BY cell) AS n_surv
+          | FROM p),
+          |f AS (
+          | SELECT cell, vec_id,
+          |  CASE WHEN rk <= floor(n_surv * 1 / 4.0) THEN 1 ELSE 0 END AS pruned
+          | FROM r),
+          |fa AS (
+          | SELECT cell, count(*) AS n_survivors,
+          |  CAST(sum(pruned) AS BIGINT) AS n_proto_pruned,
+          |  CAST(coalesce(sum(CASE WHEN pruned = 0 THEN vec_id END), 0) AS BIGINT) AS kept_checksum
+          | FROM f GROUP BY cell),
+          |mem AS (SELECT cell, count(*) AS n_members FROM a2 GROUP BY cell)
+          |SELECT m.cell, m.n_members,
+          | m.n_members - fa.n_survivors AS n_sem_dropped,
+          | fa.n_proto_pruned,
+          | fa.n_survivors - fa.n_proto_pruned AS n_kept,
+          | fa.kept_checksum
+          |FROM mem m JOIN fa USING (cell)""".stripMargin))
 
   /** DuckDB replay of the two Lloyd k-means iterations (shared by q83 and
     * q87): init cell = vec_id % 8, decimal-summed centroids, 12-dp-rounded

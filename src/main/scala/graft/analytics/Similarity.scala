@@ -412,6 +412,62 @@ object Similarity {
       pruneNum: Int = 1, pruneDen: Int = 4): DataFrame =
     protoPruneStatsOf(embeddings(s, d), k, iters, pruneNum, pruneDen)
 
+  /**
+   * The full D4 recipe in ONE plan (Tirumala et al. 2023): SemDeDup's
+   * within-cell semantic drop (keep-lowest, [[semanticPairs]]) followed by
+   * prototype pruning of the SURVIVORS against centroids RECOMPUTED over
+   * the survivor set — dedup first so near-duplicate mass cannot drag the
+   * prototype ranking, which is the paper's stated ordering. Per-cell
+   * accounting: original members, semantic drops, prototype prunes, kept
+   * count and kept id checksum.
+   *
+   * Composite invariants (vs running the stages alone): the semantic
+   * dropped set equals q87's; the prune count is floor(survivors·num/den).
+   * The cells frame is lazily checkpointed so k-means runs once across
+   * the pair sweep, the survivor anti-join, and the centroid recompute.
+   */
+  def d4PipelineStats(s: SparkSession, d: String, k: Int = 8, iters: Int = 2,
+      threshold: Double = 0.35, pruneNum: Int = 1, pruneDen: Int = 4): DataFrame =
+    d4PipelineStatsOf(embeddings(s, d), k, iters, threshold, pruneNum, pruneDen)
+
+  /** [[d4PipelineStats]] over an arbitrary (vec_id, embedding, label)
+    * frame. */
+  def d4PipelineStatsOf(emb: DataFrame, k: Int, iters: Int,
+      threshold: Double, pruneNum: Int, pruneDen: Int,
+      trainSampleMod: Int = 1): DataFrame = {
+    val cells = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      trainedCells(emb, k, iters, trainSampleMod)
+        .select(col("cell"), col("vec_id"), col("embedding")),
+      eager = false)
+    val dropped = semanticPairs(cells, threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    val survivors = cells.join(dropped, Seq("vec_id"), "left_anti")
+    val byCell = Window.partitionBy(col("cell"))
+    val flagged = survivors
+      .join(broadcast(centroids(survivors)), Seq("cell"))
+      .withColumn("pcos",
+        round(cosineNative(col("embedding"), col("centroid")), 12))
+      .withColumn("rk", row_number().over(
+        byCell.orderBy(col("pcos").desc, col("vec_id"))))
+      .withColumn("n_surv", count(lit(1)).over(byCell))
+      .withColumn("pruned",
+        col("rk") <= floor(col("n_surv") * lit(pruneNum) / lit(pruneDen.toDouble)))
+    cells.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(flagged.groupBy(col("cell")).agg(
+          count(lit(1)).as("n_survivors"),
+          sum(when(col("pruned"), 1L).otherwise(0L)).as("n_proto_pruned"),
+          coalesce(sum(when(!col("pruned"), col("vec_id"))), lit(0L))
+            .as("kept_checksum")),
+        // inner: keep-lowest guarantees every cell retains its lowest
+        // member, so no cell vanishes from the survivor side
+        Seq("cell"))
+      .select(col("cell"), col("n_members"),
+        (col("n_members") - col("n_survivors")).as("n_sem_dropped"),
+        col("n_proto_pruned"),
+        (col("n_survivors") - col("n_proto_pruned")).as("n_kept"),
+        col("kept_checksum"))
+  }
+
   /** [[protoPruneStats]] over an arbitrary (vec_id, embedding, label)
     * frame. `trainSampleMod` is the shared [[trainedCells]] scale knob. */
   def protoPruneStatsOf(emb: DataFrame, k: Int, iters: Int,

@@ -240,6 +240,31 @@ class Round6OpsSpec extends AnyFunSuite with SparkSuite {
       s"expected the lowest-id prototypical copy pruned: ${r.toSeq}")
   }
 
+  test("q96: the D4 composite drops exactly q87's semantic dups, then prunes floor(surv/4)") {
+    val out = Similarity.d4PipelineStatsOf(embFixture(), k = 2, iters = 1,
+      threshold = 0.9, pruneNum = 1, pruneDen = 4)
+    val total = out.agg(sum(col("n_members")), sum(col("n_sem_dropped")),
+      sum(col("n_kept"))).head()
+    assert(total.getLong(0) == 9, "cells must partition the corpus")
+    assert(total.getLong(1) == 1, "exactly the planted duplicate is semantic-dropped")
+    // n_kept = members - sem drops - proto prunes, per cell
+    val bad = out.filter(
+      col("n_kept") =!= col("n_members") - col("n_sem_dropped") - col("n_proto_pruned"))
+      .count()
+    assert(bad == 0, "kept accounting does not balance")
+    // composite invariant on real data: the semantic stage inside q96
+    // equals q87 standalone, and the prune count is floor(survivors/4)
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val d4 = Similarity.d4PipelineStatsOf(emb, 8, 2, 0.35, 1, 4)
+    val semAlone = Similarity.semdedupStatsOf(emb, 8, 2, 0.35)
+    assert(d4.agg(sum(col("n_sem_dropped"))).head().getLong(0) ==
+      semAlone.agg(sum(col("n_dropped"))).head().getLong(0),
+      "composite semantic stage diverges from q87")
+    val badPrune = d4.filter(col("n_proto_pruned") =!=
+      floor((col("n_members") - col("n_sem_dropped")) / 4)).count()
+    assert(badPrune == 0, "prune count must be floor(survivors/4)")
+  }
+
   test("q92: prune count is exactly floor(n/4) per cell; partition-stable") {
     val emb = spark.read.parquet(s"$d/embeddings.parquet")
     val out = Similarity.protoPruneStatsOf(emb, 8, 2, 1, 4)
