@@ -124,6 +124,16 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
           graft.analytics.Tables.embeddings(spark, d),
           k = if (big) 80 else 8, iters = 2, pruneNum = 1, pruneDen = 4,
           trainSampleMod = if (big) 4 else 1).count()
+      }),
+      // the full D4 composite: one shared codebook, sweep + re-centroid +
+      // prune — the scale knobs compose because every stage is per-cell
+      "q96_d4_pipeline" -> ((d, _) => {
+        val big = d != sf01
+        Similarity.d4PipelineStatsOf(
+          graft.analytics.Tables.embeddings(spark, d),
+          k = if (big) 80 else 8, iters = 2, threshold = 0.35,
+          pruneNum = 1, pruneDen = 4,
+          trainSampleMod = if (big) 4 else 1).count()
       }))
     annOps.foreach { case (name, op) =>
       val (t01, n01) = minOf2(op(sf01, 100))

@@ -112,4 +112,48 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       assert(ls + ll == words, s"doc $id: tail not covered")
     }
   }
+
+  test("classifier score is the exact model weight sum per document (15 generated corpora)") {
+    import graft.analytics.TextStats
+    // independent JVM recomputation of the whole q91 contract: hash each
+    // token with MessageDigest md5 (not Spark's), fold the trained model
+    // into a plain Map, sum, and re-derive the lottery — engine rows must
+    // match exactly, including the kept flag and zero-weight buckets
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(w: String, n: Long): Long =
+      java.lang.Long.parseLong(md5hex(w).substring(0, 15), 16) % n
+    def lottery(id: Long, mod: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16) % mod
+    val vocab = Vector("spark", "scan", "merge", "табло", "xs", "q", "key7", "zz")
+    val corpusGen: Gen[List[(Long, String, String, String)]] = for {
+      n <- Gen.choose(2, 12)
+      rows <- Gen.sequence[List[(Long, String, String, String)], (Long, String, String, String)](
+        (1 to n).map { i =>
+          for {
+            nw <- Gen.choose(1, 9)
+            ws <- Gen.listOfN(nw, Gen.oneOf(vocab))
+            lang <- Gen.oneOf("en", "de", "zh")
+            src <- Gen.oneOf("s0", "s1")
+          } yield (i.toLong * 7L, ws.mkString(" "), lang, src)
+        }.toList)
+    } yield rows
+    samples(corpusGen, 15).foreach { rows =>
+      val docs = rows.toDF("doc_id", "text", "lang", "source")
+      val weights = TextStats.classifierWeights(docs, 64)
+      val wMap = weights.collect()
+        .map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+      val engine = TextStats.classifierScores(docs, weights, 64, 10).collect()
+        .map(r => r.getLong(0) -> ((BigInt(r.getDecimal(2).toBigInteger), r.getBoolean(3))))
+        .toMap
+      rows.foreach { case (id, text, _, _) =>
+        val expected = text.split("\\s+").toSeq
+          .map(w => wMap.getOrElse(bucket(w, 64), BigInt(0))).sum
+        val expectedKept = expected > 0 || lottery(id, 10) == 0
+        assert(engine(id) == ((expected, expectedKept)),
+          s"doc $id ('$text'): engine ${engine(id)} != recomputed ($expected, $expectedKept) in $rows")
+      }
+    }
+  }
 }
