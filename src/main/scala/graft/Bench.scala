@@ -69,10 +69,16 @@ object Bench {
     // evidence, and neither may a failed run: a query that threw records
     // a near-zero elapsed time, which would clobber the committed
     // min-of-N record with bogus "improvements".
+    // ...and neither may an off-scale run: the committed record is the
+    // sf0.1 surface, so a full clean run against another fixture (e.g.
+    // the sf0.001 dev default of the sibling tools) must not replace it
+    // with incomparable numbers — unless the caller names a target file.
+    val selfTarget = sys.env.get("SPARK_GRAFT_BENCH_SELF")
     if (anyFailed) {
       System.err.println("[bench] failures above — NOT writing the self-record")
-    } else if (only.isEmpty) {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json")
+    } else if (only.isEmpty &&
+        (selfTarget.isDefined || sfDir.stripSuffix("/").endsWith("sf0.1"))) {
+      val out = selfTarget.getOrElse("BENCH_SELF.json")
       try java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
       catch { case e: Exception =>

@@ -998,7 +998,7 @@ object SparkEntry {
       s"""WITH t AS (
         | SELECT source, $tokens AS ws FROM documents),
         |f AS (
-        | SELECT source, len(ws) AS nw,
+        | SELECT source, coalesce(len(ws), 0) AS nw,
         |  round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws), 6) AS mean_len,
         |  round(CAST(len(list_filter(ws, w -> w IN ('the','a','of','to','and','in'))) AS DOUBLE) / len(ws), 6) AS stop_frac,
         |  round(CAST(len(list_filter(ws, w -> regexp_matches(w, '^[a-z]+$$'))) AS DOUBLE) / len(ws), 6) AS alpha_frac
@@ -1087,11 +1087,15 @@ object SparkEntry {
         | SELECT t.doc_id, t.source,
         |  sum(coalesce(w.wt, CAST(0 AS DECIMAL(38,0)))) AS score
         | FROM tb t LEFT JOIN w USING (b) GROUP BY t.doc_id, t.source),
+        |sc2 AS (
+        | SELECT d.doc_id, d.source,
+        |  coalesce(sc.score, CAST(0 AS DECIMAL(38,0))) AS score
+        | FROM documents d LEFT JOIN sc USING (doc_id, source)),
         |k AS (
         | SELECT source, score,
         |  (score > 0 OR
         |   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10 = 0) AS kept
-        | FROM sc)
+        | FROM sc2)
         |SELECT source, kept, count(*) AS n_docs,
         | CAST(sum(score) AS DECIMAL(38,0)) AS sum_score
         |FROM k GROUP BY source, kept""".stripMargin,

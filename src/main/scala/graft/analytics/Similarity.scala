@@ -344,8 +344,7 @@ object Similarity {
     if (trainSampleMod <= 1) kmeansCells(emb, k, iters)
     else {
       val sample = emb.filter(
-        conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
-          .cast("long") % trainSampleMod === 0)
+        Sampling.idBucket(col("vec_id"), trainSampleMod.toLong) === 0)
       assignCells(emb, centroids(kmeansCells(sample, k, iters)))
     }
 

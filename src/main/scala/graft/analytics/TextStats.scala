@@ -122,7 +122,11 @@ object TextStats {
     val stop = Seq("the", "a", "of", "to", "and", "in")
     val flagged = docs
       .withColumn("ws", words(col("text")))
-      .withColumn("nw", size(col("ws")))
+      // null text ⇒ 0 words ⇒ fails the word-count rule (and only it):
+      // without the coalesces a null row's flags are NULL, the sums skip
+      // it, and the per-source tally no longer partitions the corpus —
+      // and diverges from the oracle's CASE-WHEN null semantics
+      .withColumn("nw", coalesce(size(col("ws")), lit(0)))
       .withColumn("mean_len",
         round(aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
           .cast("double") / col("nw"), 6))
@@ -134,10 +138,10 @@ object TextStats {
           col("nw"), 6))
       .select(col("source"),
         (col("nw") < minWords || col("nw") > maxWords).cast("int").as("f_words"),
-        (col("mean_len") < minMeanLen || col("mean_len") > maxMeanLen)
-          .cast("int").as("f_mean_len"),
-        (col("stop_frac") < minStopFrac).cast("int").as("f_stop"),
-        (col("alpha_frac") < minAlphaFrac).cast("int").as("f_alpha"))
+        coalesce((col("mean_len") < minMeanLen || col("mean_len") > maxMeanLen)
+          .cast("int"), lit(0)).as("f_mean_len"),
+        coalesce((col("stop_frac") < minStopFrac).cast("int"), lit(0)).as("f_stop"),
+        coalesce((col("alpha_frac") < minAlphaFrac).cast("int"), lit(0)).as("f_alpha"))
     flagged.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -303,6 +307,16 @@ object TextStats {
    * map-side partial counts, and no stage is ever all-pairs. Hot
    * boilerplate grams are dropped by [[dfCapped]] before the join — the
    * one key shape uniform hashing cannot defuse.
+   *
+   * Cap granularity caveat: this cap counts RAW gram document frequency,
+   * while [[winnowPairs]] caps the winnow-SELECTION frequency of a hash
+   * (how many docs picked it as a window minimum, ≤ its raw df). With
+   * caps active the two outputs are therefore not strictly nested on
+   * boilerplate-heavy corpora — a gram can exceed the raw-df cap here
+   * while its winnow selections stay under the fp cap there. The
+   * winnow ⊆ exhaustive containment is a property of the UNCAPPED
+   * operators (SharedGramSpec asserts it with caps disabled); each cap is
+   * the right skew control for its own join's key distribution.
    */
   def sharedGramPairs(s: SparkSession, d: String,
       k: Int = 8, minShared: Int = 3, dfCap: Int = 128): DataFrame =
@@ -543,8 +557,12 @@ object TextStats {
     * training-time concern. */
   def classifierScores(docs: DataFrame, weights: DataFrame,
       nBuckets: Int, lotteryMod: Int): DataFrame =
+    // explode_OUTER: a null-text doc has no tokens, but it must still
+    // emit a score-0 row and face the keep rule — plain explode would
+    // silently drop it from the ledger and slip it past the gate. The
+    // null token's bucket is null, misses the model, and coalesces to 0.
     docs.select(col("doc_id"), col("source"),
-        explode(words(col("text"))).as("w"))
+        explode_outer(words(col("text"))).as("w"))
       .withColumn("b", featureBucket(col("w"), nBuckets))
       .join(broadcast(weights), Seq("b"), "left")
       .groupBy(col("doc_id"), col("source"))

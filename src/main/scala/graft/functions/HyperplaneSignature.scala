@@ -45,12 +45,22 @@ case class HyperplaneSignature(child: Expression,
   @transient private lazy val matrix: Array[Array[Double]] =
     coefs.map(_.toArray).toArray
 
+  /** Width every coefficient row shares (the embedding dim the planes
+    * were drawn for). */
+  @transient private lazy val dim: Int =
+    if (matrix.isEmpty) 0 else matrix(0).length
+
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val planes = matrix.length
+    val n = x.numElements()
+    // HOF parity on ragged rows: zip_with pads the shorter side with
+    // nulls, the aggregate sum goes null, and when(null >= 0) leaves
+    // every plane bit 0 — so a row whose length differs from the
+    // coefficient dim must yield signature 0, not a partial projection
+    if (n != dim) return 0L
     val acc = new Array[Double](planes)
     var i = 0
-    val n = x.numElements()
     while (i < n) {
       val xv = if (isDouble) x.getDouble(i) else x.getFloat(i).toDouble
       var p = 0
@@ -80,18 +90,21 @@ case class HyperplaneSignature(child: Expression,
       val xv = ctx.freshName("xv")
       val sig = ctx.freshName("sig")
       val getX = if (isDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      // dim guard mirrors nullSafeEval: ragged rows → signature 0 (HOF parity)
       s"""
-         |double[] $acc = new double[$m.length];
-         |int $n = $a.numElements();
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $getX;
-         |  for (int $p = 0; $p < $m.length; $p++) {
-         |    if ($i < $m[$p].length) $acc[$p] += $xv * $m[$p][$i];
-         |  }
-         |}
          |long $sig = 0L;
-         |for (int $p = 0; $p < $m.length; $p++) {
-         |  if ($acc[$p] >= 0) $sig |= 1L << $p;
+         |int $n = $a.numElements();
+         |if ($m.length > 0 && $n == $m[0].length) {
+         |  double[] $acc = new double[$m.length];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $getX;
+         |    for (int $p = 0; $p < $m.length; $p++) {
+         |      $acc[$p] += $xv * $m[$p][$i];
+         |    }
+         |  }
+         |  for (int $p = 0; $p < $m.length; $p++) {
+         |    if ($acc[$p] >= 0) $sig |= 1L << $p;
+         |  }
          |}
          |${ev.value} = $sig;
        """.stripMargin

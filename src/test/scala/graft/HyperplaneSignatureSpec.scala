@@ -43,6 +43,25 @@ class HyperplaneSignatureSpec extends AnyFunSuite with SparkSuite {
     assert(df.collect()(0).isNullAt(0))
   }
 
+  test("ragged rows match the HOF form: signature 0, never a partial projection") {
+    import spark.implicits._
+    // zip_with pads the short side with nulls → null projection → bit 0
+    // on every plane; the native loop must not partial-sum instead
+    val dim = 8
+    val rows = Seq(
+      Array.fill(dim - 1)(0.5f),      // shorter than the planes
+      Array.fill(dim + 3)(-0.25f),    // longer
+      Array.empty[Float])             // empty
+    val df = rows.toDF("e").select(
+      Similarity.lshBucketCol(col("e"), 4, dim).as("native"),
+      Similarity.lshBucketColHof(col("e"), 4, dim).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"ragged-row divergence: native ${r.getLong(0)} vs hof ${r.getLong(1)}")
+      assert(r.getLong(0) == 0L, "ragged row must land in bucket 0 (all bits clear)")
+    }
+  }
+
   test("native minhash signature matches the HOF form on every fixture doc") {
     import graft.analytics.Dedup
     val docs = graft.analytics.Tables.documents(spark, d)

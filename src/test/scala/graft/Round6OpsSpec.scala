@@ -172,18 +172,22 @@ class Round6OpsSpec extends AnyFunSuite with SparkSuite {
     // Scores: d1=d2=+144 (kept on score), d3=-144 but wins the md5
     // lottery (bucket 0), d4=-144 / d5=-48 lose (buckets 7, 7).
     // alpha/beta hash to distinct feature buckets (251, 235 mod 256).
+    // doc 7: NULL text — no tokens, no training mass, score 0; it loses
+    // the lottery (bucket 1) so it must appear in the DROPPED ledger row,
+    // not silently vanish (the explode_outer path)
     val docs = Seq(
       (1L, "alpha alpha alpha", "en", "s1"),
       (2L, "alpha alpha alpha", "en", "s1"),
       (3L, "beta beta beta", "de", "s1"),
       (4L, "beta beta beta", "fr", "s1"),
-      (5L, "alpha beta beta", "zh", "s1"))
+      (5L, "alpha beta beta", "zh", "s1"),
+      (7L, null.asInstanceOf[String], "de", "s1"))
       .toDF("doc_id", "text", "lang", "source")
     val out = TextStats.classifierQualityStatsOf(docs, nBuckets = 256, lotteryMod = 10)
       .select(col("kept"), col("n_docs"), col("sum_score").cast("long"))
       .as[(Boolean, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out(true) == ((3L, 144L)), s"kept ledger wrong: $out")
-    assert(out(false) == ((2L, -192L)), s"dropped ledger wrong: $out")
+    assert(out(false) == ((3L, -192L)), s"dropped ledger wrong: $out")
   }
 
   test("q91: every document lands in exactly one ledger row; partition-stable") {
@@ -202,6 +206,20 @@ class Round6OpsSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected the nBuckets-row weight model broadcast in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q88: a null-text doc fails the word-count rule and only it — and stays in the tally") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s0", "the a of to and in the a of to and in the a of to and in ok ok"),
+      ("s0", null.asInstanceOf[String]))
+      .toDF("source", "text")
+    val out = TextStats.gopherQualityOf(docs, 20, 90, 4.0, 5.0, 0.02, 0.8)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    // (source, n_docs, f_words, f_mean_len, f_stop, f_alpha, n_pass)
+    assert(out._2 == 2, "null-text doc fell out of the per-source tally")
+    assert(out._3 >= 1, "null text (0 words) must fail the word-count rule")
+    assert(out._7 <= 1, "null text must not count as passing all rules")
   }
 
   // ---------------------------------------------------------------- q95

@@ -33,12 +33,17 @@ class SharedGramSpec extends AnyFunSuite with SparkSuite {
   test("winnowing pairs are contained in exhaustive gram pairs at equal k") {
     // winnow fingerprints are window-minima of the very gram hashes q84
     // joins on, so every winnow-detected pair must also be gram-detected —
-    // the sampled/exhaustive family relationship, asserted on real data
+    // the sampled/exhaustive family relationship, asserted on real data.
+    // Caps are DISABLED on both sides: the two dfCaps act at different
+    // granularities (winnow-selection frequency vs raw gram document
+    // frequency), so the strict containment is a property of the uncapped
+    // operators — a boilerplate gram can exceed the raw-df cap while its
+    // winnow selections stay under the fp-df cap (see sharedGramPairs doc)
     val d = "/root/testdata/sf0.001"
-    val winnow = TextStats.winnowPairs(spark, d, k = 3, w = 4, minShared = 1)
-      .select("doc_a", "doc_b")
-    val exhaustive = TextStats.sharedGramPairs(spark, d, k = 3, minShared = 1)
-      .select("doc_a", "doc_b")
+    val winnow = TextStats.winnowPairs(spark, d, k = 3, w = 4, minShared = 1,
+      dfCap = Int.MaxValue).select("doc_a", "doc_b")
+    val exhaustive = TextStats.sharedGramPairs(spark, d, k = 3, minShared = 1,
+      dfCap = Int.MaxValue).select("doc_a", "doc_b")
     assert(winnow.exceptAll(exhaustive).isEmpty,
       "winnowing found a pair the exhaustive gram join missed — hashing diverged")
   }
