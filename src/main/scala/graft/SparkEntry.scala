@@ -153,9 +153,13 @@ object SparkEntry {
        | FROM documents),
        |fp AS (
        | SELECT doc_id,
-       |  CAST(list_sum(list_transform(range(0,60), b ->
-       |   CASE WHEN 2*len(list_filter(whs, h -> ((h >> b) & 1) = 1)) > len(whs)
-       |        THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+       |  -- null text => null fingerprint (engine parity): without the
+       |  -- guard the CASE's ELSE turns the null word list into simhash 0,
+       |  -- a VALID fingerprint that would band null docs together
+       |  CAST(CASE WHEN whs IS NULL THEN NULL ELSE
+       |   list_sum(list_transform(range(0,60), b ->
+       |    CASE WHEN 2*len(list_filter(whs, h -> ((h >> b) & 1) = 1)) > len(whs)
+       |         THEN (1::BIGINT << b) ELSE 0 END)) END AS BIGINT) AS simhash
        | FROM w)""".stripMargin
 
   /** The q35/q74 candidate-pair predicate: ≥1 shared 15-bit band AND
@@ -1088,9 +1092,12 @@ object SparkEntry {
         |  sum(coalesce(w.wt, CAST(0 AS DECIMAL(38,0)))) AS score
         | FROM tb t LEFT JOIN w USING (b) GROUP BY t.doc_id, t.source),
         |sc2 AS (
+        | -- join on the PK only: USING (doc_id, source) would fail to
+        | -- match a NULL source (NULL = NULL is not true) and wrongly
+        | -- zero that doc's score; source rides along from documents
         | SELECT d.doc_id, d.source,
         |  coalesce(sc.score, CAST(0 AS DECIMAL(38,0))) AS score
-        | FROM documents d LEFT JOIN sc USING (doc_id, source)),
+        | FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
         |k AS (
         | SELECT source, score,
         |  (score > 0 OR
