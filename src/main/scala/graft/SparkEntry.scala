@@ -432,12 +432,15 @@ object SparkEntry {
       """WITH v AS (
         | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |b AS (
+        | -- null vector => null bucket (engine parity; ragged rows are
+        | -- out of the fixed-dim embeddings contract)
         | SELECT vec_id, label,
-        |  CAST(list_sum(list_transform(range(0,8), p ->
+        |  CAST(CASE WHEN e IS NULL THEN NULL ELSE
+        |   list_sum(list_transform(range(0,8), p ->
         |   CASE WHEN list_sum(list_transform(range(1, len(e)+1),
         |     i -> e[i] * (((('0x' || substring(md5(CAST(p AS VARCHAR) || '_' ||
         |            CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 1000000)/1000000.0) - 0.5)))
-        |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+        |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) END AS BIGINT) AS bucket
         | FROM v)
         |SELECT bucket, count(*) AS n_vectors, count(DISTINCT label) AS n_labels
         |FROM b GROUP BY bucket""".stripMargin,
@@ -612,12 +615,14 @@ object SparkEntry {
     "q58_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |bk AS (
+        | -- null vector => null bucket (engine parity, as q38)
         | SELECT vec_id, e,
-        |  CAST(list_sum(list_transform(range(0,16), p ->
+        |  CAST(CASE WHEN e IS NULL THEN NULL ELSE
+        |   list_sum(list_transform(range(0,16), p ->
         |   CASE WHEN list_sum(list_transform(range(1, len(e)+1),
         |     i -> e[i] * (((('0x' || substring(md5(CAST(p AS VARCHAR) || '_' ||
         |            CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 1000000)/1000000.0) - 0.5)))
-        |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+        |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) END AS BIGINT) AS bucket
         | FROM v),
         |cand AS (
         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.e AS ea, b.e AS eb
