@@ -339,7 +339,11 @@ object SparkEntry {
         |FROM orders GROUP BY date_trunc('month', o_orderdate)""".stripMargin,
     "q23_json_extract" ->
       """SELECT event_type,
-        | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        | -- json_valid guard + TRY_CAST: DuckDB errors on malformed JSON
+        | -- and non-numeric values where Spark's get_json_object/try_cast
+        | -- yield NULL
+        | CAST(sum(TRY_CAST(CASE WHEN json_valid(props)
+        |   THEN json_extract_string(props,'$.k') END AS BIGINT)) AS BIGINT) AS k_sum,
         | count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
     "q24_hourly_events" ->

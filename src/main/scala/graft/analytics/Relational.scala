@@ -242,8 +242,13 @@ object Relational {
 
   /** JSON extraction from the events.props payload. */
   def q23JsonExtract(s: SparkSession, d: String): DataFrame =
+    // try_cast, not cast: Spark 4 runs ANSI by default, so a plain cast
+    // THROWS on a non-numeric $.k (real-world props are exactly that
+    // hostile); try_cast yields NULL and the sum skips it — DuckDB
+    // TRY_CAST semantics, oracle-matched
     events(s, d)
-      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_val",
+        get_json_object(col("props"), "$.k").try_cast("long"))
       .groupBy(col("event_type"))
       .agg(sum(col("k_val")).as("k_sum"), count(lit(1)).as("n_events"))
 

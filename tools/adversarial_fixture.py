@@ -1,20 +1,26 @@
 #!/usr/bin/env python3
-"""Write an adversarial `documents` fixture for oracle-parity sweeps.
+"""Write adversarial `documents`/`embeddings`/`events` fixtures for
+oracle-parity sweeps.
 
-The driver fixture is friendly (non-null ASCII text, populated lang/source);
-this one exercises the shapes real corpora contain: NULL text, empty and
-whitespace-only text, single-char and multibyte tokens, regex-special
-characters, runs of mixed whitespace, exact-duplicate bodies, NULL lang and
-NULL source, and a large doc_id. Round 6's sweep over it caught three real
-divergences (q91 null-text admission + NULL-source join, q88 null flags,
-q34 null-vs-zero simhash) that the friendly fixture could never show.
+The driver fixture is friendly (non-null ASCII text, populated lang/source,
+well-formed JSON props, fixed-dim vectors); these exercise the shapes real
+corpora contain: NULL text, empty and whitespace-only text, single-char and
+multibyte tokens, regex-special characters, runs of mixed whitespace,
+exact-duplicate bodies, NULL lang/source, huge ids, NULL vectors, NULL
+users, NULL event types, malformed JSON, duplicate and window-boundary
+timestamps, far-future outliers. Round 6's sweeps caught five real
+divergences the friendly fixture could never show: q91 null-text admission
++ NULL-source join, q88 null flags, q34 null-vs-zero simhash, q38/q58
+null-vector bucket 0, and a q23 ANSI-mode crash on non-numeric JSON values
+(Spark 4 defaults to ANSI — plain casts of user data THROW; use try_cast).
 
 Usage:
     python3 tools/adversarial_fixture.py [outdir=/tmp/adversarial]
-    sbt -batch "runMain graft.Verify /tmp/adversarial /tmp/v_adv <doc-family queries>"
+    sbt -batch "runMain graft.Verify /tmp/adversarial /tmp/v_adv <family queries>"
     python3 tools/compare_oracle.py /tmp/adversarial /tmp/v_adv
 
-Only the documents-family queries apply (no embeddings/events tables here).
+Embeddings stay fixed-dim (ragged rows are out of the ingest contract; the
+native hyperplane expression still maps them to the HOF form's signature 0).
 """
 import sys
 import pyarrow as pa
@@ -50,6 +56,50 @@ def main(outdir: str) -> None:
     })
     pq.write_table(t, f"{outdir}/documents.parquet")
     print(f"wrote {t.num_rows} rows to {outdir}/documents.parquet")
+
+    def vec(seed, dim=8):
+        return [((seed * 31 + i * 7) % 13 - 6) / 6.0 for i in range(dim)]
+    ids = list(range(1, 13)) + [13, 15]
+    vecs = [vec(i) for i in range(1, 13)] + [None, [0.0] * 8]
+    labs = [i % 4 for i in range(1, 13)] + [0, 2]
+    e = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(
+            [[float(x) for x in v] if v is not None else None for v in vecs],
+            pa.list_(pa.float32())),
+        "label": pa.array(labs, pa.int64()),
+    })
+    pq.write_table(e, f"{outdir}/embeddings.parquet")
+    print(f"wrote {e.num_rows} rows to {outdir}/embeddings.parquet")
+
+    import datetime
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    def ts(m):
+        return base + datetime.timedelta(minutes=m)
+    erows = [
+        (1, ts(0), 7, "click", 1.5, '{"k":"v"}'),
+        (2, ts(1), 7, "view", 2.0, '{"k":"w"}'),
+        (3, ts(90), 7, "click", 0.5, '{"k":"x"}'),
+        (4, ts(2), None, "click", 1.0, '{"k":"7"}'),
+        (5, ts(3), None, "view", None, None),
+        (6, ts(5), 8, "click", 3.0, '{"a":1}'),
+        (7, ts(5), 8, "click", 3.0, '{"a":1}'),
+        (8, ts(6), 9, None, 4.0, "not json"),
+        (9, ts(7), 9, "buy", -1.0, '{"nested":{"x":2}}'),
+        (10, ts(60), 10, "click", 1.0, "{}"),
+        (11, ts(60 * 24 * 400), 11, "view", 9.9, '{"z":0}'),
+    ]
+    ec = list(zip(*erows))
+    ev = pa.table({
+        "event_id": pa.array(ec[0], pa.int64()),
+        "ts": pa.array(ec[1], pa.timestamp("ns")),
+        "user_id": pa.array(ec[2], pa.int64()),
+        "event_type": pa.array(ec[3], pa.string()),
+        "value": pa.array(ec[4], pa.float64()),
+        "props": pa.array(ec[5], pa.string()),
+    })
+    pq.write_table(ev, f"{outdir}/events.parquet")
+    print(f"wrote {ev.num_rows} rows to {outdir}/events.parquet")
 
 if __name__ == "__main__":
     import os
