@@ -550,6 +550,19 @@ object SparkEntry {
     // sort-based exact percentiles: same oracle as q45 — proving the
     // buffer-free formulation is value-identical to the builtin
     "q73_percentiles_sorted" -> percentilesSql,
+    // sketch gates: the oracle replays the EXACT side and asserts the
+    // sketch-bound flags TRUE — the sketch (HLL registers / KLL rank
+    // guarantee) is computed and judged Spark-side in the query itself,
+    // so an out-of-bound sketch surfaces as a driver hash mismatch
+    "q46_approx_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | count(*) AS n_rows, TRUE AS bound_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q63_percentile_approx" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS qty_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q47_pivot" ->
       """SELECT o_orderpriority,
         | CAST(round(sum(CAST(CASE WHEN o_orderstatus='F' THEN o_totalprice END AS DECIMAL(18,6))),2) AS DOUBLE) AS F,
@@ -1113,7 +1126,7 @@ object SparkEntry {
         |   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10 = 0) AS kept
         | FROM sc2)
         |SELECT source, kept, count(*) AS n_docs,
-        | CAST(sum(score) AS DECIMAL(38,0)) AS sum_score
+        | CAST(CAST(sum(score) AS DECIMAL(38,0)) AS DOUBLE) AS sum_score
         |FROM k GROUP BY source, kept""".stripMargin,
     // D4 prototype pruning replayed: the q83 k-means CTE, a THIRD centroid
     // pass over the final assignment, 12-dp-rounded cosine-to-centroid,

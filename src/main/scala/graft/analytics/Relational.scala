@@ -342,15 +342,36 @@ object Relational {
 
   /** HyperLogLog++ sketch counts — the approximate-distinct scale path
     * (sketches merge associatively across partitions; at 100 TB this is
-    * the only affordable distinct). Approximate ⇒ rows-only check; the
-    * error bound vs the exact count is asserted in SketchBoundsSpec, so the
-    * query itself never pays the exact-distinct shuffle. */
-  def q46ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    * the only affordable distinct). PRODUCTION form: sketch only, never
+    * pays the exact-distinct shuffle. SketchBoundsSpec asserts the error
+    * bound; the q46 GATE query ([[q46ApproxDistinct]]) additionally
+    * replays the exact side so the bound itself is driver-hashable. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(lit(1)).as("n_rows"))
+
+  /** q46 gate query: the HLL sketch of [[approxDistinct]] judged against
+    * the exact distinct IN the query, so the hashed output is fully
+    * deterministic and the oracle can replay it — exact count, row count,
+    * and a `bound_ok` flag (|approx−exact|/exact ≤ 10%, generous vs the
+    * 2% rsd sketch; HLL register-max merge is order-independent, so the
+    * flag cannot flap with partitioning). The oracle emits TRUE: a sketch
+    * drifting out of bound IS a hash mismatch. The exact-distinct shuffle
+    * is the verification harness's cost, not the production path's —
+    * that's [[approxDistinct]]. */
+  def q46ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.10).as("bound_ok"))
 
   /** [[q45Percentiles]] recomputed through the sort-based
     * [[graft.operators.ExactPercentile]] — identical values (same oracle
@@ -368,10 +389,11 @@ object Relational {
 
   /** Approximate percentiles — the 100×-safe order-statistics path: Spark's
     * `approx_percentile` (KLL-style mergeable sketch, bounded memory) where
-    * [[q45Percentiles]]'s exact form buffers every group value. Engine-
-    * specific sketch ⇒ rows-only check; SketchBoundsSpec asserts the rank
-    * error vs the exact q45 values. */
-  def q63PercentileApprox(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame =
+    * [[q45Percentiles]]'s exact form buffers every group value. PRODUCTION
+    * form: sketch only. SketchBoundsSpec asserts value error vs exact; the
+    * q63 GATE query ([[q63PercentileApprox]]) verifies the rank guarantee
+    * in-query so the driver can hash it. */
+  def percentileApprox(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -380,6 +402,47 @@ object Relational {
         round(expr(s"approx_percentile(l_extendedprice, 0.75, $accuracy)"), 6).as("price_p75"),
         round(expr(s"approx_percentile(l_quantity, 0.5, $accuracy)"), 6).as("qty_p50"),
         count(lit(1)).as("n_rows"))
+
+  /** q63 gate query: each sketch percentile of [[percentileApprox]] is
+    * judged against its RANK GUARANTEE in the query — `approx_percentile`
+    * returns an actual element v with rank within ±1/accuracy of the
+    * target, so `count(x ≤ v) ≥ ⌈(p−ε)·n⌉ ∧ count(x < v) ≤ (p+ε)·n`
+    * must hold for ANY sketch merge order (the GK/KLL guarantee is
+    * merge-order-independent even though the returned v is not). The
+    * hashed output is the per-group row count plus one boolean per
+    * percentile; the oracle emits TRUE — a sketch violating its published
+    * bound IS a hash mismatch. Costs one extra broadcast-join scan over
+    * the table (4-row build side), which is the harness's cost; the
+    * production path is [[percentileApprox]]. */
+  def q63PercentileApprox(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val ap = percentileApprox(s, d, accuracy)
+      .select(col("l_returnflag"), col("price_p25"), col("price_p50"),
+        col("price_p75"), col("qty_p50"))
+    // Spark's guarantee is floor-based: the returned element's rank lies in
+    // [floor((p−ε)·n), ceil((p+ε)·n)] — observed exactly at the lower
+    // floor on sf0.01 group N, so a ceil lower bound is one too strict
+    def okFlags(cntLe: Column, cntLt: Column, p: Double, n: Column): Column =
+      cntLe >= floor(n * (p - eps)) && cntLt <= ceil(n * (p + eps))
+    lineitem(s, d)
+      .join(broadcast(ap), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_extendedprice") <= col("price_p25"), 1L).otherwise(0L)).as("le25"),
+        sum(when(col("l_extendedprice") < col("price_p25"), 1L).otherwise(0L)).as("lt25"),
+        sum(when(col("l_extendedprice") <= col("price_p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") < col("price_p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_extendedprice") <= col("price_p75"), 1L).otherwise(0L)).as("le75"),
+        sum(when(col("l_extendedprice") < col("price_p75"), 1L).otherwise(0L)).as("lt75"),
+        sum(when(col("l_quantity") <= col("qty_p50"), 1L).otherwise(0L)).as("leq"),
+        sum(when(col("l_quantity") < col("qty_p50"), 1L).otherwise(0L)).as("ltq"))
+      .select(col("l_returnflag"), col("n_rows"),
+        okFlags(col("le25"), col("lt25"), 0.25, col("n_rows")).as("p25_ok"),
+        okFlags(col("le50"), col("lt50"), 0.50, col("n_rows")).as("p50_ok"),
+        okFlags(col("le75"), col("lt75"), 0.75, col("n_rows")).as("p75_ok"),
+        okFlags(col("leq"), col("ltq"), 0.50, col("n_rows")).as("qty_ok"))
+  }
 
   /** Pivot (explicit value list keeps the plan single-pass map-side). */
   def q47Pivot(s: SparkSession, d: String): DataFrame =

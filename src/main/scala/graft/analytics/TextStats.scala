@@ -496,9 +496,16 @@ object TextStats {
    * eagerly checkpointed so train and score are two clean corpus scans —
    * exactly the passes the real pipeline makes. Scoring shuffles one
    * combined (doc_id, score) row per doc; weights, scores and ledger
-   * sums are DECIMAL(38,0) end to end because the un-normalized weights
+   * sums are DECIMAL(38,0) internally because the un-normalized weights
    * grow with the square of corpus token count, which wraps int64
-   * silently (non-ANSI Spark) near ~5e10 tokens.
+   * silently (non-ANSI Spark) near ~5e10 tokens. The final REPORT column
+   * alone is cast to DOUBLE: parquet DECIMAL(38,0) decodes as exact
+   * `Decimal` objects under Arrow but as float64 under DuckDB's pandas
+   * bridge, so a cross-engine hash of the ledger diverges on
+   * representation even when every value is identical (observed against
+   * the driver gate; values were Decimal-exact). DOUBLE is
+   * representation-stable across both readers and exact for any ledger
+   * this side of 2^53 (sf1 tops out near 6e13).
    */
   def classifierQualityStats(s: SparkSession, d: String,
       nBuckets: Int = 256, lotteryMod: Int = 10): DataFrame =
@@ -513,7 +520,7 @@ object TextStats {
     classifierScores(docs, weights, nBuckets, lotteryMod)
       .groupBy(col("source"), col("kept"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("score")).cast("decimal(38,0)").as("sum_score"))
+        sum(col("score")).cast("decimal(38,0)").cast("double").as("sum_score"))
   }
 
   /** Token feature bucket — [[Dedup.mdHash60]] folded to the model's

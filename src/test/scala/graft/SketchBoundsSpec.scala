@@ -96,7 +96,7 @@ class SketchBoundsSpec extends AnyFunSuite with SparkSuite {
 
   test("q46 HLL: approx distinct within 10% of exact per group") {
     import spark.implicits._
-    val approx = Relational.q46ApproxDistinct(spark, d)
+    val approx = Relational.approxDistinct(spark, d)
       .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
     val exact = graft.analytics.Tables.lineitem(spark, d)
       .groupBy("l_returnflag")
@@ -114,7 +114,7 @@ class SketchBoundsSpec extends AnyFunSuite with SparkSuite {
     val exact = Relational.q45Percentiles(spark, d)
       .as[(String, Double, Double, Double, Double, Long)].collect()
       .map(r => r._1 -> r).toMap
-    val approx = Relational.q63PercentileApprox(spark, d)
+    val approx = Relational.percentileApprox(spark, d)
       .as[(String, Double, Double, Double, Double, Long)].collect()
       .map(r => r._1 -> r).toMap
     assert(approx.keySet == exact.keySet)
@@ -126,5 +126,17 @@ class SketchBoundsSpec extends AnyFunSuite with SparkSuite {
       }
       assert(a._6 == e._6) // same row counts
     }
+  }
+
+  test("q46/q63 gate queries: every sketch-bound flag is true (oracle-hashable shape)") {
+    import spark.implicits._
+    val d46 = Relational.q46ApproxDistinct(spark, d)
+      .select("l_returnflag", "bound_ok").as[(String, Boolean)].collect()
+    assert(d46.nonEmpty && d46.forall(_._2), s"q46 bound violated: ${d46.toSeq}")
+    val d63 = Relational.q63PercentileApprox(spark, d)
+      .select("l_returnflag", "p25_ok", "p50_ok", "p75_ok", "qty_ok")
+      .as[(String, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(d63.nonEmpty && d63.forall(r => r._2 && r._3 && r._4 && r._5),
+      s"q63 rank guarantee violated: ${d63.toSeq}")
   }
 }

@@ -5,26 +5,66 @@ Usage: python3 tools/compare_oracle.py <sf_dir> <verify_out_dir>
 
 For each query output parquet under <verify_out_dir>/<name>/, runs the
 matching oracle SQL from <verify_out_dir>/oracle_sql.json in DuckDB (tables
-registered as views over <sf_dir>/*.parquet), canonicalizes both sides
-(columns sorted by name, doubles rounded, rows sorted), and reports
-match/mismatch per query.  Dev tool only — not part of the shipped library.
+registered as views over <sf_dir>/*.parquet) and compares.
+
+DRIVER-FAITHFUL READERS (the round-6/7 q91 lesson): the driver reads the
+Spark parquet and the DuckDB result through DIFFERENT bridges, so this tool
+does too — the Spark side via pandas/pyarrow (parquet DECIMAL -> exact
+`Decimal` objects) and the oracle via duckdb's pandas bridge (DECIMAL(38) ->
+float64).  Comparison is cell-by-cell on canonical STRING forms (floats
+rounded to 6dp, Decimal/int collapsed to a common integral spelling), so a
+column whose two sides decode to different Python types but equal values is
+reported as REPRESENTATION-UNSTABLE — a gate failure here even though the
+values match, because the driver's hash may diverge on exactly that.
+Dev tool only — not part of the shipped library.
 """
 import sys, os, json, glob
+from decimal import Decimal
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(con, rel_sql, label):
-    df = con.sql(rel_sql).df()
+def cell(v):
+    """Canonical string form of one value (and its representation class)."""
+    if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+        return "NULL", "null"
+    if isinstance(v, bool):
+        return str(bool(v)), "bool"
+    if isinstance(v, float):
+        r = round(v, 6)
+        if r == int(r) and abs(r) < 2**53:
+            return str(int(r)), "float"
+        return repr(r), "float"
+    if isinstance(v, Decimal):
+        if v == v.to_integral_value():
+            return str(int(v)), "decimal"
+        return str(v.normalize()), "decimal"
+    if isinstance(v, int):
+        return str(v), "int"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        parts = [cell(x)[0] for x in v]
+        return "[" + ",".join(parts) + "]", "list"
+    return str(v), type(v).__name__
+
+
+def canon(df):
+    """(sorted rows of canonical strings, per-column representation kinds)."""
     cols = sorted(df.columns)
-    df = df[cols]
-    for c in cols:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
-    df = df.sort_values(by=cols, ignore_index=True)
-    return df
+    kinds = {c: set() for c in cols}
+    rows = []
+    for rec in df[cols].itertuples(index=False, name=None):
+        row = []
+        for c, v in zip(cols, rec):
+            s, k = cell(v)
+            if k != "null":
+                kinds[c].add(k)
+            row.append(s)
+        rows.append(tuple(row))
+    rows.sort()
+    return cols, rows, kinds
 
 
 def main(sf_dir, out_dir):
@@ -43,39 +83,55 @@ def main(sf_dir, out_dir):
             print(f"!! {name}: NO OUTPUT FILES")
             n_bad += 1
             continue
-        spark_sql = f"SELECT * FROM read_parquet({files!r})"
+        # Spark side through pyarrow — the exact-Decimal reader.
+        spark_df = pd.concat([pd.read_parquet(f) for f in files],
+                             ignore_index=True)
         if name not in oracle:
-            n = con.sql(spark_sql).df().shape[0]
+            n = spark_df.shape[0]
             status = "rows-only" if n > 0 else "ROWS-ONLY EMPTY (!)"
             print(f"-- {name}: {status} ({n} rows)")
             n_rowsonly += 1
             continue
         try:
-            a = canon(con, spark_sql, "spark")
-            b = canon(con, oracle[name], "oracle")
+            # Oracle side through duckdb's pandas bridge — the lossy reader.
+            a_cols, a_rows, a_kinds = canon(spark_df)
+            b_cols, b_rows, b_kinds = canon(con.sql(oracle[name]).df())
         except Exception as e:
             print(f"!! {name}: ERROR {e}")
             n_bad += 1
             continue
-        if list(a.columns) != list(b.columns):
-            print(f"!! {name}: COLUMN MISMATCH spark={list(a.columns)} oracle={list(b.columns)}")
+        if a_cols != b_cols:
+            print(f"!! {name}: COLUMN MISMATCH spark={a_cols} oracle={b_cols}")
             n_bad += 1
             continue
-        if a.shape != b.shape:
-            print(f"!! {name}: SHAPE MISMATCH spark={a.shape} oracle={b.shape}")
+        if len(a_rows) != len(b_rows):
+            print(f"!! {name}: SHAPE MISMATCH spark={len(a_rows)} "
+                  f"oracle={len(b_rows)}")
             n_bad += 1
             continue
-        if a.equals(b):
-            print(f"ok {name}: {a.shape[0]} rows")
-            n_ok += 1
+        # Representation stability: a column that decodes as Decimal on one
+        # side and float on the other hashes differently at the driver even
+        # when every value is equal.  (q91 round-6/7 failure mode.)
+        unstable = [c for c in a_cols
+                    if a_kinds[c] and b_kinds[c]
+                    and "decimal" in (a_kinds[c] | b_kinds[c])
+                    and a_kinds[c] != b_kinds[c]]
+        if a_rows == b_rows:
+            if unstable:
+                print(f"!! {name}: values equal but REPRESENTATION-UNSTABLE "
+                      f"cols={unstable} "
+                      f"(spark={[sorted(a_kinds[c]) for c in unstable]} "
+                      f"oracle={[sorted(b_kinds[c]) for c in unstable]})")
+                n_bad += 1
+            else:
+                print(f"ok {name}: {len(a_rows)} rows")
+                n_ok += 1
         else:
-            diff = (a != b) & ~(a.isna() & b.isna())
-            ndiff = int(diff.any(axis=1).sum())
-            print(f"!! {name}: VALUE MISMATCH in {ndiff}/{a.shape[0]} rows, "
-                  f"cols={list(diff.any()[diff.any()].index)}")
-            idx = diff.any(axis=1)
-            print("   spark:", a[idx].head(3).to_dict("records"))
-            print("   oracle:", b[idx].head(3).to_dict("records"))
+            bad = [i for i, (x, y) in enumerate(zip(a_rows, b_rows)) if x != y]
+            print(f"!! {name}: VALUE MISMATCH in {len(bad)}/{len(a_rows)} rows")
+            for i in bad[:3]:
+                print("   spark:", dict(zip(a_cols, a_rows[i])))
+                print("   oracle:", dict(zip(b_cols, b_rows[i])))
             n_bad += 1
     print(f"\n== {n_ok} ok, {n_bad} bad, {n_rowsonly} rows-only ==")
     return 1 if n_bad else 0
