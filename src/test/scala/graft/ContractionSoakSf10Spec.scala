@@ -1,0 +1,68 @@
+package graft
+
+import graft.analytics.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * 100× (sf10-scale) soak of the exact-dedup family — the in-suite half of
+ * the two-orders-of-magnitude point that pins the linearity claim where
+ * the bench target actually lives. The full contraction (q74 dup graph +
+ * star loop) at sf10 runs minutes of wall and lives in the
+ * `graft.tools.Soak100` main instead; its measured multiplier and round
+ * counts are recorded in COVERAGE.md's soak table. Here we keep what the
+ * default suite can afford on every run:
+ *
+ *  - exact-dedup (q30 family) at 100×: it shuffles only (md5(text),
+ *    doc_id) — never the corpus body — so wall must grow ≲ linearly and
+ *    the group count must scale EXACTLY 100× on the shard-renamed
+ *    fixture (any deviation means cross-shard hash collisions or a
+ *    nondeterministic grouping key);
+ *  - the sf10 fixture build itself (100 token-namespaced shards of
+ *    sf0.1's documents, ids offset by shard — the DedupSoakSf1Spec shape
+ *    at 100×, ~500k docs / ~150 MB text, cached under target/ and shared
+ *    with Soak100).
+ */
+class ContractionSoakSf10Spec extends AnyFunSuite with SparkSuite {
+
+  private val sf01 = "/root/testdata/sf0.1"
+  private val soakDir = "target/soak_sf10"
+
+  private def ensureSf10(): Unit = {
+    val marker = new java.io.File(s"$soakDir/documents.parquet/_SUCCESS")
+    if (!marker.exists()) {
+      val base = spark.read.parquet(s"$sf01/documents.parquet")
+      // 100 branches of one 5k-row frame; each branch a narrow map — one
+      // job, no shuffle until the final repartition write
+      val shards = (0 until 100).map { k =>
+        base.select(
+          (col("doc_id") + lit(k * 5000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"t${k}_$$1").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      shards.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
+    }
+  }
+
+  private def minOf2(f: => Long): (Double, Long) = {
+    val runs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    (runs.map(_._1).min, runs.head._2)
+  }
+
+  test("exact dedup at 100x: linear-ish wall, exact 100x group scaling") {
+    ensureSf10()
+    val (te01, ne01) = minOf2(Dedup.exactGroups(spark, sf01).count())
+    val (te10, ne10) = minOf2(Dedup.exactGroups(spark, soakDir).count())
+    info(f"exact_groups: sf0.1 $te01%.1fs ($ne01 rows) -> sf10 $te10%.1fs ($ne10 rows), ratio ${te10 / te01}%.1fx (100x data)")
+    assert(ne10 == ne01 * 100,
+      s"shard-renamed corpus must scale groups exactly 100x: $ne01 -> $ne10")
+    assert(te10 <= te01 * 300 + 60,
+      f"exact dedup super-linear at 100x: $te01%.1fs -> $te10%.1fs")
+  }
+}
