@@ -132,7 +132,10 @@ object SparkEntry {
     "q95_bpe_pairs" -> ((s: SparkSession, d: String) => TextStats.bpePairCounts(s, d)),
     // the full D4 recipe in one DAG: SemDeDup drop -> survivor re-centroid
     // -> prototype prune -> per-cell accounting
-    "q96_d4_pipeline" -> ((s: SparkSession, d: String) => Similarity.d4PipelineStats(s, d)))
+    "q96_d4_pipeline" -> ((s: SparkSession, d: String) => Similarity.d4PipelineStats(s, d)),
+    // full iterated BPE training: distributed word-table agg + bounded
+    // driver merge loop; oracle replays all 8 iterations in unrolled SQL
+    "q97_bpe_train" -> ((s: SparkSession, d: String) => TextStats.bpeTrain(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1256,7 +1259,80 @@ object SparkEntry {
           | fa.n_proto_pruned,
           | fa.n_survivors - fa.n_proto_pruned AS n_kept,
           | fa.kept_checksum
-          |FROM mem m JOIN fa USING (cell)""".stripMargin))
+          |FROM mem m JOIN fa USING (cell)""".stripMargin),
+    // full iterated BPE training replayed: all 8 merge rounds unrolled —
+    // per round, pair counts over the evolving word-symbol table, the
+    // (count desc, pair asc) top pair, and the greedy left-to-right
+    // rewrite (for an (a,a) pair inside a run of a's, the even offsets —
+    // the only overlap case; a!=b matches are never adjacent)
+    "q97_bpe_train" -> bpeTrainSql(8, 65536))
+
+  /** DuckDB replay of the full iterated BPE training loop (q97): the word-
+    * frequency table (capped like the engine's driver collect), the initial
+    * per-character symbol split, then `nMerges` UNROLLED iterations — pair
+    * counts over the evolving symbol table, deterministic top pair, greedy
+    * left-to-right rewrite. The rewrite's only overlap case is a pair
+    * (a,a) inside a run of a's (an a≠b match can never be adjacent to
+    * another), where greedy = merge the even offsets within each maximal
+    * run of matches: `is_m AND (i − run_start) % 2 = 0`, with runs found
+    * by the classic gaps-and-islands `i − row_number()` trick. A position
+    * is dropped from the next table iff its predecessor merged
+    * (`lag(m)`); a merged position emits `syms[i] || syms[i+1]`.
+    *
+    * The chained CTEs MUST be `MATERIALIZED`: each round references its
+    * predecessor 2× (pair count + rewrite) and the round's top-pair 2×,
+    * and DuckDB inlines plain CTEs per reference — the unrolled 8-round
+    * chain then expands exponentially (observed: minutes, vs 0.6 s
+    * materialized). */
+  private def bpeTrainSql(nMerges: Int, vocabCap: Int): String = {
+    val head =
+      s"""WITH wc AS MATERIALIZED (
+        | SELECT w AS word, count(*) AS n
+        | FROM (SELECT unnest($tokens) AS w FROM documents) t
+        | WHERE len(w) >= 2 GROUP BY w
+        | ORDER BY n DESC, word LIMIT $vocabCap),
+        |s0 AS MATERIALIZED (
+        | SELECT word, n, list_transform(range(1, len(word)+1),
+        |   i -> substring(word, CAST(i AS INT), 1)) AS syms
+        | FROM wc)""".stripMargin
+    val iters = (1 to nMerges).map { k =>
+      val prev = s"s${k - 1}"
+      s""",p$k AS MATERIALIZED (
+        | SELECT s.syms[CAST(t.i AS INT)] AS a, s.syms[CAST(t.i AS INT)+1] AS b,
+        |  CAST(sum(s.n) AS BIGINT) AS cnt
+        | FROM $prev s, unnest(range(1, len(s.syms))) AS t(i)
+        | GROUP BY 1, 2),
+        |t$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+        |x$k AS (
+        | SELECT s.word, s.n, s.syms, CAST(t.i AS INT) AS i,
+        |  (CAST(t.i AS INT) < len(s.syms)
+        |   AND s.syms[CAST(t.i AS INT)] = (SELECT a FROM t$k)
+        |   AND s.syms[CAST(t.i AS INT)+1] = (SELECT b FROM t$k)) AS is_m
+        | FROM $prev s, unnest(range(1, len(s.syms)+1)) AS t(i)),
+        |y$k AS (
+        | SELECT *, CASE WHEN is_m THEN
+        |   i - CAST(row_number() OVER (PARTITION BY word, is_m ORDER BY i) AS INT)
+        |  END AS grp
+        | FROM x$k),
+        |z$k AS (
+        | SELECT *, is_m AND ((i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0) AS m
+        | FROM y$k),
+        |w$k AS (
+        | SELECT *, lag(m) OVER (PARTITION BY word ORDER BY i) AS pm FROM z$k),
+        |s$k AS MATERIALIZED (
+        | SELECT word, max(n) AS n,
+        |  list(CASE WHEN m THEN syms[i] || syms[i+1] ELSE syms[i] END ORDER BY i) AS syms
+        | FROM w$k WHERE NOT coalesce(pm, FALSE)
+        | GROUP BY word)""".stripMargin
+    }.mkString
+    val rows = (1 to nMerges).map { k =>
+      s"SELECT CAST($k AS INT) AS merge_rank, a, b, cnt FROM t$k"
+    }.mkString("\n UNION ALL ")
+    s"""$head$iters
+      |SELECT merge_rank, a AS l_sym, b AS r_sym, a || b AS merged,
+      | cnt AS n_occurrences
+      |FROM ($rows)""".stripMargin
+  }
 
   /** DuckDB replay of the two Lloyd k-means iterations (shared by q83 and
     * q87): init cell = vec_id % 8, decimal-summed centroids, 12-dp-rounded

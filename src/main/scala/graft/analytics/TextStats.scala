@@ -583,9 +583,9 @@ object TextStats {
    * Machine Translation of Rare Words with Subword Units") — the merge-
    * selection step of byte-pair-encoding training: corpus-weighted counts
    * of adjacent character pairs, ranked. The top pair IS the next BPE
-   * merge; training iterates this over a progressively merged symbol
-   * vocabulary (a driver loop over vocab-sized data — the standard
-   * implementation shape), so the distributed observable is this step.
+   * merge; the full training iteration over the progressively merged
+   * symbol vocabulary is [[bpeTrain]] (q97) — this query keeps the
+   * single-step observable.
    *
    * 100 TB posture — the classic BPE trick: pair counting runs over the
    * WORD-FREQUENCY TABLE, not the raw corpus. The corpus is scanned once
@@ -610,6 +610,84 @@ object TextStats {
       .groupBy(col("pair")).agg(sum(col("n")).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(topK)
+  }
+
+  /**
+   * Full iterated BPE tokenizer training (Sennrich et al. 2016) — the
+   * driver loop [[bpePairCounts]] documents as the standard shape, now
+   * implemented: `nMerges` rounds of (count pairs over the word-frequency
+   * table → pick the top pair → greedily merge it left-to-right in every
+   * word). Output: one row per learned merge, in training order, with the
+   * pair's corpus-weighted occurrence count AT SELECTION TIME.
+   *
+   * 100 TB posture — the split every real tokenizer trainer uses:
+   *  - the DISTRIBUTED part is the one corpus scan into the word-frequency
+   *    table (map-side-combined agg; only (word, partial_count) shuffles);
+   *  - the merge loop runs on the DRIVER over that table, capped at
+   *    `vocabCap` rows by the deterministic (n desc, word asc) order — a
+   *    bounded model-sufficient-statistics collect, the same class of
+   *    model-training event as the k-means codebook or the classifier's
+   *    256-bucket weight table (both broadcast back); iterating it as
+   *    2·nMerges tiny Spark jobs would add thousands of driver-synced
+   *    barriers to compute over kilobytes.
+   *
+   * Determinism (oracle-exact BY CONSTRUCTION):
+   *  - top pair = max by (count desc, left asc, right asc) — a total order;
+   *  - merge application is greedy left-to-right non-overlapping (for a
+   *    pair (a,a) inside a run of a's this merges the even offsets —
+   *    the only overlap case, since a≠b matches can never be adjacent);
+   *  - symbols are Unicode CODE POINTS, not UTF-16 units, so multibyte
+   *    text splits identically to the oracle's character semantics.
+   */
+  def bpeTrain(s: SparkSession, d: String, nMerges: Int = 8,
+      vocabCap: Int = 65536): DataFrame =
+    bpeTrainOf(documents(s, d), nMerges, vocabCap)
+
+  /** [[bpeTrain]] over an arbitrary (text) frame. */
+  def bpeTrainOf(docs: DataFrame, nMerges: Int, vocabCap: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wordTable = docs
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(vocabCap)
+      .as[(String, Long)].collect()
+    // driver-side model fit over the bounded stats table (see scaladoc)
+    var syms: Array[(Array[String], Long)] = wordTable.map { case (w, n) =>
+      val cps = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      (cps, n)
+    }
+    def mergeWord(ss: Array[String], a: String, b: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < ss.length) {
+        if (i < ss.length - 1 && ss(i) == a && ss(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += ss(i); i += 1 }
+      }
+      out.result()
+    }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((ss, n) <- syms; i <- 0 until ss.length - 1) {
+        val key = (ss(i), ss(i + 1))
+        counts(key) = counts.getOrElse(key, 0L) + n
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((k, a, b, a + b, c))
+        syms = syms.map { case (ss, n) => (mergeWord(ss, a, b), n) }
+        k += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "l_sym", "r_sym", "merged", "n_occurrences")
   }
 
   /** Corpus-wide heavy hitters: the canonical distributed word count with a
