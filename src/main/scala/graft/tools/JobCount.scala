@@ -14,8 +14,13 @@ object JobCount {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val jobs = new AtomicInteger(0)
+    val trace = sys.env.contains("SPARK_GRAFT_JOB_TRACE")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (trace) println(s"  [job ${j.jobId}] stages=${j.stageInfos.size} " +
+          j.stageInfos.map(si => s"${si.stageId}:${si.name.takeWhile(_ != '\n').take(60)}").mkString(" | "))
+      }
     })
     def timed[T](tag: String)(f: => T): T = {
       val j0 = jobs.get; val t0 = System.nanoTime()
@@ -39,6 +44,14 @@ object JobCount {
             import org.apache.spark.sql.functions.col
             edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
               .unionByName(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")).distinct())
+              .write.format("noop").mode("overwrite").save()
+          }
+          // the PRODUCT pipeline (what Verify/Bench actually run): the pair
+          // graph is computed inside the loop's initial probe job(s), not
+          // as a separate materialization — the phases above double-count
+          // it through lineage recompute for diagnosis
+          timed("q74_pipeline_composed") {
+            graft.analytics.Dedup.simhashClusters(spark, d)
               .write.format("noop").mode("overwrite").save()
           }
         }
