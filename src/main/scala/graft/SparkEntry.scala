@@ -496,7 +496,7 @@ object SparkEntry {
         | WHERE p.query_id <> c.vec_id),
         |r AS (SELECT query_id, neighbor_id, cosine,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-        | FROM s)
+        | FROM s WHERE cosine IS NOT NULL)
         |SELECT query_id, neighbor_id, round(cosine,6) AS cosine, CAST(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 5""".stripMargin,
     "q36_cosine_topk" ->
@@ -510,7 +510,7 @@ object SparkEntry {
         | FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
         |r AS (SELECT query_id, neighbor_id, cosine,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-        | FROM s)
+        | FROM s WHERE cosine IS NOT NULL)
         |SELECT query_id, neighbor_id, round(cosine,6) AS cosine, CAST(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 5""".stripMargin,
     "q39_token_totals" ->

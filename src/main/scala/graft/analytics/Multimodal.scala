@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
-  final case class DecodedMeta(doc_id: Long, width: Long, height: Long)
+  // Option dims: a NULL-text document has no payload and decodes to a
+  // (doc_id, NULL, NULL) ledger row — the same null-visibility discipline
+  // as the q91 explode_outer ledger, and exactly what the oracle's
+  // n_chars-formula replay produces for a NULL n_chars
+  final case class DecodedMeta(doc_id: Long, width: Option[Long], height: Option[Long])
 
   /** Text-bytes media table: utf-8 bytes of text as an opaque payload —
     * the fixture for frame sampling (q44) and feature extraction (q59). */
@@ -61,11 +65,13 @@ object Multimodal {
   def pngMediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documentsSpread(s, d).select(col("doc_id"), col("n_chars"))
-      .as[(Long, Long)]
+      .as[(Long, Option[Long])] // n_chars NULL for a NULL-text doc
       .mapPartitions { batch =>
-        batch.map { case (id, nChars) =>
-          val (w, h) = imageDims(nChars)
-          MediaRow(id, pngBytes(id, w, h))
+        batch.map {
+          case (id, Some(nChars)) =>
+            val (w, h) = imageDims(nChars)
+            MediaRow(id, pngBytes(id, w, h))
+          case (id, None) => MediaRow(id, null) // no content, no payload
         }
       }
   }
@@ -79,8 +85,11 @@ object Multimodal {
     pngMediaTable(s, d).mapPartitions { batch =>
       // a real pipeline initializes its decoder once per partition here
       batch.map { row =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-        DecodedMeta(row.doc_id, img.getWidth.toLong, img.getHeight.toLong)
+        if (row.payload == null) DecodedMeta(row.doc_id, None, None)
+        else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+          DecodedMeta(row.doc_id, Some(img.getWidth.toLong), Some(img.getHeight.toLong))
+        }
       }
     }.toDF()
   }
@@ -98,13 +107,19 @@ object Multimodal {
     mediaTable(s, d).as[MediaRow].mapPartitions { batch =>
       // a real extractor would load its model here, once per partition
       batch.map { row =>
-        val hist = new Array[Long](16)
-        row.payload.foreach(b => hist((b & 0xFF) >> 4) += 1)
-        val n = row.payload.length.toDouble
-        val entropy = hist.filter(_ > 0).map { c =>
-          val p = c / n; -p * math.log(p) / math.log(2)
-        }.sum
-        Feature(row.doc_id, hist, entropy)
+        // NULL payload: null histogram but entropy 0.0 — the oracle's
+        // CASE WHEN c > 0 folds null counts to 0.0 terms, so its sum is
+        // 0.0 while the bucket columns stay NULL
+        if (row.payload == null) Feature(row.doc_id, null, 0.0)
+        else {
+          val hist = new Array[Long](16)
+          row.payload.foreach(b => hist((b & 0xFF) >> 4) += 1)
+          val n = row.payload.length.toDouble
+          val entropy = hist.filter(_ > 0).map { c =>
+            val p = c / n; -p * math.log(p) / math.log(2)
+          }.sum
+          Feature(row.doc_id, hist, entropy)
+        }
       }
     }
   }
@@ -130,8 +145,13 @@ object Multimodal {
   def resizedMeta(s: SparkSession, d: String, maxSide: Long = 256): DataFrame = {
     import s.implicits._
     decodeMeta(s, d).as[DecodedMeta].map { m =>
-      val (w, h) = resizeBox(m.width, m.height, maxSide)
-      (m.doc_id, m.width, m.height, w, h)
+      (m.width, m.height) match {
+        case (Some(w0), Some(h0)) =>
+          val (w, h) = resizeBox(w0, h0, maxSide)
+          (m.doc_id, m.width, m.height, Some(w), Some(h))
+        case _ => (m.doc_id, None: Option[Long], None: Option[Long],
+          None: Option[Long], None: Option[Long])
+      }
     }.toDF("doc_id", "width", "height", "resized_w", "resized_h")
   }
 

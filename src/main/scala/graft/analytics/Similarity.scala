@@ -70,7 +70,9 @@ object Similarity {
     * sort of EVERY scored row. Output identical to the window form
     * (score desc, id asc), verified bitwise in SimilaritySpec. */
   private def boundedTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("query_id"))
+    // undefined cosine (zero-magnitude side) is no evidence of similarity
+    // — excluded from the candidate set on both engine and oracle side
+    scored.filter(col("cosine").isNotNull).groupBy(col("query_id"))
       .agg(graft.functions.BoundedTopK.topK(k)(col("cosine"), col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
       .select(col("query_id"), col("s.id").as("neighbor_id"),
@@ -263,8 +265,13 @@ object Similarity {
   def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
     emb
       .join(broadcast(cents.select(col("cell").as("c_cell"), col("centroid"))))
+      // undefined cosine (zero-magnitude vector OR centroid) loses to any
+      // real score: -2 < cos ∈ [-1,1], matching the oracle's NULLS-LAST
+      // DESC ordering; an all-undefined row still ties deterministically
+      // to the lowest cell
       .withColumn("c_cos",
-        round(cosineNative(col("embedding"), col("centroid")), 12))
+        coalesce(round(cosineNative(col("embedding"), col("centroid")), 12),
+          lit(-2.0d)))
       .groupBy(col("vec_id"))
       .agg(min(struct((-col("c_cos")).as("neg"), col("c_cell").as("cell"),
         col("label").as("label"), col("embedding").as("embedding"))).as("b"))

@@ -58,7 +58,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-magnitude input ⇒ cosine is UNDEFINED ⇒ NULL, never NaN: Spark
+    // orders NaN ABOVE every double (so a 0/0 score would out-rank real
+    // similarities and pass >= thresholds), while SQL engines yield NULL
+    // for the same division — the hostile-fixture sweep caught the q87/
+    // q92/q96 family diverging on exactly this. NULL behaves identically
+    // on both sides: comparisons fail, sums skip, DESC sorts last.
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -80,7 +87,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yv = $getY;
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -49,6 +49,20 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("zero-magnitude input yields NULL, not NaN (SQL division-by-zero parity)") {
+    // Spark orders NaN above every double, so a 0/0 cosine would out-rank
+    // real similarities and pass >= thresholds that DuckDB's NULL fails —
+    // the round-8 hostile sweep caught q87/q92/q96 diverging on this
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f), Array(0.0f, 0.0f)),
+      (Array(0.0f, 0.0f), Array(0.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(CosineSimilarity.cosineSim(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(rows.length == 3 && rows.forall(_.isNullAt(0)))
+  }
+
   test("null array propagates null") {
     val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
       .toDF("a", "b")

@@ -29,7 +29,8 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
     decoded.foreach { m =>
       val (w, h) = Multimodal.imageDims(nChars(m.doc_id))
-      assert(m.width == w && m.height == h, s"doc ${m.doc_id}: got ${m.width}x${m.height}")
+      assert(m.width.contains(w.toLong) && m.height.contains(h.toLong),
+        s"doc ${m.doc_id}: got ${m.width}x${m.height}")
     }
   }
 

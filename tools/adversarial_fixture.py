@@ -14,6 +14,16 @@ divergences the friendly fixture could never show: q91 null-text admission
 null-vector bucket 0, and a q23 ANSI-mode crash on non-numeric JSON values
 (Spark 4 defaults to ANSI — plain casts of user data THROW; use try_cast).
 
+Round 8 extended the sweep to EVERY document/embedding/event-family query
+(53) plus a non-BMP emoji row, and caught three more real divergences the
+friendly fixture could never show: the k-means family (q87/q92/q96)
+scoring a zero-magnitude vector as cosine NaN — which Spark orders ABOVE
+every real similarity and passes >= thresholds, while SQL division by
+zero yields NULL (fixed: the native cosine returns NULL on zero norms) —
+and both multimodal paths (q43/q59) crashing on a NULL-text document's
+NULL n_chars/payload through a non-nullable encoder (fixed: Option dims /
+null-histogram ledger rows, matching the oracle's formula replay).
+
 Usage:
     python3 tools/adversarial_fixture.py [outdir=/tmp/adversarial]
     sbt -batch "runMain graft.Verify /tmp/adversarial /tmp/v_adv <family queries>"
@@ -44,6 +54,10 @@ def main(outdir: str) -> None:
         (13, "tail tail tail something tail",           "en", None),
         (14, " ".join(f"u{i}" for i in range(50)),      "zh", "src0"),
         (900000001, "big id doc with some words here",  "en", "src1"),
+        # non-BMP code points (UTF-16 surrogate pairs): a UTF-16-unit
+        # symbol split (q97 BPE) or char count would diverge from SQL
+        # character semantics here
+        (16, "\U0001F600\U0001F600\U0001F600 cafés \U0001F600café", "en", "src0"),
     ]
     cols = list(zip(*rows))
     t = pa.table({
