@@ -334,7 +334,10 @@ object SparkEntry {
     "q21_string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name,1,8) AS name_prefix,
         | CAST(length(p_name) AS INTEGER) AS name_len,
-        | concat(p_brand,'#',p_type) AS brand_type
+        | -- || not concat(): Spark's concat propagates NULL (any NULL arg
+        | -- nulls the result) while DuckDB's concat SKIPS NULLs; the SQL-
+        | -- standard || operator is NULL-propagating in both engines
+        | (p_brand || '#' || p_type) AS brand_type
         |FROM part""".stripMargin,
     "q22_monthly_orders" ->
       """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
@@ -806,7 +809,10 @@ object SparkEntry {
     "q62_scalar_suite" ->
       """SELECT l_orderkey, l_linenumber,
         | abs(l_quantity - 25) AS qty_dev,
-        | round(sqrt(l_extendedprice), 6) AS price_sqrt,
+        | -- domain guard: DuckDB ERRORS on sqrt(negative) where Spark
+        | -- silently yields NaN; undefined input => NULL on both sides
+        | CASE WHEN l_extendedprice >= 0
+        |      THEN round(sqrt(l_extendedprice), 6) END AS price_sqrt,
         | round(pow(l_discount + 1.0, 2), 6) AS disc_sq,
         | CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
         | greatest(l_tax, l_discount) AS max_rate,

@@ -379,12 +379,23 @@ object Relational {
     * order-statistics path that survives 100× group sizes. */
   def q73PercentilesSorted(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
+    // group list + count(*) from the SOURCE, not the percentile pass:
+    // ExactPercentile drops null measures before ranking, so a (hostile)
+    // group whose values are all NULL would otherwise vanish — and its
+    // non-null count is not the oracle's count(*). Left-joins are
+    // null-SAFE on the group key: NULL l_returnflag is a real group.
+    val groups = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
     val price = ExactPercentile.of(li, "l_returnflag", "l_extendedprice",
-      Seq(("price_p25", 0.25), ("price_p50", 0.5), ("price_p75", 0.75)),
-      countAlias = Some("n_rows")) // group count rides the same window pass
+      Seq(("price_p25", 0.25), ("price_p50", 0.5), ("price_p75", 0.75)))
+      .withColumnRenamed("l_returnflag", "__rf1")
     val qty = ExactPercentile.of(li, "l_returnflag", "l_quantity",
       Seq(("qty_p50", 0.5)))
-    price.join(qty, "l_returnflag")
+      .withColumnRenamed("l_returnflag", "__rf2")
+    groups
+      .join(price, col("l_returnflag") <=> col("__rf1"), "left").drop("__rf1")
+      .join(qty, col("l_returnflag") <=> col("__rf2"), "left").drop("__rf2")
+      .select(col("l_returnflag"), col("price_p25"), col("price_p50"),
+        col("price_p75"), col("qty_p50"), col("n_rows"))
   }
 
   /** Approximate percentiles — the 100×-safe order-statistics path: Spark's
@@ -425,10 +436,19 @@ object Relational {
     def okFlags(cntLe: Column, cntLt: Column, p: Double, n: Column): Column =
       cntLe >= floor(n * (p - eps)) && cntLt <= ceil(n * (p + eps))
     lineitem(s, d)
-      .join(broadcast(ap), "l_returnflag")
+      // null-SAFE join key: a NULL l_returnflag is a real group that a
+      // plain equi-join would silently drop from the gate; and the rank
+      // bounds use each measure's NON-NULL count (the sketch's universe —
+      // count(*) would widen the window by the hostile null rows), while
+      // the reported n_rows stays the oracle's count(*)
+      .join(broadcast(ap.withColumnRenamed("l_returnflag", "__rf")),
+        col("l_returnflag") <=> col("__rf"))
+      .drop("__rf")
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_rows"),
+        sum(when(col("l_extendedprice").isNotNull, 1L).otherwise(0L)).as("np"),
+        sum(when(col("l_quantity").isNotNull, 1L).otherwise(0L)).as("nq"),
         sum(when(col("l_extendedprice") <= col("price_p25"), 1L).otherwise(0L)).as("le25"),
         sum(when(col("l_extendedprice") < col("price_p25"), 1L).otherwise(0L)).as("lt25"),
         sum(when(col("l_extendedprice") <= col("price_p50"), 1L).otherwise(0L)).as("le50"),
@@ -438,10 +458,10 @@ object Relational {
         sum(when(col("l_quantity") <= col("qty_p50"), 1L).otherwise(0L)).as("leq"),
         sum(when(col("l_quantity") < col("qty_p50"), 1L).otherwise(0L)).as("ltq"))
       .select(col("l_returnflag"), col("n_rows"),
-        okFlags(col("le25"), col("lt25"), 0.25, col("n_rows")).as("p25_ok"),
-        okFlags(col("le50"), col("lt50"), 0.50, col("n_rows")).as("p50_ok"),
-        okFlags(col("le75"), col("lt75"), 0.75, col("n_rows")).as("p75_ok"),
-        okFlags(col("leq"), col("ltq"), 0.50, col("n_rows")).as("qty_ok"))
+        okFlags(col("le25"), col("lt25"), 0.25, col("np")).as("p25_ok"),
+        okFlags(col("le50"), col("lt50"), 0.50, col("np")).as("p50_ok"),
+        okFlags(col("le75"), col("lt75"), 0.75, col("np")).as("p75_ok"),
+        okFlags(col("leq"), col("ltq"), 0.50, col("nq")).as("qty_ok"))
   }
 
   /** Pivot (explicit value list keeps the plan single-pass map-side). */
@@ -630,7 +650,11 @@ object Relational {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_quantity") - 25).as("qty_dev"),
-        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        // domain-guarded: sqrt of a negative (hostile) price is undefined
+        // ⇒ NULL on both engines — Spark would silently yield NaN where
+        // DuckDB ERRORS, so the guard is the only cross-engine-stable form
+        when(col("l_extendedprice") >= 0,
+          round(sqrt(col("l_extendedprice")), 6)).as("price_sqrt"),
         round(pow(col("l_discount") + 1.0, 2), 6).as("disc_sq"),
         floor(col("l_extendedprice") / 1000).cast("long").as("price_k"),
         greatest(col("l_tax"), col("l_discount")).as("max_rate"),

@@ -51,12 +51,21 @@ object AsOfJoin {
       rightTs: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val r = right.select(
-      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        payload.map(col) ++:
-        leftCols.filterNot(_ == key)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val l = left.select(
+    // SQL join semantics for NULLs (hostile-sweep pin): a NULL key never
+    // matches — but the window partition would happily group NULL-key rows
+    // from both sides together and "match" them. Likewise a NULL timestamp
+    // can never satisfy l.ts >= r.ts on either side. Null-key/ts right
+    // rows are unmatchable ⇒ dropped from the build; null-key/ts left
+    // rows are unmatched ⇒ routed around the window with NULL payload.
+    val lMatchable = col(key).isNotNull && col(leftTs).isNotNull
+    val r = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(
+        (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+          payload.map(col) ++:
+          leftCols.filterNot(_ == key)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val l = left.filter(lMatchable).select(
       (col(key) +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
         payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++:
         leftCols.filterNot(_ == key).map(col)): _*)
@@ -66,7 +75,11 @@ object AsOfJoin {
     val filled = payload.foldLeft(r.unionByName(l)) { (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }
-    filled.filter(col("__side") === 1)
+    val matched = filled.filter(col("__side") === 1)
       .select((leftCols.map(col) ++ payload.map(col)): _*)
+    val unmatched = left.filter(!lMatchable)
+      .select((leftCols.map(col) ++ payload.map(c =>
+        lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    matched.unionByName(unmatched)
   }
 }

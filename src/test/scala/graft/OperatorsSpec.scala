@@ -30,6 +30,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSuite {
     assert(out == Map(1L -> Some(100L), 2L -> Some(101L), 3L -> None, 4L -> None))
   }
 
+  test("asof join: NULL keys/timestamps never match (SQL join semantics)") {
+    // the window formulation would otherwise group NULL-key rows from both
+    // sides into one partition and "match" them — hostile-sweep find
+    val orders = Seq(
+      (Option(7L), Option(ts("2024-01-01 00:00:00")), 100L),
+      (Option.empty[Long], Option(ts("2024-01-01 00:00:00")), 300L), // null key: unmatchable
+      (Option(7L), Option.empty[Timestamp], 301L))                   // null ts: unmatchable
+      .toDF("user_id", "odate", "okey")
+    val events = Seq(
+      (1L, Option(7L), Option(ts("2024-01-02 00:00:00"))), // matches 100, never 301
+      (2L, Option.empty[Long], Option(ts("2024-01-02 00:00:00"))), // null key → no match
+      (3L, Option(7L), Option.empty[Timestamp]))                   // null ts → no match
+      .toDF("event_id", "user_id", "ets")
+    val out = AsOfJoin.asof(events, orders, "user_id", "ets", "odate", Seq("okey"))
+      .select("event_id", "okey").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(100L), 2L -> None, 3L -> None))
+  }
+
   test("latestPerKeyTs dedups equal timestamps by tie-break") {
     val r = Seq((7L, ts("2024-01-01 00:00:00"), 1L), (7L, ts("2024-01-01 00:00:00"), 9L))
       .toDF("k", "t", "v")

@@ -24,6 +24,19 @@ and both multimodal paths (q43/q59) crashing on a NULL-text document's
 NULL n_chars/payload through a non-nullable encoder (fixed: Option dims /
 null-histogram ledger rows, matching the oracle's formula replay).
 
+Round 8 also added HOSTILE RELATIONAL tables (the whole star schema, this
+file's `relational()`) and swept the 40 relational-family queries,
+catching five more: Spark's NULL-propagating concat vs DuckDB's
+NULL-skipping concat (q21 — pinned via the SQL-standard `||`), the asof
+union+window formulation matching NULL keys to each other where SQL join
+semantics never match NULL=NULL (q48 — null keys/timestamps now routed
+around the window), DuckDB ERRORING on sqrt(negative) where Spark yields
+NaN (q62 — domain-guarded to NULL on both sides), and plain equi-joins
+silently dropping the NULL-returnflag group that GROUP BY keeps (q63/q73
+— null-safe joins; q63's rank bounds also switched to per-measure
+non-null counts, and q73 takes count(*) from the source, not the
+null-filtered percentile pass).
+
 Usage:
     python3 tools/adversarial_fixture.py [outdir=/tmp/adversarial]
     sbt -batch "runMain graft.Verify /tmp/adversarial /tmp/v_adv <family queries>"
@@ -114,6 +127,102 @@ def main(outdir: str) -> None:
     })
     pq.write_table(ev, f"{outdir}/events.parquet")
     print(f"wrote {ev.num_rows} rows to {outdir}/events.parquet")
+
+    relational(outdir)
+
+
+def relational(outdir: str) -> None:
+    """Hostile variants of the TPC-H-ish star schema (round 8): PKs stay
+    unique and non-null (the warehouse contract), but attributes go NULL,
+    FKs dangle or go NULL, strings carry multibyte + regex specials, money
+    goes negative/huge, dates hit epoch boundaries and far-future. Sweeps
+    the relational families for cross-engine null semantics (e.g. Spark
+    windows default NULLS FIRST where DuckDB defaults NULLS LAST — any
+    nullable sort key must pin its null order explicitly)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime
+
+    def w(name, cols):
+        t = pa.table(cols)
+        pq.write_table(t, f"{outdir}/{name}.parquet")
+        print(f"wrote {t.num_rows} rows to {outdir}/{name}.parquet")
+
+    w("region", {
+        "r_regionkey": pa.array([0, 1, 2], pa.int32()),
+        "r_name": pa.array(["AMERICA", None, "EMPTY (no nations)"]),
+    })
+    w("nation", {
+        "n_nationkey": pa.array([0, 1, 2, 3], pa.int32()),
+        "n_name": pa.array(["BRAZIL", "日本", None, "a.b*c"]),
+        # 1 -> NULL region, 3 -> dangling region 9
+        "n_regionkey": pa.array([0, None, 0, 9], pa.int32()),
+    })
+    w("customer", {
+        "c_custkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "c_name": pa.array(["Customer#1", None, "", "Ç川 Müller",
+                            "O'Brien (x*y)", "c6 no orders"]),
+        "c_nationkey": pa.array([0, 1, None, 9, 2, 3], pa.int32()),
+        "c_acctbal": pa.array([100.5, None, -999.99, 0.0, 1e7, 3.25],
+                              pa.float64()),
+        "c_mktsegment": pa.array(["BUILDING", None, "BUILDING", "AUTO",
+                                  "", "MACHINERY"]),
+    })
+    w("supplier", {
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array([None, "Süpplier#2"]),
+        "s_nationkey": pa.array([0, None], pa.int32()),
+        "s_acctbal": pa.array([None, -5.5], pa.float64()),
+    })
+    w("part", {
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_name": pa.array(["green part", None, "part [3]"]),
+        "p_brand": pa.array(["B#1", "B#1", None]),
+        "p_type": pa.array([None, "SMALL PLATED", "SMALL PLATED"]),
+        "p_size": pa.array([1, None, 50], pa.int32()),
+        "p_retailprice": pa.array([9.99, 0.0, None], pa.float64()),
+    })
+    epoch = datetime.datetime(1970, 1, 1)
+    d = datetime.datetime
+    w("orders", {
+        "o_orderkey": pa.array([10, 11, 12, 13, 14, 15, 16], pa.int64()),
+        # 12 -> NULL cust, 13 -> dangling cust 99
+        "o_custkey": pa.array([1, 1, None, 99, 2, 4, 5], pa.int64()),
+        "o_orderstatus": pa.array(["F", "O", None, "F", "P", "O", "F"]),
+        "o_totalprice": pa.array([100.0, None, 50.5, -10.0, 1e9, 0.0, 77.7],
+                                 pa.float64()),
+        "o_orderdate": pa.array(
+            [d(1995, 3, 1), d(1995, 3, 1), None, epoch,
+             d(2099, 12, 31), d(1995, 3, 2), d(1995, 3, 1)],
+            pa.timestamp("ms")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", None, "2-HIGH", "1-URGENT", "", "3-MEDIUM",
+             "2-HIGH"]),
+    })
+    w("lineitem", {
+        "l_orderkey": pa.array([10, 10, 11, 12, 13, 14, 15, 16, 99],
+                               pa.int64()),
+        # 99 -> dangling order; part/supp FKs NULL or dangling
+        "l_partkey": pa.array([1, 2, None, 3, 9, 1, 2, 3, 1], pa.int64()),
+        "l_suppkey": pa.array([1, None, 2, 9, 1, 2, 1, 2, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1, 1, 1, 1, 1, 1], pa.int32()),
+        "l_quantity": pa.array([5.0, None, 3.0, 0.0, -2.0, 1e6, 7.0, 2.0,
+                                4.0], pa.float64()),
+        "l_extendedprice": pa.array([50.0, 20.0, None, 0.0, -10.0, 1e8,
+                                     70.0, 20.0, 40.0], pa.float64()),
+        "l_discount": pa.array([0.1, 0.0, None, 1.0, 0.5, 0.0, 0.05, 0.0,
+                                0.0], pa.float64()),
+        "l_tax": pa.array([0.02, None, 0.0, 0.0, 0.0, 0.08, 0.0, 0.0, 0.0],
+                          pa.float64()),
+        "l_returnflag": pa.array(["A", "A", None, "R", "N", "A", "N", "R",
+                                  "A"]),
+        "l_linestatus": pa.array(["F", None, "O", "F", "O", "F", "O", "F",
+                                  "F"]),
+        "l_shipdate": pa.array(
+            [d(1995, 3, 5), None, d(1995, 3, 6), epoch, d(2099, 1, 1),
+             d(1995, 3, 7), d(1995, 3, 8), d(1995, 3, 9), d(1995, 3, 10)],
+            pa.timestamp("ms")),
+    })
 
 if __name__ == "__main__":
     import os
