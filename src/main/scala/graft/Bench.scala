@@ -97,13 +97,21 @@ object Bench {
       val path = java.nio.file.Paths.get(out)
       val old = try new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         catch { case _: Exception => "" }
-      // merge only a same-scale prior record; anything else starts fresh
+      // merge only a same-scale prior record; anything else — including a
+      // hand-edited/corrupt file that fails to parse — starts fresh rather
+      // than crashing: the stdout line above is the driver's artifact and
+      // must never be lost to a self-record bookkeeping error
       val (oldQ, oldSp, oldWindows) =
-        if (old.contains("\"sf0.1\"") || old.contains("sf0.1\"")) {
-          val w = "\"windows\":(\\d+)".r.findFirstMatchIn(old)
-            .map(_.group(1).toInt).getOrElse(1)
-          (parseNumMap(old, "queries"), parseNumMap(old, "spread"), w)
-        } else (Map.empty[String, Double], Map.empty[String, Double], 0)
+        try {
+          if (old.contains("\"sf0.1\"") || old.contains("sf0.1\"")) {
+            val w = "\"windows\":(\\d+)".r.findFirstMatchIn(old)
+              .map(_.group(1).toInt).getOrElse(1)
+            (parseNumMap(old, "queries"), parseNumMap(old, "spread"), w)
+          } else (Map.empty[String, Double], Map.empty[String, Double], 0)
+        } catch { case e: Exception =>
+          System.err.println(s"[bench] unparseable $out (${e.getMessage}) — fresh record")
+          (Map.empty[String, Double], Map.empty[String, Double], 0)
+        }
       val merged = results.map { case (k, (mn, d)) =>
         oldQ.get(k) match {
           case Some(om) if om <= mn => k -> ((om, oldSp.getOrElse(k, d)))
