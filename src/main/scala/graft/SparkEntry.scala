@@ -135,7 +135,13 @@ object SparkEntry {
     "q96_d4_pipeline" -> ((s: SparkSession, d: String) => Similarity.d4PipelineStats(s, d)),
     // full iterated BPE training: distributed word-table agg + bounded
     // driver merge loop; oracle replays all 8 iterations in unrolled SQL
-    "q97_bpe_train" -> ((s: SparkSession, d: String) => TextStats.bpeTrain(s, d)))
+    "q97_bpe_train" -> ((s: SparkSession, d: String) => TextStats.bpeTrain(s, d)),
+    // C4/RefinedWeb boilerplate span removal: corpus-frequent spans dropped
+    // from EVERY document, cleaned text reassembled in order (hash-pinned)
+    "q98_boilerplate_removal" -> ((s: SparkSession, d: String) => TextStats.boilerplateRemoval(s, d)),
+    // CCNet-style LM quality bucketing: per-lang bigram model (add-one
+    // smoothing), per-doc avg -log10 P, head/middle/tail terciles
+    "q99_perplexity_buckets" -> ((s: SparkSession, d: String) => TextStats.perplexityBuckets(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1271,7 +1277,73 @@ object SparkEntry {
     // (count desc, pair asc) top pair, and the greedy left-to-right
     // rewrite (for an (a,a) pair inside a run of a's, the even offsets —
     // the only overlap case; a!=b matches are never adjacent)
-    "q97_bpe_train" -> bpeTrainSql(8, 65536))
+    "q97_bpe_train" -> bpeTrainSql(8, 65536),
+    // boilerplate span removal: 8-word non-overlapping spans, a span in
+    // >= 2 distinct docs is dropped from ALL docs; cleaned text reassembled
+    // in span order and 60-bit-hashed (pins reassembly, not just the drop
+    // set). NULL/empty text yields the one empty span both engines' split
+    // semantics produce; all-dropped => NULL cleaned => NULL hash
+    "q98_boilerplate_removal" ->
+      """WITH ws AS (
+        | SELECT doc_id, regexp_split_to_array(trim(coalesce(text,'')), '\s+') AS w
+        | FROM documents),
+        |c AS (SELECT doc_id, w, CAST(unnest(range(0, greatest(len(w),1), 8)) AS INT) AS s
+        | FROM ws),
+        |h AS (SELECT doc_id, s, span,
+        |  CAST(('0x' || substring(md5(span), 1, 15)) AS BIGINT) AS sh
+        | FROM (SELECT doc_id, s, array_to_string(w[s+1:s+8], ' ') AS span FROM c) t),
+        |bp AS (SELECT sh FROM h GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+        |k AS (
+        | SELECT h.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN bp.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  string_agg(CASE WHEN bp.sh IS NULL THEN span END, ' ' ORDER BY s) AS cleaned
+        | FROM h LEFT JOIN bp USING (sh) GROUP BY h.doc_id)
+        |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans, n_dropped,
+        | CASE WHEN cleaned IS NULL OR cleaned = '' THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(cleaned, '\s+')) AS BIGINT)
+        | END AS kept_tokens,
+        | CAST(('0x' || substring(md5(cleaned), 1, 15)) AS BIGINT) AS cleaned_hash
+        |FROM k""".stripMargin,
+    // CCNet LM bucketing: per-lang bigram counts with add-one smoothing
+    // over the observed vocab; per-bigram -log10 P rounded to 6 dp and
+    // summed as DECIMAL (order-independent, matching the engine's in-row
+    // array-order sum); terciles over non-null scores only, <2-word docs
+    // land in bucket 'none' so the per-lang tally partitions the corpus
+    "q99_perplexity_buckets" ->
+      s"""WITH ws AS (SELECT doc_id, lang, $tokens AS w FROM documents),
+        |dd AS (SELECT doc_id, lang, w, coalesce(len(w), 0) AS nw FROM ws),
+        |uc AS (SELECT lang, w1, count(*) AS cu
+        | FROM (SELECT lang, unnest(w) AS w1 FROM dd) t GROUP BY 1, 2),
+        |vv AS (SELECT lang, count(*) AS v FROM uc GROUP BY 1),
+        |bg AS (SELECT doc_id, lang, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT)+1] AS w2
+        | FROM (SELECT doc_id, lang, w, unnest(range(1, nw)) AS i FROM dd WHERE nw >= 2) t),
+        |bc AS (SELECT lang, w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2, 3),
+        |terms AS (
+        | SELECT g.doc_id, g.lang,
+        |  CAST(round(-log10((coalesce(bc.cb, 0) + 1.0) / (uc.cu + vv.v)), 6)
+        |   AS DECIMAL(18,6)) AS term
+        | FROM bg g
+        | LEFT JOIN bc ON g.lang = bc.lang AND g.w1 = bc.w1 AND g.w2 = bc.w2
+        | JOIN uc ON g.lang = uc.lang AND g.w1 = uc.w1
+        | JOIN vv ON g.lang = vv.lang),
+        |sc AS (SELECT doc_id, lang,
+        |  round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS score
+        | FROM terms GROUP BY 1, 2),
+        |al AS (SELECT dd.doc_id, dd.lang, dd.nw, sc.score
+        | FROM dd LEFT JOIN sc ON dd.doc_id = sc.doc_id AND dd.lang = sc.lang),
+        |nn AS (SELECT doc_id, lang, nw, score,
+        |  ntile(3) OVER (PARTITION BY lang ORDER BY score, doc_id) AS t
+        | FROM al WHERE score IS NOT NULL),
+        |bk AS (
+        | SELECT lang, nw, score,
+        |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        | FROM nn
+        | UNION ALL
+        | SELECT lang, nw, NULL, 'none' FROM al WHERE score IS NULL)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        | CAST(sum(nw) AS BIGINT) AS n_tokens,
+        | round(min(score), 6) AS min_score, round(max(score), 6) AS max_score
+        |FROM bk GROUP BY 1, 2""".stripMargin)
 
   /** DuckDB replay of the full iterated BPE training loop (q97): the word-
     * frequency table (capped like the engine's driver collect), the initial

@@ -700,4 +700,168 @@ object TextStats {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word"))
       .limit(k)
+
+  /** 60-bit hash of a string (md5 prefix) — the engine-reproducible hash
+    * convention shared with the chunk/shingle families. NULL in ⇒ NULL out. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /**
+   * Boilerplate span removal — the C4 / RefinedWeb "line dedup" rule over
+   * a corpus whose documents carry no newlines: the repeated unit is a
+   * non-overlapping `spanWords`-word span. A span whose hash occurs in
+   * ≥ `dfThreshold` DISTINCT documents is boilerplate (navigation chrome,
+   * license banners, templated headers) and is removed from EVERY document;
+   * the cleaned text is reassembled in original span order. Differs from
+   * [[graft.analytics.Sampling.chunkDedup]] (keep-first survivorship): here
+   * no copy survives, which is the published C4 rule for spans that repeat
+   * across documents.
+   *
+   * 100 TB posture: two clean corpus scans, corpus text never shuffles.
+   * Scan 1 explodes (doc_id, span_hash) — 16 bytes/span — and aggregates
+   * document frequency; the surviving boilerplate set is a heavy-hitter
+   * table (size ≤ total_spans / dfThreshold) collapsed to one sorted-array
+   * row and broadcast. Scan 2 recomputes spans in-row and filters against
+   * the broadcast set, so cleansing is a narrow map (same two-pass shape as
+   * the classifier filter's model/score split). If the boilerplate set ever
+   * outgrew a broadcast (pathological near-duplicate corpora), the degrade
+   * path is the exploded left-anti join + ordered reassembly the oracle
+   * spells — same semantics, one extra shuffle of span hashes.
+   *
+   * Output per document: span count, dropped count, kept whitespace tokens,
+   * and a 60-bit hash of the reassembled cleaned text (pinning REASSEMBLY
+   * ORDER, not just the drop set). All-spans-dropped ⇒ NULL cleaned text ⇒
+   * NULL hash; NULL/empty text ⇒ one empty span (split semantics both
+   * engines share) with 0 kept tokens.
+   */
+  def boilerplateRemoval(s: SparkSession, d: String,
+      spanWords: Int = 8, dfThreshold: Int = 2): DataFrame =
+    boilerplateRemovalOf(documents(s, d), spanWords, dfThreshold)
+
+  /** [[boilerplateRemoval]] over an arbitrary (doc_id, text) frame. */
+  def boilerplateRemovalOf(docs: DataFrame, spanWords: Int,
+      dfThreshold: Int): DataFrame = {
+    val withSpans = docs
+      .withColumn("w", words(coalesce(col("text"), lit(""))))
+      .withColumn("spans", transform(
+        sequence(lit(0),
+          greatest(ceil(size(col("w")).cast("double") / spanWords), lit(1))
+            .cast("int") - 1),
+        i => array_join(slice(col("w"), i * spanWords + 1, lit(spanWords)), " ")))
+    // scan 1: span document frequency -> boilerplate set (one sorted row)
+    val boiler = withSpans
+      .select(col("doc_id"), explode(col("spans")).as("span"))
+      .select(col("doc_id"), hash60(col("span")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= dfThreshold)
+      .agg(sort_array(collect_set(col("sh"))).as("bp"))
+    // scan 2: narrow cleanse against the broadcast set, in-row reassembly
+    withSpans
+      .crossJoin(broadcast(boiler))
+      .withColumn("kept",
+        filter(col("spans"), sp => !array_contains(col("bp"), hash60(sp))))
+      .withColumn("cleaned",
+        when(size(col("kept")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(col("kept"), " ")))
+      .select(
+        col("doc_id"),
+        size(col("spans")).cast("long").as("n_spans"),
+        (size(col("spans")) - size(col("kept"))).cast("long").as("n_dropped"),
+        when(col("cleaned").isNull || col("cleaned") === "", lit(0L))
+          .otherwise(size(split(col("cleaned"), "\\s+")).cast("long"))
+          .as("kept_tokens"),
+        hash60(col("cleaned")).as("cleaned_hash"))
+  }
+
+  /**
+   * CCNet-style language-model quality bucketing: score every document by
+   * its average bigram negative log-probability under a per-language model
+   * trained on the corpus itself (add-one smoothing over the observed
+   * vocabulary), then split each language into head / middle / tail
+   * perplexity terciles — the exact selection signal CCNet feeds a KenLM
+   * model; here the LM is the corpus-trained bigram table, which is the
+   * distributed observable (KenLM's k-gram backoff weights are a modeling
+   * refinement on the same count table).
+   *
+   * 100 TB posture: the MODEL is vocabulary-bounded — unigram and bigram
+   * count maps per language (≤ |V| + |V|² entries, vocab-capped in a real
+   * deployment the same way [[bpeTrain]] caps its word table) — built from
+   * one exploded scan whose shuffle rows are (lang, gram, partial_count),
+   * then broadcast as per-language maps. Scoring is a second NARROW scan:
+   * each document walks its own bigrams in-row against the broadcast maps,
+   * so no corpus-sized join and no text shuffle. Only (doc_id, lang, score)
+   * — 3 narrow columns — enters the tercile window. Per-bigram terms are
+   * rounded to 6 dp and summed as DECIMAL so the in-row (array-order) sum
+   * and the oracle's join-order sum agree exactly.
+   *
+   * Documents with < 2 words have no bigrams ⇒ NULL score ⇒ bucket "none"
+   * (kept, so the per-language tally still partitions the corpus).
+   */
+  def perplexityBuckets(s: SparkSession, d: String): DataFrame =
+    perplexityBucketsOf(documents(s, d))
+
+  /** [[perplexityBuckets]] over an arbitrary (doc_id, lang, text) frame. */
+  def perplexityBucketsOf(docs: DataFrame): DataFrame = {
+    val wsDocs = docs
+      .withColumn("w", words(col("text")))
+      .withColumn("nw", coalesce(size(col("w")), lit(0)))
+    val uni = wsDocs
+      .select(col("lang"), explode(col("w")).as("w1"))
+      .groupBy(col("lang"), col("w1"))
+      .agg(count(lit(1)).as("cu"))
+    val bi = wsDocs
+      .filter(col("nw") >= 2)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), col("nw") - 1),
+        i => concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1)))).as("b"))
+      .groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("cb"))
+    val model = uni.groupBy(col("lang"))
+      .agg(map_from_entries(collect_list(struct(col("w1"), col("cu"))))
+          .as("umap"),
+        count(lit(1)).as("v"))
+      .join(bi.groupBy(col("lang"))
+          .agg(map_from_entries(collect_list(struct(col("b"), col("cb"))))
+            .as("bmap")),
+        Seq("lang"), "left")
+    val zero = lit(new java.math.BigDecimal(0)).cast("decimal(28,6)")
+    val scored = wsDocs
+      .join(broadcast(model), Seq("lang"), "left")
+      .withColumn("n_bigrams", greatest(col("nw") - 1, lit(0)))
+      .withColumn("score",
+        when(col("n_bigrams") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            aggregate(
+              sequence(lit(1), greatest(col("nw") - 1, lit(1))),
+              zero,
+              (acc, i) => {
+                val w1 = element_at(col("w"), i)
+                val b = concat(w1, lit(" "), element_at(col("w"), i + 1))
+                val cb = coalesce(element_at(col("bmap"), b), lit(0L))
+                val cu = coalesce(element_at(col("umap"), w1), lit(0L))
+                val p = (cb + 1).cast("double") / (cu + col("v")).cast("double")
+                (acc + round(-log10(p), 6).cast("decimal(18,6)"))
+                  .cast("decimal(28,6)")
+              }).cast("double") / col("n_bigrams"), 6)))
+      .select(col("doc_id"), col("lang"), col("nw"), col("score"))
+    val tercile = Window.partitionBy(col("lang"))
+      .orderBy(col("score"), col("doc_id"))
+    val bucketed = scored.filter(col("score").isNotNull)
+      .withColumn("t", ntile(3).over(tercile))
+      .withColumn("bucket",
+        when(col("t") === 1, lit("head"))
+          .when(col("t") === 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .unionByName(
+        scored.filter(col("score").isNull).withColumn("bucket", lit("none")),
+        allowMissingColumns = true)
+    bucketed.groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).cast("long").as("n_tokens"),
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"))
+  }
 }

@@ -62,6 +62,84 @@ class Round8OpsSpec extends AnyFunSuite with SparkSuite {
     assert(first == top)
   }
 
+  test("q98 boilerplate removal: hand-checked drop + ordered reassembly") {
+    import spark.implicits._
+    // spans of 2 words; "x y" occurs in two distinct docs -> boilerplate
+    val docs = Seq(
+      (1L, "x y a b x y"), // spans [x y][a b][x y] -> cleaned "a b"
+      (2L, "x y c d"),     // spans [x y][c d]      -> cleaned "c d"
+      (3L, "x y")          // spans [x y]           -> all dropped
+    ).toDF("doc_id", "text")
+    val out = TextStats.boilerplateRemovalOf(docs, spanWords = 2, dfThreshold = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_dropped", "kept_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 2L, 2L), (2L, 2L, 1L, 2L), (3L, 1L, 1L, 0L)))
+    // all-dropped doc: NULL cleaned hash; partially-kept docs: non-null
+    val hashes = TextStats.boilerplateRemovalOf(docs, 2, 2)
+      .orderBy("doc_id").select("cleaned_hash")
+      .collect().map(r => Option(r.get(0)))
+    assert(hashes(0).isDefined && hashes(1).isDefined && hashes(2).isEmpty)
+  }
+
+  test("q98 boilerplate removal: below-threshold spans survive; null text is one empty span") {
+    import spark.implicits._
+    val docs = Seq((1L, "p q r s"), (2L, null: String)).toDF("doc_id", "text")
+    val out = TextStats.boilerplateRemovalOf(docs, spanWords = 2, dfThreshold = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_dropped", "kept_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // no span repeats across docs -> nothing dropped; null text splits to
+    // the single empty span (kept, 0 tokens) on both engines
+    assert(out == Seq((1L, 2L, 0L, 4L), (2L, 1L, 0L, 0L)))
+  }
+
+  test("q98 boilerplate removal: cleanse pass is broadcast, not a corpus shuffle") {
+    val plan = TextStats.boilerplateRemoval(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "boilerplate set must reach the cleanse scan via broadcast")
+  }
+
+  test("q99 perplexity buckets: hand-checked bigram LM scores and buckets") {
+    import spark.implicits._
+    // lang en: docs "a b", "a c", "z". uni a:2 b:1 c:1 z:1, V=4; both
+    // bigrams count 1. score = -log10((1+1)/(2+4)) = 0.477121 for both;
+    // tie broken by doc_id; the 1-word doc has no bigrams -> 'none'
+    val docs = Seq(
+      (1L, "en", "a b"), (2L, "en", "a c"), (3L, "en", "z")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextStats.perplexityBucketsOf(docs)
+      .orderBy("bucket")
+      .as[(String, String, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("en", "head", 1L, 2L, Some(0.477121), Some(0.477121)),
+      ("en", "middle", 1L, 2L, Some(0.477121), Some(0.477121)),
+      ("en", "none", 1L, 1L, None, None)))
+  }
+
+  test("q99 perplexity buckets: common bigrams score lower than rare ones") {
+    import spark.implicits._
+    // "a b" appears 3x, "a z" once: the a-z doc must land in a strictly
+    // higher-perplexity bucket than the a-b docs
+    val docs = (Seq.fill(3)("a b").zipWithIndex.map { case (t, i) => (i.toLong, "en", t) } :+
+      (9L, "en", "a z")).toDF("doc_id", "lang", "text")
+    val rows = TextStats.perplexityBucketsOf(docs)
+      .as[(String, String, Long, Long, Option[Double], Option[Double])]
+      .collect()
+    val tail = rows.find(_._2 == "tail").get
+    val head = rows.find(_._2 == "head").get
+    assert(tail._5.get > head._6.get, "rare-bigram doc must score above every head doc")
+  }
+
+  test("q99 perplexity buckets: scoring scan carries no corpus-sized join (model is broadcast)") {
+    val plan = TextStats.perplexityBuckets(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "per-lang LM maps must reach the scoring scan via broadcast")
+  }
+
   test("q46/q63 production sketch forms stay sketch-only (no exact-distinct / rank-join pass)") {
     // the gate queries pay a verification cost by design; the production
     // forms must not — no Expand (count distinct) in approxDistinct's plan,
