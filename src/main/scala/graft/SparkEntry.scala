@@ -141,7 +141,13 @@ object SparkEntry {
     "q98_boilerplate_removal" -> ((s: SparkSession, d: String) => TextStats.boilerplateRemoval(s, d)),
     // CCNet-style LM quality bucketing: per-lang bigram model (add-one
     // smoothing), per-doc avg -log10 P, head/middle/tail terciles
-    "q99_perplexity_buckets" -> ((s: SparkSession, d: String) => TextStats.perplexityBuckets(s, d)))
+    "q99_perplexity_buckets" -> ((s: SparkSession, d: String) => TextStats.perplexityBuckets(s, d)),
+    // BPE ENCODING — apply q97's learned merges to the corpus via the
+    // word-frequency table: top-40 token frequencies + total token count
+    "q100_bpe_encode" -> ((s: SparkSession, d: String) => TextStats.bpeEncode(s, d)),
+    // cross-source duplication (leakage) matrix over the exhaustive
+    // simhash near-dup pair surface
+    "q101_cross_source_leakage" -> ((s: SparkSession, d: String) => Dedup.crossSourceLeakage(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1343,7 +1349,35 @@ object SparkEntry {
         |SELECT lang, bucket, count(*) AS n_docs,
         | CAST(sum(nw) AS BIGINT) AS n_tokens,
         | round(min(score), 6) AS min_score, round(max(score), 6) AS max_score
-        |FROM bk GROUP BY 1, 2""".stripMargin)
+        |FROM bk GROUP BY 1, 2""".stripMargin,
+    "q100_bpe_encode" -> bpeEncodeSql(8, 65536, 40),
+    // cross-source leakage: the q35 pair surface joined to sources,
+    // normalized to src_a <= src_b (NULL last) by the same explicit CASE
+    // the engine spells
+    "q101_cross_source_leakage" ->
+      (simhashFpCte() +
+        s""",
+          |p AS (
+          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          | WHERE $simhashPairPredicate),
+          |js AS (
+          | SELECT p.hamming,
+          |  CASE WHEN db.source IS NOT NULL AND (da.source IS NULL OR da.source > db.source)
+          |       THEN db.source ELSE da.source END AS src_a,
+          |  CASE WHEN db.source IS NOT NULL AND (da.source IS NULL OR da.source > db.source)
+          |       THEN da.source ELSE db.source END AS src_b,
+          |  CASE WHEN db.source IS NOT NULL AND (da.source IS NULL OR da.source > db.source)
+          |       THEN p.doc_b ELSE p.doc_a END AS da,
+          |  CASE WHEN db.source IS NOT NULL AND (da.source IS NULL OR da.source > db.source)
+          |       THEN p.doc_a ELSE p.doc_b END AS db
+          | FROM p JOIN documents da ON p.doc_a = da.doc_id
+          |        JOIN documents db ON p.doc_b = db.doc_id)
+          |SELECT src_a, src_b, count(*) AS n_pairs,
+          | count(DISTINCT da) AS n_docs_a, count(DISTINCT db) AS n_docs_b,
+          | min(hamming) AS min_hamming
+          |FROM js GROUP BY 1, 2""".stripMargin))
 
   /** DuckDB replay of the full iterated BPE training loop (q97): the word-
     * frequency table (capped like the engine's driver collect), the initial
@@ -1363,6 +1397,19 @@ object SparkEntry {
     * chain then expands exponentially (observed: minutes, vs 0.6 s
     * materialized). */
   private def bpeTrainSql(nMerges: Int, vocabCap: Int): String = {
+    val rows = (1 to nMerges).map { k =>
+      s"SELECT CAST($k AS INT) AS merge_rank, a, b, cnt FROM t$k"
+    }.mkString("\n UNION ALL ")
+    s"""${bpeTrainCtes(nMerges, vocabCap)}
+      |SELECT merge_rank, a AS l_sym, b AS r_sym, a || b AS merged,
+      | cnt AS n_occurrences
+      |FROM ($rows)""".stripMargin
+  }
+
+  /** The unrolled BPE-training CTE chain (see [[bpeTrainSql]]) without the
+    * final projection — reused by q100's encoding oracle, whose replace
+    * chain needs the per-round top-pair tables t1..tN. */
+  private def bpeTrainCtes(nMerges: Int, vocabCap: Int): String = {
     val head =
       s"""WITH wc AS MATERIALIZED (
         | SELECT w AS word, count(*) AS n
@@ -1403,13 +1450,44 @@ object SparkEntry {
         | FROM w$k WHERE NOT coalesce(pm, FALSE)
         | GROUP BY word)""".stripMargin
     }.mkString
-    val rows = (1 to nMerges).map { k =>
-      s"SELECT CAST($k AS INT) AS merge_rank, a, b, cnt FROM t$k"
-    }.mkString("\n UNION ALL ")
-    s"""$head$iters
-      |SELECT merge_rank, a AS l_sym, b AS r_sym, a || b AS merged,
-      | cnt AS n_occurrences
-      |FROM ($rows)""".stripMargin
+    s"$head$iters"
+  }
+
+  /** DuckDB replay of BPE encoding (q100): train the merges via
+    * [[bpeTrainCtes]], then encode every corpus word (len ≥ 1, uncapped —
+    * merges APPLY to everything, the cap is a training concern) through
+    * the delimited-string replace chain. Each symbol is wrapped
+    * `\n sym \n` so replace's literal left-to-right non-overlapping scan
+    * is exactly the greedy BPE rewrite (wrappers own their delimiters —
+    * adjacent matches never share a byte; validated against a fold
+    * reference incl. non-BMP and (a,a)-run cases). An exhausted round's
+    * empty t-table coalesces to a tab pattern (unmatchable: words are
+    * whitespace-split) — a no-op, matching the engine's shorter merge
+    * list. */
+  private def bpeEncodeSql(nMerges: Int, vocabCap: Int, topK: Int): String = {
+    val delimited =
+      "list_aggregate(list_transform(range(1, len(word)+1), " +
+        "i -> chr(10) || word[CAST(i AS INT)] || chr(10)), 'string_agg', '')"
+    val encoded = (1 to nMerges).foldLeft(delimited) { (acc, k) =>
+      val patt = s"(SELECT chr(10) || a || chr(10) || chr(10) || b || chr(10) FROM t$k)"
+      val repl = s"(SELECT chr(10) || a || b || chr(10) FROM t$k)"
+      s"replace($acc, coalesce($patt, chr(9)), coalesce($repl, chr(9)))"
+    }
+    s"""${bpeTrainCtes(nMerges, vocabCap)},
+      |wall AS MATERIALIZED (
+      | SELECT w AS word, count(*) AS n
+      | FROM (SELECT unnest($tokens) AS w FROM documents) t
+      | WHERE len(w) >= 1 GROUP BY w),
+      |enc AS MATERIALIZED (
+      | SELECT n, $encoded AS es FROM wall),
+      |tok AS MATERIALIZED (
+      | SELECT t.tk AS token, CAST(sum(e.n) AS BIGINT) AS n_occurrences
+      | FROM enc e, unnest(list_filter(string_split(e.es, chr(10)),
+      |   x -> x <> '')) AS t(tk)
+      | GROUP BY 1)
+      |SELECT token, n_occurrences,
+      | (SELECT CAST(sum(n_occurrences) AS BIGINT) FROM tok) AS total_tokens
+      |FROM tok ORDER BY n_occurrences DESC, token LIMIT $topK""".stripMargin
   }
 
   /** DuckDB replay of the two Lloyd k-means iterations (shared by q83 and

@@ -649,4 +649,57 @@ object Dedup {
     * pair, so filter∘distinct ≡ distinct∘filter). */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame =
     simhashPairsRaw(s, d, maxHamming).distinct()
+
+  /**
+   * Cross-source duplication (leakage) matrix — the corpus-audit table
+   * every multi-source training set needs: for each unordered pair of
+   * sources, how many near-duplicate document pairs span them (the
+   * diagonal rows are within-source duplication). Built over the
+   * exhaustive [[simhashPairs]] near-dup surface; reports the pair count,
+   * the distinct documents involved on each side, and the closest
+   * (minimum-Hamming) pair — "src3 ships 40 docs that are near-copies of
+   * src7" is exactly how benchmark contamination and inter-dump copying
+   * get caught.
+   *
+   * Source order is normalized (src_a <= src_b, NULL sorted last) with an
+   * explicit CASE — not least/greatest, whose NULL handling differs across
+   * engines — so a NULL-source shard shows up as its own matrix column
+   * rather than vanishing.
+   *
+   * 100 TB posture: the pair surface is the banded equi-join (already
+   * linear in duplicate mass); attaching sources joins it twice against
+   * the narrow (doc_id, source) projection — doc_id-keyed shuffles of
+   * 16-byte rows, the corpus body untouched. Output is |sources|²-bounded.
+   */
+  def crossSourceLeakage(s: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame =
+    crossSourceLeakageOf(
+      documents(s, d).select(col("doc_id"), col("text"), col("source")),
+      maxHamming)
+
+  /** [[crossSourceLeakage]] over an arbitrary (doc_id, text, source) frame. */
+  def crossSourceLeakageOf(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = bandPairs(
+      simhashMetaOf(docs).select(col("doc_id"), col("simhash")), maxHamming)
+      .distinct()
+    val j = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+    // normalize to src_a <= src_b with NULL sorted first; the predicate is
+    // never NULL (guarded by the isNotNull/isNull arms), so the swap is
+    // total and both engines agree row-for-row
+    val swap = col("sb").isNotNull && (col("sa").isNull || col("sa") > col("sb"))
+    j.select(
+        when(swap, col("sb")).otherwise(col("sa")).as("src_a"),
+        when(swap, col("sa")).otherwise(col("sb")).as("src_b"),
+        when(swap, col("doc_b")).otherwise(col("doc_a")).as("da"),
+        when(swap, col("doc_a")).otherwise(col("doc_b")).as("db"),
+        col("hamming"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("da")).as("n_docs_a"),
+        countDistinct(col("db")).as("n_docs_b"),
+        min(col("hamming")).as("min_hamming"))
+  }
 }

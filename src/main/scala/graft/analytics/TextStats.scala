@@ -647,6 +647,20 @@ object TextStats {
   def bpeTrainOf(docs: DataFrame, nMerges: Int, vocabCap: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    bpeFitMerges(docs, nMerges, vocabCap)
+      .toDF("merge_rank", "l_sym", "r_sym", "merged", "n_occurrences")
+  }
+
+  /** The driver-side BPE fit shared by [[bpeTrain]] (q97, the training
+    * observable) and [[bpeEncode]] (q100, the application): `nMerges`
+    * rounds of top-pair selection + greedy rewrite over the bounded
+    * word-frequency table (see [[bpeTrain]]'s scaladoc for why the fit is
+    * a driver loop over sufficient statistics, not 2·nMerges Spark jobs).
+    * Returns (rank, left, right, merged, count-at-selection). */
+  def bpeFitMerges(docs: DataFrame, nMerges: Int,
+      vocabCap: Int): Seq[(Int, String, String, String, Long)] = {
+    val s = docs.sparkSession
+    import s.implicits._
     val wordTable = docs
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) >= 2)
@@ -687,7 +701,71 @@ object TextStats {
       }
     }
     merges.result()
-      .toDF("merge_rank", "l_sym", "r_sym", "merged", "n_occurrences")
+  }
+
+  /**
+   * BPE encoding — APPLY the tokenizer [[bpeTrain]] learns: every word of
+   * the corpus is split into code-point symbols and the learned merges are
+   * replayed in rank order (greedy left-to-right non-overlapping, the
+   * Sennrich et al. 2016 inference rule). Output: the corpus-weighted
+   * token-frequency table (top `topK` by count desc, token asc), with the
+   * corpus-wide total token count pinned on every row — so the oracle
+   * checks both the exact per-token frequencies AND the global encoding
+   * length.
+   *
+   * 100 TB posture — encoding never touches the corpus row-wise:
+   *  - ONE corpus scan into the full word-frequency table (map-side
+   *    combined; only (word, partial_count) shuffles — vocab-sized);
+   *  - each DISTINCT word is encoded once by a NARROW chain of
+   *    `nMerges` literal string replaces over the vocab table (the
+   *    merges are driver-fit model constants, exactly the classifier /
+   *    codebook broadcast discipline);
+   *  - token explode + final agg stay vocab-bounded.
+   *  A per-document token view would be the same broadcast-join of the
+   *  (word → tokens) table back onto the corpus — still one corpus scan.
+   *
+   * Merge application is spelled as STRING REPLACE over a delimited
+   * symbol form (each symbol wrapped `\n sym \n`, so symbols are bounded
+   * on both sides and adjacent wrappers never share a delimiter):
+   * `replace("\na\n\nb\n" → "\nab\n")`. Both engines' `replace` is
+   * literal, left-to-right, non-overlapping — which IS the greedy BPE
+   * rewrite (a merged symbol `a+b` can never equal `a`, so no rescan
+   * chain exists; pair (a,a) in a run merges even offsets exactly as the
+   * replace does). Parity with the array fold is spec-pinned
+   * (Round8OpsSpec) including non-BMP code points and the (a,a) run case.
+   */
+  def bpeEncode(s: SparkSession, d: String, nMerges: Int = 8,
+      vocabCap: Int = 65536, topK: Int = 40): DataFrame =
+    bpeEncodeOf(documents(s, d), nMerges, vocabCap, topK)
+
+  /** [[bpeEncode]] over an arbitrary (text) frame. */
+  def bpeEncodeOf(docs: DataFrame, nMerges: Int, vocabCap: Int,
+      topK: Int): DataFrame = {
+    val merges = bpeFitMerges(docs, nMerges, vocabCap)
+    // every corpus word (len >= 1: the zero-length split artifact of
+    // empty/whitespace text carries no symbols and is excluded on both
+    // engines — Spark's sequence(1,0) would DESCEND where DuckDB's
+    // range(1,1) is empty)
+    val wordFreq = docs
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val delimited = array_join(
+      transform(sequence(lit(1), length(col("word"))),
+        i => concat(lit("\n"), col("word").substr(i, lit(1)), lit("\n"))),
+      "")
+    val encoded = merges.foldLeft(delimited) { case (c, (_, a, b, m, _)) =>
+      call_function("replace", c,
+        lit("\n" + a + "\n\n" + b + "\n"), lit("\n" + m + "\n"))
+    }
+    val toks = wordFreq
+      .select(col("n"), explode(filter(split(encoded, "\n", -1),
+        x => x =!= lit(""))).as("token"))
+      .groupBy(col("token")).agg(sum(col("n")).as("n_occurrences"))
+    val total = toks.agg(sum(col("n_occurrences")).as("total_tokens"))
+    toks.crossJoin(broadcast(total))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topK)
   }
 
   /** Corpus-wide heavy hitters: the canonical distributed word count with a

@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{Relational, TextStats}
+import graft.analytics.{Dedup, Relational, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -148,5 +148,100 @@ class Round8OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!p46.contains("Expand"), "approxDistinct must not pay the exact-distinct expand")
     val p63 = Relational.percentileApprox(spark, d).queryExecution.executedPlan.toString
     assert(!p63.contains("Join"), "percentileApprox must stay a single-scan aggregate")
+  }
+
+  test("q100 BPE encoding: hand-checked token table on the tiny training corpus") {
+    import spark.implicits._
+    // q97's fixture + a word the cap/len-2 training never saw:
+    //   train (len>=2): abab->3, abc->2, ab->1
+    //     it1 (a,b): 2*3+2+1 = 9 -> ab ; it2 (ab,ab): 3 ; it3 (ab,c): 2
+    //   encode ALL words: abab->[abab], abc->[abc], ab->[ab], x->[x]
+    val docs = (Seq.fill(3)("abab") ++ Seq.fill(2)("abc") ++ Seq("x ab")).toDF("text")
+    val out = TextStats.bpeEncodeOf(docs, nMerges = 3, vocabCap = 100, topK = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("abab", 3L, 7L), ("abc", 2L, 7L), ("ab", 1L, 7L), ("x", 1L, 7L)))
+  }
+
+  test("q100 BPE encoding: replace-chain equals the greedy fold reference at sf0.001") {
+    import spark.implicits._
+    // the distributed replace-chain encoding must agree token-for-token
+    // with a driver-side greedy left-to-right fold over the same merges
+    val docs = analytics.Tables.documents(spark, d).select(col("text"))
+    val merges = TextStats.bpeFitMerges(docs, nMerges = 8, vocabCap = 65536)
+      .map { case (_, a, b, _, _) => (a, b) }
+    def encodeRef(word: String): Seq[String] = {
+      var syms = word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toSeq
+      for ((a, b) <- merges) {
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val wordFreq = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    val ref = wordFreq.toSeq
+      .flatMap { case (w, n) => encodeRef(w).map(t => (t, n)) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val refTotal = ref.values.sum
+    val refTop = ref.toSeq.sortBy { case (t, n) => (-n, t) }.take(40)
+      .map { case (t, n) => (t, n, refTotal) }
+    val out = TextStats.bpeEncodeOf(docs, nMerges = 8, vocabCap = 65536, topK = 40)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == refTop)
+  }
+
+  test("q100 BPE encoding: greedy run merges and non-BMP code points survive the replace chain") {
+    import spark.implicits._
+    // merges learned: (a,a) -> aa ; (aa,a) -> aaa ; (aa,aa) -> aaaa
+    //   encode: aaaa -> [aa,aa] -> (aa,a) no-op -> [aaaa] ; aaa -> [aaa]
+    val docs = Seq("aaaa aaa").toDF("text")
+    val out = TextStats.bpeEncodeOf(docs, nMerges = 5, vocabCap = 100, topK = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("aaa", 1L, 2L), ("aaaa", 1L, 2L)))
+    // non-BMP: merges over full code points, not UTF-16 halves
+    val smile = new String(Character.toChars(0x1F600))
+    val docs2 = Seq(s"$smile$smile x").toDF("text")
+    val out2 = TextStats.bpeEncodeOf(docs2, nMerges = 1, vocabCap = 100, topK = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out2 == Seq(("x", 1L, 2L), (smile + smile, 1L, 2L)))
+  }
+
+  test("q101 cross-source leakage: normalized matrix incl. a NULL-source shard") {
+    import spark.implicits._
+    // four exact copies across sources A, B, B, NULL: all 6 pairs are
+    // near-dups at hamming 0; normalization keeps src_a <= src_b, NULL last
+    val docs = Seq(
+      (1L, "common shared text body", Some("A")),
+      (2L, "common shared text body", Some("B")),
+      (3L, "common shared text body", Some("B")),
+      (4L, "common shared text body", None: Option[String]),
+      (5L, "entirely different words here unrelated", Some("A"))
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceLeakageOf(docs, maxHamming = 6)
+      .as[(Option[String], Option[String], Long, Long, Long, Int)]
+      .collect().toSeq.sortBy(r => (r._1.getOrElse("~"), r._2.getOrElse("~")))
+    assert(out == Seq(
+      (Some("A"), Some("B"), 2L, 1L, 2L, 0),   // (1,2) (1,3)
+      (Some("A"), None, 1L, 1L, 1L, 0),        // (1,4)
+      (Some("B"), Some("B"), 1L, 1L, 1L, 0),   // (2,3)
+      (Some("B"), None, 2L, 2L, 1L, 0)))       // (2,4) (3,4)
+  }
+
+  test("q101 plan: pair surface stays the banded equi-join (no cartesian)") {
+    val plan = analytics.Dedup.crossSourceLeakage(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "cross-source matrix must ride the banded equi-join, not a pairwise scan")
   }
 }
