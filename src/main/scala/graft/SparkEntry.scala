@@ -147,7 +147,20 @@ object SparkEntry {
     "q100_bpe_encode" -> ((s: SparkSession, d: String) => TextStats.bpeEncode(s, d)),
     // cross-source duplication (leakage) matrix over the exhaustive
     // simhash near-dup pair surface
-    "q101_cross_source_leakage" -> ((s: SparkSession, d: String) => Dedup.crossSourceLeakage(s, d)))
+    "q101_cross_source_leakage" -> ((s: SparkSession, d: String) => Dedup.crossSourceLeakage(s, d)),
+    // product-quantization codebooks (Jégou et al. 2011) — the FAISS-scale
+    // compressed vector representation: per-subspace L2 k-means, all
+    // subspaces trained in the same jobs
+    "q102_pq_codebooks" -> ((s: SparkSession, d: String) => Similarity.pqStats(s, d)),
+    // RefinedWeb/C4 per-source (domain) caps: md5-lottery keep-at-most-N
+    // per source; the window only ever sees over-cap sources
+    "q103_source_caps" -> ((s: SparkSession, d: String) => Sampling.sourceCapStats(s, d)),
+    // encoding-quality (mojibake) dashboard: control/replacement/non-ASCII
+    // char mass + whitespace-run artifacts, one narrow pass
+    "q104_encoding_quality" -> ((s: SparkSession, d: String) => TextStats.encodingQuality(s, d)),
+    // Zipf slope + type-token ratio per source — the distribution-shift
+    // alarm over the vocab table, never the corpus
+    "q105_zipf_diversity" -> ((s: SparkSession, d: String) => TextStats.zipfDiversity(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1377,7 +1390,60 @@ object SparkEntry {
           |SELECT src_a, src_b, count(*) AS n_pairs,
           | count(DISTINCT da) AS n_docs_a, count(DISTINCT db) AS n_docs_b,
           | min(hamming) AS min_hamming
-          |FROM js GROUP BY 1, 2""".stripMargin))
+          |FROM js GROUP BY 1, 2""".stripMargin),
+    "q102_pq_codebooks" ->
+      (pqCte(4, 4) +
+        """
+          |SELECT sub, code, count(*) AS n_members,
+          | round(CAST(coalesce(sum(CAST(d AS DECIMAL(28,15))), 0) AS DOUBLE), 6) AS distortion,
+          | CAST(sum(vec_id) AS BIGINT) AS id_checksum
+          |FROM pa2 GROUP BY sub, code""".stripMargin),
+    // the one-window semantic spelling; the engine's two-phase plan
+    // (under-cap sources never shuffle) must reproduce it exactly
+    "q103_source_caps" ->
+      """WITH r AS (
+        | SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        | CAST(coalesce(sum(CASE WHEN rn <= 15 THEN n_chars END), 0) AS BIGINT) AS kept_chars,
+        | CAST(coalesce(sum(CASE WHEN rn <= 15 THEN doc_id END), 0) AS BIGINT) AS kept_checksum
+        |FROM r GROUP BY source""".stripMargin,
+    "q104_encoding_quality" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        | CAST(coalesce(sum(length(text) -
+        |   length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))), 0) AS BIGINT) AS ctrl_chars,
+        | CAST(coalesce(sum(length(text) -
+        |   length(regexp_replace(text, '\x{FFFD}', '', 'g'))), 0) AS BIGINT) AS repl_chars,
+        | CAST(coalesce(sum(length(text) -
+        |   length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))), 0) AS BIGINT) AS non_ascii,
+        | CAST(coalesce(sum(len(regexp_split_to_array(text, '\s{2,}')) - 1), 0) AS BIGINT) AS ws_runs
+        |FROM documents GROUP BY source""".stripMargin,
+    "q105_zipf_diversity" ->
+      s"""WITH t AS (SELECT source, unnest($tokens) AS tok FROM documents),
+        |tt AS (SELECT source, tok FROM t WHERE length(tok) > 0),
+        |f AS (SELECT source, tok, count(*) AS freq FROM tt GROUP BY source, tok),
+        |tot AS (SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types FROM f GROUP BY source),
+        |r AS (SELECT source, tok, freq,
+        |  row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok) AS rn FROM f),
+        |xy AS (SELECT source, round(log10(CAST(rn AS DOUBLE)), 12) AS x,
+        |  round(log10(CAST(freq AS DOUBLE)), 12) AS y FROM r WHERE rn <= 100),
+        |m AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x*y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(x*x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+        | FROM xy GROUP BY source)
+        |SELECT tot.source AS source, n_tokens, n_types,
+        | round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+        | round(CASE WHEN n*sxx - sx*sx <> 0
+        |   THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS zipf_slope
+        |FROM tot JOIN m ON tot.source IS NOT DISTINCT FROM m.source""".stripMargin)
 
   /** DuckDB replay of the full iterated BPE training loop (q97): the word-
     * frequency table (capped like the engine's driver collect), the initial
@@ -1494,6 +1560,35 @@ object SparkEntry {
     * q87): init cell = vec_id % 8, decimal-summed centroids, 12-dp-rounded
     * argmax-cosine assignment with ties to lowest cell. Ends with
     * `a2(vec_id, label, e, cell)` — the final assignment. */
+  /** Unrolled 2-iteration product-quantization replay: every subspace's
+    * Lloyd loop in one pass keyed (sub, code), subspace width from the
+    * same `ceil(max(len)/m)` data probe the engine uses, L2 distances
+    * rounded 12 dp, argmin ties `NULLS LAST, code` (= the engine's
+    * sentinel-key `min(struct)`). */
+  private def pqCte(m: Int, k: Int): String = {
+    def step(src: String, cN: String, bN: String, sN: String, aN: String) =
+      s"""$cN AS (SELECT sub, code, dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+         | FROM (SELECT sub, code, unnest(range(1, len(se)+1)) AS dim, unnest(se) AS x FROM $src) t
+         | GROUP BY sub, code, dim),
+         |$bN AS (SELECT sub, code AS c_code, list(mean_v ORDER BY dim) AS c0 FROM $cN GROUP BY sub, code),
+         |$sN AS (SELECT a.vec_id, a.sub, a.se, b.c_code,
+         |  CASE WHEN a.se IS NULL THEN NULL ELSE
+         |   round(coalesce(list_sum(list_transform(range(1, least(len(a.se), len(b.c0))+1),
+         |     i -> (a.se[i]-b.c0[i])*(a.se[i]-b.c0[i]))), 0), 12) END AS d
+         | FROM $src a JOIN $bN b ON a.sub = b.sub),
+         |$aN AS (SELECT vec_id, sub, se, c_code AS code, d FROM (
+         |  SELECT vec_id, sub, se, c_code, d,
+         |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC NULLS LAST, c_code) AS rn
+         |  FROM $sN) t WHERE rn = 1)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |dsw AS (SELECT CAST(ceil(max(len(e)) / $m.0) AS INT) AS w FROM v),
+       |sv AS (SELECT vec_id, sub, e[CAST(sub*w+1 AS INT):CAST(sub*w+w AS INT)] AS se
+       | FROM v CROSS JOIN dsw CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) subs),
+       |pa0 AS (SELECT vec_id, sub, se, vec_id % $k AS code FROM sv),
+       |${step("pa0", "pc1", "pb1", "ps1", "pa1")},
+       |${step("pa1", "pc2", "pb2", "ps2", "pa2")}""".stripMargin
+  }
+
   private def kmeansCte: String =
     """WITH v AS (
       | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -433,4 +433,58 @@ object Sampling {
       .select(col("lang"), col("n_docs"), col("lang_tokens"), col("repeats"),
         col("n_extra_docs"), col("planned_tokens"))
   }
+
+  /**
+   * q103: per-source document caps (the RefinedWeb/C4 "domain cap"
+   * discipline — no single site may dominate the corpus): each source
+   * keeps at most `cap` documents, chosen by the deterministic md5
+   * lottery (the [[idBucket]] hash family), everything else drops.
+   *
+   * 100 TB posture — the window only ever sees over-cap sources: the
+   * per-source counts aggregate first (narrow rows, map-side partials),
+   * broadcasts back (null-safe, so a NULL-source shard caps too), and
+   * documents of under-cap sources take a zero-shuffle map-side path —
+   * only rows of sources actually above the cap are ranked. On a web
+   * corpus where most domains are small and a few are huge, the ranked
+   * fraction is the skewed tail, not the corpus; the md5-priority sort
+   * key also spreads each over-cap source's rank partition evenly (no
+   * value clustering), which is what AQE skew splitting wants.
+   *
+   * Observable: per source — total docs, kept, dropped, kept char mass,
+   * kept id checksum. The oracle replays the plain one-window spelling;
+   * the two-phase plan must produce identical values (the lottery is
+   * engine-independent), which is exactly what the gate checks.
+   */
+  def sourceCapStats(s: SparkSession, d: String, cap: Int = 15): DataFrame =
+    sourceCapStatsOf(Tables.documents(s, d), cap)
+
+  /** [[sourceCapStats]] over an arbitrary (doc_id, source, n_chars)
+    * frame. */
+  def sourceCapStatsOf(docs: DataFrame, cap: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val counts = base.groupBy(col("source")).agg(count(lit(1)).as("src_n"))
+      .select(col("source").as("c_source"), col("src_n"))
+    val withN = base.join(broadcast(counts),
+      col("source") <=> col("c_source")).drop("c_source")
+    val pass = withN.filter(col("src_n") <= cap)
+      .withColumn("kept", lit(true))
+    val ranked = withN.filter(col("src_n") > cap)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+            col("doc_id"))))
+      .withColumn("kept", col("rn") <= cap)
+      .drop("rn")
+    pass.unionByName(ranked)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(col("kept"), col("n_chars"))), lit(0L))
+          .as("kept_chars"),
+        coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L))
+          .as("kept_checksum"))
+  }
 }

@@ -942,4 +942,98 @@ object TextStats {
         round(min(col("score")), 6).as("min_score"),
         round(max(col("score")), 6).as("max_score"))
   }
+
+  /** Occurrences of `pattern` in `c` via the replace-and-diff char count
+    * (single-char-class patterns only — each match removes exactly one
+    * character). Engine-portable: Spark's `regexp_replace` and DuckDB's
+    * 'g'-flagged form both replace every match, and both engines count
+    * `length` in Unicode code points (the hostile fixture's non-BMP emoji
+    * pin this). */
+  private def charClassCount(c: Column, pattern: String): Column =
+    length(c) - length(regexp_replace(c, pattern, ""))
+
+  /**
+   * q104: encoding-quality profile (the mojibake/corruption dashboard a
+   * web-crawl ingest runs before anything else): per source — document
+   * count, NULL-text count, and summed occurrences of C0/DEL control
+   * characters, U+FFFD replacement characters (the smoking gun of a
+   * mis-decoded byte stream), non-ASCII code points, and ≥2-length
+   * whitespace runs (extraction artifacts).
+   *
+   * Pure narrow map over the scan — per-document regex counts fold into
+   * whole-stage codegen, aggregate partially map-side; at 100 TB this is
+   * one pass over the text bytes, no shuffle beyond the per-source rows.
+   */
+  def encodingQuality(s: SparkSession, d: String): DataFrame =
+    encodingQualityOf(documentsSpread(s, d))
+
+  /** [[encodingQuality]] over an arbitrary (source, text) frame. */
+  def encodingQualityOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("text"))
+      .withColumn("ctrl",
+        charClassCount(col("text"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"))
+      .withColumn("repl", charClassCount(col("text"), "�"))
+      .withColumn("nonascii", charClassCount(col("text"), "[^\\x00-\\x7F]"))
+      .withColumn("wsruns", size(split(col("text"), "\\s{2,}")) - 1)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        coalesce(sum(col("ctrl")), lit(0L)).cast("long").as("ctrl_chars"),
+        coalesce(sum(col("repl")), lit(0L)).cast("long").as("repl_chars"),
+        coalesce(sum(col("nonascii")), lit(0L)).cast("long").as("non_ascii"),
+        coalesce(sum(col("wsruns")), lit(0L)).cast("long").as("ws_runs"))
+
+  /**
+   * q105: Zipf fit + lexical-diversity profile. Per source: token and
+   * type totals, type-token ratio, and the least-squares slope of
+   * log₁₀(freq) against log₁₀(rank) over the top-100 tokens — natural
+   * text sits near slope −1 (Zipf's law); templated/generated corpora
+   * flatten or steepen, making the slope a cheap distribution-shift
+   * alarm over a 100 TB corpus.
+   *
+   * Scale shape: the corpus collapses to the (source, token) frequency
+   * table in one map-side-combined aggregate; the rank window runs over
+   * that vocab-sized table, never the corpus. Determinism: ranks break
+   * frequency ties by token; the regression inputs are 12-dp-rounded
+   * logs and the moment sums are decimal (order-independent), so the
+   * slope is bit-stable across partitionings and engines; a degenerate
+   * single-point fit (denominator 0) is NULL, not NaN, on both sides.
+   */
+  def zipfDiversity(s: SparkSession, d: String, topN: Int = 100): DataFrame =
+    zipfDiversityOf(documentsSpread(s, d), topN)
+
+  /** [[zipfDiversity]] over an arbitrary (source, text) frame. */
+  def zipfDiversityOf(docs: DataFrame, topN: Int): DataFrame = {
+    val toks = docs.select(col("source"),
+        explode(words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val freq = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("freq"))
+    val totals = freq.groupBy(col("source")).agg(
+      sum(col("freq")).as("n_tokens"),
+      count(lit(1)).as("n_types"))
+    val ranked = freq.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("freq").desc, col("tok"))))
+      .filter(col("rn") <= topN)
+      .withColumn("x", round(log10(col("rn").cast("double")), 12))
+      .withColumn("y", round(log10(col("freq").cast("double")), 12))
+    val dec = "decimal(38,18)"
+    val slope = ranked.groupBy(col("source")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+    // null-safe: a NULL-source shard keeps its own profile row
+    totals.join(slope.withColumnRenamed("source", "s2"),
+        col("source") <=> col("s2"))
+      .withColumn("denom", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(when(col("denom") =!= 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) / col("denom")), 6)
+          .as("zipf_slope"))
+  }
 }

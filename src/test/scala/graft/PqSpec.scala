@@ -1,0 +1,75 @@
+package graft
+
+import graft.analytics.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q102 product quantization: hand-replayed Lloyd rounds per subspace,
+  * hostile-input argmin semantics, and the broadcast/no-cartesian plan
+  * shape the 100 TB posture rests on. */
+class PqSpec extends AnyFunSuite with SparkSuite {
+
+  test("q102 PQ: two subspaces converge to the hand-computed codebooks") {
+    import spark.implicits._
+    // dim 4, m=2 (dsub=2), k=2, iters=2. Subspace 0 separates {0,1} from
+    // {2,3}; subspace 1 the reverse. Hand-replay:
+    //  sub0 it1 cents: code0=mean(v0,v2)=[4,4], code1=mean(v1,v3)=[5,5]
+    //        assigns:  v0,v1 -> 0 ; v2,v3 -> 1
+    //       it2 cents: code0=[0.5,0.5], code1=[8.5,8.5]; dist 0.5 each
+    //  sub1 symmetric with codes swapped.
+    val emb = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(1f, 1f, 11f, 11f)),
+      (2L, Array(8f, 8f, 0f, 0f)),
+      (3L, Array(9f, 9f, 1f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.pqStatsOf(emb, m = 2, k = 2, iters = 2)
+      .orderBy("sub", "code")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L, 1.0, 1L),
+      (0L, 1L, 2L, 1.0, 5L),
+      (1L, 0L, 2L, 1.0, 5L),
+      (1L, 1L, 2L, 1.0, 1L)))
+  }
+
+  test("q102 PQ: NULL embedding takes the lowest code with NULL distortion excluded") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Some(Array(1f, 1f))),
+      (1L, Option.empty[Array[Float]])).toDF("vec_id", "embedding")
+    // m=1, k=2: init 0->code0, 1->code1; code1's member is the NULL vector
+    // so it never forms a centroid; the NULL row then argmin-ties onto the
+    // only candidate (code 0) via the sentinel key, distortion skips it.
+    val out = Similarity.pqStatsOf(emb, m = 1, k = 2, iters = 1)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 2L, 0.0, 1L)))
+  }
+
+  test("q102 PQ: zero vectors quantize like any other point (no NULL branch in L2)") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0f, 0f)),
+      (2L, Array(0f, 0f)),
+      (1L, Array(6f, 6f)),
+      (3L, Array(6f, 6f))).toDF("vec_id", "embedding")
+    // init: {0,2}->code0 (the zero pair), {1,3}->code1; both clusters are
+    // already exact so distortion is 0 and membership is stable.
+    val out = Similarity.pqStatsOf(emb, m = 1, k = 2, iters = 2)
+      .orderBy("code")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 2L, 0.0, 2L), (0L, 1L, 2L, 0.0, 4L)))
+  }
+
+  test("q102 PQ plan: centroid joins broadcast, no cartesian product") {
+    import spark.implicits._
+    val emb = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val df = Similarity.pqStatsOf(emb, m = 4, k = 4, iters = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "PQ assignment must be a broadcast equi-join on sub, never all-pairs")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "m*k centroids must broadcast to the corpus side")
+  }
+}
