@@ -160,7 +160,10 @@ object SparkEntry {
     "q104_encoding_quality" -> ((s: SparkSession, d: String) => TextStats.encodingQuality(s, d)),
     // Zipf slope + type-token ratio per source — the distribution-shift
     // alarm over the vocab table, never the corpus
-    "q105_zipf_diversity" -> ((s: SparkSession, d: String) => TextStats.zipfDiversity(s, d)))
+    "q105_zipf_diversity" -> ((s: SparkSession, d: String) => TextStats.zipfDiversity(s, d)),
+    // ADC top-k over the PQ-compressed corpus (FAISS IVF-PQ serving path):
+    // broadcast query distance tables, map-side (sub, code) lookups
+    "q106_pq_adc_topk" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1443,7 +1446,32 @@ object SparkEntry {
         | round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
         | round(CASE WHEN n*sxx - sx*sx <> 0
         |   THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS zipf_slope
-        |FROM tot JOIN m ON tot.source IS NOT DISTINCT FROM m.source""".stripMargin)
+        |FROM tot JOIN m ON tot.source IS NOT DISTINCT FROM m.source""".stripMargin,
+    // PQ train (both Lloyd rounds) + the closing centroid update over the
+    // final codes = the ADC codebook; the window replay of the engine's
+    // bounded-heap top-k (adc ASC, id tie-break)
+    "q106_pq_adc_topk" ->
+      (pqCte(4, 4) +
+        """,
+          |pqc AS (SELECT vec_id, sub, se, code FROM pa2 WHERE se IS NOT NULL),
+          |pb3 AS (SELECT sub, code AS c_code, list(mean_v ORDER BY dim) AS c0 FROM (
+          |  SELECT sub, code, dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+          |  FROM (SELECT sub, code, unnest(range(1, len(se)+1)) AS dim, unnest(se) AS x FROM pqc) t
+          |  GROUP BY sub, code, dim) tt GROUP BY sub, code),
+          |pqq AS (SELECT vec_id AS query_id, sub, se FROM pqc WHERE vec_id % 100 = 0),
+          |dtab AS (SELECT q.query_id, q.sub, b.c_code AS code,
+          |  round(coalesce(list_sum(list_transform(range(1, least(len(q.se), len(b.c0))+1),
+          |    i -> (q.se[i]-b.c0[i])*(q.se[i]-b.c0[i]))), 0), 12) AS qd
+          | FROM pqq q JOIN pb3 b ON q.sub = b.sub),
+          |sc AS (SELECT d.query_id, c.vec_id AS neighbor_id,
+          |  round(CAST(sum(CAST(qd AS DECIMAL(28,15))) AS DOUBLE), 6) AS adc_dist
+          | FROM pqc c JOIN dtab d ON c.sub = d.sub AND c.code = d.code
+          | WHERE d.query_id <> c.vec_id
+          | GROUP BY d.query_id, c.vec_id)
+          |SELECT query_id, neighbor_id, adc_dist, rn FROM (
+          | SELECT query_id, neighbor_id, adc_dist,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rn
+          | FROM sc) t WHERE rn <= 5""".stripMargin))
 
   /** DuckDB replay of the full iterated BPE training loop (q97): the word-
     * frequency table (capped like the engine's driver collect), the initial

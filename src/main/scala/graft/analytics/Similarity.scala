@@ -546,7 +546,17 @@ object Similarity {
     pqStatsOf(embeddings(s, d), m, k, iters)
 
   /** [[pqStats]] over an arbitrary (vec_id, embedding) frame. */
-  def pqStatsOf(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+  def pqStatsOf(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame =
+    pqModel(emb, m, k, iters).groupBy(col("sub"), col("code")).agg(
+      count(lit(1)).as("n_members"),
+      round(coalesce(sum(col("dist_raw").cast("decimal(28,15)")), lit(0))
+        .cast("double"), 6).as("distortion"),
+      sum(col("vec_id")).as("id_checksum"))
+
+  /** The trained PQ code frame (vec_id, sub, se, code, dist_raw) after
+    * `iters` joint-subspace Lloyd rounds — the shared core of the q102
+    * observable and the q106 ADC search. */
+  private def pqModel(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
     // control-plane scalar (one tiny max-aggregate job, like the bucket
     // probes): the subspace width every slice below is built from
     val maxDim = emb.agg(max(size(col("embedding")))).head().getInt(0)
@@ -561,11 +571,58 @@ object Similarity {
       assigned = pqAssign(assigned.drop("code", "dist_raw"),
         pqCentroids(assigned))
     }
-    assigned.groupBy(col("sub"), col("code")).agg(
-      count(lit(1)).as("n_members"),
-      round(coalesce(sum(col("dist_raw").cast("decimal(28,15)")), lit(0))
-        .cast("double"), 6).as("distortion"),
-      sum(col("vec_id")).as("id_checksum"))
+    assigned
+  }
+
+  /**
+   * q106: ADC (asymmetric distance computation) top-k search over the
+   * PQ-compressed corpus — the serving-side half of the FAISS IVF-PQ
+   * recipe: the corpus exists only as m code bytes per vector; a query
+   * precomputes its distance to every (sub, code) centroid (an m·k
+   * lookup table) and any corpus vector's approximate distance is the
+   * sum of m table entries. The codebook is the post-Lloyd centroid
+   * update over the final codes (train `iters` rounds, then one
+   * closing update — the textbook sequence).
+   *
+   * 100 TB posture: the code frame is lazily checkpointed so the Lloyd
+   * rounds run once across the codebook and scoring branches; the
+   * distance table (queries × m·k rows) broadcasts; scoring is a
+   * map-side equi-join on (sub, code) whose per-(query, vec) partial
+   * sums collapse map-side; the per-query top-k is the bounded-heap
+   * aggregate (k rows per partition shuffle, never a corpus sort).
+   * NULL embeddings drop from both the corpus and the query set — a
+   * code assigned by the sentinel tie-break is bookkeeping, not
+   * geometry, so it must not fabricate neighbors.
+   */
+  def pqAdcTopK(s: SparkSession, d: String, m: Int = 4, k: Int = 4,
+      iters: Int = 2, topk: Int = 5, stride: Long = 100): DataFrame =
+    pqAdcTopKOf(embeddings(s, d), m, k, iters, topk, stride)
+
+  /** [[pqAdcTopK]] over an arbitrary (vec_id, embedding) frame. */
+  def pqAdcTopKOf(emb: DataFrame, m: Int, k: Int, iters: Int,
+      topk: Int, stride: Long): DataFrame = {
+    val codes = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      pqModel(emb, m, k, iters).filter(col("se").isNotNull)
+        .select(col("vec_id"), col("sub"), col("se"), col("code")),
+      eager = false)
+    val codebook = pqCentroids(codes) // closing centroid update, m·k rows
+    val queries = codes.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("sub"), col("se"))
+    val dtab = queries.join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("c_code").as("code"),
+        round(squaredL2Native(col("se"), col("centroid")), 12).as("qd"))
+    val scored = codes.select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("qd").cast("decimal(28,15)")).cast("double"), 6)
+        .as("adc_dist"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopK.topK(topk)(
+        -col("adc_dist"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        round(-col("s.score"), 6).as("adc_dist"), (col("idx") + 1).as("rn"))
   }
 
   /** Per-(sub, code) centroid: decimal-summed element means over the

@@ -60,6 +60,61 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq((0L, 0L, 2L, 0.0, 2L), (0L, 1L, 2L, 0.0, 4L)))
   }
 
+  test("q106 ADC: hand-computed table distances on the two-subspace fixture") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(1f, 1f, 11f, 11f)),
+      (2L, Array(8f, 8f, 0f, 0f)),
+      (3L, Array(9f, 9f, 1f, 1f))).toDF("vec_id", "embedding")
+    // codes from the q102 test; closing codebook: sub0 {c0=[.5,.5],
+    // c1=[8.5,8.5]}, sub1 {c0=[.5,.5], c1=[10.5,10.5]}. Query = vec 0:
+    //   v1: 0.5 + 0.5 = 1.0 ; v2 = v3: 144.5 + 180.5 = 325.0 (id tie-break)
+    val out = Similarity.pqAdcTopKOf(emb, m = 2, k = 2, iters = 2,
+        topk = 3, stride = 4)
+      .orderBy("query_id", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out == Seq(
+      (0L, 1L, 1.0, 1), (0L, 2L, 325.0, 2), (0L, 3L, 325.0, 3)))
+  }
+
+  test("q106 ADC exactness envelope: m=1, k=n reproduces brute-force L2 order") {
+    import spark.implicits._
+    val vecs = Seq(
+      0L -> Array(0f, 0f), 1L -> Array(3f, 0f), 2L -> Array(0f, 5f),
+      3L -> Array(6f, 6f), 4L -> Array(1f, 1f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    // one code per vector -> centroids are the vectors themselves -> ADC
+    // distances are EXACT squared L2 (the PQ error bound at k=n is zero)
+    val out = Similarity.pqAdcTopKOf(emb, m = 1, k = 5, iters = 1,
+        topk = 4, stride = 3)
+      .orderBy("query_id", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum.toDouble
+    for (q <- Seq(0L, 3L)) {
+      val qv = vecs.find(_._1 == q).get._2
+      val expect = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, d2(v, qv)) }
+        .sortBy { case (id, dist) => (dist, id) }
+      assert(out.filter(_._1 == q).map(r => (r._2, r._3)) == expect)
+    }
+  }
+
+  test("q106 ADC: NULL-embedding vectors are neither corpus nor query") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Some(Array(0f, 0f))),
+      (1L, Some(Array(1f, 0f))),
+      (2L, Option.empty[Array[Float]])).toDF("vec_id", "embedding")
+    val out = Similarity.pqAdcTopKOf(emb, m = 1, k = 2, iters = 1,
+        topk = 5, stride = 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.forall(r => r._1 != 2L && r._2 != 2L),
+      "a sentinel-coded NULL vector must not fabricate neighbors")
+    assert(out.map(_._1).distinct.sorted == Seq(0L, 1L))
+  }
+
   test("q102 PQ plan: centroid joins broadcast, no cartesian product") {
     import spark.implicits._
     val emb = (0L until 64L).map(i =>
