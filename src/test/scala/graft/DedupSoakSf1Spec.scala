@@ -134,7 +134,18 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
           k = if (big) 80 else 8, iters = 2, threshold = 0.35,
           pruneNum = 1, pruneDen = 4,
           trainSampleMod = if (big) 4 else 1).count()
-      }))
+      }),
+      // PQ training is corpus-linear with a FIXED m*k codebook (unlike the
+      // cell ops, PQ's k does not scale with the corpus — compression
+      // quality is per-subspace, not per-cell-population)
+      "q102_pq_codebooks" -> ((d, _) =>
+        Similarity.pqStatsOf(
+          graft.analytics.Tables.embeddings(spark, d), 4, 4, 2).count()),
+      // ADC: |Q| held fixed via the stride (per-query cost is the scale
+      // observable, same convention as brute/IVF)
+      "q106_pq_adc" -> ((d, st) =>
+        Similarity.pqAdcTopKOf(
+          graft.analytics.Tables.embeddings(spark, d), 4, 4, 2, 5, st).count()))
     annOps.foreach { case (name, op) =>
       val (t01, n01) = minOf2(op(sf01, 100))
       val (t1, n1) = minOf2(op(soakDir, 1000))
