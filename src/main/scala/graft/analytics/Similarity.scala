@@ -625,6 +625,28 @@ object Similarity {
         round(-col("s.score"), 6).as("adc_dist"), (col("idx") + 1).as("rn"))
   }
 
+  /** Encode vectors against a FROZEN PQ codebook (sub, c_code, centroid)
+    * — the incremental-indexing path ([[graft.streaming.StreamingCorpus]]
+    * `startPqIndex`): new embeddings become m code bytes with the exact
+    * argmin/tie-break of training-time assignment, so stream and batch
+    * codes agree under any arrival order. `m`/`dsub` are the frozen
+    * model's config (a codebook ships with its slicing). NULL embeddings
+    * are excluded — a sentinel code is bookkeeping, not geometry. */
+  def pqEncode(emb: DataFrame, codebook: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val slices = array((0 until m).map(i =>
+      slice(col("embedding"), i * dsub + 1, dsub)): _*)
+    val sv = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(slices).as(Seq("sub", "se")))
+      .withColumn("sub", col("sub").cast("long"))
+    pqAssign(sv, codebook).select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** The trained ADC codebook: `iters` Lloyd rounds then the closing
+    * centroid update over the final codes — q106's model, exposed for
+    * freezing into the streaming index. */
+  def pqCodebook(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame =
+    pqCentroids(pqModel(emb, m, k, iters).filter(col("se").isNotNull))
+
   /** Per-(sub, code) centroid: decimal-summed element means over the
     * exploded (sub, code, dim, v) stream — m·k·dsub aggregate rows total,
     * independent of corpus size. NULL/empty subvectors contribute no

@@ -203,6 +203,43 @@ object StreamingCorpus {
   }
 
   /**
+   * Incremental PQ code index — the streaming counterpart of q102/q106's
+   * compressed-corpus representation: arriving embeddings are encoded to
+   * m code bytes against a FROZEN broadcast codebook
+   * ([[Similarity.pqEncode]] — codebook refresh is a batch training
+   * event, like the k-means centroids and classifier weights) and merged
+   * into the bucketed code table keyed (vec_id, sub). Encoding is a pure
+   * function of (vector, codebook), so the table equals the batch encode
+   * of the same corpus under any arrival order or replay; the ADC search
+   * (q106) then serves directly from this table.
+   */
+  def startPqIndex(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      codebook: org.apache.spark.sql.DataFrame,
+      m: Int,
+      dsub: Int,
+      codesPath: String,
+      checkpointDir: String,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val codes = Similarity.pqEncode(batch, codebook, m, dsub)
+          .withColumn("_dump_seq", lit(batchId))
+        BucketedMerge.mergeInto(spark, codesPath, codes,
+          Seq("vec_id", "sub"), nBuckets, seqCol = Some("_dump_seq"))
+      }
+      .start()
+  }
+
+  /**
    * Online SEMANTIC dedup gate — the streaming counterpart of q87
    * (SemDeDup), completing the streaming dedup family (exact + simhash in
    * [[start]], n-gram contamination below, semantic here): arriving

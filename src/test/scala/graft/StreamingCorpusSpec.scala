@@ -226,6 +226,45 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     cents.unpersist()
   }
 
+  test("streamed PQ code index against a frozen codebook equals the batch encode") {
+    val root = TempDirs.tempDir("graft_spq").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val codesPath = s"$root/wh/pqcodes"
+
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val wave1 = all.filter(col("vec_id") < 250)
+    val wave2 = all.filter(col("vec_id") >= 250)
+    // frozen codebook: trained on the bootstrap wave only (m=4 over the
+    // 64-dim fixture -> dsub=16)
+    val cb = Similarity.pqCodebook(wave1, m = 4, k = 4, iters = 2).cache()
+    cb.count()
+
+    def landEmb(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new File(root, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new File(landing, s"$name.parquet").toPath)
+    }
+    def drain(): Unit = {
+      val q = StreamingCorpus.startPqIndex(spark, landing.getAbsolutePath,
+        all.schema, cb, m = 4, dsub = 16, codesPath, s"$root/chk", nBuckets = 8)
+      q.awaitTermination()
+    }
+    // out-of-order: the later id range lands first, plus a replay of wave1
+    landEmb(wave2, "wave2"); drain()
+    landEmb(wave1, "wave1"); drain()
+    landEmb(wave1, "wave1_replay"); drain()
+
+    val streamed = BucketedMerge.read(spark, codesPath)
+      .select("vec_id", "sub", "code")
+    val batch = Similarity.pqEncode(all, cb, m = 4, dsub = 16)
+    assert(streamed.count() == all.count() * 4,
+      "every vector must carry exactly m code rows")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "incremental PQ code index diverges from the batch encode")
+    cb.unpersist()
+  }
+
   test("streamed semantic gate equals the batch sweep; late low id retroactively quarantines") {
     import spark.implicits._
     val root = TempDirs.tempDir("graft_ssem").toFile
