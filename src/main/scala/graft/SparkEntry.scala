@@ -163,7 +163,10 @@ object SparkEntry {
     "q105_zipf_diversity" -> ((s: SparkSession, d: String) => TextStats.zipfDiversity(s, d)),
     // ADC top-k over the PQ-compressed corpus (FAISS IVF-PQ serving path):
     // broadcast query distance tables, map-side (sub, code) lookups
-    "q106_pq_adc_topk" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)))
+    "q106_pq_adc_topk" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)),
+    // recall@k of the compressed (ADC) search vs exact L2 ground truth —
+    // the accuracy audit every ANN deployment runs next to its latency
+    "q107_pq_recall" -> ((s: SparkSession, d: String) => Similarity.pqRecallStats(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1471,7 +1474,48 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, adc_dist, rn FROM (
           | SELECT query_id, neighbor_id, adc_dist,
           |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rn
-          | FROM sc) t WHERE rn <= 5""".stripMargin))
+          | FROM sc) t WHERE rn <= 5""".stripMargin),
+    // q106's ADC ranking intersected with the exact-L2 ranking, per query
+    "q107_pq_recall" ->
+      (pqCte(4, 4) +
+        """,
+          |pqc AS (SELECT vec_id, sub, se, code FROM pa2 WHERE se IS NOT NULL),
+          |pb3 AS (SELECT sub, code AS c_code, list(mean_v ORDER BY dim) AS c0 FROM (
+          |  SELECT sub, code, dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+          |  FROM (SELECT sub, code, unnest(range(1, len(se)+1)) AS dim, unnest(se) AS x FROM pqc) t
+          |  GROUP BY sub, code, dim) tt GROUP BY sub, code),
+          |pqq AS (SELECT vec_id AS query_id, sub, se FROM pqc WHERE vec_id % 100 = 0),
+          |dtab AS (SELECT q.query_id, q.sub, b.c_code AS code,
+          |  round(coalesce(list_sum(list_transform(range(1, least(len(q.se), len(b.c0))+1),
+          |    i -> (q.se[i]-b.c0[i])*(q.se[i]-b.c0[i]))), 0), 12) AS qd
+          | FROM pqq q JOIN pb3 b ON q.sub = b.sub),
+          |sc AS (SELECT d.query_id, c.vec_id AS neighbor_id,
+          |  round(CAST(sum(CAST(qd AS DECIMAL(28,15))) AS DOUBLE), 6) AS adc_dist
+          | FROM pqc c JOIN dtab d ON c.sub = d.sub AND c.code = d.code
+          | WHERE d.query_id <> c.vec_id
+          | GROUP BY d.query_id, c.vec_id),
+          |adcr AS (SELECT query_id, neighbor_id FROM (
+          | SELECT query_id, neighbor_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rn
+          | FROM sc) t WHERE rn <= 5),
+          |vv AS (SELECT vec_id, e FROM v WHERE e IS NOT NULL),
+          |exq AS (SELECT vec_id AS query_id, e AS qe FROM vv WHERE vec_id % 100 = 0),
+          |exs AS (SELECT exq.query_id, c.vec_id AS neighbor_id,
+          |  round(coalesce(list_sum(list_transform(range(1, least(len(c.e), len(exq.qe))+1),
+          |    i -> (c.e[i]-exq.qe[i])*(c.e[i]-exq.qe[i]))), 0), 12) AS d2
+          | FROM vv c CROSS JOIN exq WHERE c.vec_id <> exq.query_id),
+          |exr AS (SELECT query_id, neighbor_id FROM (
+          | SELECT query_id, neighbor_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id) AS rn
+          | FROM exs) t WHERE rn <= 5),
+          |hits AS (SELECT a.query_id, count(*) AS h
+          | FROM adcr a JOIN exr e
+          |   ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+          | GROUP BY a.query_id)
+          |SELECT q.query_id, CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+          | round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
+          |FROM (SELECT DISTINCT query_id FROM adcr) q
+          |LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin))
 
   /** DuckDB replay of the full iterated BPE training loop (q97): the word-
     * frequency table (capped like the engine's driver collect), the initial

@@ -647,6 +647,62 @@ object Similarity {
   def pqCodebook(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame =
     pqCentroids(pqModel(emb, m, k, iters).filter(col("se").isNotNull))
 
+  /**
+   * q107: recall@k of the ADC (PQ-compressed) search against the exact
+   * L2 ground truth, measured distributedly — the accuracy observable
+   * every production ANN deployment tracks next to its latency. Per
+   * query: hits (|ADC top-k ∩ exact top-k|) and recall = hits/k.
+   *
+   * Both rankings share the deterministic conventions (12-dp-rounded
+   * distances, id tie-breaks), so the intersection — and therefore the
+   * hash-checked recall — is engine-independent even at tie boundaries.
+   *
+   * 100 TB posture: the exact side is the brute-force pattern (corpus
+   * never shuffles — queries broadcast, scoring map-side, bounded-heap
+   * top-k); the ADC side is q106's lookup join; the final intersection
+   * joins two |Q|·k-row streams. Computing ground truth on EVERY query
+   * is a fixture-scale luxury — at corpus scale the stride knob samples
+   * the query set, which is exactly how recall is audited in practice.
+   *
+   * Expect LOW recall on the demo fixture: near-orthogonal random
+   * vectors are PQ's worst case (no cluster structure to compress), and
+   * the demo m=4/k=4 codebook is 16 cells of resolution where FAISS
+   * production uses k=256 per subspace. The m=1/k=n exactness envelope
+   * (PqSpec: recall ≡ 1.0) pins that the machinery is correct; the
+   * audited number is the honest operating point of the chosen knobs.
+   */
+  def pqRecallStats(s: SparkSession, d: String, m: Int = 4, k: Int = 4,
+      iters: Int = 2, topk: Int = 5, stride: Long = 100): DataFrame =
+    pqRecallStatsOf(embeddings(s, d), m, k, iters, topk, stride)
+
+  /** [[pqRecallStats]] over an arbitrary (vec_id, embedding) frame. */
+  def pqRecallStatsOf(emb: DataFrame, m: Int, k: Int, iters: Int,
+      topk: Int, stride: Long): DataFrame = {
+    val live = emb.filter(col("embedding").isNotNull)
+    val adc = pqAdcTopKOf(live, m, k, iters, topk, stride)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = live.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exact = live
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", round(squaredL2Native(col("q_emb"), col("c_emb")), 12))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopK.topK(topk)(
+        -col("d2"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
+    val hits = adc.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    // left join from the query list: a zero-overlap query must report
+    // recall 0, not vanish from the audit
+    adc.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / topk, 6).as("recall"))
+  }
+
   /** Per-(sub, code) centroid: decimal-summed element means over the
     * exploded (sub, code, dim, v) stream — m·k·dsub aggregate rows total,
     * independent of corpus size. NULL/empty subvectors contribute no

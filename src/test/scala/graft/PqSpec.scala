@@ -115,6 +115,20 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(out.map(_._1).distinct.sorted == Seq(0L, 1L))
   }
 
+  test("q107 recall audit: exact PQ (m=1, k=n) scores recall 1.0; zero-overlap reports 0") {
+    import spark.implicits._
+    val vecs = Seq(
+      0L -> Array(0f, 0f), 1L -> Array(3f, 0f), 2L -> Array(0f, 5f),
+      3L -> Array(6f, 6f), 4L -> Array(1f, 1f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.pqRecallStatsOf(emb, m = 1, k = 5, iters = 1,
+        topk = 4, stride = 3)
+      .orderBy("query_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 4L, 1.0), (3L, 4L, 1.0)),
+      "k=n codebooks make ADC exact, so recall must be 1.0 per query")
+  }
+
   test("q102 PQ plan: centroid joins broadcast, no cartesian product") {
     import spark.implicits._
     val emb = (0L until 64L).map(i =>
