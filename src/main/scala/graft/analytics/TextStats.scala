@@ -896,33 +896,40 @@ object TextStats {
           element_at(col("w"), i + 1)))).as("b"))
       .groupBy(col("lang"), col("b"))
       .agg(count(lit(1)).as("cb"))
-    val model = uni.groupBy(col("lang"))
-      .agg(map_from_entries(collect_list(struct(col("w1"), col("cu"))))
-          .as("umap"),
-        count(lit(1)).as("v"))
-      .join(bi.groupBy(col("lang"))
-          .agg(map_from_entries(collect_list(struct(col("b"), col("cb"))))
-            .as("bmap")),
-        Seq("lang"), "left")
-    val zero = lit(new java.math.BigDecimal(0)).cast("decimal(28,6)")
-    val scored = wsDocs
-      .join(broadcast(model), Seq("lang"), "left")
-      .withColumn("n_bigrams", greatest(col("nw") - 1, lit(0)))
-      .withColumn("score",
-        when(col("n_bigrams") === 0, lit(null).cast("double"))
-          .otherwise(round(
-            aggregate(
-              sequence(lit(1), greatest(col("nw") - 1, lit(1))),
-              zero,
-              (acc, i) => {
-                val w1 = element_at(col("w"), i)
-                val b = concat(w1, lit(" "), element_at(col("w"), i + 1))
-                val cb = coalesce(element_at(col("bmap"), b), lit(0L))
-                val cu = coalesce(element_at(col("umap"), w1), lit(0L))
-                val p = (cb + 1).cast("double") / (cu + col("v")).cast("double")
-                (acc + round(-log10(p), 6).cast("decimal(18,6)"))
-                  .cast("decimal(28,6)")
-              }).cast("double") / col("n_bigrams"), 6)))
+    // Scoring = two BROADCAST hash joins of the per-bigram stream against
+    // the vocab-bounded count tables + a map-side-combined per-doc decimal
+    // sum. Round 8 replaced the per-row `element_at(map)` formulation:
+    // Spark's GetMapValue is a LINEAR scan of the map's entry array, so
+    // in-row lookups cost O(|vocab|) per bigram interpreted — 22 s at
+    // sf0.1 vs ~1 s for the codegen'd join spelling below. The broadcast
+    // correctness argument is unchanged (the count tables are exactly the
+    // content the maps carried — type-bounded, not corpus-bounded; the
+    // decimal per-term sum stays order-independent so values are
+    // identical). NULL-lang bigram rows drop out of the equi-joins, which
+    // reproduces the previous NULL-model → NULL-score behavior: the doc
+    // rejoins with no score and lands in bucket 'none' on both engines.
+    val vsize = uni.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    val bigrams = wsDocs
+      .filter(col("nw") >= 2)
+      .select(col("doc_id"), col("lang"), explode(transform(
+        sequence(lit(1), col("nw") - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1)).as("b")))).as("e"))
+      .select(col("doc_id"), col("lang"),
+        col("e.w1").as("w1"), col("e.b").as("b"))
+    val perDoc = bigrams
+      .join(broadcast(bi), Seq("lang", "b"))
+      .join(broadcast(uni), Seq("lang", "w1"))
+      .join(broadcast(vsize), Seq("lang"))
+      .withColumn("term",
+        round(-log10((col("cb") + 1).cast("double") /
+          (col("cu") + col("v")).cast("double")), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term").cast("decimal(28,6)")).cast("double") /
+        count(lit(1)), 6).as("score"))
+    val scored = wsDocs.select(col("doc_id"), col("lang"), col("nw"))
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("nw"), col("score"))
     val tercile = Window.partitionBy(col("lang"))
       .orderBy(col("score"), col("doc_id"))
