@@ -166,7 +166,11 @@ object SparkEntry {
     "q106_pq_adc_topk" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)),
     // recall@k of the compressed (ADC) search vs exact L2 ground truth —
     // the accuracy audit every ANN deployment runs next to its latency
-    "q107_pq_recall" -> ((s: SparkSession, d: String) => Similarity.pqRecallStats(s, d)))
+    "q107_pq_recall" -> ((s: SparkSession, d: String) => Similarity.pqRecallStats(s, d)),
+    // embedding isotropy / collapse dashboard: per-label mean cosine to
+    // the global centroid + mean norm — the standing embedding-health
+    // audit next to the ANN indexes
+    "q108_embedding_isotropy" -> ((s: SparkSession, d: String) => Similarity.isotropyStats(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1515,7 +1519,26 @@ object SparkEntry {
           |SELECT q.query_id, CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
           | round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
           |FROM (SELECT DISTINCT query_id FROM adcr) q
-          |LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin))
+          |LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin),
+    // cosine over the common prefix (the engine computes dot and both
+    // norms over min(len)); zero-magnitude division -> NULL on both sides
+    "q108_embedding_isotropy" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |g AS (SELECT dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+        | FROM (SELECT unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x FROM v) t
+        | GROUP BY dim),
+        |gc AS (SELECT list(mean_v ORDER BY dim) AS c0 FROM g),
+        |sc AS (SELECT label,
+        |  round(list_sum(list_transform(range(1, least(len(e), len(c0))+1), i -> e[i]*c0[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, least(len(e), len(c0))+1), i -> e[i]*e[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, least(len(e), len(c0))+1), i -> c0[i]*c0[i])))), 12) AS cos,
+        |  round(sqrt(coalesce(list_sum(list_transform(e, x -> x*x)), 0)), 12) AS nrm
+        | FROM v CROSS JOIN gc)
+        |SELECT label, count(*) AS n_vecs,
+        | round(CAST(sum(CAST(cos AS DECIMAL(28,15))) AS DOUBLE) / count(cos), 6) AS avg_cos_centroid,
+        | round(CAST(sum(CAST(nrm AS DECIMAL(28,15))) AS DOUBLE) / count(nrm), 6) AS avg_norm
+        |FROM sc GROUP BY label""".stripMargin)
 
   /** DuckDB replay of the full iterated BPE training loop (q97): the word-
     * frequency table (capped like the engine's driver collect), the initial

@@ -703,6 +703,48 @@ object Similarity {
         round(coalesce(col("h"), lit(0L)).cast("double") / topk, 6).as("recall"))
   }
 
+  /**
+   * q108: embedding isotropy / collapse dashboard. Per label: vector
+   * count, mean cosine to the GLOBAL centroid, mean norm. A healthy
+   * embedding space is near-isotropic (mean centroid-cosine ≈ 0 for
+   * centered spaces); representation collapse — the classic failure of
+   * a degenerating encoder — shows up as the mean cosine drifting
+   * toward 1 and the norm spread shrinking. Cheap enough to run as a
+   * standing audit next to the ANN indexes at any corpus size.
+   *
+   * Shape: global centroid = one decimal-summed element-mean aggregate
+   * (dim rows), broadcast back as a single row; per-vector cosine/norm
+   * are map-side; the per-label aggregate is map-side-combined. Zero
+   * vectors have undefined cosine (NULL, the engine-wide convention —
+   * DuckDB's NULL-on-division-by-zero matches) and drop from the cosine
+   * mean but keep their norm contribution.
+   */
+  def isotropyStats(s: SparkSession, d: String): DataFrame =
+    isotropyStatsOf(embeddings(s, d))
+
+  /** [[isotropyStats]] over an arbitrary (vec_id, embedding, label)
+    * frame. */
+  def isotropyStatsOf(emb: DataFrame): DataFrame = {
+    val live = emb.filter(col("embedding").isNotNull)
+    val gc = live
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg((sum(col("v").cast("decimal(28,15)")).cast("double") /
+        count(col("v"))).as("mean_v"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_v")))).as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("mean_v")).as("centroid"))
+    live.join(broadcast(gc))
+      .withColumn("cos", round(cosineNative(col("embedding"), col("centroid")), 12))
+      .withColumn("nrm", round(norm(col("embedding")), 12))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("cos").cast("decimal(28,15)")).cast("double") /
+          count(col("cos")), 6).as("avg_cos_centroid"),
+        round(sum(col("nrm").cast("decimal(28,15)")).cast("double") /
+          count(col("nrm")), 6).as("avg_norm"))
+  }
+
   /** Per-(sub, code) centroid: decimal-summed element means over the
     * exploded (sub, code, dim, v) stream — m·k·dsub aggregate rows total,
     * independent of corpus size. NULL/empty subvectors contribute no

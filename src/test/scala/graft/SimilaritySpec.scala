@@ -41,4 +41,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       .orderBy("query_id", "rn").collect().toSeq
     assert(ivfAll == brute)
   }
+
+  test("q108 isotropy: hand-computed centroid cosines; zero vector keeps norm, drops cosine") {
+    import spark.implicits._
+    // centroid of {[1,0],[0,1],[0,0]} = [1/3,1/3] ∝ [1,1]: both unit axis
+    // vectors score cos = 1/sqrt(2); the zero vector's cosine is
+    // undefined (NULL) but its norm 0 still counts in label 0's mean
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0f, 1f), 1),
+      (2L, Array(0f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.isotropyStatsOf(emb)
+      .orderBy("label")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (0, 2L, 0.707107, 0.5),
+      (1, 1L, 0.707107, 1.0)))
+  }
 }
