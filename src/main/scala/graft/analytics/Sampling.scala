@@ -458,6 +458,20 @@ object Sampling {
   def sourceCapStats(s: SparkSession, d: String, cap: Int = 15): DataFrame =
     sourceCapStatsOf(Tables.documents(s, d), cap)
 
+  /** The cap-selection rule itself — per source, the `cap` rows with the
+    * lowest (md5(doc_id), doc_id) lottery keys. Keeping the lowest `cap`
+    * keys is associative and commutative over row arrival, which is what
+    * makes the streaming gate ([[graft.streaming.StreamingCorpus]]
+    * `startSourceCapGate`) converge to this batch selection under any
+    * delivery order; q103's two-phase stats plan reproduces its
+    * aggregates. */
+  def sourceCapSelect(docs: DataFrame, cap: Int): DataFrame =
+    docs.withColumn("_mk", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("_mk"), col("doc_id"))))
+      .filter(col("_rn") <= cap).drop("_rn", "_mk")
+
   /** [[sourceCapStats]] over an arbitrary (doc_id, source, n_chars)
     * frame. */
   def sourceCapStatsOf(docs: DataFrame, cap: Int): DataFrame = {

@@ -298,6 +298,62 @@ object StreamingCorpus {
   }
 
   /**
+   * Online per-source cap gate — the streaming counterpart of q103's
+   * RefinedWeb domain-cap discipline: the kept table always holds, per
+   * source, the `cap` documents with the LOWEST md5-lottery keys seen so
+   * far ([[Sampling.sourceCapSelect]]). Keeping the cap-lowest keys is
+   * associative and commutative over arrival, so the table converges to
+   * the batch selection of the full corpus under any delivery order or
+   * replay — a late-arriving lower-key document retroactively EVICTS the
+   * highest kept key of its source (the admission analogue of the
+   * semantic gate's retroactive quarantine).
+   *
+   * 100 TB posture: state is |sources|·cap rows by construction; each
+   * batch re-ranks only its AFFECTED sources (null-safe semi-join) and
+   * dynamic partition overwrite rewrites only those sources' partitions.
+   * Caveat: `source` round-trips through a partition directory, so
+   * all-numeric source names would come back re-typed by partition
+   * inference — fixture and warehouse sources are alphanumeric.
+   */
+  def startSourceCapGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      cap: Int,
+      keptPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.select(col("doc_id"), col("source"), col("n_chars"))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(keptPath), spark.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(keptPath)
+        val candidates =
+          if (fs.exists(target)) {
+            val affected = b.select(col("source").as("asrc")).distinct()
+            spark.read.parquet(keptPath)
+              .join(broadcast(affected), col("source") <=> col("asrc"), "left_semi")
+              .unionByName(b)
+          } else b
+        // bounded (|affected sources| x cap after ranking): localCheckpoint
+        // breaks the read-then-overwrite cycle on the kept table
+        val kept = Sampling.sourceCapSelect(
+          candidates.dropDuplicates("source", "doc_id"), cap)
+          .localCheckpoint(true)
+        kept.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("source").parquet(keptPath)
+      }
+      .start()
+  }
+
+  /**
    * Online decontamination gate: documents landing in `landingDir` are
    * scored against a FROZEN benchmark k-gram set (`benchGrams`, one `h`
    * column — e.g. [[TextStats.allGramHashesOf]] over the eval suite) and

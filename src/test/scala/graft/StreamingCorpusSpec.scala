@@ -226,6 +226,56 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     cents.unpersist()
   }
 
+  test("streamed source-cap gate converges to the batch lottery selection; late low keys evict") {
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_scap").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val keptPath = s"$root/wh/kept"
+
+    // srcA has 6 docs at cap 2; the two LOWEST-md5 ids are held back to
+    // wave 2, so both wave-1 admissions must be retroactively evicted
+    val byLottery = (1L to 6L).sortBy(id =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString))
+    val (wave2Ids, wave1Ids) = (byLottery.take(2), byLottery.drop(2))
+    def rows(ids: Seq[Long], src: String) = ids.map(i => (i, src, i * 10))
+    val w1 = rows(wave1Ids, "srcA") ++ Seq((7L, "srcB", 70L))
+    val w2 = rows(wave2Ids, "srcA") ++ rows(wave1Ids.take(1), "srcA") // + replay
+    val all = (w1 ++ w2).distinct.toDF("doc_id", "source", "n_chars")
+
+    def land(rs: Seq[(Long, String, Long)], name: String): Unit = {
+      val stage = new File(root, s"stage_$name")
+      rs.toDF("doc_id", "source", "n_chars")
+        .coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new File(landing, s"$name.parquet").toPath)
+    }
+    def drain(): Unit = {
+      val q = StreamingCorpus.startSourceCapGate(spark, landing.getAbsolutePath,
+        all.schema, cap = 2, keptPath, s"$root/chk")
+      q.awaitTermination()
+    }
+    land(w1, "wave1"); drain()
+    val afterW1 = spark.read.parquet(keptPath)
+      .filter(col("source") === "srcA")
+      .select("doc_id").as[Long].collect().toSet
+    assert(afterW1 == wave1Ids.sortBy(id =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString))
+      .take(2).toSet)
+    land(w2, "wave2"); drain()
+
+    val streamed = spark.read.parquet(keptPath)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchSel = graft.analytics.Sampling.sourceCapSelect(all, cap = 2)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batchSel,
+      "kept table must equal the batch selection of the full corpus")
+    assert(streamed.intersect(afterW1.map((_, "srcA"))).isEmpty,
+      "both wave-1 admissions must be evicted by the lower wave-2 keys")
+    assert((wave2Ids.map((_, "srcA")).toSet + ((7L, "srcB"))) == streamed)
+  }
+
   test("streamed PQ code index against a frozen codebook equals the batch encode") {
     val root = TempDirs.tempDir("graft_spq").toFile
     val landing = new File(root, "landing"); landing.mkdirs()
