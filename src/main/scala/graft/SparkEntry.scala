@@ -170,7 +170,10 @@ object SparkEntry {
     // embedding isotropy / collapse dashboard: per-label mean cosine to
     // the global centroid + mean norm — the standing embedding-health
     // audit next to the ANN indexes
-    "q108_embedding_isotropy" -> ((s: SparkSession, d: String) => Similarity.isotropyStats(s, d)))
+    "q108_embedding_isotropy" -> ((s: SparkSession, d: String) => Similarity.isotropyStats(s, d)),
+    // strict-order sequential funnel over the event stream: chained
+    // per-user min-aggregates, no window over events
+    "q109_event_funnel" -> ((s: SparkSession, d: String) => Relational.eventFunnel(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1538,7 +1541,35 @@ object SparkEntry {
         |SELECT label, count(*) AS n_vecs,
         | round(CAST(sum(CAST(cos AS DECIMAL(28,15))) AS DOUBLE) / count(cos), 6) AS avg_cos_centroid,
         | round(CAST(sum(CAST(nrm AS DECIMAL(28,15))) AS DOUBLE) / count(nrm), 6) AS avg_norm
-        |FROM sc GROUP BY label""".stripMargin)
+        |FROM sc GROUP BY label""".stripMargin,
+    // chained per-user min-aggregates; ts compared at MICRO precision on
+    // both sides (the engine's events table is micros)
+    "q109_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |f2 AS (SELECT e.user_id, min(e.ts) AS t2, max(f1.t1) AS t1
+        | FROM e JOIN f1 ON e.user_id = f1.user_id
+        | WHERE e.event_type = 'click' AND e.ts > f1.t1 GROUP BY e.user_id),
+        |f3 AS (SELECT e.user_id, min(e.ts) AS t3, max(f2.t1) AS t1
+        | FROM e JOIN f2 ON e.user_id = f2.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts > f2.t2 GROUP BY e.user_id),
+        |base AS (SELECT count(*) AS base_n FROM f1),
+        |r AS (
+        | SELECT '1_view' AS step, count(*) AS n_users,
+        |  round(CAST(sum(CAST(round((epoch_us(t1) - epoch_us(t1)) / 1000000.0, 12) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_secs
+        | FROM f1
+        | UNION ALL
+        | SELECT '2_click', count(*),
+        |  round(CAST(sum(CAST(round((epoch_us(t2) - epoch_us(t1)) / 1000000.0, 12) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+        | FROM f2
+        | UNION ALL
+        | SELECT '3_purchase', count(*),
+        |  round(CAST(sum(CAST(round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 12) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+        | FROM f3)
+        |SELECT step, CAST(n_users AS BIGINT) AS n_users,
+        | round(CASE WHEN base_n > 0 THEN CAST(n_users AS DOUBLE) / base_n END, 6) AS conv_from_first,
+        | avg_secs
+        |FROM r CROSS JOIN base""".stripMargin)
 
   /** DuckDB replay of the full iterated BPE training loop (q97): the word-
     * frequency table (capped like the engine's driver collect), the initial

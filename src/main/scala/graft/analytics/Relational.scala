@@ -670,4 +670,61 @@ object Relational {
     files.groupBy(col("dump_id"))
       .agg(min(col("filename").rlike(Manifest.RequestsRegex)).as("is_historical"))
   }
+
+  /**
+   * q109: sequential event funnel — per user, the earliest step-1 event,
+   * then the earliest step-2 event strictly AFTER it, and so on (the
+   * strict-ordering product-analytics funnel, not mere per-type
+   * existence). Output per step: users reached, conversion vs step 1,
+   * and the mean seconds from the user's step-1 time (decimal-summed).
+   *
+   * Shape: one chained per-user aggregate per step — each stage filters
+   * the event scan to ONE type, joins the (user-sized, far smaller than
+   * events) previous-stage frame, and min-aggregates with map-side
+   * partials; no window over the event stream, nothing user-quadratic.
+   * NULL user_ids drop at the first join on both engines (SQL equi-join
+   * semantics mirrored exactly — step 1 keeps the NULL group, so the
+   * base count matches too). Degenerate base (no step-1 events) reports
+   * NULL conversion, not NaN.
+   */
+  def eventFunnel(s: SparkSession, d: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    eventFunnelOf(Tables.events(s, d), steps)
+
+  /** [[eventFunnel]] over an arbitrary (user_id, event_type, ts) frame. */
+  def eventFunnelOf(ev0: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val ev = ev0.select(col("user_id"), col("event_type"), col("ts"))
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val frames = steps.tail.zipWithIndex.scanLeft((first, "t1")) {
+      case ((prev, pcol), (st, i)) =>
+        val c = s"t${i + 2}"
+        (ev.filter(col("event_type") === st)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(pcol))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as(c), max(col("t1")).as("t1")), c)
+    }
+    def stepRow(frame: DataFrame, name: String, tk: String) =
+      frame.agg(
+        count(lit(1)).as("n_users"),
+        // events ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the
+        // LTZ cast is value-identical and unix_micros resolves
+        round(sum(round((unix_micros(col(tk).cast("timestamp_ltz")) -
+            unix_micros(col("t1").cast("timestamp_ltz"))) /
+            lit(1000000.0), 12).cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("avg_secs"))
+        .withColumn("step", lit(name))
+    val rows = frames.zip(steps).zipWithIndex.map {
+      case (((f, tk), st), i) => stepRow(f, s"${i + 1}_$st", tk)
+    }.reduce(_ unionByName _)
+    val base = first.agg(count(lit(1)).as("base_n"))
+    rows.crossJoin(broadcast(base))
+      .select(col("step"), col("n_users"),
+        round(when(col("base_n") > 0,
+          col("n_users").cast("double") / col("base_n")), 6)
+          .as("conv_from_first"),
+        col("avg_secs"))
+  }
 }

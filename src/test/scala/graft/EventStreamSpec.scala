@@ -90,4 +90,28 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
       "dedup", mode = "append")
     assert(out.count() == 5)
   }
+
+  test("q109 funnel: strict ordering, per-step conversion, null users drop at the join") {
+    import spark.implicits._
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: full ordered funnel (0 -> 10 -> 30);
+    // user 2: purchase BEFORE click (view 0, purchase 5, click 20) — the
+    //   strict funnel must NOT count the early purchase;
+    // user 3: click only (no view) — never enters;
+    // null user: view only — counted at step 1, dropped by the join after
+    val ev = Seq(
+      (Some(1L), "view", ts(0)), (Some(1L), "click", ts(10)), (Some(1L), "purchase", ts(30)),
+      (Some(2L), "view", ts(0)), (Some(2L), "purchase", ts(5)), (Some(2L), "click", ts(20)),
+      (Some(3L), "click", ts(1)),
+      (Option.empty[Long], "view", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.analytics.Relational.eventFunnelOf(ev, Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .as[(String, Long, Double, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("1_view", 3L, 1.0, Some(0.0)),          // users 1, 2, null
+      ("2_click", 2L, 0.666667, Some(15.0)),   // 1 (+10s), 2 (+20s)
+      ("3_purchase", 1L, 0.333333, Some(30.0)) // only user 1's ordered path
+    ))
+  }
 }
