@@ -546,8 +546,10 @@ object Similarity {
     pqStatsOf(embeddings(s, d), m, k, iters)
 
   /** [[pqStats]] over an arbitrary (vec_id, embedding) frame. */
-  def pqStatsOf(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame =
-    pqModel(emb, m, k, iters).groupBy(col("sub"), col("code")).agg(
+  def pqStatsOf(emb: DataFrame, m: Int, k: Int, iters: Int,
+      trainSampleMod: Int = 1): DataFrame =
+    pqModel(emb, m, k, iters, trainSampleMod)
+      .groupBy(col("sub"), col("code")).agg(
       count(lit(1)).as("n_members"),
       round(coalesce(sum(col("dist_raw").cast("decimal(28,15)")), lit(0))
         .cast("double"), 6).as("distortion"),
@@ -555,23 +557,41 @@ object Similarity {
 
   /** The trained PQ code frame (vec_id, sub, se, code, dist_raw) after
     * `iters` joint-subspace Lloyd rounds — the shared core of the q102
-    * observable and the q106 ADC search. */
-  private def pqModel(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    * observable and the q106 ADC search.
+    *
+    * `trainSampleMod` > 1 is the shared FAISS-convention scale knob
+    * (same as [[trainedCells]]): each Lloyd round re-derives its input
+    * through the plan, so training on the full frame re-scans the
+    * corpus once per round — fine at fixture scale (and what the q102/
+    * q106/q107 oracles replay at mod = 1), but at 100 TB the codebook is
+    * fit on the deterministic 1/mod md5-bucket sample and only the ONE
+    * closing assignment pass touches every vector. */
+  private def pqModel(emb: DataFrame, m: Int, k: Int, iters: Int,
+      trainSampleMod: Int = 1): DataFrame = {
     // control-plane scalar (one tiny max-aggregate job, like the bucket
     // probes): the subspace width every slice below is built from
     val maxDim = emb.agg(max(size(col("embedding")))).head().getInt(0)
     val dsub = math.max((maxDim + m - 1) / m, 1)
     val slices = array((0 until m).map(i =>
       slice(col("embedding"), i * dsub + 1, dsub)): _*)
-    val sv = emb.select(col("vec_id"), posexplode(slices).as(Seq("sub", "se")))
-      .withColumn("sub", col("sub").cast("long"))
-    var assigned = sv.withColumn("code", pmod(col("vec_id"), lit(k.toLong)))
-      .withColumn("dist_raw", lit(null).cast("double"))
-    (1 to iters).foreach { _ =>
-      assigned = pqAssign(assigned.drop("code", "dist_raw"),
-        pqCentroids(assigned))
+    def subvecs(e: DataFrame) =
+      e.select(col("vec_id"), posexplode(slices).as(Seq("sub", "se")))
+        .withColumn("sub", col("sub").cast("long"))
+    def lloyd(sv0: DataFrame): DataFrame = {
+      var assigned = sv0.withColumn("code", pmod(col("vec_id"), lit(k.toLong)))
+        .withColumn("dist_raw", lit(null).cast("double"))
+      (1 to iters).foreach { _ =>
+        assigned = pqAssign(assigned.drop("code", "dist_raw"),
+          pqCentroids(assigned))
+      }
+      assigned
     }
-    assigned
+    if (trainSampleMod <= 1) lloyd(subvecs(emb))
+    else {
+      val sample = emb.filter(
+        Sampling.idBucket(col("vec_id"), trainSampleMod.toLong) === 0)
+      pqAssign(subvecs(emb), pqCentroids(lloyd(subvecs(sample))))
+    }
   }
 
   /**
@@ -600,9 +620,9 @@ object Similarity {
 
   /** [[pqAdcTopK]] over an arbitrary (vec_id, embedding) frame. */
   def pqAdcTopKOf(emb: DataFrame, m: Int, k: Int, iters: Int,
-      topk: Int, stride: Long): DataFrame = {
+      topk: Int, stride: Long, trainSampleMod: Int = 1): DataFrame = {
     val codes = org.apache.spark.sql.GraftBridge.checkpointNoStats(
-      pqModel(emb, m, k, iters).filter(col("se").isNotNull)
+      pqModel(emb, m, k, iters, trainSampleMod).filter(col("se").isNotNull)
         .select(col("vec_id"), col("sub"), col("se"), col("code")),
       eager = false)
     val codebook = pqCentroids(codes) // closing centroid update, m·k rows
@@ -644,8 +664,10 @@ object Similarity {
   /** The trained ADC codebook: `iters` Lloyd rounds then the closing
     * centroid update over the final codes — q106's model, exposed for
     * freezing into the streaming index. */
-  def pqCodebook(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame =
-    pqCentroids(pqModel(emb, m, k, iters).filter(col("se").isNotNull))
+  def pqCodebook(emb: DataFrame, m: Int, k: Int, iters: Int,
+      trainSampleMod: Int = 1): DataFrame =
+    pqCentroids(pqModel(emb, m, k, iters, trainSampleMod)
+      .filter(col("se").isNotNull))
 
   /**
    * q107: recall@k of the ADC (PQ-compressed) search against the exact
@@ -677,9 +699,9 @@ object Similarity {
 
   /** [[pqRecallStats]] over an arbitrary (vec_id, embedding) frame. */
   def pqRecallStatsOf(emb: DataFrame, m: Int, k: Int, iters: Int,
-      topk: Int, stride: Long): DataFrame = {
+      topk: Int, stride: Long, trainSampleMod: Int = 1): DataFrame = {
     val live = emb.filter(col("embedding").isNotNull)
-    val adc = pqAdcTopKOf(live, m, k, iters, topk, stride)
+    val adc = pqAdcTopKOf(live, m, k, iters, topk, stride, trainSampleMod)
       .select(col("query_id"), col("neighbor_id"))
     val queries = live.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))

@@ -137,15 +137,23 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
       }),
       // PQ training is corpus-linear with a FIXED m*k codebook (unlike the
       // cell ops, PQ's k does not scale with the corpus — compression
-      // quality is per-subspace, not per-cell-population)
-      "q102_pq_codebooks" -> ((d, _) =>
+      // quality is per-subspace, not per-cell-population); at 10x the
+      // codebook trains on the 1/4 md5 sample (FAISS convention, shared
+      // trainSampleMod knob) so only the closing assignment is corpus-wide
+      "q102_pq_codebooks" -> ((d, _) => {
+        val big = d != sf01
         Similarity.pqStatsOf(
-          graft.analytics.Tables.embeddings(spark, d), 4, 4, 2).count()),
+          graft.analytics.Tables.embeddings(spark, d), 4, 4, 2,
+          trainSampleMod = if (big) 4 else 1).count()
+      }),
       // ADC: |Q| held fixed via the stride (per-query cost is the scale
       // observable, same convention as brute/IVF)
-      "q106_pq_adc" -> ((d, st) =>
+      "q106_pq_adc" -> ((d, st) => {
+        val big = d != sf01
         Similarity.pqAdcTopKOf(
-          graft.analytics.Tables.embeddings(spark, d), 4, 4, 2, 5, st).count()))
+          graft.analytics.Tables.embeddings(spark, d), 4, 4, 2, 5, st,
+          trainSampleMod = if (big) 4 else 1).count()
+      }))
     annOps.foreach { case (name, op) =>
       val (t01, n01) = minOf2(op(sf01, 100))
       val (t1, n1) = minOf2(op(soakDir, 1000))

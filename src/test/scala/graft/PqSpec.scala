@@ -129,6 +129,22 @@ class PqSpec extends AnyFunSuite with SparkSuite {
       "k=n codebooks make ADC exact, so recall must be 1.0 per query")
   }
 
+  test("sample-trained PQ (trainSampleMod > 1) still codes every vector with m codes") {
+    import spark.implicits._
+    val emb = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqStatsOf(emb, m = 4, k = 4, iters = 2,
+      trainSampleMod = 4)
+    val total = out.agg(sum("n_members")).head().getLong(0)
+    assert(total == 64L * 4, "every vector must appear once per subspace")
+    // sampled codebooks change assignments, never the bookkeeping: the
+    // id checksum over all codes per subspace is conserved
+    val perSub = out.groupBy("sub").agg(sum("id_checksum").as("s"))
+      .select("s").as[Long].collect().toSet
+    assert(perSub == Set((0L until 64L).sum))
+  }
+
   test("q102 PQ plan: centroid joins broadcast, no cartesian product") {
     import spark.implicits._
     val emb = (0L until 64L).map(i =>
