@@ -65,4 +65,30 @@ class ContractionSoakSf10Spec extends AnyFunSuite with SparkSuite {
     assert(te10 <= te01 * 300 + 60,
       f"exact dedup super-linear at 100x: $te01%.1fs -> $te10%.1fs")
   }
+
+  test("round-8 profile family at 100x: source caps and encoding quality stay linear-ish") {
+    ensureSf10()
+    // q103: at 500k docs every source is far over the cap, so this is the
+    // two-phase plan's WORST case (the whole corpus enters the rank
+    // window) — exactly the shape that must stay linear; the md5 sort key
+    // spreads each source's partition evenly so no task hot-spots.
+    val (tc01, nc01) = minOf2(
+      graft.analytics.Sampling.sourceCapStats(spark, sf01).count())
+    val (tc10, nc10) = minOf2(
+      graft.analytics.Sampling.sourceCapStats(spark, soakDir).count())
+    info(f"q103_source_caps: sf0.1 $tc01%.1fs ($nc01 rows) -> sf10 $tc10%.1fs ($nc10 rows), ratio ${tc10 / tc01}%.1fx (100x data)")
+    assert(nc10 == nc01, "shards share sources, so the per-source row count is fixed")
+    assert(tc10 <= tc01 * 300 + 60,
+      f"source caps super-linear at 100x: $tc01%.1fs -> $tc10%.1fs")
+
+    // q104: one narrow regex pass — the purest corpus-linear op this
+    // round; 100x char mass must cost ~100x, never more
+    val (tq01, _) = minOf2(
+      graft.analytics.TextStats.encodingQuality(spark, sf01).count())
+    val (tq10, _) = minOf2(
+      graft.analytics.TextStats.encodingQuality(spark, soakDir).count())
+    info(f"q104_encoding_quality: sf0.1 $tq01%.1fs -> sf10 $tq10%.1fs, ratio ${tq10 / tq01}%.1fx (100x data)")
+    assert(tq10 <= tq01 * 300 + 60,
+      f"encoding quality super-linear at 100x: $tq01%.1fs -> $tq10%.1fs")
+  }
 }
