@@ -173,9 +173,62 @@ object SparkEntry {
     "q108_embedding_isotropy" -> ((s: SparkSession, d: String) => Similarity.isotropyStats(s, d)),
     // strict-order sequential funnel over the event stream: chained
     // per-user min-aggregates, no window over events
-    "q109_event_funnel" -> ((s: SparkSession, d: String) => Relational.eventFunnel(s, d)))
+    "q109_event_funnel" -> ((s: SparkSession, d: String) => Relational.eventFunnel(s, d)),
+    // IVF recall@k vs brute-force ground truth — q107's sibling, so every
+    // ANN tier ships with a distributed accuracy audit
+    "q110_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.ivfRecallStats(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** The full IVF pipeline as a reusable CTE chain ending at `r`
+    * (query_id, neighbor_id, cosine, rn): md5-derived hyperplane cells
+    * (as q38), per-cell centroids, top-nprobe routing with (c_cos, cell)
+    * tie-break, probed-cell scan, exact ranking — every stage integer- or
+    * fixed-order-arithmetic deterministic, so the "approximate" ANN
+    * output is exactly reproducible wrt its own definition. Shared by
+    * the q37 observable and the q110 recall audit. */
+  private val ivfCte: String =
+    """WITH v AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cells AS (
+        | SELECT vec_id, e,
+        |  CAST(list_sum(list_transform(range(0,3), p ->
+        |   CASE WHEN list_sum(list_transform(range(1, len(e)+1),
+        |     i -> e[i] * (((('0x' || substring(md5(CAST(p AS VARCHAR) || '_' ||
+        |            CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 1000000)/1000000.0) - 0.5)))
+        |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS cell
+        | FROM v),
+        |cent AS (
+        | SELECT cell, dim,
+        |  CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+        | FROM (
+        |   SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x
+        |   FROM cells) t
+        | GROUP BY cell, dim),
+        |ca AS (SELECT cell, list(mean_v ORDER BY dim) AS c0 FROM cent GROUP BY cell),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM cells WHERE vec_id % 100 = 0),
+        |routed AS (
+        | SELECT query_id, qe, cell,
+        |  list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*c0[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))) AS c_cos
+        | FROM q CROSS JOIN ca),
+        |probes AS (
+        | SELECT query_id, qe, cell FROM (
+        |  SELECT query_id, qe, cell,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS pr
+        |  FROM routed) t WHERE pr <= 4),
+        |s AS (
+        | SELECT p.query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(p.qe)+1), i -> p.qe[i]*c.e[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, len(p.qe)+1), i -> p.qe[i]*p.qe[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, len(c.e)+1), i -> c.e[i]*c.e[i])))) AS cosine
+        | FROM probes p JOIN cells c ON c.cell = p.cell
+        | WHERE p.query_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        | FROM s WHERE cosine IS NOT NULL)""".stripMargin
+
 
   private val percentilesSql =
     """SELECT l_returnflag,
@@ -498,48 +551,34 @@ object SparkEntry {
     // fixed-order-arithmetic deterministic, so the "approximate" ANN output
     // is exactly reproducible wrt its own definition
     "q37_ivf_topk" ->
-      """WITH v AS (
-        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |cells AS (
-        | SELECT vec_id, e,
-        |  CAST(list_sum(list_transform(range(0,3), p ->
-        |   CASE WHEN list_sum(list_transform(range(1, len(e)+1),
-        |     i -> e[i] * (((('0x' || substring(md5(CAST(p AS VARCHAR) || '_' ||
-        |            CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 1000000)/1000000.0) - 0.5)))
-        |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS cell
-        | FROM v),
-        |cent AS (
-        | SELECT cell, dim,
-        |  CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
-        | FROM (
-        |   SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x
-        |   FROM cells) t
-        | GROUP BY cell, dim),
-        |ca AS (SELECT cell, list(mean_v ORDER BY dim) AS c0 FROM cent GROUP BY cell),
-        |q AS (SELECT vec_id AS query_id, e AS qe FROM cells WHERE vec_id % 100 = 0),
-        |routed AS (
-        | SELECT query_id, qe, cell,
-        |  list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*c0[i])) /
-        |   (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i]))) *
-        |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))) AS c_cos
-        | FROM q CROSS JOIN ca),
-        |probes AS (
-        | SELECT query_id, qe, cell FROM (
-        |  SELECT query_id, qe, cell,
-        |   row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS pr
-        |  FROM routed) t WHERE pr <= 4),
-        |s AS (
-        | SELECT p.query_id, c.vec_id AS neighbor_id,
-        |  list_sum(list_transform(range(1, len(p.qe)+1), i -> p.qe[i]*c.e[i])) /
-        |   (sqrt(list_sum(list_transform(range(1, len(p.qe)+1), i -> p.qe[i]*p.qe[i]))) *
-        |    sqrt(list_sum(list_transform(range(1, len(c.e)+1), i -> c.e[i]*c.e[i])))) AS cosine
-        | FROM probes p JOIN cells c ON c.cell = p.cell
-        | WHERE p.query_id <> c.vec_id),
-        |r AS (SELECT query_id, neighbor_id, cosine,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-        | FROM s WHERE cosine IS NOT NULL)
-        |SELECT query_id, neighbor_id, round(cosine,6) AS cosine, CAST(rn AS INTEGER) AS rn
-        |FROM r WHERE rn <= 5""".stripMargin,
+      (ivfCte +
+        """
+          |SELECT query_id, neighbor_id, round(cosine,6) AS cosine, CAST(rn AS INTEGER) AS rn
+          |FROM r WHERE rn <= 5""".stripMargin),
+    // the IVF ranking intersected with the brute-force ranking per query
+    // — approximation honesty for the cosine index (q107's sibling)
+    "q110_ivf_recall" ->
+      (ivfCte +
+        """,
+          |ivfr AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5),
+          |bs AS (SELECT q2.query_id, c.vec_id AS neighbor_id,
+          |  list_sum(list_transform(range(1, len(q2.qe)+1), i -> q2.qe[i]*c.e[i])) /
+          |   (sqrt(list_sum(list_transform(range(1, len(q2.qe)+1), i -> q2.qe[i]*q2.qe[i]))) *
+          |    sqrt(list_sum(list_transform(range(1, len(c.e)+1), i -> c.e[i]*c.e[i])))) AS cosine
+          | FROM (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0) q2
+          | CROSS JOIN v c WHERE q2.query_id <> c.vec_id),
+          |br AS (SELECT query_id, neighbor_id FROM (
+          | SELECT query_id, neighbor_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+          | FROM bs WHERE cosine IS NOT NULL) t WHERE rn <= 5),
+          |hits AS (SELECT b.query_id, count(*) AS h
+          | FROM ivfr i JOIN br b
+          |   ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+          | GROUP BY b.query_id)
+          |SELECT q3.query_id, CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+          | round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
+          |FROM (SELECT DISTINCT query_id FROM br) q3
+          |LEFT JOIN hits ON q3.query_id = hits.query_id""".stripMargin),
     "q36_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id % 100 = 0),

@@ -78,6 +78,32 @@ object Similarity {
       .select(col("query_id"), col("s.id").as("neighbor_id"),
         round(col("s.score"), 6).as("cosine"), (col("idx") + 1).as("rn"))
 
+  /**
+   * q110: recall@k of the IVF index against the brute-force cosine
+   * ground truth — q107's sibling for the cosine tier, closing the loop
+   * on approximation honesty: every ANN path in the engine (PQ/ADC and
+   * IVF) now ships with a distributed accuracy audit. Both rankings are
+   * deterministic (6-dp rounding, id tie-breaks), so the intersection
+   * hashes identically across engines; zero-overlap queries stay in the
+   * output via the left join. IVF recall < 1 exactly when a true
+   * neighbor lives in an unprobed cell — the documented trade the audit
+   * quantifies per query.
+   */
+  def ivfRecallStats(s: SparkSession, d: String, k: Int = 5,
+      nprobe: Int = 4, stride: Long = 100, nplanes: Int = 3): DataFrame = {
+    val ivf = ivfTopK(s, d, k, nprobe, stride, nplanes)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = bruteForceTopK(s, d, k, stride)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ivf.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
+  }
+
   /** Centroid per IVF cell: element-wise mean of member embeddings in
     * exploded (cell, dim, value) form — one shuffle keyed by (cell, dim),
     * then reassembled into an ordered array per cell. The frame must carry

@@ -42,6 +42,14 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(ivfAll == brute)
   }
 
+  test("q110 recall audit: probing every cell scores recall 1.0 per query") {
+    val out = Similarity.ivfRecallStats(spark, d, k = 3, nprobe = 1 << 3)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getDouble(2) == 1.0),
+      "nprobe = ncells makes IVF exact, so recall must be 1.0 for every query")
+  }
+
   test("q108 isotropy: hand-computed centroid cosines; zero vector keeps norm, drops cosine") {
     import spark.implicits._
     // centroid of {[1,0],[0,1],[0,0]} = [1/3,1/3] ∝ [1,1]: both unit axis
