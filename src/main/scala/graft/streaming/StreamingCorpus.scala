@@ -66,13 +66,17 @@ object StreamingCorpus {
       fpsPath: Option[String] = None,
       accountingPath: Option[String] = None,
       minTokens: Int = 10,
-      maxTokens: Int = 1000): StreamingQuery = {
+      maxTokens: Int = 1000,
+      landingFormat: String = "parquet"): StreamingQuery = {
     require(accountingPath.isEmpty || fpsPath.nonEmpty,
       "accountingPath requires fpsPath: the q86 accounting is replayed from " +
         "the incrementally-maintained fingerprint table")
-    spark.readStream
-      .schema(schema)
-      .parquet(landingDir)
+    // landingFormat "json" accepts the JSONL shards corpora actually ship
+    // in (see ingest/JsonlReader — explicit schema, no inference) with
+    // the identical downstream pipeline
+    val src = spark.readStream.schema(schema)
+    (if (landingFormat == "json") src.json(landingDir)
+     else src.parquet(landingDir))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

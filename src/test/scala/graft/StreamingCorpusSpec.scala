@@ -226,6 +226,33 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     cents.unpersist()
   }
 
+  test("JSONL landings drive the identical corpus pipeline (chunks equal the batch op)") {
+    val root = TempDirs.tempDir("graft_sjsonl").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val chunksPath = s"$root/wh/chunks"
+    val survivorsPath = s"$root/wh/survivors"
+
+    val rows = (30L to 37L).map(i => doc(i, 40 + (i % 5).toInt * 17, s"j${i % 3}"))
+    val corpus = docsDF(rows)
+    // land as one JSONL file (the shard format corpora actually ship in)
+    val stage = new File(root, "stage_j")
+    corpus.coalesce(1).write.json(stage.getAbsolutePath)
+    val part = stage.listFiles().find(_.getName.endsWith(".json")).get
+    java.nio.file.Files.move(part.toPath, new File(landing, "w.jsonl").toPath)
+
+    val q = StreamingCorpus.start(spark, landing.getAbsolutePath, corpus.schema,
+      chunksPath, survivorsPath, s"$root/chk", chunkTokens = 16, overlap = 4,
+      nBuckets = 8, landingFormat = "json")
+    q.awaitTermination()
+
+    val streamedChunks = BucketedMerge.read(spark, chunksPath).drop("_dump_seq")
+    val batchChunks = Sampling.chunkDocumentsOf(corpus, chunkTokens = 16, overlap = 4)
+    assert(streamedChunks.count() == batchChunks.count() && batchChunks.count() > 0)
+    assert(streamedChunks.exceptAll(batchChunks).isEmpty &&
+      batchChunks.exceptAll(streamedChunks).isEmpty,
+      "JSONL-landed chunks diverge from the batch chunking")
+  }
+
   test("streamed source-cap gate converges to the batch lottery selection; late low keys evict") {
     import spark.implicits._
     val root = TempDirs.tempDir("graft_scap").toFile
