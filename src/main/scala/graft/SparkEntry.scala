@@ -176,7 +176,10 @@ object SparkEntry {
     "q109_event_funnel" -> ((s: SparkSession, d: String) => Relational.eventFunnel(s, d)),
     // IVF recall@k vs brute-force ground truth — q107's sibling, so every
     // ANN tier ships with a distributed accuracy audit
-    "q110_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.ivfRecallStats(s, d)))
+    "q110_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.ivfRecallStats(s, d)),
+    // MinHash estimator calibration over the full banded candidate set —
+    // the dedup member of the approximation-honesty suite
+    "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -291,17 +294,17 @@ object SparkEntry {
     * same md5 derivation the Spark side uses (Dedup.minhashA/minhashB) —
     * the full MinHash+LSH pipeline is integer arithmetic over md5 prefixes,
     * reproducible bit-for-bit in DuckDB. */
-  private def minhashOracle(numPerm: Int = 16, bands: Int = 4): String = {
+  private def minhashCte(numPerm: Int = 16, bands: Int = 4): String = {
     val P = analytics.Dedup.MinhashP
     val rows = numPerm / bands
     val sigExprs = (0 until numPerm).map(p =>
       s"list_min(list_transform(nh, h -> (h*${analytics.Dedup.minhashA(p)} + " +
         s"${analytics.Dedup.minhashB(p)}) % $P)) AS s$p").mkString(",\n  ")
+    val sigCols = (0 until numPerm).map("s" + _).mkString(", ")
     val bandExprs = (0 until bands).map { k =>
       val terms = (0 until rows).map(r => s"s${k * rows + r}")
       terms.tail.foldLeft(terms.head)((acc, t) => s"($acc*31 + $t)") + s" AS band_$k"
     }.mkString(",\n  ")
-    val bandMatch = (0 until bands).map(k => s"a.band_$k = b2.band_$k").mkString(" OR ")
     s"""WITH d AS (
        | SELECT doc_id, $tokens AS ws FROM documents),
        |n AS (
@@ -318,16 +321,45 @@ object SparkEntry {
        |  $sigExprs
        | FROM h),
        |b AS (
-       | SELECT doc_id, ws,
+       | SELECT doc_id, ws, $sigCols,
        |  $bandExprs
-       | FROM s),
+       | FROM s)""".stripMargin
+  }
+
+  private def minhashBandMatch(numPerm: Int = 16, bands: Int = 4): String =
+    (0 until bands).map(k => s"a.band_$k = b2.band_$k").mkString(" OR ")
+
+  private def minhashOracle(numPerm: Int = 16, bands: Int = 4): String =
+    minhashCte(numPerm, bands) +
+      s""",
        |cand AS (
        | SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
        |  CAST(len(list_intersect(list_distinct(a.ws), list_distinct(b2.ws))) AS DOUBLE) /
        |   len(list_distinct(list_concat(a.ws, b2.ws))) AS jac
        | FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
-       | WHERE $bandMatch)
+       | WHERE ${minhashBandMatch(numPerm, bands)})
        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM cand WHERE jac >= 0.5""".stripMargin
+
+  /** q111: every banded candidate pair with the signature estimate
+    * (matching components / numPerm), exact Jaccard, and abs error —
+    * no threshold, the calibration wants the false positives too. */
+  private def minhashCalibrationOracle(numPerm: Int = 16, bands: Int = 4): String = {
+    val matchSum = (0 until numPerm)
+      .map(p => s"(CASE WHEN a.s$p = b2.s$p THEN 1 ELSE 0 END)").mkString(" + ")
+    minhashCte(numPerm, bands) +
+      s""",
+       |cand AS (
+       | SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |  $matchSum AS n_match,
+       |  CAST(len(list_intersect(list_distinct(a.ws), list_distinct(b2.ws))) AS DOUBLE) /
+       |   len(list_distinct(list_concat(a.ws, b2.ws))) AS jac
+       | FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+       | WHERE ${minhashBandMatch(numPerm, bands)})
+       |SELECT doc_a, doc_b, CAST(n_match AS INTEGER) AS n_match,
+       | round(n_match / $numPerm.0, 6) AS est_jaccard,
+       | round(jac, 6) AS exact_jaccard,
+       | round(abs(round(n_match / $numPerm.0, 6) - round(jac, 6)), 6) AS abs_err
+       |FROM cand""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -498,6 +530,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         | FROM documents) t WHERE rn = 1""".stripMargin,
     "q32_minhash_lsh_pairs" -> minhashOracle(),
+    "q111_minhash_calibration" -> minhashCalibrationOracle(),
     "q74_dup_clusters" -> dupClustersOracle,
     "q33_word_jaccard_pairs" ->
       s"""WITH l AS (SELECT doc_id AS doc_a, lang, list_distinct($tokens) AS wa

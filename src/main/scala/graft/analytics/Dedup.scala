@@ -152,6 +152,65 @@ object Dedup {
     verifyJaccard(candidates, documentsDF, threshold)
   }
 
+  /**
+   * q111: MinHash estimator calibration — the dedup family's member of
+   * the approximation-honesty suite (q107 PQ recall, q110 IVF recall):
+   * for every LSH candidate pair, BOTH the signature estimate (matching
+   * components / numPerm — the unbiased MinHash Jaccard estimator) and
+   * the exact word-set Jaccard, plus the absolute error. No threshold
+   * filter: the calibration wants the whole banded candidate set,
+   * including the false positives q32 would discard, because the
+   * estimator's error profile on borderline pairs is exactly what sets
+   * the production threshold.
+   *
+   * Scale shape: identical to q32's (banded equi-join candidates, linear
+   * in duplicate mass); the extra work is one zip-compare of two
+   * numPerm-int arrays per candidate pair, map-side.
+   */
+  def minhashCalibration(s: SparkSession, d: String,
+      numPerm: Int = 16, bands: Int = 4): DataFrame =
+    minhashCalibrationFor(documentsSpread(s, d), numPerm, bands)
+
+  /** [[minhashCalibration]] over an arbitrary (doc_id, text) frame. */
+  def minhashCalibrationFor(documentsDF: DataFrame,
+      numPerm: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val docs = documentsDF
+      .select(col("doc_id"), col("text"))
+      .withColumn("ws", words(col("text")))
+      .withColumn("ngrams", ngramsFromWords(col("ws")))
+      .withColumn("nh", transform(col("ngrams"), g => shingleHash(g)))
+      .withColumn("sig", minhashSignature(col("nh"), numPerm))
+    val banded = docs.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        bandKey(col("sig"), b, rowsPerBand)): _*))
+        .as(Seq("band_id", "band_hash")))
+    val a = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sa = docs.select(col("doc_id").as("doc_a"),
+      col("sig").as("sig_a"), col("ws").as("words_a"))
+    val sb = docs.select(col("doc_id").as("doc_b"),
+      col("sig").as("sig_b"), col("ws").as("words_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), m => m)))
+      .withColumn("est_jaccard",
+        round(col("n_match").cast("double") / numPerm, 6))
+      .withColumn("exact_jaccard", round(
+        size(array_intersect(array_distinct(col("words_a")),
+          array_distinct(col("words_b")))).cast("double") /
+        size(array_union(col("words_a"), col("words_b"))), 6))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        col("est_jaccard"), col("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("abs_err"))
+  }
+
   /** Exact word-set Jaccard for candidate pairs; keeps pairs ≥ threshold. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
     val da = docs.select(col("doc_id").as("doc_a"), words(col("text")).as("words_a"))

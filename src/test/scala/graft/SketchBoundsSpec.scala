@@ -139,4 +139,27 @@ class SketchBoundsSpec extends AnyFunSuite with SparkSuite {
     assert(d63.nonEmpty && d63.forall(r => r._2 && r._3 && r._4 && r._5),
       s"q63 rank guarantee violated: ${d63.toSeq}")
   }
+
+  test("q111 minhash calibration: identical texts estimate 1.0; errors stay in the estimator band") {
+    import spark.implicits._
+    import graft.analytics.Dedup
+    // two identical docs and one unrelated: the identical pair must band
+    // together with a FULL signature match; the unrelated doc must not
+    // reach the candidate set at all
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val out = Dedup.minhashCalibrationFor(docs, numPerm = 16, bands = 4)
+      .as[(Long, Long, Int, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 16, 1.0, 1.0, 0.0)))
+
+    // fixture-wide: the numPerm=16 estimator's error on banded candidates
+    // stays within 3 standard deviations of the binomial bound (~0.125
+    // per component at 1/sqrt(16)); anything larger means the estimate
+    // and exact computations drifted apart
+    val cal = Dedup.minhashCalibration(spark, "/root/testdata/sf0.001")
+      .agg(org.apache.spark.sql.functions.max("abs_err")).head().getDouble(0)
+    assert(cal <= 3 * 0.125, s"calibration error $cal outside the estimator band")
+  }
 }
