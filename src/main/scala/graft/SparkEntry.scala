@@ -179,7 +179,10 @@ object SparkEntry {
     "q110_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.ivfRecallStats(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
-    "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)))
+    "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
+    // join-key skew audit: the pre-shuffle diagnostic that decides between
+    // plain shuffle, AQE skew split, and salting
+    "q112_skew_profile" -> ((s: SparkSession, d: String) => Relational.skewProfile(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -531,6 +534,62 @@ object SparkEntry {
         | FROM documents) t WHERE rn = 1""".stripMargin,
     "q32_minhash_lsh_pairs" -> minhashOracle(),
     "q111_minhash_calibration" -> minhashCalibrationOracle(),
+    "q112_skew_profile" ->
+      """SELECT 'lineitem' AS table_name, 'l_orderkey' AS column_name,
+        | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+        | CAST(max(f) AS BIGINT) AS max_freq,
+        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
+        |FROM (SELECT coalesce(CAST(l_orderkey AS VARCHAR), '<NULL>') AS key, count(*) AS f
+        |      FROM lineitem GROUP BY 1) t_lineitem_l_orderkey
+        |UNION ALL
+        |SELECT 'lineitem' AS table_name, 'l_partkey' AS column_name,
+        | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+        | CAST(max(f) AS BIGINT) AS max_freq,
+        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
+        |FROM (SELECT coalesce(CAST(l_partkey AS VARCHAR), '<NULL>') AS key, count(*) AS f
+        |      FROM lineitem GROUP BY 1) t_lineitem_l_partkey
+        |UNION ALL
+        |SELECT 'lineitem' AS table_name, 'l_suppkey' AS column_name,
+        | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+        | CAST(max(f) AS BIGINT) AS max_freq,
+        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
+        |FROM (SELECT coalesce(CAST(l_suppkey AS VARCHAR), '<NULL>') AS key, count(*) AS f
+        |      FROM lineitem GROUP BY 1) t_lineitem_l_suppkey
+        |UNION ALL
+        |SELECT 'orders' AS table_name, 'o_custkey' AS column_name,
+        | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+        | CAST(max(f) AS BIGINT) AS max_freq,
+        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
+        |FROM (SELECT coalesce(CAST(o_custkey AS VARCHAR), '<NULL>') AS key, count(*) AS f
+        |      FROM orders GROUP BY 1) t_orders_o_custkey
+        |UNION ALL
+        |SELECT 'events' AS table_name, 'user_id' AS column_name,
+        | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+        | CAST(max(f) AS BIGINT) AS max_freq,
+        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
+        |FROM (SELECT coalesce(CAST(user_id AS VARCHAR), '<NULL>') AS key, count(*) AS f
+        |      FROM events GROUP BY 1) t_events_user_id
+        |UNION ALL
+        |SELECT 'documents' AS table_name, 'source' AS column_name,
+        | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+        | CAST(max(f) AS BIGINT) AS max_freq,
+        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
+        |FROM (SELECT coalesce(CAST(source AS VARCHAR), '<NULL>') AS key, count(*) AS f
+        |      FROM documents GROUP BY 1) t_documents_source
+        |UNION ALL
+        |SELECT 'documents' AS table_name, 'lang' AS column_name,
+        | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+        | CAST(max(f) AS BIGINT) AS max_freq,
+        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
+        |FROM (SELECT coalesce(CAST(lang AS VARCHAR), '<NULL>') AS key, count(*) AS f
+        |      FROM documents GROUP BY 1) t_documents_lang""".stripMargin,
     "q74_dup_clusters" -> dupClustersOracle,
     "q33_word_jaccard_pairs" ->
       s"""WITH l AS (SELECT doc_id AS doc_a, lang, list_distinct($tokens) AS wa

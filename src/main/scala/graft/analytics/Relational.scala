@@ -672,6 +672,48 @@ object Relational {
   }
 
   /**
+   * q112: join-key skew audit — the diagnostic a 100 TB operator runs
+   * BEFORE a shuffle melts down: for every join/aggregation key column
+   * in the warehouse, total rows, distinct keys, the hottest key's
+   * frequency, and the skew ratio (max_freq · n_distinct / n — 1.0 for
+   * a uniform key, ≫ 1 when one key would hot-spot its shuffle
+   * partition). This is the measurement that decides between a plain
+   * shuffle, AQE skew splitting, and the salting operator
+   * ([[graft.operators.Skew]]).
+   *
+   * One map-side-combined aggregate per column, each collapsing to a
+   * single row (the per-key intermediate is distinct-key-sized); the
+   * hottest key is a deterministic `max(struct(freq, key))` — frequency
+   * ties resolve to the lexicographically greatest key on both engines.
+   * NULL keys profile as the literal '<NULL>' bucket rather than
+   * vanishing.
+   */
+  def skewProfile(s: SparkSession, d: String): DataFrame = {
+    def profile(df: DataFrame, table: String, c: String): DataFrame =
+      df.select(coalesce(col(c).cast("string"), lit("<NULL>")).as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("f"))
+        .agg(
+          sum(col("f")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          max(col("f")).as("max_freq"),
+          max(struct(col("f"), col("key"))).getField("key").as("top_key"))
+        .select(lit(table).as("table_name"), lit(c).as("column_name"),
+          col("n_rows"), col("n_distinct"), col("max_freq"),
+          round(col("max_freq") * col("n_distinct") /
+            col("n_rows").cast("double"), 6).as("skew_ratio"),
+          col("top_key"))
+    Seq(
+      profile(lineitem(s, d), "lineitem", "l_orderkey"),
+      profile(lineitem(s, d), "lineitem", "l_partkey"),
+      profile(lineitem(s, d), "lineitem", "l_suppkey"),
+      profile(orders(s, d), "orders", "o_custkey"),
+      profile(Tables.events(s, d), "events", "user_id"),
+      profile(Tables.documents(s, d), "documents", "source"),
+      profile(Tables.documents(s, d), "documents", "lang"))
+      .reduce(_ unionByName _)
+  }
+
+  /**
    * q109: sequential event funnel — per user, the earliest step-1 event,
    * then the earliest step-2 event strictly AFTER it, and so on (the
    * strict-ordering product-analytics funnel, not mere per-type
