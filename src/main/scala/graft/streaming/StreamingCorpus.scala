@@ -302,6 +302,55 @@ object StreamingCorpus {
   }
 
   /**
+   * Continuously-maintained sequential funnel — the streaming counterpart
+   * of q109: events land as files, the FUNNEL-TYPED subset is compacted
+   * into a bucketed state table (keyed event_id, so replay and
+   * out-of-order delivery dedup to set union — associative, hence
+   * arrival-order independent), and the strict-order funnel accounting
+   * is recomputed from that state after every batch. A late-arriving
+   * early event retroactively rewrites downstream steps (a newly
+   * unlocked earlier click re-qualifies later purchases), which no
+   * per-step running-min state could express — retention of the typed
+   * subset is the price of exact funnel semantics, and it is the
+   * DECLARED state bound: funnel-step events only, never the full
+   * stream.
+   *
+   * Output ≡ [[graft.analytics.Relational.eventFunnelOf]] over the full
+   * corpus, asserted under shuffled arrival + replay in
+   * StreamingCorpusSpec.
+   */
+  def startFunnel(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      steps: Seq[String],
+      statePath: String,
+      funnelPath: String,
+      checkpointDir: String,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val relevant = Merge.dedupLatest(
+          batch.filter(col("event_type").isin(steps: _*))
+            .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+            .withColumn("_dump_seq", lit(batchId)),
+          Seq("event_id"), "_dump_seq")
+        BucketedMerge.mergeInto(spark, statePath, relevant,
+          Seq("event_id"), nBuckets, seqCol = Some("_dump_seq"))
+        graft.analytics.Relational.eventFunnelOf(
+            BucketedMerge.read(spark, statePath), steps)
+          .write.mode("overwrite").parquet(funnelPath)
+      }
+      .start()
+  }
+
+  /**
    * Online per-source cap gate — the streaming counterpart of q103's
    * RefinedWeb domain-cap discipline: the kept table always holds, per
    * source, the `cap` documents with the LOWEST md5-lottery keys seen so

@@ -226,6 +226,59 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     cents.unpersist()
   }
 
+  test("streamed funnel equals the batch funnel; a late early event rewrites downstream steps") {
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_sfunnel").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val statePath = s"$root/wh/fstate"
+    val funnelPath = s"$root/wh/funnel"
+
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: click(10) + purchase(30) arrive FIRST; the view(0) that
+    // unlocks them arrives in wave 2 — conversion appears retroactively.
+    // user 2: view(0) then purchase(5) BEFORE any click — never converts.
+    // wave 2 replays user 2's view (event_id 20) to pin idempotence.
+    val w1 = Seq(
+      (10L, ts(10), 1L, "click", 0.0, "{}"),
+      (11L, ts(30), 1L, "purchase", 0.0, "{}"),
+      (20L, ts(0), 2L, "view", 0.0, "{}"),
+      (21L, ts(5), 2L, "purchase", 0.0, "{}"))
+    val w2 = Seq(
+      (12L, ts(0), 1L, "view", 0.0, "{}"),
+      (20L, ts(0), 2L, "view", 0.0, "{}"),
+      (22L, ts(20), 2L, "click", 0.0, "{}"))
+    def df(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val all = df((w1 ++ w2).distinct)
+
+    def landE(d0: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new File(root, s"stage_$name")
+      d0.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new File(landing, s"$name.parquet").toPath)
+    }
+    val steps = Seq("view", "click", "purchase")
+    def drain(): Unit = {
+      val q = StreamingCorpus.startFunnel(spark, landing.getAbsolutePath,
+        all.schema, steps, statePath, funnelPath, s"$root/chk", nBuckets = 4)
+      q.awaitTermination()
+    }
+    landE(df(w1), "wave1"); drain()
+    val mid = spark.read.parquet(funnelPath)
+      .filter(col("step") === "3_purchase").select("n_users").as[Long].head()
+    assert(mid == 0L, "no view has arrived yet, so nothing can have converted")
+
+    landE(df(w2), "wave2"); drain()
+    val streamed = spark.read.parquet(funnelPath)
+      .select("step", "n_users", "conv_from_first", "avg_secs")
+    val batch = graft.analytics.Relational.eventFunnelOf(all, steps)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed funnel diverges from the batch funnel on the same corpus")
+    val purch = streamed.filter(col("step") === "3_purchase")
+      .select("n_users").as[Long].head()
+    assert(purch == 1L, "the late view must retroactively convert user 1 (and only user 1)")
+  }
+
   test("JSONL landings drive the identical corpus pipeline (chunks equal the batch op)") {
     val root = TempDirs.tempDir("graft_sjsonl").toFile
     val landing = new File(root, "landing"); landing.mkdirs()
