@@ -182,7 +182,10 @@ object SparkEntry {
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
     // join-key skew audit: the pre-shuffle diagnostic that decides between
     // plain shuffle, AQE skew split, and salting
-    "q112_skew_profile" -> ((s: SparkSession, d: String) => Relational.skewProfile(s, d)))
+    "q112_skew_profile" -> ((s: SparkSession, d: String) => Relational.skewProfile(s, d)),
+    // cohort retention matrix: distinct (user, hour) activity collapsed
+    // map-side before any join; matrix is |cohorts| x |offsets| rows
+    "q113_cohort_retention" -> ((s: SparkSession, d: String) => Relational.cohortRetention(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -534,6 +537,18 @@ object SparkEntry {
         | FROM documents) t WHERE rn = 1""".stripMargin,
     "q32_minhash_lsh_pairs" -> minhashOracle(),
     "q111_minhash_calibration" -> minhashCalibrationOracle(),
+    "q113_cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |c AS (SELECT user_id, min(h) AS cohort_h FROM e GROUP BY user_id),
+        |a AS (SELECT e.user_id, e.h, c.cohort_h FROM e JOIN c ON e.user_id = c.user_id),
+        |m AS (SELECT cohort_h,
+        |  CAST((epoch_us(h) - epoch_us(cohort_h)) / 3600000000 AS BIGINT) AS offset_h,
+        |  count(DISTINCT user_id) AS n_active FROM a GROUP BY 1, 2),
+        |sz AS (SELECT cohort_h, count(*) AS cohort_size FROM c GROUP BY cohort_h)
+        |SELECT m.cohort_h AS cohort_h, offset_h, CAST(n_active AS BIGINT) AS n_active,
+        | CAST(cohort_size AS BIGINT) AS cohort_size,
+        | round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM m JOIN sz ON m.cohort_h = sz.cohort_h""".stripMargin,
     "q112_skew_profile" ->
       """SELECT 'lineitem' AS table_name, 'l_orderkey' AS column_name,
         | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,

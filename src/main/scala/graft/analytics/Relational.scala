@@ -672,6 +672,40 @@ object Relational {
   }
 
   /**
+   * q113: cohort retention matrix — the funnel's sibling in product
+   * analytics: users are cohorted by their first-activity hour and the
+   * matrix reports, per (cohort, hour offset), how many of that cohort
+   * were active again. Hour granularity because the fixture's event
+   * stream spans hours, not days — the shape is identical at daily/
+   * weekly grain.
+   *
+   * Scale shape: the corpus collapses to DISTINCT (user, hour) activity
+   * rows in one map-side-combined aggregate (the expensive dedup happens
+   * before any join); the cohort table is user-sized and joins back on
+   * user_id; the final matrix is |cohorts| × |offsets| rows. NULL users
+   * drop at the cohort join on both engines.
+   */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+    val active = ev.distinct()
+    val cohorts = active.groupBy(col("user_id")).agg(min(col("h")).as("cohort_h"))
+    active.join(cohorts, Seq("user_id"))
+      .withColumn("offset_h",
+        ((unix_micros(col("h").cast("timestamp_ltz")) -
+          unix_micros(col("cohort_h").cast("timestamp_ltz"))) /
+          lit(3600000000L)).cast("long"))
+      .groupBy(col("cohort_h"), col("offset_h"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(cohorts.groupBy(col("cohort_h"))
+        .agg(count(lit(1)).as("cohort_size")), Seq("cohort_h"))
+      .select(col("cohort_h").cast("timestamp_ntz").as("cohort_h"),
+        col("offset_h"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
+  /**
    * q112: join-key skew audit — the diagnostic a 100 TB operator runs
    * BEFORE a shuffle melts down: for every join/aggregation key column
    * in the warehouse, total rows, distinct keys, the hottest key's
