@@ -91,6 +91,36 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
     assert(out.count() == 5)
   }
 
+  test("q113 cohort retention: hand-computed matrix over hour buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(h: Long, m: Long) = new Timestamp((h * 3600 + m * 60) * 1000L)
+    // u1: cohort H0, active H0 and H1; u2: cohort H0 only;
+    // u3: cohort H1, active H1 and H3 (two events in H1 dedup to one)
+    val ev = Seq(
+      (1L, ts(0, 5)), (1L, ts(1, 10)),
+      (2L, ts(0, 40)),
+      (3L, ts(1, 1)), (3L, ts(1, 59)), (3L, ts(3, 0)))
+      .toDF("user_id", "ts")
+    // reuse the engine path via a temp parquet dir shaped like events
+    val dir = tempDir("graft_cohort").resolve("events.parquet")
+    ev.select(col("user_id"), col("ts"),
+        org.apache.spark.sql.functions.lit("e").as("event_type"),
+        org.apache.spark.sql.functions.lit(0.0).as("value"),
+        org.apache.spark.sql.functions.lit("{}").as("props"),
+        org.apache.spark.sql.functions.monotonically_increasing_id().as("event_id"))
+      .write.parquet(dir.toString)
+    val out = graft.analytics.Relational.cohortRetention(spark, dir.getParent.toString)
+      .orderBy("cohort_h", "offset_h")
+      .select("offset_h", "n_active", "cohort_size", "retention")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, 1.0),  // cohort H0, offset 0: u1 + u2
+      (1L, 1L, 2L, 0.5),  // cohort H0, offset 1: u1
+      (0L, 1L, 1L, 1.0),  // cohort H1, offset 0: u3
+      (2L, 1L, 1L, 1.0))) // cohort H1, offset 2: u3 at H3
+  }
+
   test("q109 funnel: strict ordering, per-step conversion, null users drop at the join") {
     import spark.implicits._
     def ts(s: Long) = new Timestamp(s * 1000L)
