@@ -185,7 +185,10 @@ object SparkEntry {
     "q112_skew_profile" -> ((s: SparkSession, d: String) => Relational.skewProfile(s, d)),
     // cohort retention matrix: distinct (user, hour) activity collapsed
     // map-side before any join; matrix is |cohorts| x |offsets| rows
-    "q113_cohort_retention" -> ((s: SparkSession, d: String) => Relational.cohortRetention(s, d)))
+    "q113_cohort_retention" -> ((s: SparkSession, d: String) => Relational.cohortRetention(s, d)),
+    // hamming histogram of the near-dup pair surface: the dial that sets
+    // the simhash threshold
+    "q114_hamming_histogram" -> ((s: SparkSession, d: String) => Dedup.hammingHistogram(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -537,6 +540,17 @@ object SparkEntry {
         | FROM documents) t WHERE rn = 1""".stripMargin,
     "q32_minhash_lsh_pairs" -> minhashOracle(),
     "q111_minhash_calibration" -> minhashCalibrationOracle(),
+    "q114_hamming_histogram" ->
+      (simhashFpCte() +
+        s""",
+          |hp AS (
+          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          | WHERE $simhashPairPredicate)
+          |SELECT hamming, count(*) AS n_pairs,
+          | count(DISTINCT doc_a) AS n_docs_a, count(DISTINCT doc_b) AS n_docs_b
+          |FROM hp GROUP BY hamming""".stripMargin),
     "q113_cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
         |c AS (SELECT user_id, min(h) AS cohort_h FROM e GROUP BY user_id),

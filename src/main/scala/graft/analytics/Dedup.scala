@@ -710,6 +710,24 @@ object Dedup {
     simhashPairsRaw(s, d, maxHamming).distinct()
 
   /**
+   * q114: Hamming-distance histogram of the near-dup pair surface — the
+   * dial that sets the simhash threshold: per distance, how many banded
+   * pairs exist and how many distinct documents they touch. A corpus
+   * whose histogram mass sits at low distances is duplication-heavy; the
+   * knee of this curve is where `maxHamming` belongs. Same banded
+   * equi-join surface as q35 (linear in duplicate mass), collapsed to at
+   * most maxHamming+1 rows map-side.
+   */
+  def hammingHistogram(s: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame =
+    simhashPairs(s, d, maxHamming)
+      .groupBy(col("hamming"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"))
+
+  /**
    * Cross-source duplication (leakage) matrix — the corpus-audit table
    * every multi-source training set needs: for each unordered pair of
    * sources, how many near-duplicate document pairs span them (the
