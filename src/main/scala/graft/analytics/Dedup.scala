@@ -606,7 +606,7 @@ object Dedup {
     * equal 15-bit band ⇒ candidate; exact Hamming filter via
     * bit_count(xor). Shared by the full-corpus pair queries and the
     * exact-first dup graph. */
-  private def bandPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def bandPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     val banded = fps.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimhashBands).map(k =>
         shiftright(col("simhash"), k * SimhashBandBits)
@@ -714,13 +714,105 @@ object Dedup {
    * dial that sets the simhash threshold: per distance, how many banded
    * pairs exist and how many distinct documents they touch. A corpus
    * whose histogram mass sits at low distances is duplication-heavy; the
-   * knee of this curve is where `maxHamming` belongs. Same banded
-   * equi-join surface as q35 (linear in duplicate mass), collapsed to at
-   * most maxHamming+1 rows map-side.
+   * knee of this curve is where `maxHamming` belongs.
+   *
+   * Computed WITHOUT enumerating the member-level pair surface: exact
+   * duplicates are collapsed by content hash first (the q74/q81/q86
+   * discipline — see [[simhashDupGraph]]'s scaladoc for why banding the
+   * full corpus is quadratic in duplicate multiplicity), the banded join
+   * runs over UNIQUE fingerprints only, and the member-level aggregates
+   * are then recovered analytically from the multiplicity table:
+   *
+   *  - `n_pairs` at distance h: Σ n_G·n_H over unique-fingerprint group
+   *    pairs at h, plus Σ C(n_G, 2) at h = 0 (the intra-group exact pairs
+   *    — identical texts share all bands, so every member pair is banded);
+   *  - `n_docs_a` (docs appearing on the `doc_a = min id` side): a member
+   *    d of group G is a doc_a at distance h iff some partner id exceeds
+   *    it, i.e. iff d < Ta(G,h) = max over partner groups' max member id
+   *    (for h = 0 the group's own max id serves — d < max(G) iff a larger
+   *    co-member exists). One join of the linear membership table against
+   *    the (group, hamming, Ta, Tb) threshold table counts both sides.
+   *
+   * Results are row-identical to the exhaustive form (pinned against
+   * [[hammingHistogramExhaustive]] in PairSurfaceSpec, including a
+   * 1000×-duplicated hostile doc), but candidate rows are O(unique
+   * fingerprints² worst case / linear in duplicate mass) instead of
+   * O(multiplicity²) — the 30–60% exact-dup rate of real web corpora
+   * no longer concentrates n²/2 rows in single band groups.
    */
   def hammingHistogram(s: SparkSession, d: String,
       maxHamming: Int = 6): DataFrame =
-    simhashPairs(s, d, maxHamming)
+    hammingHistogramOf(
+      simhashMetaOf(documentsSpread(s, d).select(col("doc_id"), col("text"))),
+      maxHamming)
+
+  /** [[hammingHistogram]] over a (doc_id, h128, simhash) fingerprint frame. */
+  def hammingHistogramOf(fps: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val live = fps.filter(col("h128").isNotNull) // null text never pairs
+    // multiplicity table: one row per distinct text; rep id `g` is the key
+    val groups = live.groupBy(col("h128"))
+      .agg(min(col("simhash")).as("simhash"), count(lit(1)).as("n"),
+        min(col("doc_id")).as("g"), max(col("doc_id")).as("max_id"))
+    // banded join over unique fingerprints only (ReuseExchange shares the
+    // groupBy(h128) shuffle across the branches below — one corpus pass)
+    val gp = bandPairs(
+        groups.select(col("g").as("doc_id"), col("simhash")), maxHamming)
+      .distinct()
+      .select(col("doc_a").as("ga"), col("doc_b").as("gb"), col("hamming"))
+    val gn = groups.select(col("g"), col("n"), col("max_id"))
+    // pair counts: cross-group products + intra-group C(n,2) at h=0
+    // (shiftright keeps n·(n−1)/2 in exact long arithmetic)
+    val crossNp = gp
+      .join(gn.select(col("g").as("ga"), col("n").as("na")), "ga")
+      .join(gn.select(col("g").as("gb"), col("n").as("nb")), "gb")
+      .select(col("hamming"), (col("na") * col("nb")).as("np"))
+    val intraNp = gn.filter(col("n") >= 2)
+      .select(lit(0).as("hamming"),
+        shiftright(col("n") * (col("n") - 1), 1).as("np"))
+    val pairsByH = crossNp.unionByName(intraNp)
+      .groupBy(col("hamming")).agg(sum(col("np")).as("n_pairs"))
+    // per-(group, hamming) partner id thresholds: Ta = max partner id
+    // (doc_a side), Tb = min partner id (doc_b side); the group's own
+    // span covers the intra (h=0) pairs
+    val partnerIds = gp.select(col("ga").as("g"), col("hamming"), col("gb").as("p"))
+      .unionByName(gp.select(col("gb").as("g"), col("hamming"), col("ga").as("p")))
+      .join(gn.select(col("g").as("p"), col("g").as("pmin"), col("max_id").as("pmax")),
+        "p")
+      .select(col("g"), col("hamming"), col("pmin"), col("pmax"))
+    val intraIds = gn.filter(col("n") >= 2)
+      .select(col("g"), lit(0).as("hamming"),
+        col("g").as("pmin"), col("max_id").as("pmax"))
+    val thr = partnerIds.unionByName(intraIds)
+      .groupBy(col("g"), col("hamming"))
+      .agg(min(col("pmin")).as("tb"), max(col("pmax")).as("ta"))
+    // membership (linear) × thresholds (≤ groups·(maxHamming+1)) counts
+    // distinct participating docs per side without touching member pairs
+    val members = live
+      .join(groups.select(col("h128"), col("g")), "h128")
+      .select(col("doc_id"), col("g"))
+    val docsByH = members.join(thr, "g")
+      .groupBy(col("hamming"))
+      .agg(
+        sum(when(col("doc_id") < col("ta"), 1L).otherwise(0L)).as("n_docs_a"),
+        sum(when(col("doc_id") > col("tb"), 1L).otherwise(0L)).as("n_docs_b"))
+    pairsByH.join(docsByH, Seq("hamming"))
+      .select(col("hamming"), col("n_pairs"), col("n_docs_a"), col("n_docs_b"))
+  }
+
+  /** The pre-collapse spelling of [[hammingHistogram]] — quadratic in
+    * exact-duplicate multiplicity; retained ONLY as the equivalence oracle
+    * for PairSurfaceSpec. */
+  private[graft] def hammingHistogramExhaustive(s: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame =
+    hammingHistogramExhaustiveOf(
+      simhashMetaOf(documentsSpread(s, d).select(col("doc_id"), col("text"))),
+      maxHamming)
+
+  /** [[hammingHistogramExhaustive]] over a (doc_id, h128, simhash) frame. */
+  private[graft] def hammingHistogramExhaustiveOf(fps: DataFrame,
+      maxHamming: Int = 6): DataFrame =
+    bandPairs(fps.select(col("doc_id"), col("simhash")), maxHamming)
+      .distinct()
       .groupBy(col("hamming"))
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -754,8 +846,126 @@ object Dedup {
       documents(s, d).select(col("doc_id"), col("text"), col("source")),
       maxHamming)
 
-  /** [[crossSourceLeakage]] over an arbitrary (doc_id, text, source) frame. */
+  /**
+   * [[crossSourceLeakage]] over an arbitrary (doc_id, text, source) frame.
+   *
+   * Like [[hammingHistogramOf]], this never enumerates member-level pairs:
+   * exact duplicates collapse by content hash, the banded join runs over
+   * unique fingerprints, and the matrix cells are recovered from the
+   * per-(group, source) multiplicity table `gsrc`:
+   *
+   *  - `n_pairs` for cell (u, v): Σ n_{G,u}·n_{H,v} over group pairs
+   *    (either orientation), plus the intra-group exact-dup contributions
+   *    (n_{G,u}·n_{G,v} across sources; C(n_{G,u}, 2) on the diagonal);
+   *  - off-diagonal `n_docs_a/b`: orientation is decided by the SOURCE
+   *    order, so every doc in (G, u) with ANY partner member in v
+   *    participates — a group-level semi-join condition, docs counted as
+   *    Σ n_{G,u};
+   *  - diagonal cells order by doc id, so the [[hammingHistogramOf]]
+   *    threshold trick applies per source: d in (G, u) is a `da` iff
+   *    d < max partner id within u.
+   *
+   * Row-identical to the exhaustive form (PairSurfaceSpec, incl. a
+   * 1000×-duplicated hostile doc); candidate volume is linear in
+   * duplicate mass. Output stays |sources|²-bounded.
+   */
   def crossSourceLeakageOf(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val live = simhashMetaOf(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .filter(col("h128").isNotNull)
+    val groups = live.groupBy(col("h128"))
+      .agg(min(col("simhash")).as("simhash"), min(col("doc_id")).as("g"))
+    // per-(distinct text, source) multiplicity + member id span
+    val gsrc = live.join(groups.select(col("h128"), col("g")), "h128")
+      .groupBy(col("g"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("smin"), max(col("doc_id")).as("smax"))
+    val gp = bandPairs(
+        groups.select(col("g").as("doc_id"), col("simhash")), maxHamming)
+      .distinct()
+      .select(col("doc_a").as("ga"), col("doc_b").as("gb"), col("hamming"))
+    // source-pair normalization: src_a <= src_b with NULL sorted last —
+    // explicit CASE, not least/greatest, so both engines agree on NULLs
+    def normLt(a: Column, b: Column): Column =
+      a.isNotNull && (b.isNull || a < b)
+    // ---- n_pairs + min_hamming per cell -------------------------------
+    val cross = gp
+      .join(gsrc.select(col("g").as("ga"), col("source").as("sa"),
+        col("n").as("na")), "ga")
+      .join(gsrc.select(col("g").as("gb"), col("source").as("sb"),
+        col("n").as("nb")), "gb")
+    val swap = normLt(col("sb"), col("sa"))
+    val crossCells = cross.select(
+      when(swap, col("sb")).otherwise(col("sa")).as("src_a"),
+      when(swap, col("sa")).otherwise(col("sb")).as("src_b"),
+      (col("na") * col("nb")).as("np"),
+      col("hamming"))
+    val xEq = col("x.source") <=> col("y.source")
+    val intraCells = gsrc.as("x")
+      .join(gsrc.as("y"), col("x.g") === col("y.g"))
+      .filter(normLt(col("x.source"), col("y.source")) || xEq)
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        when(xEq, shiftright(col("x.n") * (col("x.n") - 1), 1))
+          .otherwise(col("x.n") * col("y.n")).as("np"),
+        lit(0).as("hamming"))
+      .filter(col("np") > 0)
+    val cellPairs = crossCells.unionByName(intraCells)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("np")).as("n_pairs"), min(col("hamming")).as("min_hamming"))
+    // ---- distinct docs per cell ---------------------------------------
+    // partner relation at group level, self included (intra exact pairs)
+    val gpSym = gp.select(col("ga").as("g"), col("gb").as("p"))
+      .unionByName(gp.select(col("gb").as("g"), col("ga").as("p")))
+    val selfP = groups.select(col("g"), col("g").as("p"))
+    // off-diagonal: doc side in u, any partner member in v, u ≠ v
+    val offCand = gpSym.unionByName(selfP).distinct()
+      .join(gsrc.select(col("g"), col("source").as("u"), col("n").as("nu")), "g")
+      .join(gsrc.select(col("g").as("p"), col("source").as("v")), "p")
+      .filter(!(col("u") <=> col("v")))
+      .select(col("g"), col("u"), col("v"), col("nu"))
+      .distinct()
+    val uLtV = normLt(col("u"), col("v"))
+    val offDocs = offCand.select(
+        when(uLtV, col("u")).otherwise(col("v")).as("src_a"),
+        when(uLtV, col("v")).otherwise(col("u")).as("src_b"),
+        when(uLtV, col("nu")).otherwise(lit(0L)).as("nda"),
+        when(uLtV, lit(0L)).otherwise(col("nu")).as("ndb"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("nda")).as("n_docs_a"), sum(col("ndb")).as("n_docs_b"))
+    // diagonal: same-source pairs order by doc id — per-(group, source)
+    // partner id thresholds, then one membership join
+    val diagThr = gpSym
+      .join(gsrc.select(col("g").as("p"), col("source").as("u"),
+        col("smin").as("pmin"), col("smax").as("pmax")), "p")
+      .select(col("g"), col("u"), col("pmin"), col("pmax"))
+      .unionByName(gsrc.select(col("g"), col("source").as("u"),
+        col("smin").as("pmin"), col("smax").as("pmax")))
+      .groupBy(col("g"), col("u"))
+      .agg(min(col("pmin")).as("tb"), max(col("pmax")).as("ta"))
+    val memberRows = live.join(groups.select(col("h128"), col("g")), "h128")
+      .select(col("doc_id"), col("g"), col("source").as("u"))
+    val diagDocs = memberRows.alias("m")
+      .join(diagThr.alias("t"),
+        col("m.g") === col("t.g") && col("m.u") <=> col("t.u"))
+      .groupBy(col("t.u"))
+      .agg(
+        sum(when(col("doc_id") < col("ta"), 1L).otherwise(0L)).as("n_docs_a"),
+        sum(when(col("doc_id") > col("tb"), 1L).otherwise(0L)).as("n_docs_b"))
+      .select(col("u").as("src_a"), col("u").as("src_b"),
+        col("n_docs_a"), col("n_docs_b"))
+    val docCells = offDocs.unionByName(diagDocs)
+    cellPairs.alias("cp")
+      .join(docCells.alias("dc"),
+        col("cp.src_a") <=> col("dc.src_a") && col("cp.src_b") <=> col("dc.src_b"))
+      .select(col("cp.src_a"), col("cp.src_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"), col("min_hamming"))
+  }
+
+  /** The pre-collapse spelling of [[crossSourceLeakageOf]] — quadratic in
+    * exact-duplicate multiplicity; retained ONLY as the equivalence oracle
+    * for PairSurfaceSpec. */
+  private[graft] def crossSourceLeakageExhaustiveOf(docs: DataFrame,
+      maxHamming: Int): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     val pairs = bandPairs(
       simhashMetaOf(docs).select(col("doc_id"), col("simhash")), maxHamming)
@@ -763,9 +973,6 @@ object Dedup {
     val j = pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
-    // normalize to src_a <= src_b with NULL sorted first; the predicate is
-    // never NULL (guarded by the isNotNull/isNull arms), so the swap is
-    // total and both engines agree row-for-row
     val swap = col("sb").isNotNull && (col("sa").isNull || col("sa") > col("sb"))
     j.select(
         when(swap, col("sb")).otherwise(col("sa")).as("src_a"),
