@@ -797,14 +797,25 @@ object TextStats {
    *
    * 100 TB posture: two clean corpus scans, corpus text never shuffles.
    * Scan 1 explodes (doc_id, span_hash) — 16 bytes/span — and aggregates
-   * document frequency; the surviving boilerplate set is a heavy-hitter
-   * table (size ≤ total_spans / dfThreshold) collapsed to one sorted-array
-   * row and broadcast. Scan 2 recomputes spans in-row and filters against
-   * the broadcast set, so cleansing is a narrow map (same two-pass shape as
-   * the classifier filter's model/score split). If the boilerplate set ever
-   * outgrew a broadcast (pathological near-duplicate corpora), the degrade
-   * path is the exploded left-anti join + ordered reassembly the oracle
-   * spells — same semantics, one extra shuffle of span hashes.
+   * document frequency into the boilerplate drop set (a heavy-hitter table,
+   * size ≤ total_spans / dfThreshold), pinned once with a lazy local
+   * checkpoint whose materializing count() IS the one-job size probe that
+   * selects the cleanse plan:
+   *
+   *  - set fits a broadcast (`maxBroadcastSpans`): the set collapses to one
+   *    sorted-array row, scan 2 recomputes spans in-row and filters with
+   *    the binary-search [[graft.functions.SortedContains]] — O(log |set|)
+   *    per span, not `array_contains`'s O(|set|) linear walk — so cleansing
+   *    stays a narrow map (same two-pass shape as the classifier filter's
+   *    model/score split);
+   *  - set too large (pathological boilerplate-heavy corpora — the df cap
+   *    grows linearly with corpus size at a fixed threshold): DEGRADE to
+   *    the exploded left-anti join against the checkpointed hash table
+   *    (shuffle rows are (doc_id, pos, span) — span text, never documents)
+   *    with ordered reassembly via the posexplode position key. Same
+   *    semantics, pinned by BoilerplateDegradeSpec (forced-degrade ≡
+   *    broadcast on identical corpora, incl. the hostile 50%-shared-span
+   *    fixture); requires non-null doc_id (the corpus primary key).
    *
    * Output per document: span count, dropped count, kept whitespace tokens,
    * and a 60-bit hash of the reassembled cleaned text (pinning REASSEMBLY
@@ -816,9 +827,12 @@ object TextStats {
       spanWords: Int = 8, dfThreshold: Int = 2): DataFrame =
     boilerplateRemovalOf(documents(s, d), spanWords, dfThreshold)
 
-  /** [[boilerplateRemoval]] over an arbitrary (doc_id, text) frame. */
+  /** [[boilerplateRemoval]] over an arbitrary (doc_id, text) frame.
+    * `maxBroadcastSpans` caps the broadcast drop set (default 4M hashes =
+    * 32 MB of longs, comfortably under executor broadcast budgets); larger
+    * sets take the anti-join degrade path. */
   def boilerplateRemovalOf(docs: DataFrame, spanWords: Int,
-      dfThreshold: Int): DataFrame = {
+      dfThreshold: Int, maxBroadcastSpans: Long = 1L << 22): DataFrame = {
     val withSpans = docs
       .withColumn("w", words(coalesce(col("text"), lit(""))))
       .withColumn("spans", transform(
@@ -826,30 +840,64 @@ object TextStats {
           greatest(ceil(size(col("w")).cast("double") / spanWords), lit(1))
             .cast("int") - 1),
         i => array_join(slice(col("w"), i * spanWords + 1, lit(spanWords)), " ")))
-    // scan 1: span document frequency -> boilerplate set (one sorted row)
-    val boiler = withSpans
-      .select(col("doc_id"), explode(col("spans")).as("span"))
-      .select(col("doc_id"), hash60(col("span")).as("sh"))
-      .groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= dfThreshold)
-      .agg(sort_array(collect_set(col("sh"))).as("bp"))
-    // scan 2: narrow cleanse against the broadcast set, in-row reassembly
-    withSpans
-      .crossJoin(broadcast(boiler))
-      .withColumn("kept",
-        filter(col("spans"), sp => !array_contains(col("bp"), hash60(sp))))
-      .withColumn("cleaned",
-        when(size(col("kept")) === 0, lit(null).cast("string"))
-          .otherwise(array_join(col("kept"), " ")))
-      .select(
-        col("doc_id"),
-        size(col("spans")).cast("long").as("n_spans"),
-        (size(col("spans")) - size(col("kept"))).cast("long").as("n_dropped"),
-        when(col("cleaned").isNull || col("cleaned") === "", lit(0L))
-          .otherwise(size(split(col("cleaned"), "\\s+")).cast("long"))
-          .as("kept_tokens"),
-        hash60(col("cleaned")).as("cleaned_hash"))
+    // scan 1: span document frequency -> boilerplate hash table, pinned so
+    // the probe and the chosen cleanse plan share one materialization
+    val dropSet = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      withSpans
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .select(col("doc_id"), hash60(col("span")).as("sh"))
+        .groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= dfThreshold)
+        .select(col("sh")),
+      eager = false)
+    val nBoiler = dropSet.count() // one job: materializes + sizes the set
+    if (nBoiler <= maxBroadcastSpans) {
+      // scan 2: narrow cleanse against the broadcast sorted set, in-row
+      // reassembly; probes are binary searches
+      val boiler = dropSet.agg(sort_array(collect_set(col("sh"))).as("bp"))
+      withSpans
+        .crossJoin(broadcast(boiler))
+        .withColumn("kept",
+          filter(col("spans"), sp =>
+            !graft.functions.SortedContains.sortedContains(
+              col("bp"), hash60(sp))))
+        .withColumn("cleaned",
+          when(size(col("kept")) === 0, lit(null).cast("string"))
+            .otherwise(array_join(col("kept"), " ")))
+        .select(
+          col("doc_id"),
+          size(col("spans")).cast("long").as("n_spans"),
+          (size(col("spans")) - size(col("kept"))).cast("long").as("n_dropped"),
+          when(col("cleaned").isNull || col("cleaned") === "", lit(0L))
+            .otherwise(size(split(col("cleaned"), "\\s+")).cast("long"))
+            .as("kept_tokens"),
+          hash60(col("cleaned")).as("cleaned_hash"))
+    } else {
+      // degrade: anti-join the exploded span stream against the hash
+      // table, reassemble in position order
+      val keptAgg = withSpans
+        .select(col("doc_id"),
+          posexplode(col("spans")).as(Seq("pos", "span")))
+        .withColumn("sh", hash60(col("span")))
+        .join(dropSet, Seq("sh"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("span")))).as("ps"))
+        .select(col("doc_id"), size(col("ps")).as("n_kept"),
+          array_join(transform(col("ps"), p => p.getField("span")), " ")
+            .as("cleaned"))
+      withSpans.select(col("doc_id"), size(col("spans")).as("ns"))
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("ns").cast("long").as("n_spans"),
+          (col("ns") - coalesce(col("n_kept"), lit(0))).cast("long")
+            .as("n_dropped"),
+          when(col("cleaned").isNull || col("cleaned") === "", lit(0L))
+            .otherwise(size(split(col("cleaned"), "\\s+")).cast("long"))
+            .as("kept_tokens"),
+          hash60(col("cleaned")).as("cleaned_hash"))
+    }
   }
 
   /**
