@@ -1504,19 +1504,27 @@ object SparkEntry {
     "q99_perplexity_buckets" ->
       s"""WITH ws AS (SELECT doc_id, lang, $tokens AS w FROM documents),
         |dd AS (SELECT doc_id, lang, w, coalesce(len(w), 0) AS nw FROM ws),
-        |uc AS (SELECT lang, w1, count(*) AS cu
-        | FROM (SELECT lang, unnest(w) AS w1 FROM dd) t GROUP BY 1, 2),
+        |uc AS (SELECT lang, w1, cu FROM (
+        |  SELECT lang, w1, count(*) AS cu,
+        |   row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, w1) AS rn
+        |  FROM (SELECT lang, unnest(w) AS w1 FROM dd) t GROUP BY 1, 2) c
+        | WHERE rn <= ${graft.analytics.TextStats.PerplexityVocabCap}),
         |vv AS (SELECT lang, count(*) AS v FROM uc GROUP BY 1),
         |bg AS (SELECT doc_id, lang, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT)+1] AS w2
         | FROM (SELECT doc_id, lang, w, unnest(range(1, nw)) AS i FROM dd WHERE nw >= 2) t),
-        |bc AS (SELECT lang, w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2, 3),
+        |bc AS (SELECT lang, w1, w2, cb FROM (
+        |  SELECT lang, w1, w2, count(*) AS cb,
+        |   row_number() OVER (PARTITION BY lang
+        |     ORDER BY count(*) DESC, w1 || ' ' || w2) AS rn
+        |  FROM bg GROUP BY 1, 2, 3) c
+        | WHERE rn <= ${graft.analytics.TextStats.PerplexityVocabCap}),
         |terms AS (
         | SELECT g.doc_id, g.lang,
-        |  CAST(round(-log10((coalesce(bc.cb, 0) + 1.0) / (uc.cu + vv.v)), 6)
+        |  CAST(round(-log10((coalesce(bc.cb, 0) + 1.0) / (coalesce(uc.cu, 0) + vv.v)), 6)
         |   AS DECIMAL(18,6)) AS term
         | FROM bg g
         | LEFT JOIN bc ON g.lang = bc.lang AND g.w1 = bc.w1 AND g.w2 = bc.w2
-        | JOIN uc ON g.lang = uc.lang AND g.w1 = uc.w1
+        | LEFT JOIN uc ON g.lang = uc.lang AND g.w1 = uc.w1
         | JOIN vv ON g.lang = vv.lang),
         |sc AS (SELECT doc_id, lang,
         |  round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS score

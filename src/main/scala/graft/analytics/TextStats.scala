@@ -910,16 +910,24 @@ object TextStats {
    * distributed observable (KenLM's k-gram backoff weights are a modeling
    * refinement on the same count table).
    *
-   * 100 TB posture: the MODEL is vocabulary-bounded — unigram and bigram
-   * count maps per language (≤ |V| + |V|² entries, vocab-capped in a real
-   * deployment the same way [[bpeTrain]] caps its word table) — built from
-   * one exploded scan whose shuffle rows are (lang, gram, partial_count),
-   * then broadcast as per-language maps. Scoring is a second NARROW scan:
-   * each document walks its own bigrams in-row against the broadcast maps,
-   * so no corpus-sized join and no text shuffle. Only (doc_id, lang, score)
-   * — 3 narrow columns — enters the tercile window. Per-bigram terms are
-   * rounded to 6 dp and summed as DECIMAL so the in-row (array-order) sum
-   * and the oracle's join-order sum agree exactly.
+   * 100 TB posture: the MODEL is vocabulary-BOUNDED by the `vocabCap`
+   * knob ([[bpeTrain]]'s word-table discipline): only the top `vocabCap`
+   * unigrams and bigrams per language (by count, ties broken by gram) are
+   * retained, so the broadcast count tables are ≤ 2·cap·|langs| rows no
+   * matter how the corpus's distinct-gram count grows (Heaps' law makes
+   * the uncapped table corpus-bounded, not type-bounded — it WILL outgrow
+   * Spark's 8 GB broadcast ceiling on a real crawl). Grams that miss the
+   * capped tables fall to the add-one smoothing floor (cb→0, cu→0 ⇒
+   * denominator V), which is the published CCNet treatment of
+   * out-of-vocabulary grams anyway. Scoring is a second NARROW scan:
+   * per-bigram rows hash-join the broadcast tables, so no corpus-sized
+   * shuffle and no text shuffle. Only (doc_id, lang, score) — 3 narrow
+   * columns — enters the tercile window. Per-bigram terms are rounded to
+   * 6 dp and summed as DECIMAL so the in-row (array-order) sum and the
+   * oracle's join-order sum agree exactly. On a corpus whose vocabulary
+   * sits under the cap the capped model IS the uncapped model
+   * (Round9OpsSpec pins capped ≡ uncapped there; the oracle SQL carries
+   * the same cap predicate).
    *
    * Documents with < 2 words have no bigrams ⇒ NULL score ⇒ bucket "none"
    * (kept, so the per-language tally still partitions the corpus).
@@ -927,23 +935,37 @@ object TextStats {
   def perplexityBuckets(s: SparkSession, d: String): DataFrame =
     perplexityBucketsOf(documents(s, d))
 
+  /** Default model cap: 64Ki grams per table per language — bpeTrain's
+    * vocab discipline; comfortably broadcastable at any corpus size. */
+  val PerplexityVocabCap = 65536
+
   /** [[perplexityBuckets]] over an arbitrary (doc_id, lang, text) frame. */
-  def perplexityBucketsOf(docs: DataFrame): DataFrame = {
+  def perplexityBucketsOf(docs: DataFrame,
+      vocabCap: Int = PerplexityVocabCap): DataFrame = {
     val wsDocs = docs
       .withColumn("w", words(col("text")))
       .withColumn("nw", coalesce(size(col("w")), lit(0)))
-    val uni = wsDocs
+    // top-`vocabCap` grams per language, count-desc with gram tiebreak —
+    // deterministic and identically ordered on both engines (UTF-8 byte
+    // order == code-point order)
+    def capped(df: DataFrame, gram: String, cnt: String): DataFrame =
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col(cnt).desc, col(gram))))
+        .filter(col("rn") <= vocabCap)
+        .drop("rn")
+    val uni = capped(wsDocs
       .select(col("lang"), explode(col("w")).as("w1"))
       .groupBy(col("lang"), col("w1"))
-      .agg(count(lit(1)).as("cu"))
-    val bi = wsDocs
+      .agg(count(lit(1)).as("cu")), "w1", "cu")
+    val bi = capped(wsDocs
       .filter(col("nw") >= 2)
       .select(col("lang"), explode(transform(
         sequence(lit(1), col("nw") - 1),
         i => concat(element_at(col("w"), i), lit(" "),
           element_at(col("w"), i + 1)))).as("b"))
       .groupBy(col("lang"), col("b"))
-      .agg(count(lit(1)).as("cb"))
+      .agg(count(lit(1)).as("cb")), "b", "cb")
     // Scoring = two BROADCAST hash joins of the per-bigram stream against
     // the vocab-bounded count tables + a map-side-combined per-doc decimal
     // sum. Round 8 replaced the per-row `element_at(map)` formulation:
@@ -967,12 +989,13 @@ object TextStats {
       .select(col("doc_id"), col("lang"),
         col("e.w1").as("w1"), col("e.b").as("b"))
     val perDoc = bigrams
-      .join(broadcast(bi), Seq("lang", "b"))
-      .join(broadcast(uni), Seq("lang", "w1"))
-      .join(broadcast(vsize), Seq("lang"))
+      .join(broadcast(bi), Seq("lang", "b"), "left")
+      .join(broadcast(uni), Seq("lang", "w1"), "left")
+      .join(broadcast(vsize), Seq("lang")) // inner: NULL lang ⇒ no model
       .withColumn("term",
-        round(-log10((col("cb") + 1).cast("double") /
-          (col("cu") + col("v")).cast("double")), 6).cast("decimal(18,6)"))
+        round(-log10((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("term").cast("decimal(28,6)")).cast("double") /
         count(lit(1)), 6).as("score"))
