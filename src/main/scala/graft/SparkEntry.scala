@@ -1602,7 +1602,7 @@ object SparkEntry {
         |   length(regexp_replace(text, '\x{FFFD}', '', 'g'))), 0) AS BIGINT) AS repl_chars,
         | CAST(coalesce(sum(length(text) -
         |   length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))), 0) AS BIGINT) AS non_ascii,
-        | CAST(coalesce(sum(len(regexp_split_to_array(text, '\s{2,}')) - 1), 0) AS BIGINT) AS ws_runs
+        | CAST(coalesce(sum(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]{2,}')) - 1), 0) AS BIGINT) AS ws_runs
         |FROM documents GROUP BY source""".stripMargin,
     "q105_zipf_diversity" ->
       s"""WITH t AS (SELECT source, unnest($tokens) AS tok FROM documents),

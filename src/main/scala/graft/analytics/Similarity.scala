@@ -234,7 +234,13 @@ object Similarity {
   /** The embedding width — one (cached per file set) head() probe, used
     * to size the literal coefficient arrays. */
   def embeddingDim(emb: DataFrame): Int = {
-    def probe(): Int = emb.select(size(col("embedding"))).head().getInt(0)
+    // first NON-NULL row: a NULL-vector row sorting first must not NPE
+    // the probe, and a degenerate corpus (empty / all-NULL) degrades to
+    // width 0 rather than throwing — every consumer then produces the
+    // zero-row / bucket-0 shape the oracle's NULL-width SQL does
+    def probe(): Int = emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val files = emb.inputFiles
     if (files.isEmpty) probe()
     else dimCache.computeIfAbsent(files.sorted.mkString(","), _ => Int.box(probe()))
@@ -595,8 +601,13 @@ object Similarity {
   private def pqModel(emb: DataFrame, m: Int, k: Int, iters: Int,
       trainSampleMod: Int = 1): DataFrame = {
     // control-plane scalar (one tiny max-aggregate job, like the bucket
-    // probes): the subspace width every slice below is built from
-    val maxDim = emb.agg(max(size(col("embedding")))).head().getInt(0)
+    // probes): the subspace width every slice below is built from. The
+    // aggregate row is NULL on a degenerate corpus (no rows, or every
+    // embedding NULL) — degrade to an empty typed frame below, mirroring
+    // the oracle's NULL-width collapse to zero rows, instead of throwing.
+    val widthRow = emb.agg(max(size(col("embedding")))).head()
+    val maxDim = if (widthRow.isNullAt(0)) 0 else widthRow.getInt(0)
+    val degenerate = widthRow.isNullAt(0)
     val dsub = math.max((maxDim + m - 1) / m, 1)
     val slices = array((0 until m).map(i =>
       slice(col("embedding"), i * dsub + 1, dsub)): _*)
@@ -612,7 +623,11 @@ object Similarity {
       }
       assigned
     }
-    if (trainSampleMod <= 1) lloyd(subvecs(emb))
+    if (degenerate)
+      subvecs(emb.limit(0))
+        .withColumn("code", pmod(col("vec_id"), lit(k.toLong)))
+        .withColumn("dist_raw", lit(null).cast("double"))
+    else if (trainSampleMod <= 1) lloyd(subvecs(emb))
     else {
       val sample = emb.filter(
         Sampling.idBucket(col("vec_id"), trainSampleMod.toLong) === 0)

@@ -1052,7 +1052,11 @@ object TextStats {
         charClassCount(col("text"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"))
       .withColumn("repl", charClassCount(col("text"), "�"))
       .withColumn("nonascii", charClassCount(col("text"), "[^\\x00-\\x7F]"))
-      .withColumn("wsruns", size(split(col("text"), "\\s{2,}")) - 1)
+      // explicit whitespace class, NOT \s: Java's \s includes U+000B
+      // (vertical tab) while RE2's does not, and U+000B is in the hostile
+      // fixture's control-char vocabulary — the spelled-out class keeps
+      // both engines counting the same runs
+      .withColumn("wsruns", size(split(col("text"), "[ \\t\\n\\x0B\\f\\r]{2,}")) - 1)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -91,7 +91,10 @@ object BucketedMerge {
         case None     => Merge.applyIncremental(target, withB, pk)
       }
     val fs = fsOf(spark)
-    if (!fs.exists(new Path(targetPath))) {
+    if (!fs.exists(new Path(targetPath)) || !hasData(spark, targetPath)) {
+      // absent target, or an existing zero-ROW one (an all-empty first
+      // batch writes bookkeeping but no parquet footers — reading it for
+      // migration would crash schema inference): (re)write from scratch
       val withB = batch.withColumn(BucketColName, bucketExpr(pk, nBuckets))
       fullRewrite(spark, withB, targetPath, nBuckets)
     } else if (!isBucketedLayout(spark, targetPath)) {
@@ -129,4 +132,21 @@ object BucketedMerge {
   /** Reader view without the layout column. */
   def read(spark: SparkSession, targetPath: String): DataFrame =
     spark.read.parquet(targetPath).drop(BucketColName)
+
+  /** True iff the target holds at least one written parquet part. A
+    * zero-ROW first write leaves only bookkeeping files (_SUCCESS, the
+    * bucket-count sidecar) — no footers — so a schema-inferring
+    * `spark.read.parquet` over it throws; consumers that recompute a
+    * derived table after every merge guard with this instead. */
+  def hasData(spark: SparkSession, targetPath: String): Boolean = {
+    val fs = fsOf(spark)
+    val p = new Path(targetPath)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
 }

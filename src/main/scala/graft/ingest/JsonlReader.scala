@@ -40,13 +40,25 @@ object JsonlReader {
       .option("mode", "FAILFAST")
       .json(paths: _*)
 
-  /** Lenient read: (clean rows, quarantined raw lines). A malformed line
-    * yields one quarantine row carrying the verbatim line text; clean
-    * rows never silently lose fields. The split is computed from ONE
-    * cached pass (Spark's lazy `_corrupt_record` cannot be filtered
-    * directly without it). */
+  /** A permissive-read result: the clean/quarantine split plus the
+    * `release()` handle that drops the shared cache backing it. Both
+    * frames read through one cached pass of the raw input; without an
+    * explicit release that cache would pin the whole corpus in the block
+    * store for the session's lifetime, so consume (or persist) the frames,
+    * then call `release()` (idempotent). Re-reading a frame AFTER release
+    * throws: Spark refuses to filter the corrupt column of an uncached
+    * JSON scan — the cache is what makes the split legal at all. */
+  final case class PermissiveRead(clean: DataFrame, quarantined: DataFrame,
+      release: () => Unit)
+
+  /** Lenient read: clean rows + quarantined raw lines ([[PermissiveRead]]).
+    * A malformed line yields one quarantine row carrying the verbatim line
+    * text; clean rows never silently lose fields. The split is computed
+    * from ONE cached pass (Spark's lazy `_corrupt_record` cannot be
+    * filtered directly without it) — call the returned `release()` when
+    * done with both frames. */
   def readPermissive(spark: SparkSession, schema: StructType,
-      paths: String*): (DataFrame, DataFrame) = {
+      paths: String*): PermissiveRead = {
     val withCorrupt = StructType(
       schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
     val raw = spark.read
@@ -62,7 +74,7 @@ object JsonlReader {
       .drop(CorruptCol, "_graft_file")
     val quarantined = raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("line"), col("_graft_file").as("file"))
-    (clean, quarantined)
+    PermissiveRead(clean, quarantined, () => { raw.unpersist(); () })
   }
 
   /** Export a frame as gzipped JSONL shards (the release format the

@@ -343,9 +343,13 @@ object StreamingCorpus {
           Seq("event_id"), "_dump_seq")
         BucketedMerge.mergeInto(spark, statePath, relevant,
           Seq("event_id"), nBuckets, seqCol = Some("_dump_seq"))
-        graft.analytics.Relational.eventFunnelOf(
-            BucketedMerge.read(spark, statePath), steps)
-          .write.mode("overwrite").parquet(funnelPath)
+        // a funnel-empty first wave leaves a zero-partition state dataset
+        // (no parquet footers); recomputing over it would crash schema
+        // inference — skip until funnel-typed events actually land
+        if (BucketedMerge.hasData(spark, statePath))
+          graft.analytics.Relational.eventFunnelOf(
+              BucketedMerge.read(spark, statePath), steps)
+            .write.mode("overwrite").parquet(funnelPath)
       }
       .start()
   }

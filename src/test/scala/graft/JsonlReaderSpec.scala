@@ -50,14 +50,22 @@ class JsonlReaderSpec extends AnyFunSuite with SparkSuite {
         |{"doc_id": 2, "text": "also ok", "lang": "de", "source": "s", "n_chars": 7}
         |{"doc_id": oops not json
         |""".stripMargin)
-    val (clean, quarantined) = JsonlReader.readPermissive(spark, docSchema, dir.toString)
-    assert(clean.count() == 2)
-    assert(clean.columns.toSeq == docSchema.fieldNames.toSeq,
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val r = JsonlReader.readPermissive(spark, docSchema, dir.toString)
+    assert(r.clean.count() == 2)
+    assert(r.clean.columns.toSeq == docSchema.fieldNames.toSeq,
       "the corrupt column must not leak into the clean frame")
-    val q = quarantined.collect()
+    val q = r.quarantined.collect()
     assert(q.length == 1)
     assert(q.head.getString(0).contains("oops not json"),
       "quarantine must carry the verbatim line for forensics")
     assert(q.head.getString(1).endsWith("part.jsonl"))
+    // the split pins ONE shared cache; release() must actually drop it
+    // (counts are relative — the shared session may hold other caches)
+    assert(spark.sparkContext.getPersistentRDDs.size > cachedBefore,
+      "permissive read is expected to cache the raw pass")
+    r.release()
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "release() must unpersist the shared raw cache")
   }
 }

@@ -33,6 +33,19 @@ class Round9OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq(("en", "head", 1L, 5L, Some(0.285667), Some(0.285667))))
   }
 
+  test("PQ family degrades to empty results on a degenerate corpus (no crash)") {
+    import graft.analytics.Similarity
+    val empty = Seq.empty[(Long, Array[Float], String)]
+      .toDF("vec_id", "embedding", "label")
+    val allNull = Seq((1L, null: Array[Float], "a"), (2L, null: Array[Float], "b"))
+      .toDF("vec_id", "embedding", "label")
+    for (emb <- Seq(empty, allNull)) {
+      assert(Similarity.pqStatsOf(emb, 2, 2, 1).count() == 0)
+      assert(Similarity.pqAdcTopKOf(emb, 2, 2, 1, 3, 1L).count() == 0)
+      assert(Similarity.pqRecallStatsOf(emb, 2, 2, 1, 3, 1L).count() == 0)
+    }
+  }
+
   test("q99 vocab cap: model broadcast stays bounded and the plan keeps the broadcast joins") {
     val plan = TextStats.perplexityBucketsOf(
         graft.analytics.Tables.documents(spark, d), vocabCap = 100)

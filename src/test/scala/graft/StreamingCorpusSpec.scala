@@ -279,6 +279,42 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     assert(purch == 1L, "the late view must retroactively convert user 1 (and only user 1)")
   }
 
+  test("funnel stream survives a first wave with zero funnel-typed events") {
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_sfunnel0").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val statePath = s"$root/wh/fstate"
+    val funnelPath = s"$root/wh/funnel"
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def df(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // wave 1 carries ONLY non-funnel events: the merged state is a
+    // zero-partition dataset and the funnel recompute must be skipped,
+    // not crash the stream on schema inference
+    val w1 = Seq((1L, ts(0), 1L, "heartbeat", 0.0, "{}"))
+    val w2 = Seq((2L, ts(1), 1L, "view", 0.0, "{}"),
+      (3L, ts(2), 1L, "click", 0.0, "{}"))
+    val steps = Seq("view", "click", "purchase")
+    def landE(d0: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new File(root, s"stage_$name")
+      d0.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new File(landing, s"$name.parquet").toPath)
+    }
+    def drain(): Unit = {
+      val q = StreamingCorpus.startFunnel(spark, landing.getAbsolutePath,
+        df(w1).schema, steps, statePath, funnelPath, s"$root/chk", nBuckets = 4)
+      q.awaitTermination()
+    }
+    landE(df(w1), "wave1"); drain() // must not throw
+    assert(!new File(funnelPath).exists(),
+      "no funnel-typed event has landed; the recompute must be skipped")
+    landE(df(w2), "wave2"); drain()
+    val out = spark.read.parquet(funnelPath)
+      .filter(col("step") === "2_click").select("n_users").as[Long].head()
+    assert(out == 1L, "once funnel events land, the recompute resumes")
+  }
+
   test("JSONL landings drive the identical corpus pipeline (chunks equal the batch op)") {
     val root = TempDirs.tempDir("graft_sjsonl").toFile
     val landing = new File(root, "landing"); landing.mkdirs()
