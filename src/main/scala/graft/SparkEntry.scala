@@ -567,7 +567,7 @@ object SparkEntry {
       """SELECT 'lineitem' AS table_name, 'l_orderkey' AS column_name,
         | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
         | CAST(max(f) AS BIGINT) AS max_freq,
-        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | round(CAST(max(f) AS DOUBLE) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
         | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
         |FROM (SELECT coalesce(CAST(l_orderkey AS VARCHAR), '<NULL>') AS key, count(*) AS f
         |      FROM lineitem GROUP BY 1) t_lineitem_l_orderkey
@@ -575,7 +575,7 @@ object SparkEntry {
         |SELECT 'lineitem' AS table_name, 'l_partkey' AS column_name,
         | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
         | CAST(max(f) AS BIGINT) AS max_freq,
-        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | round(CAST(max(f) AS DOUBLE) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
         | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
         |FROM (SELECT coalesce(CAST(l_partkey AS VARCHAR), '<NULL>') AS key, count(*) AS f
         |      FROM lineitem GROUP BY 1) t_lineitem_l_partkey
@@ -583,7 +583,7 @@ object SparkEntry {
         |SELECT 'lineitem' AS table_name, 'l_suppkey' AS column_name,
         | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
         | CAST(max(f) AS BIGINT) AS max_freq,
-        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | round(CAST(max(f) AS DOUBLE) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
         | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
         |FROM (SELECT coalesce(CAST(l_suppkey AS VARCHAR), '<NULL>') AS key, count(*) AS f
         |      FROM lineitem GROUP BY 1) t_lineitem_l_suppkey
@@ -591,7 +591,7 @@ object SparkEntry {
         |SELECT 'orders' AS table_name, 'o_custkey' AS column_name,
         | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
         | CAST(max(f) AS BIGINT) AS max_freq,
-        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | round(CAST(max(f) AS DOUBLE) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
         | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
         |FROM (SELECT coalesce(CAST(o_custkey AS VARCHAR), '<NULL>') AS key, count(*) AS f
         |      FROM orders GROUP BY 1) t_orders_o_custkey
@@ -599,7 +599,7 @@ object SparkEntry {
         |SELECT 'events' AS table_name, 'user_id' AS column_name,
         | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
         | CAST(max(f) AS BIGINT) AS max_freq,
-        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | round(CAST(max(f) AS DOUBLE) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
         | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
         |FROM (SELECT coalesce(CAST(user_id AS VARCHAR), '<NULL>') AS key, count(*) AS f
         |      FROM events GROUP BY 1) t_events_user_id
@@ -607,7 +607,7 @@ object SparkEntry {
         |SELECT 'documents' AS table_name, 'source' AS column_name,
         | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
         | CAST(max(f) AS BIGINT) AS max_freq,
-        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | round(CAST(max(f) AS DOUBLE) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
         | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
         |FROM (SELECT coalesce(CAST(source AS VARCHAR), '<NULL>') AS key, count(*) AS f
         |      FROM documents GROUP BY 1) t_documents_source
@@ -615,7 +615,7 @@ object SparkEntry {
         |SELECT 'documents' AS table_name, 'lang' AS column_name,
         | CAST(sum(f) AS BIGINT) AS n_rows, count(*) AS n_distinct,
         | CAST(max(f) AS BIGINT) AS max_freq,
-        | round(max(f) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+        | round(CAST(max(f) AS DOUBLE) * count(*) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
         | substr(max(lpad(CAST(f AS VARCHAR), 20, '0') || '|' || key), 22) AS top_key
         |FROM (SELECT coalesce(CAST(lang AS VARCHAR), '<NULL>') AS key, count(*) AS f
         |      FROM documents GROUP BY 1) t_documents_lang""".stripMargin,

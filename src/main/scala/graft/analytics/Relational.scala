@@ -723,27 +723,40 @@ object Relational {
    * vanishing.
    */
   def skewProfile(s: SparkSession, d: String): DataFrame = {
-    def profile(df: DataFrame, table: String, c: String): DataFrame =
-      df.select(coalesce(col(c).cast("string"), lit("<NULL>")).as("key"))
-        .groupBy(col("key")).agg(count(lit(1)).as("f"))
+    // one SCAN per table: the profiled columns explode to (column_name,
+    // key) structs in-row, so lineitem's three join keys cost one read of
+    // the 100 TB fact table, not three (the per-column aggregations need
+    // their own shuffles regardless — those are distinct-key-sized — but
+    // the scan is the corpus-sized cost). skew_ratio multiplies in DOUBLE:
+    // the 64-bit integer product max_freq·n_distinct silently wraps at
+    // the cardinalities this audit exists for (~1e10 distinct keys with a
+    // ~1e9 hot key), while the double product is exact until 2^53 and
+    // degrades gracefully past it.
+    def profile(df: DataFrame, table: String, cols: Seq[String]): DataFrame =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("column_name"),
+            coalesce(col(c).cast("string"), lit("<NULL>")).as("key"))): _*))
+          .as("e"))
+        .select(col("e.column_name").as("column_name"), col("e.key").as("key"))
+        .groupBy(col("column_name"), col("key"))
+        .agg(count(lit(1)).as("f"))
+        .groupBy(col("column_name"))
         .agg(
           sum(col("f")).as("n_rows"),
           count(lit(1)).as("n_distinct"),
           max(col("f")).as("max_freq"),
           max(struct(col("f"), col("key"))).getField("key").as("top_key"))
-        .select(lit(table).as("table_name"), lit(c).as("column_name"),
+        .select(lit(table).as("table_name"), col("column_name"),
           col("n_rows"), col("n_distinct"), col("max_freq"),
-          round(col("max_freq") * col("n_distinct") /
-            col("n_rows").cast("double"), 6).as("skew_ratio"),
+          round(col("max_freq").cast("double") * col("n_distinct") /
+            col("n_rows"), 6).as("skew_ratio"),
           col("top_key"))
     Seq(
-      profile(lineitem(s, d), "lineitem", "l_orderkey"),
-      profile(lineitem(s, d), "lineitem", "l_partkey"),
-      profile(lineitem(s, d), "lineitem", "l_suppkey"),
-      profile(orders(s, d), "orders", "o_custkey"),
-      profile(Tables.events(s, d), "events", "user_id"),
-      profile(Tables.documents(s, d), "documents", "source"),
-      profile(Tables.documents(s, d), "documents", "lang"))
+      profile(lineitem(s, d), "lineitem",
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      profile(orders(s, d), "orders", Seq("o_custkey")),
+      profile(Tables.events(s, d), "events", Seq("user_id")),
+      profile(Tables.documents(s, d), "documents", Seq("source", "lang")))
       .reduce(_ unionByName _)
   }
 
