@@ -869,10 +869,20 @@ object Dedup {
    * 1000×-duplicated hostile doc); candidate volume is linear in
    * duplicate mass. Output stays |sources|²-bounded.
    */
-  def crossSourceLeakageOf(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val live = simhashMetaOf(docs)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .filter(col("h128").isNotNull)
+  def crossSourceLeakageOf(docs: DataFrame, maxHamming: Int): DataFrame =
+    crossSourceLeakageFromMeta(
+      simhashMetaOf(docs.select(col("doc_id"), col("text")))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+      maxHamming)
+
+  /** [[crossSourceLeakageOf]] from a (doc_id, h128, simhash, source)
+    * fingerprint frame — the ONLY state the matrix needs, which is what
+    * makes the streaming gate incremental: fingerprinting is per-doc
+    * arrival work ([[graft.streaming.StreamingCorpus.startLeakageGate]]
+    * maintains exactly this table) and the matrix recompute touches
+    * narrow fingerprint rows, never document text. */
+  def crossSourceLeakageFromMeta(meta: DataFrame, maxHamming: Int): DataFrame = {
+    val live = meta.filter(col("h128").isNotNull)
     val groups = live.groupBy(col("h128"))
       .agg(min(col("simhash")).as("simhash"), min(col("doc_id")).as("g"))
     // per-(distinct text, source) multiplicity + member id span

@@ -302,6 +302,67 @@ object StreamingCorpus {
   }
 
   /**
+   * Continuously-maintained cross-source leakage matrix — the streaming
+   * counterpart of q101: documents land as files, each batch is
+   * fingerprinted ONCE on arrival ([[graft.analytics.Dedup.simhashMetaOf]]
+   * + the source column — per-doc tokenize/hash work, the expensive part)
+   * and merged into the bucketed fingerprint table keyed by doc_id
+   * (replay and out-of-order delivery dedup idempotently via the
+   * seq-aware merge), then the per-source-pair matrix is recomputed from
+   * that table with the exact-dup-collapsed
+   * [[graft.analytics.Dedup.crossSourceLeakageFromMeta]].
+   *
+   * Why recompute rather than delta-update the matrix: the cells carry
+   * DISTINCT-document counts per side, which are not mergeable from pair
+   * deltas without keeping the full per-cell membership anyway — the
+   * fingerprint table IS that state, in its minimal form (the q86
+   * accounting discipline). The recompute touches only narrow
+   * (doc_id, h128, simhash, source) rows — document text is never
+   * re-read — and the collapsed surface keeps the banded join linear in
+   * duplicate mass, so the per-batch cost is fingerprint-table-sized,
+   * not corpus-sized.
+   *
+   * Output ≡ batch [[graft.analytics.Dedup.crossSourceLeakageOf]] over
+   * the full corpus, asserted under shuffled arrival + replay in
+   * StreamingCorpusSpec.
+   */
+  def startLeakageGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      fpsPath: String,
+      matrixPath: String,
+      checkpointDir: String,
+      maxHamming: Int = 6,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val fps = Merge.dedupLatest(
+          graft.analytics.Dedup
+            .simhashMetaOf(batch.select(col("doc_id"), col("text")))
+            .join(batch.select(col("doc_id"), col("source")), "doc_id")
+            .withColumn("_dump_seq", lit(batchId)),
+          Seq("doc_id"), "_dump_seq")
+        BucketedMerge.mergeInto(spark, fpsPath, fps,
+          Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+        if (BucketedMerge.hasData(spark, fpsPath))
+          graft.analytics.Dedup.crossSourceLeakageFromMeta(
+              BucketedMerge.read(spark, fpsPath)
+                .select(col("doc_id"), col("h128"), col("simhash"),
+                  col("source")),
+              maxHamming)
+            .write.mode("overwrite").parquet(matrixPath)
+      }
+      .start()
+  }
+
+  /**
    * Continuously-maintained sequential funnel — the streaming counterpart
    * of q109: events land as files, the FUNNEL-TYPED subset is compacted
    * into a bucketed state table (keyed event_id, so replay and

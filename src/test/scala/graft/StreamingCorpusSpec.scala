@@ -279,6 +279,49 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     assert(purch == 1L, "the late view must retroactively convert user 1 (and only user 1)")
   }
 
+  test("streamed leakage matrix equals batch q101 under replay and out-of-order arrival") {
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_sleak").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val fpsPath = s"$root/wh/leak_fps"
+    val matrixPath = s"$root/wh/leak_matrix"
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    def variant(v: Int) = (0 until 30)
+      .map(i => if (i % 11 == v % 11) s"x${v}_$i" else s"w$i").mkString(" ")
+    // exact dups of one text across three sources (incl. NULL), near-dup
+    // variants, unique docs — the full q101 cell taxonomy. Wave 2 arrives
+    // OUT OF ORDER (lower ids later) and REPLAYS doc 3.
+    val w1 = Seq(
+      (10L, base, "srcA"), (11L, base, "srcB"), (12L, base, null: String),
+      (20L, variant(1), "srcA"), (30L, "unique one", "srcB"))
+    val w2 = Seq(
+      (3L, base, "srcB"), (4L, variant(2), "srcB"), (5L, "another unique", null: String),
+      (3L, base, "srcB")) // replay
+    val all = (w1 ++ w2).distinct.toDF("doc_id", "text", "source")
+    def land(rows: Seq[(Long, String, String)], name: String): Unit = {
+      val stage = new File(root, s"stage_$name")
+      rows.toDF("doc_id", "text", "source").coalesce(1)
+        .write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new File(landing, s"$name.parquet").toPath)
+    }
+    def drain(): Unit = {
+      val q = StreamingCorpus.startLeakageGate(spark, landing.getAbsolutePath,
+        all.schema, fpsPath, matrixPath, s"$root/chk", maxHamming = 6, nBuckets = 4)
+      q.awaitTermination()
+    }
+    land(w1, "wave1"); drain()
+    land(w2, "wave2"); drain()
+    val streamed = spark.read.parquet(matrixPath)
+    val batch = graft.analytics.Dedup.crossSourceLeakageOf(all, 6)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed leakage matrix diverges from batch q101 on the same corpus")
+    // sanity: the cross-source exact dup must be visible
+    val ab = streamed.filter(col("src_a") === "srcA" && col("src_b") === "srcB")
+      .select("min_hamming").as[Int].collect()
+    assert(ab.sameElements(Array(0)), "srcA x srcB exact dup must pin min_hamming 0")
+  }
+
   test("funnel stream survives a first wave with zero funnel-typed events") {
     import spark.implicits._
     val root = TempDirs.tempDir("graft_sfunnel0").toFile
