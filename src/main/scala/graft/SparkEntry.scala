@@ -188,7 +188,19 @@ object SparkEntry {
     "q113_cohort_retention" -> ((s: SparkSession, d: String) => Relational.cohortRetention(s, d)),
     // hamming histogram of the near-dup pair surface: the dial that sets
     // the simhash threshold
-    "q114_hamming_histogram" -> ((s: SparkSession, d: String) => Dedup.hammingHistogram(s, d)))
+    "q114_hamming_histogram" -> ((s: SparkSession, d: String) => Dedup.hammingHistogram(s, d)),
+    // source-level similarity via mergeable MinHash union sketches
+    "q115_source_sketch_similarity" -> ((s: SparkSession, d: String) =>
+      Dedup.sourceSketchSimilarity(s, d)),
+    // top-PMI bigram collocations per language (Church-Hanks floor)
+    "q116_pmi_collocations" -> ((s: SparkSession, d: String) =>
+      TextStats.pmiCollocations(s, d)),
+    // dump-to-dump snapshot diff (added/removed/changed/unchanged per source)
+    "q117_snapshot_diff" -> ((s: SparkSession, d: String) =>
+      Relational.snapshotDiff(s, d)),
+    // duplicate-cluster size histogram over the q74 contraction
+    "q118_cluster_size_histogram" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterSizeHistogram(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -333,6 +345,39 @@ object SparkEntry {
        | SELECT doc_id, ws, $sigCols,
        |  $bandExprs
        | FROM s)""".stripMargin
+  }
+
+  /** q115's oracle: the per-source UNION sketch computed directly (min
+    * over every shingle hash of the source per permutation) — validating
+    * the engine's mergeable min-of-doc-signatures spelling against the
+    * definition it claims to implement. Permutation constants come from
+    * the same md5 derivation as q32's. */
+  private def sourceSketchOracle(numPerm: Int = 16): String = {
+    val P = analytics.Dedup.MinhashP
+    val permVals = (0 until numPerm).map(p =>
+      s"($p, ${analytics.Dedup.minhashA(p)}, ${analytics.Dedup.minhashB(p)})")
+      .mkString(", ")
+    s"""WITH d AS (
+       | SELECT source, $tokens AS ws FROM documents WHERE text IS NOT NULL),
+       |n AS (
+       | SELECT source, list_distinct(list_transform(range(0, greatest(len(ws)-3, 0)+1),
+       |  i -> concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]))) AS ngrams FROM d),
+       |h AS (
+       | SELECT source,
+       |  unnest(list_transform(ngrams, g -> ('0x' || substring(md5(g),1,8))::BIGINT % $P)) AS h0
+       | FROM n),
+       |sk AS (
+       | SELECT source, pp.p AS p, min((h.h0 * pp.a + pp.b) % $P) AS mn
+       | FROM h CROSS JOIN (VALUES $permVals) AS pp(p, a, b)
+       | GROUP BY 1, 2),
+       |pr AS (
+       | SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       | FROM sk a JOIN sk b ON a.p = b.p
+       | WHERE a.source IS NOT NULL AND (b.source IS NULL OR a.source < b.source)
+       | GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_match,
+       | round(n_match / $numPerm.0, 6) AS est_jaccard FROM pr""".stripMargin
   }
 
   private def minhashBandMatch(numPerm: Int = 16, bands: Int = 4): String =
@@ -551,6 +596,67 @@ object SparkEntry {
           |SELECT hamming, count(*) AS n_pairs,
           | count(DISTINCT doc_a) AS n_docs_a, count(DISTINCT doc_b) AS n_docs_b
           |FROM hp GROUP BY hamming""".stripMargin),
+    "q115_source_sketch_similarity" -> sourceSketchOracle(),
+    "q116_pmi_collocations" ->
+      s"""WITH dd AS (
+        | SELECT lang, w, coalesce(len(w), 0) AS nw FROM
+        |  (SELECT lang, $tokens AS w FROM documents WHERE lang IS NOT NULL) t0),
+        |uc AS (SELECT lang, tok, count(*) AS cu
+        | FROM (SELECT lang, unnest(w) AS tok FROM dd) t GROUP BY 1, 2),
+        |nu AS (SELECT lang, CAST(sum(cu) AS BIGINT) AS nu FROM uc GROUP BY 1),
+        |bg AS (SELECT lang, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT)+1] AS w2
+        | FROM (SELECT lang, w, unnest(range(1, nw)) AS i FROM dd WHERE nw >= 2) t),
+        |bc AS (SELECT lang, w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2, 3),
+        |nb AS (SELECT lang, CAST(sum(cb) AS BIGINT) AS nb FROM bc GROUP BY 1),
+        |sc AS (SELECT bc.lang, bc.w1, bc.w2, bc.cb,
+        |  round(log10((CAST(bc.cb AS DOUBLE) * nu.nu * nu.nu) /
+        |    (CAST(nb.nb AS DOUBLE) * u1.cu * u2.cu)), 6) AS pmi
+        | FROM bc
+        | JOIN uc u1 ON bc.lang = u1.lang AND bc.w1 = u1.tok
+        | JOIN uc u2 ON bc.lang = u2.lang AND bc.w2 = u2.tok
+        | JOIN nu ON bc.lang = nu.lang
+        | JOIN nb ON bc.lang = nb.lang
+        | WHERE bc.cb >= 3),
+        |rk AS (SELECT lang, w1, w2, cb, pmi,
+        |  row_number() OVER (PARTITION BY lang ORDER BY pmi DESC, w1, w2) AS rk
+        | FROM sc)
+        |SELECT lang, w1, w2, CAST(cb AS BIGINT) AS cb, pmi,
+        | CAST(rk AS INTEGER) AS rank
+        |FROM rk WHERE rk <= 20""".stripMargin,
+    "q117_snapshot_diff" ->
+      """WITH olds AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN doc_id % 23 = 5 THEN md5('rev0:' || coalesce(text, '∅'))
+        |       ELSE md5(text) END AS h_old
+        | FROM documents WHERE doc_id % 17 <> 3),
+        |news AS (
+        | SELECT doc_id, source AS source_new, md5(text) AS h_new
+        | FROM documents WHERE doc_id % 19 <> 7),
+        |j AS (
+        | SELECT coalesce(o.source, n.source_new) AS source,
+        |  o.doc_id AS od, n.doc_id AS nd, o.h_old, n.h_new
+        | FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id)
+        |SELECT source,
+        | CAST(sum(CASE WHEN od IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        | CAST(sum(CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        | CAST(sum(CASE WHEN od IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        | CAST(sum(CASE WHEN nd IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | CAST(sum(CASE WHEN od IS NOT NULL AND nd IS NOT NULL
+        |   AND h_old IS DISTINCT FROM h_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        | CAST(sum(CASE WHEN od IS NOT NULL AND nd IS NOT NULL
+        |   AND h_old IS NOT DISTINCT FROM h_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY source""".stripMargin,
+    "q118_cluster_size_histogram" ->
+      (dupClustersCte +
+        """,
+          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1),
+          |h AS (SELECT cluster_size, count(*) AS n_clusters,
+          |  CAST(sum(cluster_size) AS BIGINT) AS n_docs FROM sz GROUP BY 1),
+          |tot AS (SELECT (SELECT count(*) FROM documents) -
+          |  (SELECT count(*) FROM clusters) AS singles)
+          |SELECT cluster_size, n_clusters, n_docs FROM h
+          |UNION ALL
+          |SELECT CAST(1 AS BIGINT), singles, singles FROM tot WHERE singles > 0""".stripMargin),
     "q113_cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
         |c AS (SELECT user_id, min(h) AS cohort_h FROM e GROUP BY user_id),

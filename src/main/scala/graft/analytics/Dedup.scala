@@ -748,17 +748,27 @@ object Dedup {
 
   /** [[hammingHistogram]] over a (doc_id, h128, simhash) fingerprint frame. */
   def hammingHistogramOf(fps: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val live = fps.filter(col("h128").isNotNull) // null text never pairs
+    import org.apache.spark.sql.GraftBridge.checkpointNoStats
+    // The multiplicity table and the banded pair set each feed SEVERAL
+    // branches below; without pinning, every branch would re-fingerprint
+    // the corpus and re-run the banded join (measured 3-4 re-executions at
+    // the sf10 soak). Lazy local checkpoints materialize each ONCE on
+    // first use — narrow rows only (fingerprints and pair ids, never text).
+    val live = checkpointNoStats(
+      fps.filter(col("h128").isNotNull), eager = false) // null text never pairs
     // multiplicity table: one row per distinct text; rep id `g` is the key
-    val groups = live.groupBy(col("h128"))
-      .agg(min(col("simhash")).as("simhash"), count(lit(1)).as("n"),
-        min(col("doc_id")).as("g"), max(col("doc_id")).as("max_id"))
-    // banded join over unique fingerprints only (ReuseExchange shares the
-    // groupBy(h128) shuffle across the branches below — one corpus pass)
-    val gp = bandPairs(
-        groups.select(col("g").as("doc_id"), col("simhash")), maxHamming)
-      .distinct()
-      .select(col("doc_a").as("ga"), col("doc_b").as("gb"), col("hamming"))
+    val groups = checkpointNoStats(
+      live.groupBy(col("h128"))
+        .agg(min(col("simhash")).as("simhash"), count(lit(1)).as("n"),
+          min(col("doc_id")).as("g"), max(col("doc_id")).as("max_id")),
+      eager = false)
+    // banded join over unique fingerprints only
+    val gp = checkpointNoStats(
+      bandPairs(
+          groups.select(col("g").as("doc_id"), col("simhash")), maxHamming)
+        .distinct()
+        .select(col("doc_a").as("ga"), col("doc_b").as("gb"), col("hamming")),
+      eager = false)
     val gn = groups.select(col("g"), col("n"), col("max_id"))
     // pair counts: cross-group products + intra-group C(n,2) at h=0
     // (shiftright keeps n·(n−1)/2 in exact long arithmetic)
@@ -882,18 +892,28 @@ object Dedup {
     * maintains exactly this table) and the matrix recompute touches
     * narrow fingerprint rows, never document text. */
   def crossSourceLeakageFromMeta(meta: DataFrame, maxHamming: Int): DataFrame = {
-    val live = meta.filter(col("h128").isNotNull)
-    val groups = live.groupBy(col("h128"))
-      .agg(min(col("simhash")).as("simhash"), min(col("doc_id")).as("g"))
+    import org.apache.spark.sql.GraftBridge.checkpointNoStats
+    // pin the shared narrow tables once — same rationale as
+    // [[hammingHistogramOf]] (several consuming branches each)
+    val live = checkpointNoStats(
+      meta.filter(col("h128").isNotNull), eager = false)
+    val groups = checkpointNoStats(
+      live.groupBy(col("h128"))
+        .agg(min(col("simhash")).as("simhash"), min(col("doc_id")).as("g")),
+      eager = false)
     // per-(distinct text, source) multiplicity + member id span
-    val gsrc = live.join(groups.select(col("h128"), col("g")), "h128")
-      .groupBy(col("g"), col("source"))
-      .agg(count(lit(1)).as("n"),
-        min(col("doc_id")).as("smin"), max(col("doc_id")).as("smax"))
-    val gp = bandPairs(
-        groups.select(col("g").as("doc_id"), col("simhash")), maxHamming)
-      .distinct()
-      .select(col("doc_a").as("ga"), col("doc_b").as("gb"), col("hamming"))
+    val gsrc = checkpointNoStats(
+      live.join(groups.select(col("h128"), col("g")), "h128")
+        .groupBy(col("g"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("smin"), max(col("doc_id")).as("smax")),
+      eager = false)
+    val gp = checkpointNoStats(
+      bandPairs(
+          groups.select(col("g").as("doc_id"), col("simhash")), maxHamming)
+        .distinct()
+        .select(col("doc_a").as("ga"), col("doc_b").as("gb"), col("hamming")),
+      eager = false)
     // source-pair normalization: src_a <= src_b with NULL sorted last —
     // explicit CASE, not least/greatest, so both engines agree on NULLs
     def normLt(a: Column, b: Column): Column =
@@ -969,6 +989,92 @@ object Dedup {
         col("cp.src_a") <=> col("dc.src_a") && col("cp.src_b") <=> col("dc.src_b"))
       .select(col("cp.src_a"), col("cp.src_b"), col("n_pairs"),
         col("n_docs_a"), col("n_docs_b"), col("min_hamming"))
+  }
+
+  /**
+   * q115: source-level similarity matrix from MERGEABLE MinHash union
+   * sketches — "how much shingle vocabulary do two sources share?" at
+   * sketch cost, the container-level complement of q101's document-pair
+   * leakage matrix (q101 finds copied documents; this finds sources that
+   * draw on the same underlying text mass even when no single document
+   * crosses).
+   *
+   * The estimator rides the signature algebra: the MinHash signature of a
+   * UNION of sets is the element-wise minimum of the sets' signatures, so
+   * a source's sketch is `min` per permutation over its documents'
+   * signatures — an associative, commutative aggregate that combines
+   * map-side, shuffles |sources|·numPerm rows total, and would merge
+   * incrementally in a streaming gate or across 1000 executors without
+   * ever co-locating a source's documents. Matching positions / numPerm
+   * then estimates J(U_a, U_b) exactly as q32/q111's per-document
+   * estimator does.
+   *
+   * Determinism: the same md5-derived permutation family as q32
+   * ([[minhashA]]/[[minhashB]], integer arithmetic mod the Mersenne
+   * prime), so the sketch — and hence the estimate — is bit-identical on
+   * both engines. NULL-text documents carry no shingles and drop out;
+   * NULL sources form their own matrix row, normalized last. The
+   * diagonal is omitted (trivially 1).
+   */
+  def sourceSketchSimilarity(s: SparkSession, d: String,
+      numPerm: Int = 16): DataFrame =
+    sourceSketchSimilarityOf(documentsSpread(s, d), numPerm)
+
+  /** [[sourceSketchSimilarity]] over a (text, source) frame. */
+  def sourceSketchSimilarityOf(docs: DataFrame, numPerm: Int): DataFrame = {
+    val sigs = docs
+      .filter(col("text").isNotNull)
+      .withColumn("ws", words(col("text")))
+      .withColumn("ngrams", ngramsFromWords(col("ws")))
+      .withColumn("nh", transform(col("ngrams"), g => shingleHash(g)))
+      .select(col("source"), minhashSignature(col("nh"), numPerm).as("sig"))
+    val sketch = sigs
+      .select(col("source"), posexplode(col("sig")).as(Seq("p", "mn")))
+      .groupBy(col("source"), col("p"))
+      .agg(min(col("mn")).as("mn")) // union sketch: elementwise min
+    val a = sketch.select(col("source").as("src_a"), col("p"), col("mn").as("va"))
+    val b = sketch.select(col("source").as("src_b"), col("p"), col("mn").as("vb"))
+    a.join(b, Seq("p"))
+      .filter(col("src_a").isNotNull &&
+        (col("src_b").isNull || col("src_a") < col("src_b")))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("va") === col("vb"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("src_a"), col("src_b"), col("n_match"),
+        round(col("n_match") / numPerm.toDouble, 6).as("est_jaccard"))
+  }
+
+  /**
+   * q118: duplicate-cluster size histogram — the shape observable of the
+   * whole dedup family: per cluster size, how many near-dup clusters
+   * exist and how many documents they absorb, plus the `1` row for
+   * documents untouched by any edge. The dedup ratio (what fraction of
+   * the corpus a near-dup pass removes) reads directly off this table,
+   * and a histogram whose mass sits in a few giant clusters is the
+   * signal to inspect boilerplate/templating before trusting the graph.
+   *
+   * Rides [[duplicateClusters]] (exact-first contraction, O(log) rounds);
+   * the histogram itself aggregates the cluster table — (doc_id, cluster)
+   * rows, corpus-narrow — twice: cluster → size, then size → counts.
+   * Singletons come from one count of the corpus minus the clustered
+   * mass, not an anti-join scan.
+   */
+  def clusterSizeHistogram(s: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame = {
+    val docs = documentsSpread(s, d).select(col("doc_id"), col("text"))
+    val clusters = duplicateClusters(simhashDupGraphOf(docs, maxHamming))
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+    val totals = docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(clusters.agg(count(lit(1)).as("n_clustered")))
+    val singletons = totals
+      .filter(col("n_total") > col("n_clustered"))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"))
+    hist.unionByName(singletons)
   }
 
   /** The pre-collapse spelling of [[crossSourceLeakageOf]] — quadratic in

@@ -816,4 +816,56 @@ object Relational {
           .as("conv_from_first"),
         col("avg_secs"))
   }
+
+  /**
+   * q117: dump-to-dump snapshot diff — the lineage audit every versioned
+   * corpus needs between two ingests: per source, how many documents were
+   * added, removed, revised, or untouched. The reference's hourly-dump
+   * model makes this the first question after any re-import ("what did
+   * dump N+1 actually change?"); on a training corpus it is the
+   * change-control artifact that decides whether downstream dedup /
+   * mixture passes must rerun.
+   *
+   * The two snapshots derive DETERMINISTICALLY from the one fixture table
+   * (the q82 planting discipline, identical on both engines): the OLD
+   * snapshot lacks every doc with `doc_id % 17 == 3` (later additions)
+   * and carries a revised text hash for `doc_id % 23 == 5`; the NEW
+   * snapshot lacks `doc_id % 19 == 7` (deletions). The OPERATOR is the
+   * general diff: project both sides to (doc_id, source, content hash) —
+   * 3 narrow columns, the 100 TB text mass never moves — full-outer-join
+   * on the key, classify with null-safe hash comparison, aggregate per
+   * source. One doc_id-keyed shuffle per side; at real scale both sides
+   * would arrive bucketed by doc_id from the landing layout and the join
+   * would be co-located.
+   */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val oldSnap = base
+      .filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 23 === 5,
+          md5(concat(lit("rev0:"), coalesce(col("text"), lit("∅")))
+            .cast("binary")))
+          .otherwise(md5(col("text").cast("binary"))).as("h_old"))
+    val newSnap = base
+      .filter(col("doc_id") % 19 =!= 7)
+      .select(col("doc_id"), col("source").as("source_new"),
+        md5(col("text").cast("binary")).as("h_new"))
+    oldSnap.withColumn("in_old", lit(1))
+      .join(newSnap.withColumn("in_new", lit(1)), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source"), col("source_new")).as("src"),
+        col("in_old"), col("in_new"), col("h_old"), col("h_new"))
+      .groupBy(col("src").as("source"))
+      .agg(
+        sum(when(col("in_old").isNotNull, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("in_new").isNotNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("in_old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("in_old").isNotNull && col("in_new").isNotNull &&
+          !(col("h_old") <=> col("h_new")), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("in_old").isNotNull && col("in_new").isNotNull &&
+          (col("h_old") <=> col("h_new")), 1L).otherwise(0L)).as("n_unchanged"))
+  }
 }

@@ -1118,4 +1118,71 @@ object TextStats {
           (col("n") * col("sxy") - col("sx") * col("sy")) / col("denom")), 6)
           .as("zipf_slope"))
   }
+
+  /**
+   * q116: PMI collocations — the top-`topK` bigram collocations per
+   * language by pointwise mutual information, with a `minCount` frequency
+   * floor (rare pairs score spuriously high PMI; the floor is the
+   * standard Church–Hanks guard). The table a tokenizer/phrase-mining
+   * pass reads to decide which word pairs deserve a merged token, and a
+   * cheap drift alarm: a corpus whose top collocations shift between
+   * dumps changed register.
+   *
+   * PMI = log10(P(w1 w2) / (P(w1)·P(w2))), estimated from corpus counts:
+   * log10((cb·NU·NU) / (NB·cu1·cu2)) — spelled with identical literal
+   * association and a 6-dp round on both engines, and ranked by the
+   * ROUNDED value (ties broken by the words), so a 1-ulp libm divergence
+   * cannot flap the ordering across engines.
+   *
+   * 100 TB posture: the corpus collapses to per-language unigram/bigram
+   * count tables in one map-side-combined pass each; everything after is
+   * vocab-table joins keyed (lang, word) — uniformly distributed,
+   * corpus-independent sizes once the `minCount` floor applies — and a
+   * per-language window over ≤ topK·|langs| surviving rows. The corpus
+   * itself is scanned twice and never shuffled.
+   */
+  def pmiCollocations(s: SparkSession, d: String,
+      topK: Int = 20, minCount: Int = 3): DataFrame =
+    pmiCollocationsOf(documents(s, d), topK, minCount)
+
+  /** [[pmiCollocations]] over a (lang, text) frame. */
+  def pmiCollocationsOf(docs: DataFrame, topK: Int, minCount: Int): DataFrame = {
+    val wsDocs = docs
+      .filter(col("lang").isNotNull)
+      .withColumn("w", words(col("text")))
+      .withColumn("nw", coalesce(size(col("w")), lit(0)))
+    val uni = wsDocs
+      .select(col("lang"), explode(col("w")).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cu"))
+    val nu = uni.groupBy(col("lang")).agg(sum(col("cu")).as("nu"))
+    val bi = wsDocs
+      .filter(col("nw") >= 2)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), col("nw") - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("e"))
+      .select(col("lang"), col("e.w1").as("w1"), col("e.w2").as("w2"))
+      .groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val nb = bi.groupBy(col("lang")).agg(sum(col("cb")).as("nb"))
+    val scored = bi
+      .filter(col("cb") >= minCount)
+      .join(uni.select(col("lang"), col("tok").as("w1"), col("cu").as("cu1")),
+        Seq("lang", "w1"))
+      .join(uni.select(col("lang"), col("tok").as("w2"), col("cu").as("cu2")),
+        Seq("lang", "w2"))
+      .join(nu, Seq("lang"))
+      .join(nb, Seq("lang"))
+      .withColumn("pmi",
+        round(log10((col("cb").cast("double") * col("nu") * col("nu")) /
+          (col("nb").cast("double") * col("cu1") * col("cu2"))), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))))
+      .filter(col("rank") <= topK)
+      .select(col("lang"), col("w1"), col("w2"), col("cb"),
+        col("pmi"), col("rank"))
+  }
 }

@@ -52,6 +52,29 @@ object Soak100 {
       (r, dt)
     }
 
+    val embMarker = new java.io.File(s"$soakDir/embeddings.parquet/_SUCCESS")
+    if (!embMarker.exists()) {
+      val t0 = System.nanoTime()
+      val base = spark.read.parquet(s"$sf01/embeddings.parquet")
+      val n = base.count()
+      // shard k flips a deterministic sign pattern into every vector (an
+      // orthogonal transform — within-shard geometry is exactly sf0.1's,
+      // shards decorrelated), same construction as the 10x fixture
+      val shards = (0 until 100).map { k =>
+        base.select(
+          (col("vec_id") + lit(k * n)).as("vec_id"),
+          zip_with(col("embedding"),
+            transform(sequence(lit(0), size(col("embedding")) - 1),
+              i => when((i * 31 + lit(k * 7)) % 5 % 2 === 0, lit(1.0f)).otherwise(lit(-1.0f))),
+            (x, s2) => x * s2).as("embedding"),
+          col("label"))
+      }
+      shards.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$soakDir/embeddings.parquet")
+      println(f"[fixture] built 100-shard sf10 embeddings in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+
     val passes = sys.env.getOrElse("SPARK_GRAFT_SOAK_PASSES", "2").toInt
     (1 to passes).foreach { pass =>
       println(s"--- pass $pass")
@@ -68,6 +91,31 @@ object Soak100 {
         (e.count(), r)
       }
       println(f"[q74] edges $n01 -> $n10 (x${n10.toDouble / n01}%.0f), rounds $r01 -> $r10, wall x${t10 / t01}%.1f on 100x data")
+
+      // pair-surface aggregates (round-9 collapsed spelling): banding runs
+      // over unique fingerprints, so 100x duplicate mass must cost ~linear
+      val (h01, th01) = timed("q114 sf0.1")(Dedup.hammingHistogram(spark, sf01).count())
+      val (h10, th10) = timed("q114 sf10")(Dedup.hammingHistogram(spark, soakDir).count())
+      println(f"[q114] rows $h01 -> $h10, wall x${th10 / th01}%.1f on 100x data")
+      def docsOf(d: String) = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      val (l01, tl01) = timed("q101 sf0.1")(
+        Dedup.crossSourceLeakageOf(docsOf(sf01), 6).count())
+      val (l10, tl10) = timed("q101 sf10")(
+        Dedup.crossSourceLeakageOf(docsOf(soakDir), 6).count())
+      println(f"[q101] cells $l01 -> $l10, wall x${tl10 / tl01}%.1f on 100x data")
+
+      // ADC serving: |Q| held fixed via the stride (per-query cost is the
+      // observable); codebook sample-trained at 100x (FAISS discipline,
+      // 1/40 keeps the training set within ~2.5x of sf0.1's)
+      import graft.analytics.{Similarity, Tables}
+      val (a01, ta01) = timed("q106 sf0.1")(
+        Similarity.pqAdcTopKOf(Tables.embeddings(spark, sf01),
+          4, 4, 2, 5, 100L).count())
+      val (a10, ta10) = timed("q106 sf10")(
+        Similarity.pqAdcTopKOf(Tables.embeddings(spark, soakDir),
+          4, 4, 2, 5, 10000L, trainSampleMod = 40).count())
+      println(f"[q106] rows $a01 -> $a10, wall x${ta10 / ta01}%.1f on 100x data (|Q| fixed)")
     }
     spark.stop()
   }

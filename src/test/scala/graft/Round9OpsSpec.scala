@@ -102,6 +102,91 @@ class Round9OpsSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(r._3 - 500.0 * 501 / n) < 1e-6)
   }
 
+  test("q115 source sketches: identical sources estimate 1.0, disjoint 0.0") {
+    import graft.analytics.Dedup
+    val textA = (0 until 40).map(i => s"a$i").mkString(" ")
+    val textB = (0 until 40).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      ("s1", textA), ("s2", textA),           // same shingle set
+      ("s3", textB),                          // disjoint from s1/s2
+      ("s4", null: String)                    // null text: no shingles
+    ).toDF("source", "text")
+    val out = Dedup.sourceSketchSimilarityOf(docs, 16)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toSet
+    assert(out.contains(("s1", "s2", 1.0)), s"identical sources must match all positions: $out")
+    assert(out.contains(("s1", "s3", 0.0)) && out.contains(("s2", "s3", 0.0)))
+    assert(!out.exists(t => t._1 == "s4" || t._2 == "s4"),
+      "a source with no shingles carries no sketch")
+  }
+
+  test("q115 source sketches are arrival-order and partition independent (mergeable min)") {
+    import graft.analytics.Dedup
+    val mk = (p: String, n: Int) => (0 until n).map(i => s"${p}w${i % 7} x$i").mkString(" ")
+    val docs = Seq(("u", mk("m", 30)), ("u", mk("n", 25)), ("v", mk("m", 30)),
+      ("v", mk("q", 12)), ("w", mk("n", 25)))
+      .toDF("source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Dedup.sourceSketchSimilarityOf(df, 16)
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val base = rows(docs)
+    assert(base == rows(docs.repartition(7)), "partitioning must not move the sketch")
+    assert(base == rows(docs.orderBy(col("text").desc)), "doc order must not move the sketch")
+    assert(base.nonEmpty)
+  }
+
+  test("q116 PMI: hand-checked collocation scores and ranks") {
+    import graft.analytics.TextStats
+    // en corpus: "a b" x3, "a c" x3 as separate docs. uni: a:6 b:3 c:3,
+    // NU=12; bigrams: (a,b):3 (a,c):3, NB=6.
+    // pmi(a,b) = log10(3*12*12/(6*6*3)) = log10(4) = 0.60206
+    val docs = (Seq.fill(3)("a b") ++ Seq.fill(3)("a c")).zipWithIndex
+      .map { case (t, i) => (i.toLong, "en", t) }.toDF("doc_id", "lang", "text")
+    val out = TextStats.pmiCollocationsOf(docs, topK = 10, minCount = 3)
+      .orderBy("rank")
+      .as[(String, String, String, Long, Double, Int)].collect().toSeq
+    assert(out == Seq(
+      ("en", "a", "b", 3L, 0.60206, 1),
+      ("en", "a", "c", 3L, 0.60206, 2)))
+  }
+
+  test("q117 snapshot diff: hand-checked classification on planted ids") {
+    import graft.analytics.Relational
+    // ids: 3 (added: absent old), 7 (removed: absent new), 5 (changed:
+    // revised old hash), 1 (unchanged), plus a null-text doc 28 (changed:
+    // 28%23=5 revises the old hash while the new side hashes NULL; 28%17=11
+    // and 28%19=9 keep it present in both snapshots)
+    val docs = Seq(
+      (1L, "stable", "en", "s", 6L),
+      (3L, "added later", "en", "s", 11L),
+      (5L, "revised", "en", "s", 7L),
+      (7L, "deleted", "en", "s", 7L),
+      (28L, null: String, "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("graft_snap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Relational.snapshotDiff(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    // old snapshot: {1, 5(rev), 7, 46(rev)}; new: {1, 3, 5, 46}
+    assert(r == (("s", 4L, 4L, 1L, 1L, 2L, 1L)),
+      s"expected (s,4,4,1,1,2,1) got $r")
+  }
+
+  test("q118 cluster histogram: exact-dup groups and singletons land in the right bins") {
+    import graft.analytics.Dedup
+    val t1 = (0 until 30).map(i => s"c$i").mkString(" ")
+    val t2 = (0 until 30).map(i => s"d$i").mkString(" ")
+    val docs = (Seq.fill(4)(t1) ++ Seq.fill(2)(t2) ++ Seq("alpha beta gamma", "delta epsilon zeta"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("graft_csh").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.clusterSizeHistogram(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    // one 4-cluster, one 2-cluster; the two lone docs are singletons —
+    // unless their texts band together, which distinct vocab prevents
+    assert(out == Set((4L, 1L, 4L), (2L, 1L, 2L), (1L, 2L, 2L)), s"got $out")
+  }
+
   test("q99 vocab cap: model broadcast stays bounded and the plan keeps the broadcast joins") {
     val plan = TextStats.perplexityBucketsOf(
         graft.analytics.Tables.documents(spark, d), vocabCap = 100)
