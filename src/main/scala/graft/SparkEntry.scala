@@ -200,7 +200,13 @@ object SparkEntry {
       Relational.snapshotDiff(s, d)),
     // duplicate-cluster size histogram over the q74 contraction
     "q118_cluster_size_histogram" -> ((s: SparkSession, d: String) =>
-      Dedup.clusterSizeHistogram(s, d)))
+      Dedup.clusterSizeHistogram(s, d)),
+    // Okapi BM25 retrieval against the top-df query terms
+    "q119_bm25_topdocs" -> ((s: SparkSession, d: String) =>
+      TextStats.bm25TopDocs(s, d)),
+    // contrastive hard negatives: nearest different-label vectors
+    "q120_hard_negatives" -> ((s: SparkSession, d: String) =>
+      Similarity.hardNegatives(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -657,6 +663,45 @@ object SparkEntry {
           |SELECT cluster_size, n_clusters, n_docs FROM h
           |UNION ALL
           |SELECT CAST(1 AS BIGINT), singles, singles FROM tot WHERE singles > 0""".stripMargin),
+    "q119_bm25_topdocs" ->
+      s"""WITH dl AS (
+        | SELECT doc_id, w, len(w) AS len FROM
+        |  (SELECT doc_id, $tokens AS w FROM documents WHERE text IS NOT NULL) t0),
+        |dfx AS (SELECT tok, count(*) AS df
+        | FROM (SELECT doc_id, unnest(list_distinct(w)) AS tok FROM dl) t GROUP BY 1),
+        |q AS (SELECT tok, df FROM dfx ORDER BY df DESC, tok LIMIT 5),
+        |c AS (SELECT count(*) AS n_docs, CAST(sum(len) AS DOUBLE)/count(*) AS avgdl FROM dl),
+        |tfx AS (SELECT e.doc_id, e.tok, count(*) AS tf, min(e.len) AS len
+        | FROM (SELECT doc_id, len, unnest(w) AS tok FROM dl) e
+        | JOIN q ON e.tok = q.tok GROUP BY 1, 2),
+        |sc AS (SELECT tfx.tok, tfx.doc_id, tfx.tf,
+        |  round(log10((CAST(c.n_docs AS DOUBLE) - q.df + 0.5) /
+        |     (CAST(q.df AS DOUBLE) + 0.5) + 1) *
+        |   (CAST(tfx.tf AS DOUBLE) * (1.2 + 1)) /
+        |   (CAST(tfx.tf AS DOUBLE) +
+        |    1.2 * (1 - 0.75 + 0.75 * (CAST(tfx.len AS DOUBLE) / c.avgdl))), 6) AS score
+        | FROM tfx JOIN q ON tfx.tok = q.tok CROSS JOIN c),
+        |rk AS (SELECT tok AS term, doc_id, tf, score,
+        |  row_number() OVER (PARTITION BY tok ORDER BY score DESC, doc_id) AS rk2
+        | FROM sc)
+        |SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, score,
+        | CAST(rk2 AS INTEGER) AS rank
+        |FROM rk WHERE rk2 <= 10""".stripMargin,
+    "q120_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe, label AS ql
+        |  FROM embeddings WHERE vec_id % 100 = 0 AND label IS NOT NULL),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce, label AS cl
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*ce[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, len(ce)+1), i -> ce[i]*ce[i])))) AS cosine
+        | FROM q CROSS JOIN c WHERE query_id <> neighbor_id AND cl <> ql),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        | FROM s WHERE cosine IS NOT NULL)
+        |SELECT query_id, neighbor_id, round(cosine,6) AS cosine, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5""".stripMargin,
     "q113_cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
         |c AS (SELECT user_id, min(h) AS cohort_h FROM e GROUP BY user_id),

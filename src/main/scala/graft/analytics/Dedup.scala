@@ -606,21 +606,57 @@ object Dedup {
     * equal 15-bit band ⇒ candidate; exact Hamming filter via
     * bit_count(xor). Shared by the full-corpus pair queries and the
     * exact-first dup graph. */
-  private[graft] def bandPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = fps.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimhashBands).map(k =>
-        shiftright(col("simhash"), k * SimhashBandBits)
-          .bitwiseAND(SimhashBandMask)): _*))
-        .as(Seq("band_id", "band_key")))
-    val l = banded.select(col("band_id"), col("band_key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val r = banded.select(col("band_id"), col("band_key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    l.join(r, Seq("band_id", "band_key"))
+  private[graft] def bandPairs(fps: DataFrame, maxHamming: Int): DataFrame =
+    bandPairsImpl(fps, maxHamming, dedupInJoin = false, carry = Nil)
+
+  /** [[bandPairs]] with each surviving pair emitted EXACTLY ONCE — from
+    * its lowest shared band — plus optional per-side carried columns
+    * (`c` → `a_c`/`b_c`).
+    *
+    * A pair within Hamming distance `maxHamming` can share up to all
+    * [[SimhashBands]] bands, so the raw stream holds ≤ 4 copies and the
+    * classic spelling pays a `distinct()` — a full shuffle of the pair
+    * stream, which the sf10 soak measured at 130M rows (simhash's
+    * short-document zero-bias concentrates low-bit fingerprints within
+    * Hamming range of each other, so the TRUE pair mass is quadratic in
+    * those cluster sizes — a property of the semantics, not the plan).
+    * The in-join dedup instead checks, inside the join filter where BOTH
+    * fingerprints are in-row, that no earlier band also matches — the
+    * stream leaves the join already unique, aggregates consume it
+    * map-side, and no pair row ever crosses the network. */
+  private[graft] def bandPairsOnce(fps: DataFrame, maxHamming: Int,
+      carry: Seq[String] = Nil): DataFrame =
+    bandPairsImpl(fps, maxHamming, dedupInJoin = true, carry)
+
+  private def bandPairsImpl(fps: DataFrame, maxHamming: Int,
+      dedupInJoin: Boolean, carry: Seq[String]): DataFrame = {
+    val banded = fps.select(
+      Seq(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimhashBands).map(k =>
+          shiftright(col("simhash"), k * SimhashBandBits)
+            .bitwiseAND(SimhashBandMask)): _*))
+          .as(Seq("band_id", "band_key"))) ++ carry.map(col): _*)
+    val l = banded.select(
+      Seq(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_a"), col("simhash").as("sim_a")) ++
+        carry.map(c => col(c).as(s"a_$c")): _*)
+    val r = banded.select(
+      Seq(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_b"), col("simhash").as("sim_b")) ++
+        carry.map(c => col(c).as(s"b_$c")): _*)
+    val noEarlierSharedBand = (0 until SimhashBands).map(j =>
+      when(col("band_id") > j,
+        shiftright(col("sim_a"), j * SimhashBandBits).bitwiseAND(SimhashBandMask) =!=
+          shiftright(col("sim_b"), j * SimhashBandBits).bitwiseAND(SimhashBandMask))
+        .otherwise(lit(true))).reduce(_ && _)
+    val base = l.join(r, Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b") &&
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming &&
+        (if (dedupInJoin) noEarlierSharedBand else lit(true)))
+    base.select(
+      Seq(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming")) ++
+        carry.flatMap(c => Seq(col(s"a_$c"), col(s"b_$c"))): _*)
   }
 
   /** SimHash near-dup candidate pairs, pre-distinct: a pair appears once
@@ -701,13 +737,14 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs: equal 15-bit band ⇒ candidate; then
-    * exact Hamming distance filter via bit_count(xor). The hamming filter
-    * runs BEFORE the distinct: band collisions among unrelated docs
-    * dominate the candidate stream, so deduplicating only surviving pairs
-    * shrinks the exchange (same result — hamming is a function of the
-    * pair, so filter∘distinct ≡ distinct∘filter). */
+    * exact Hamming distance filter via bit_count(xor). Each surviving pair
+    * is emitted exactly once by the in-join first-shared-band dedup
+    * ([[bandPairsOnce]]) — the same row set `distinct()` produced, with
+    * no shuffle of the pair stream at all. */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame =
-    simhashPairsRaw(s, d, maxHamming).distinct()
+    bandPairsOnce(
+      simhashFingerprints(s, d).select(col("doc_id"), col("simhash")),
+      maxHamming)
 
   /**
    * q114: Hamming-distance histogram of the near-dup pair surface — the
@@ -749,11 +786,9 @@ object Dedup {
   /** [[hammingHistogram]] over a (doc_id, h128, simhash) fingerprint frame. */
   def hammingHistogramOf(fps: DataFrame, maxHamming: Int = 6): DataFrame = {
     import org.apache.spark.sql.GraftBridge.checkpointNoStats
-    // The multiplicity table and the banded pair set each feed SEVERAL
-    // branches below; without pinning, every branch would re-fingerprint
-    // the corpus and re-run the banded join (measured 3-4 re-executions at
-    // the sf10 soak). Lazy local checkpoints materialize each ONCE on
-    // first use — narrow rows only (fingerprints and pair ids, never text).
+    // Shared narrow tables pinned with lazy checkpoints (they materialize
+    // sequentially inside perG's eager job below, so no branch ever
+    // re-fingerprints the corpus).
     val live = checkpointNoStats(
       fps.filter(col("h128").isNotNull), eager = false) // null text never pairs
     // multiplicity table: one row per distinct text; rep id `g` is the key
@@ -762,39 +797,56 @@ object Dedup {
         .agg(min(col("simhash")).as("simhash"), count(lit(1)).as("n"),
           min(col("doc_id")).as("g"), max(col("doc_id")).as("max_id")),
       eager = false)
-    // banded join over unique fingerprints only
-    val gp = checkpointNoStats(
-      bandPairs(
-          groups.select(col("g").as("doc_id"), col("simhash")), maxHamming)
-        .distinct()
-        .select(col("doc_a").as("ga"), col("doc_b").as("gb"), col("hamming")),
-      eager = false)
+    // The pair stream: unique fingerprints only, each pair EXACTLY ONCE
+    // (in-join first-shared-band dedup — no distinct() shuffle of the
+    // stream, which is quadratic-mass on short-doc-biased corpora: the
+    // sf10 soak holds 130M true pairs), with both sides' multiplicity
+    // stats carried IN-ROW so no join ever touches it. The stream is
+    // symmetrized by an in-row explode (still one consumer) and collapses
+    // straight into the per-(group, hamming) aggregate — map-side
+    // combine, ≤ groups·(maxHamming+1) output rows, which is the ONLY
+    // data the stream ever sends across the network. Eager checkpoint:
+    // perG feeds two branches and is tiny.
+    val pairs = bandPairsOnce(
+      groups.select(col("g").as("doc_id"), col("simhash"),
+        col("n"), col("max_id")),
+      maxHamming, carry = Seq("n", "max_id"))
+    val perG = checkpointNoStats(
+      pairs.select(col("hamming"), explode(array(
+          struct(col("doc_a").as("g"), col("a_n").as("ng"),
+            col("doc_b").as("p"), col("b_n").as("np"),
+            col("b_max_id").as("pmax")),
+          struct(col("doc_b").as("g"), col("b_n").as("ng"),
+            col("doc_a").as("p"), col("a_n").as("np"),
+            col("a_max_id").as("pmax")))).as("e"))
+        .select(col("hamming"), col("e.g").as("g"), col("e.ng").as("ng"),
+          col("e.p").as("p"), col("e.np").as("np"), col("e.pmax").as("pmax"))
+        .groupBy(col("g"), col("hamming"))
+        .agg(first(col("ng")).as("ng"), sum(col("np")).as("sum_np"),
+          min(col("p")).as("tb0"), max(col("pmax")).as("ta0")),
+      eager = true)
     val gn = groups.select(col("g"), col("n"), col("max_id"))
-    // pair counts: cross-group products + intra-group C(n,2) at h=0
-    // (shiftright keeps n·(n−1)/2 in exact long arithmetic)
-    val crossNp = gp
-      .join(gn.select(col("g").as("ga"), col("n").as("na")), "ga")
-      .join(gn.select(col("g").as("gb"), col("n").as("nb")), "gb")
-      .select(col("hamming"), (col("na") * col("nb")).as("np"))
+    // pair counts: every unordered pair contributes ng·np from BOTH sym
+    // directions, so the per-hamming total halves exactly; intra-group
+    // exact pairs add C(n,2) at h=0 (n·(n−1) pre-halving — shiftright
+    // keeps the arithmetic in exact longs)
+    val crossNp = perG.select(col("hamming"),
+      (col("ng") * col("sum_np")).as("np2"))
     val intraNp = gn.filter(col("n") >= 2)
-      .select(lit(0).as("hamming"),
-        shiftright(col("n") * (col("n") - 1), 1).as("np"))
+      .select(lit(0).as("hamming"), (col("n") * (col("n") - 1)).as("np2"))
     val pairsByH = crossNp.unionByName(intraNp)
-      .groupBy(col("hamming")).agg(sum(col("np")).as("n_pairs"))
+      .groupBy(col("hamming"))
+      .agg(shiftright(sum(col("np2")), 1).as("n_pairs"))
     // per-(group, hamming) partner id thresholds: Ta = max partner id
-    // (doc_a side), Tb = min partner id (doc_b side); the group's own
-    // span covers the intra (h=0) pairs
-    val partnerIds = gp.select(col("ga").as("g"), col("hamming"), col("gb").as("p"))
-      .unionByName(gp.select(col("gb").as("g"), col("hamming"), col("ga").as("p")))
-      .join(gn.select(col("g").as("p"), col("g").as("pmin"), col("max_id").as("pmax")),
-        "p")
-      .select(col("g"), col("hamming"), col("pmin"), col("pmax"))
+    // (doc_a side), Tb = min partner id (doc_b side; a partner group's
+    // min id IS its rep); the group's own span covers the intra pairs
     val intraIds = gn.filter(col("n") >= 2)
       .select(col("g"), lit(0).as("hamming"),
-        col("g").as("pmin"), col("max_id").as("pmax"))
-    val thr = partnerIds.unionByName(intraIds)
+        col("g").as("tb0"), col("max_id").as("ta0"))
+    val thr = perG.select(col("g"), col("hamming"), col("tb0"), col("ta0"))
+      .unionByName(intraIds)
       .groupBy(col("g"), col("hamming"))
-      .agg(min(col("pmin")).as("tb"), max(col("pmax")).as("ta"))
+      .agg(min(col("tb0")).as("tb"), max(col("ta0")).as("ta"))
     // membership (linear) × thresholds (≤ groups·(maxHamming+1)) counts
     // distinct participating docs per side without touching member pairs
     val members = live
@@ -897,64 +949,88 @@ object Dedup {
     // [[hammingHistogramOf]] (several consuming branches each)
     val live = checkpointNoStats(
       meta.filter(col("h128").isNotNull), eager = false)
+    // per-(distinct text, source) stats rolled up INTO the group row as an
+    // array, so the banded join can carry them in-row (source count per
+    // group is |sources|-bounded; array order is irrelevant — every
+    // consumer explodes and re-aggregates)
     val groups = checkpointNoStats(
-      live.groupBy(col("h128"))
-        .agg(min(col("simhash")).as("simhash"), min(col("doc_id")).as("g")),
+      live.groupBy(col("h128"), col("source"))
+        .agg(min(col("simhash")).as("simhash"), count(lit(1)).as("n"),
+          min(col("doc_id")).as("smin"), max(col("doc_id")).as("smax"))
+        .groupBy(col("h128"))
+        .agg(min(col("simhash")).as("simhash"), min(col("smin")).as("g"),
+          collect_list(struct(col("source"), col("n"),
+            col("smin"), col("smax"))).as("srcs")),
       eager = false)
-    // per-(distinct text, source) multiplicity + member id span
-    val gsrc = checkpointNoStats(
-      live.join(groups.select(col("h128"), col("g")), "h128")
-        .groupBy(col("g"), col("source"))
-        .agg(count(lit(1)).as("n"),
-          min(col("doc_id")).as("smin"), max(col("doc_id")).as("smax")),
-      eager = false)
-    val gp = checkpointNoStats(
-      bandPairs(
-          groups.select(col("g").as("doc_id"), col("simhash")), maxHamming)
-        .distinct()
-        .select(col("doc_a").as("ga"), col("doc_b").as("gb"), col("hamming")),
-      eager = false)
+    val gsrc = groups.select(col("g"), explode(col("srcs")).as("e"))
+      .select(col("g"), col("e.source").as("source"), col("e.n").as("n"),
+        col("e.smin").as("smin"), col("e.smax").as("smax"))
+    // The pair stream: unique fingerprints, each pair once (in-join
+    // first-shared-band dedup), per-source stat arrays carried in-row.
+    // Symmetrize + explode both sides' sources in-row, then collapse into
+    // the ONE aggregate every consumer reads — per (group, doc-side
+    // source u, partner-side source v, hamming): the doc side's
+    // multiplicity, the summed partner multiplicity, and the partner id
+    // span. Map-side combine; output ≤ groups·|sources|²·(maxHamming+1)
+    // rows — the only thing the stream sends anywhere. Eager: three
+    // branches read it.
+    val pairs = bandPairsOnce(
+      groups.select(col("g").as("doc_id"), col("simhash"), col("srcs")),
+      maxHamming, carry = Seq("srcs"))
+    val perGUVH = checkpointNoStats(
+      pairs.select(col("hamming"), explode(array(
+          struct(col("doc_a").as("g"), col("a_srcs").as("gs"),
+            col("b_srcs").as("ps")),
+          struct(col("doc_b").as("g"), col("b_srcs").as("gs"),
+            col("a_srcs").as("ps")))).as("e"))
+        .select(col("hamming"), col("e.g").as("g"),
+          explode(col("e.gs")).as("gu"), col("e.ps").as("ps"))
+        .select(col("hamming"), col("g"), col("gu.source").as("u"),
+          col("gu.n").as("nu"), explode(col("ps")).as("pv"))
+        .select(col("hamming"), col("g"), col("u"), col("nu"),
+          col("pv.source").as("v"), col("pv.n").as("nv"),
+          col("pv.smin").as("pvmin"), col("pv.smax").as("pvmax"))
+        .groupBy(col("g"), col("u"), col("v"), col("hamming"))
+        .agg(first(col("nu")).as("nu"), sum(col("nv")).as("sum_nv"),
+          min(col("pvmin")).as("pvmin"), max(col("pvmax")).as("pvmax")),
+      eager = true)
     // source-pair normalization: src_a <= src_b with NULL sorted last —
     // explicit CASE, not least/greatest, so both engines agree on NULLs
     def normLt(a: Column, b: Column): Column =
       a.isNotNull && (b.isNull || a < b)
     // ---- n_pairs + min_hamming per cell -------------------------------
-    val cross = gp
-      .join(gsrc.select(col("g").as("ga"), col("source").as("sa"),
-        col("n").as("na")), "ga")
-      .join(gsrc.select(col("g").as("gb"), col("source").as("sb"),
-        col("n").as("nb")), "gb")
-    val swap = normLt(col("sb"), col("sa"))
-    val crossCells = cross.select(
-      when(swap, col("sb")).otherwise(col("sa")).as("src_a"),
-      when(swap, col("sa")).otherwise(col("sb")).as("src_b"),
-      (col("na") * col("nb")).as("np"),
+    // cross contributions arrive from BOTH sym directions (sum halves at
+    // the end); intra exact-dup contributions pre-double to match
+    val uLtV = normLt(col("u"), col("v"))
+    val crossCells = perGUVH.select(
+      when(uLtV, col("u")).otherwise(col("v")).as("src_a"),
+      when(uLtV, col("v")).otherwise(col("u")).as("src_b"),
+      (col("nu") * col("sum_nv")).as("np2"),
       col("hamming"))
     val xEq = col("x.source") <=> col("y.source")
     val intraCells = gsrc.as("x")
       .join(gsrc.as("y"), col("x.g") === col("y.g"))
       .filter(normLt(col("x.source"), col("y.source")) || xEq)
       .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
-        when(xEq, shiftright(col("x.n") * (col("x.n") - 1), 1))
-          .otherwise(col("x.n") * col("y.n")).as("np"),
+        when(xEq, col("x.n") * (col("x.n") - 1))
+          .otherwise(col("x.n") * col("y.n") * 2).as("np2"),
         lit(0).as("hamming"))
-      .filter(col("np") > 0)
+      .filter(col("np2") > 0)
     val cellPairs = crossCells.unionByName(intraCells)
       .groupBy(col("src_a"), col("src_b"))
-      .agg(sum(col("np")).as("n_pairs"), min(col("hamming")).as("min_hamming"))
+      .agg(shiftright(sum(col("np2")), 1).as("n_pairs"),
+        min(col("hamming")).as("min_hamming"))
     // ---- distinct docs per cell ---------------------------------------
-    // partner relation at group level, self included (intra exact pairs)
-    val gpSym = gp.select(col("ga").as("g"), col("gb").as("p"))
-      .unionByName(gp.select(col("gb").as("g"), col("ga").as("p")))
-    val selfP = groups.select(col("g"), col("g").as("p"))
-    // off-diagonal: doc side in u, any partner member in v, u ≠ v
-    val offCand = gpSym.unionByName(selfP).distinct()
-      .join(gsrc.select(col("g"), col("source").as("u"), col("n").as("nu")), "g")
-      .join(gsrc.select(col("g").as("p"), col("source").as("v")), "p")
+    // off-diagonal: doc side in u, any partner member in v, u ≠ v; the
+    // partner may be a banded group (perGUVH row) or an exact-dup
+    // co-member (gsrc self-pair)
+    val offCross = perGUVH.select(col("g"), col("u"), col("nu"), col("v"))
+    val offSelf = gsrc.as("x").join(gsrc.as("y"), col("x.g") === col("y.g"))
+      .select(col("x.g").as("g"), col("x.source").as("u"),
+        col("x.n").as("nu"), col("y.source").as("v"))
+    val offCand = offCross.unionByName(offSelf)
       .filter(!(col("u") <=> col("v")))
-      .select(col("g"), col("u"), col("v"), col("nu"))
       .distinct()
-    val uLtV = normLt(col("u"), col("v"))
     val offDocs = offCand.select(
         when(uLtV, col("u")).otherwise(col("v")).as("src_a"),
         when(uLtV, col("v")).otherwise(col("u")).as("src_b"),
@@ -964,10 +1040,9 @@ object Dedup {
       .agg(sum(col("nda")).as("n_docs_a"), sum(col("ndb")).as("n_docs_b"))
     // diagonal: same-source pairs order by doc id — per-(group, source)
     // partner id thresholds, then one membership join
-    val diagThr = gpSym
-      .join(gsrc.select(col("g").as("p"), col("source").as("u"),
-        col("smin").as("pmin"), col("smax").as("pmax")), "p")
-      .select(col("g"), col("u"), col("pmin"), col("pmax"))
+    val diagThr = perGUVH
+      .filter(col("u") <=> col("v"))
+      .select(col("g"), col("u"), col("pvmin").as("pmin"), col("pvmax").as("pmax"))
       .unionByName(gsrc.select(col("g"), col("source").as("u"),
         col("smin").as("pmin"), col("smax").as("pmax")))
       .groupBy(col("g"), col("u"))

@@ -79,6 +79,35 @@ object Similarity {
         round(col("s.score"), 6).as("cosine"), (col("idx") + 1).as("rn"))
 
   /**
+   * q120: hard-negative mining — for each query vector, the top-k most
+   * similar vectors carrying a DIFFERENT label (contrastive-training's
+   * hard negatives: the closest points the model must learn to push
+   * away, per DPR / Contriever practice). Rides the brute-force scoring
+   * shape; an at-scale caller composes the same label filter onto
+   * [[ivfTopK]]'s cell-pruned candidates.
+   *
+   * NULL labels never qualify as negatives of anything (unknown label ≠
+   * known-different) and NULL-label queries are excluded — a mining pass
+   * must not fabricate training signal from unlabeled rows.
+   */
+  def hardNegatives(s: SparkSession, d: String, k: Int = 5,
+      stride: Long = 100): DataFrame = {
+    val emb = embeddings(s, d).filter(col("label").isNotNull)
+    val queries = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("label").as("c_label"))
+    val scored = corpus.join(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("c_label") =!= col("q_label"))
+      .withColumn("cosine", cosineNative(col("q_emb"), col("c_emb")))
+    boundedTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine"), col("rn"))
+  }
+
+  /**
    * q110: recall@k of the IVF index against the brute-force cosine
    * ground truth — q107's sibling for the cosine tier, closing the loop
    * on approximation honesty: every ANN path in the engine (PQ/ADC and

@@ -1185,4 +1185,76 @@ object TextStats {
       .select(col("lang"), col("w1"), col("w2"), col("cb"),
         col("pmi"), col("rank"))
   }
+
+  /**
+   * q119: BM25 retrieval — rank documents against a query-term set with
+   * the Okapi BM25 weight (Robertson et al.), the lexical-retrieval
+   * baseline every RAG / data-curation stack keeps next to its dense
+   * index. The query set here is derived from the corpus itself (the
+   * `nQueries` highest-document-frequency tokens, ties by token — a
+   * deterministic, engine-independent choice; a production caller passes
+   * its own terms through [[bm25TopDocsOf]]).
+   *
+   * score(t, d) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl)),
+   * idf = log10((N − df + 0.5)/(df + 0.5) + 1) — the +1 keeps idf
+   * positive for df > N/2 (the Lucene convention). Spelled with identical
+   * literal association + a 6-dp round on both engines; ranks order by
+   * the ROUNDED score with doc_id tiebreak, so a 1-ulp libm divergence
+   * cannot flap them.
+   *
+   * 100 TB posture: one corpus scan explodes (doc_id, token) with an
+   * in-row length; df is a vocab-sized map-side-combined aggregate; the
+   * query set (a handful of rows) broadcasts into a semi-join so ONLY
+   * postings of query terms survive the scan — the per-term posting
+   * lists are the only corpus-derived rows that shuffle, and the final
+   * top-k window runs per term over those lists.
+   */
+  def bm25TopDocs(s: SparkSession, d: String, nQueries: Int = 5,
+      topDocs: Int = 10): DataFrame = {
+    val docs = documents(s, d).filter(col("text").isNotNull)
+    // orderBy+limit plans as a distributed TakeOrdered (per-partition
+    // heaps), never a global sort of the vocabulary
+    val queries = bm25DfTable(docs)
+      .orderBy(col("df").desc, col("tok"))
+      .limit(nQueries)
+      .select(col("tok"), col("df"))
+    bm25TopDocsOf(docs, queries, topDocs)
+  }
+
+  /** Document frequency of every distinct token over non-null texts. */
+  private def bm25DfTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(words(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+  /** [[bm25TopDocs]] against a caller-supplied (tok, df) query frame
+    * (df must come from the same corpus the scores are computed over). */
+  def bm25TopDocsOf(docs: DataFrame, queries: DataFrame, topDocs: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs
+      .withColumn("w", words(col("text")))
+      .select(col("doc_id"), size(col("w")).as("len"), explode(col("w")).as("tok"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(size(words(col("text")))).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.join(broadcast(queries.select(col("tok"))), Seq("tok"), "left_semi")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), first(col("len")).as("len"))
+    val scored = tf
+      .join(broadcast(queries), Seq("tok"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log10((col("n_docs").cast("double") - col("df") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1))
+      .withColumn("score", round(
+        col("idf") * (col("tf").cast("double") * (k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1 - b) +
+              lit(b) * (col("len").cast("double") / col("avgdl")))), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("tok"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= topDocs)
+      .select(col("tok").as("term"), col("doc_id"), col("tf"),
+        col("score"), col("rank"))
+  }
 }

@@ -187,6 +187,40 @@ class Round9OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out == Set((4L, 1L, 4L), (2L, 1L, 2L), (1L, 2L, 2L)), s"got $out")
   }
 
+  test("q119 BM25: hand-checked scores with uniform doc length") {
+    import graft.analytics.TextStats
+    // all docs len 3 == avgdl so len/avgdl = 1.0 exactly; idf(x) =
+    // log10((3-2+0.5)/(2+0.5)+1) = log10(1.6); denom = tf + k1
+    val docs = Seq((1L, "x x y"), (2L, "x z w"), (3L, "z z z"))
+      .toDF("doc_id", "text")
+    val queries = Seq(("x", 2L), ("z", 2L)).toDF("tok", "df")
+    val out = TextStats.bm25TopDocsOf(docs, queries, topDocs = 10)
+      .orderBy("term", "rank")
+      .as[(String, Long, Long, Double, Int)].collect().toSeq
+    assert(out == Seq(
+      ("x", 1L, 2L, 0.280665, 1), ("x", 2L, 1L, 0.20412, 2),
+      ("z", 3L, 3L, 0.32076, 1), ("z", 2L, 1L, 0.20412, 2)))
+  }
+
+  test("q120 hard negatives: same-label and null-label rows never qualify") {
+    import graft.analytics.Similarity
+    val emb = Seq(
+      (0L, Array(1f, 0f), "a"),          // the query (0 % 100 == 0)
+      (1L, Array(1f, 0f), "a"),          // same label: excluded
+      (2L, Array(0.9f, 0.1f), "b"),      // hard negative, rank 1
+      (3L, Array(0f, 1f), "b"),          // orthogonal, rank 2
+      (4L, Array(1f, 0f), null: String), // unlabeled: excluded
+      (100L, Array(1f, 1f), null: String) // unlabeled query: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val dir = tempDir("graft_hneg").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.hardNegatives(spark, dir, k = 5, stride = 100)
+      .orderBy("query_id", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._4)) == Seq((0L, 2L, 1), (0L, 3L, 2)),
+      s"got $out")
+  }
+
   test("q99 vocab cap: model broadcast stays bounded and the plan keeps the broadcast joins") {
     val plan = TextStats.perplexityBucketsOf(
         graft.analytics.Tables.documents(spark, d), vocabCap = 100)
