@@ -1103,10 +1103,20 @@ object Dedup {
       .withColumn("ngrams", ngramsFromWords(col("ws")))
       .withColumn("nh", transform(col("ngrams"), g => shingleHash(g)))
       .select(col("source"), minhashSignature(col("nh"), numPerm).as("sig"))
-    val sketch = sigs
-      .select(col("source"), posexplode(col("sig")).as(Seq("p", "mn")))
-      .groupBy(col("source"), col("p"))
-      .agg(min(col("mn")).as("mn")) // union sketch: elementwise min
+    // union sketch = element-wise min, taken as numPerm SCALAR min
+    // aggregates over the signature's components rather than a row-level
+    // posexplode: the explode spelling dropped the signature pipeline out
+    // of whole-stage codegen into the Generate (measured 10× slower at
+    // sf0.1), and column-wise mins combine map-side with zero row
+    // multiplication — the per-source result pivots back to (p, mn) rows
+    // only after the aggregate, on |sources| rows
+    val perPerm = sigs.select(Seq(col("source")) ++
+      (0 until numPerm).map(p => get(col("sig"), lit(p)).as(s"s$p")): _*)
+    val sketch = perPerm.groupBy(col("source")).agg(
+        min(col("s0")).as("s0"),
+        (1 until numPerm).map(p => min(col(s"s$p")).as(s"s$p")): _*)
+      .select(col("source"), posexplode(array(
+        (0 until numPerm).map(p => col(s"s$p")): _*)).as(Seq("p", "mn")))
     val a = sketch.select(col("source").as("src_a"), col("p"), col("mn").as("va"))
     val b = sketch.select(col("source").as("src_b"), col("p"), col("mn").as("vb"))
     a.join(b, Seq("p"))
