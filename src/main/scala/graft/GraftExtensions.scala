@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, SimHash60}
+import graft.functions.{CosineSimilarity, SimHash60, SortedContains}
 import graft.plans.ApproxPercentileRewrite
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimilarityFn)
     e.injectFunction(GraftExtensions.simhash60Fn)
+    e.injectFunction(GraftExtensions.sortedContainsFn)
     e.injectOptimizerRule(_ => ApproxPercentileRewrite)
   }
 }
@@ -38,6 +39,11 @@ object GraftExtensions {
     SimHash60(exprs(0))
   }
 
+  private def buildSortedContains(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "sorted_contains takes exactly 2 arguments")
+    SortedContains(exprs(0), exprs(1))
+  }
+
   val cosineSimilarityFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_similarity"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
@@ -48,6 +54,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
     buildSimhash _)
 
+  val sortedContainsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_contains"),
+    new ExpressionInfo(classOf[SortedContains].getName, "sorted_contains"),
+    buildSortedContains _)
+
   /** Runtime registration on an existing session (functions via the
     * registry, the optimizer rule via `experimental.extraOptimizations` —
     * the rule itself stays inert until its SQLConf flag is set). */
@@ -56,6 +67,8 @@ object GraftExtensions {
       "cosine_similarity", buildCosine _, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", buildSimhash _, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_contains", buildSortedContains _, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(ApproxPercentileRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ApproxPercentileRewrite

@@ -1096,27 +1096,41 @@ object Dedup {
     sourceSketchSimilarityOf(documentsSpread(s, d), numPerm)
 
   /** [[sourceSketchSimilarity]] over a (text, source) frame. */
-  def sourceSketchSimilarityOf(docs: DataFrame, numPerm: Int): DataFrame = {
+  def sourceSketchSimilarityOf(docs: DataFrame, numPerm: Int): DataFrame =
+    sketchMatrixOf(sourceSketchRowsOf(docs, numPerm), numPerm)
+
+  /** The (source, p, mn) union sketch of a document frame. Min per
+    * (source, p) is associative and commutative, so batch-local sketches
+    * min-merge to the corpus sketch under any arrival order — this is
+    * both the batch operator's aggregate and the unit the streaming gate
+    * merges incrementally.
+    *
+    * The element-wise min is taken as numPerm SCALAR min aggregates over
+    * the signature's components rather than a row-level posexplode: the
+    * explode spelling dropped the signature pipeline out of whole-stage
+    * codegen into the Generate (measured 10× slower at sf0.1), and
+    * column-wise mins combine map-side with zero row multiplication —
+    * the result pivots back to (p, mn) rows only after the aggregate, on
+    * |sources| rows. */
+  def sourceSketchRowsOf(docs: DataFrame, numPerm: Int): DataFrame = {
     val sigs = docs
       .filter(col("text").isNotNull)
       .withColumn("ws", words(col("text")))
       .withColumn("ngrams", ngramsFromWords(col("ws")))
       .withColumn("nh", transform(col("ngrams"), g => shingleHash(g)))
       .select(col("source"), minhashSignature(col("nh"), numPerm).as("sig"))
-    // union sketch = element-wise min, taken as numPerm SCALAR min
-    // aggregates over the signature's components rather than a row-level
-    // posexplode: the explode spelling dropped the signature pipeline out
-    // of whole-stage codegen into the Generate (measured 10× slower at
-    // sf0.1), and column-wise mins combine map-side with zero row
-    // multiplication — the per-source result pivots back to (p, mn) rows
-    // only after the aggregate, on |sources| rows
     val perPerm = sigs.select(Seq(col("source")) ++
       (0 until numPerm).map(p => get(col("sig"), lit(p)).as(s"s$p")): _*)
-    val sketch = perPerm.groupBy(col("source")).agg(
+    perPerm.groupBy(col("source")).agg(
         min(col("s0")).as("s0"),
         (1 until numPerm).map(p => min(col(s"s$p")).as(s"s$p")): _*)
       .select(col("source"), posexplode(array(
         (0 until numPerm).map(p => col(s"s$p")): _*)).as(Seq("p", "mn")))
+  }
+
+  /** The pairwise estimate matrix from a (source, p, mn) sketch table —
+    * shared by the batch operator and the streaming gate's recompute. */
+  def sketchMatrixOf(sketch: DataFrame, numPerm: Int): DataFrame = {
     val a = sketch.select(col("source").as("src_a"), col("p"), col("mn").as("va"))
     val b = sketch.select(col("source").as("src_b"), col("p"), col("mn").as("vb"))
     a.join(b, Seq("p"))

@@ -363,6 +363,56 @@ object StreamingCorpus {
   }
 
   /**
+   * Continuously-maintained source-similarity sketches — the streaming
+   * counterpart of q115, and the payoff of the union sketch's merge
+   * algebra: each batch collapses to its |sources|·numPerm batch-local
+   * minima ([[graft.analytics.Dedup.sourceSketchRowsOf]]), which merge
+   * into the sketch table keyed (source, p) under "lowest value wins"
+   * (seq = −mn through the same seq-aware merge every gate uses — min is
+   * associative/commutative/idempotent, so the table converges to the
+   * batch sketch of the full corpus under any delivery order or replay).
+   * The matrix recomputes from the |sources|·numPerm-row table per batch
+   * — trivially cheap. Documents are tokenized/hashed exactly once, on
+   * arrival; state is sketch-sized, never corpus-sized (the DECLARED
+   * bound, smallest of any gate).
+   */
+  def startSketchGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      sketchPath: String,
+      matrixPath: String,
+      checkpointDir: String,
+      numPerm: Int = 16,
+      nBuckets: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // pk columns must be non-null (the seq-merge splits on equi-joins,
+        // where a NULL key matches nothing and would duplicate the row) —
+        // a NULL source keys under the injective 'n:'/'s:' encoding
+        val rows = graft.analytics.Dedup.sourceSketchRowsOf(batch, numPerm)
+          .withColumn("_src_key", when(col("source").isNull, lit("n:"))
+            .otherwise(concat(lit("s:"), col("source"))))
+          .withColumn("_keep_rank", -col("mn"))
+        BucketedMerge.mergeInto(spark, sketchPath, rows,
+          Seq("_src_key", "p"), nBuckets, seqCol = Some("_keep_rank"))
+        if (BucketedMerge.hasData(spark, sketchPath))
+          graft.analytics.Dedup.sketchMatrixOf(
+              BucketedMerge.read(spark, sketchPath)
+                .select(col("source"), col("p"), col("mn")),
+              numPerm)
+            .write.mode("overwrite").parquet(matrixPath)
+      }
+      .start()
+  }
+
+  /**
    * Continuously-maintained sequential funnel — the streaming counterpart
    * of q109: events land as files, the FUNNEL-TYPED subset is compacted
    * into a bucketed state table (keyed event_id, so replay and

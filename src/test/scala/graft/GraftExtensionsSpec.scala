@@ -40,6 +40,17 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("sorted_contains callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT sorted_contains(array(1L, 5L, 9L), 5L) AS hit, " +
+        "sorted_contains(array(1L, 5L, 9L), 4L) AS miss").collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    intercept[Exception] {
+      spark.sql("SELECT sorted_contains(array('x'), 'x')").collect()
+    }
+  }
+
   private def percentilePlanOf(sql: String): String = {
     spark.sql(sql).queryExecution.optimizedPlan.toString
   }

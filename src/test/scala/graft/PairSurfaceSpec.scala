@@ -68,6 +68,22 @@ class PairSurfaceSpec extends AnyFunSuite with SparkSuite {
       rows(Dedup.crossSourceLeakageExhaustiveOf(docs, 6)))
   }
 
+  test("in-join first-shared-band dedup ≡ distinct() on every corpus shape") {
+    // bandPairsOnce keeps a pair only in its lowest shared band; the row
+    // set must equal the classic distinct() spelling exactly — on the
+    // real corpus AND the hostile duplicated one
+    val corpora = Seq(
+      Dedup.simhashMetaOf(graft.analytics.Tables
+        .documents(spark, sf).select(col("doc_id"), col("text"))),
+      Dedup.simhashMetaOf(hostile(200).select(col("doc_id"), col("text"))))
+    for (meta <- corpora; maxH <- Seq(3, 6, 60)) {
+      val fps = meta.select(col("doc_id"), col("simhash"))
+      assert(rows(Dedup.bandPairsOnce(fps, maxH)) ==
+        rows(Dedup.bandPairs(fps, maxH).distinct()),
+        s"maxHamming=$maxH")
+    }
+  }
+
   test("candidate surface is linear in duplicate mass, not quadratic") {
     val docs = hostile(1000)
     val meta = Dedup.simhashMetaOf(docs.select(col("doc_id"), col("text")))

@@ -322,6 +322,45 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     assert(ab.sameElements(Array(0)), "srcA x srcB exact dup must pin min_hamming 0")
   }
 
+  test("streamed source sketches equal batch q115 under replay and out-of-order arrival") {
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_ssketch").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val sketchPath = s"$root/wh/sketch"
+    val matrixPath = s"$root/wh/sketch_matrix"
+    def mk(p: String, n: Int) =
+      (0 until n).map(i => s"${p}w${i % 7} x$i").mkString(" ")
+    // sources incl. NULL; wave 2 replays a wave-1 doc and arrives out of
+    // order; doc 9 carries NULL text (no shingles)
+    val w1 = Seq((1L, mk("m", 30), "sA"), (2L, mk("n", 25), "sB"),
+      (3L, mk("m", 30), null: String))
+    val w2 = Seq((4L, mk("q", 12), "sA"), (2L, mk("n", 25), "sB"),
+      (5L, mk("m", 18), null: String), (9L, null: String, "sB"))
+    val all = (w1 ++ w2).distinct.toDF("doc_id", "text", "source")
+    def land(rows: Seq[(Long, String, String)], name: String): Unit = {
+      val stage = new File(root, s"stage_$name")
+      rows.toDF("doc_id", "text", "source").coalesce(1)
+        .write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new File(landing, s"$name.parquet").toPath)
+    }
+    def drain(): Unit = {
+      val q = StreamingCorpus.startSketchGate(spark, landing.getAbsolutePath,
+        all.schema, sketchPath, matrixPath, s"$root/chk", numPerm = 16, nBuckets = 4)
+      q.awaitTermination()
+    }
+    land(w1, "wave1"); drain()
+    land(w2, "wave2"); drain()
+    val streamed = spark.read.parquet(matrixPath)
+    val batch = graft.analytics.Dedup.sourceSketchSimilarityOf(
+      all.select(col("source"), col("text")), 16)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed sketch matrix diverges from batch q115 on the same corpus")
+    // state bound: the sketch table is |sources| x numPerm rows, corpus-free
+    val stateRows = spark.read.parquet(sketchPath).count()
+    assert(stateRows == 3L * 16, s"sketch state must stay sketch-sized: $stateRows")
+  }
+
   test("funnel stream survives a first wave with zero funnel-typed events") {
     import spark.implicits._
     val root = TempDirs.tempDir("graft_sfunnel0").toFile
