@@ -221,6 +221,22 @@ class Round9OpsSpec extends AnyFunSuite with SparkSuite {
       s"got $out")
   }
 
+  test("round-9 plans: broadcast/semi-join shapes, no cartesian products") {
+    import graft.analytics.{Relational, Similarity, TextStats}
+    val p119 = TextStats.bm25TopDocs(spark, d).queryExecution.executedPlan.toString
+    assert(!p119.contains("CartesianProduct"), "q119 must not go cartesian")
+    assert(p119.contains("BroadcastExchange"),
+      "q119's query terms and corpus scalars must broadcast")
+    val p117 = Relational.snapshotDiff(spark, d).queryExecution.executedPlan.toString
+    assert(!p117.contains("CartesianProduct"))
+    assert(p117.contains("md5"), "q117 must join on content hashes, not text")
+    val p120 = Similarity.hardNegatives(spark, d).queryExecution.executedPlan.toString
+    assert(p120.contains("BroadcastExchange"), "q120's query set must broadcast")
+    val p115 = graft.analytics.Dedup.sourceSketchSimilarity(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p115.contains("CartesianProduct"))
+  }
+
   test("q99 vocab cap: model broadcast stays bounded and the plan keeps the broadcast joins") {
     val plan = TextStats.perplexityBucketsOf(
         graft.analytics.Tables.documents(spark, d), vocabCap = 100)
