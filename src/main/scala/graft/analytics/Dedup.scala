@@ -432,7 +432,7 @@ object Dedup {
      * and the true component {1,2,5} is never contracted). Both checks
      * reduce to one per-node (timesAsSrc, timesAsDst) aggregate.
      */
-    def probe(e: DataFrame): (Long, Long) = {
+    def probe(e: DataFrame): (Long, Long, Long) = {
       val nodes = e.select(col("src").as("n"), lit(1L).as("s"), lit(0L).as("d"))
         .unionByName(e.select(col("dst").as("n"), lit(0L).as("s"), lit(1L).as("d")))
       val row = nodes.groupBy(col("n"))
@@ -440,9 +440,11 @@ object Dedup {
         .agg(
           sum(when(col("s") > 1 || (col("s") > 0 && col("d") > 0), 1L)
             .otherwise(0L)).as("violations"),
-          count(lit(1)).as("n_nodes"))
+          count(lit(1)).as("n_nodes"),
+          sum(col("s")).as("n_edges"))
         .collect()(0)
-      (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+      (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1),
+        if (row.isNullAt(2)) 0L else row.getLong(2))
     }
 
     // canonical child > parent edges; self-pairs drop (they carry no
@@ -453,8 +455,9 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct())
     // the initial probe doubles as the nNodes count that gates the AQE
-    // suspension — no separate count job
-    val (violations, nNodes) = probe(edges)
+    // suspension (and the edge count that sizes the loop's shuffles) — no
+    // separate count job
+    val (violations, nNodes, nEdges) = probe(edges)
 
     /** One star phase: emit (u, m(v)) for v's neighbors on one side of v
       * (large: u > v; small: u ≤ v plus v itself). Both phases emit
@@ -503,8 +506,27 @@ object Dedup {
     // engine emits, but callers multiplexing one session should know.
     val spark = pairs.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
     val aqeBefore = spark.conf.get(aqeKey)
-    if (nNodes <= broadcastMaxNodes) spark.conf.set(aqeKey, "false")
+    val partsBefore = spark.conf.get(partsKey)
+    val smallRegime = nNodes <= broadcastMaxNodes
+    // With AQE suspended nothing coalesces the loop's shuffles, and the
+    // default partition count turns each round job into hundreds of
+    // near-empty tasks (measured: 8 stages × 32 partitions ≈ 2-3 s of
+    // pure scheduler overhead per round at sf0.1, ~60% of the whole
+    // contraction wall). Size the loop's shuffles from the probe's node
+    // and edge counts instead, RE-SIZED EVERY ROUND as the graph
+    // contracts: round 1 carries the full edge list (≈2M rows/task keeps
+    // it parallel without fragmenting), the star-forest remnant rounds
+    // collapse to a task per stage. Each round's plan is composed inside
+    // the loop, so it picks up the conf set from the previous probe.
+    def resizeLoop(nn: Long, ne: Long): Unit = if (smallRegime) {
+      val loopParts = math.min(32L,
+        math.max(math.max(1L, nn / 500000L + 1L), ne / 2000000L + 1L))
+      spark.conf.set(partsKey, loopParts.toString)
+    }
+    if (smallRegime) spark.conf.set(aqeKey, "false")
+    resizeLoop(nNodes, nEdges)
     try {
     // Fixpoints of the alternating contraction are star forests rooted at
     // component minima (Kiveris et al.), and under the canonical
@@ -526,13 +548,18 @@ object Dedup {
       // doubles — cheaper than an extra checkpoint job
       edges = ckpt(phase(phase(edges, large = true), large = false))
       iter += 1
-      converged = probe(edges)._1 == 0L
+      val (v, nn, ne) = probe(edges)
+      converged = v == 0L
+      resizeLoop(nn, ne)
     }
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter rounds — raise maxIter")
     (edges, iter)
-    } finally spark.conf.set(aqeKey, aqeBefore)
+    } finally {
+      spark.conf.set(aqeKey, aqeBefore)
+      spark.conf.set(partsKey, partsBefore)
+    }
   }
 
   /** [[duplicateClusters]] over the simhash near-dup graph
@@ -606,8 +633,10 @@ object Dedup {
     * equal 15-bit band ⇒ candidate; exact Hamming filter via
     * bit_count(xor). Shared by the full-corpus pair queries and the
     * exact-first dup graph. */
-  private[graft] def bandPairs(fps: DataFrame, maxHamming: Int): DataFrame =
-    bandPairsImpl(fps, maxHamming, dedupInJoin = false, carry = Nil)
+  private[graft] def bandPairs(fps: DataFrame, maxHamming: Int,
+      wideJoin: Boolean = false): DataFrame =
+    bandPairsImpl(fps, maxHamming, dedupInJoin = false, carry = Nil,
+      wideJoin = wideJoin)
 
   /** [[bandPairs]] with each surviving pair emitted EXACTLY ONCE — from
     * its lowest shared band — plus optional per-side carried columns
@@ -626,10 +655,10 @@ object Dedup {
     * map-side, and no pair row ever crosses the network. */
   private[graft] def bandPairsOnce(fps: DataFrame, maxHamming: Int,
       carry: Seq[String] = Nil): DataFrame =
-    bandPairsImpl(fps, maxHamming, dedupInJoin = true, carry)
+    bandPairsImpl(fps, maxHamming, dedupInJoin = true, carry, wideJoin = false)
 
   private def bandPairsImpl(fps: DataFrame, maxHamming: Int,
-      dedupInJoin: Boolean, carry: Seq[String]): DataFrame = {
+      dedupInJoin: Boolean, carry: Seq[String], wideJoin: Boolean): DataFrame = {
     val banded = fps.select(
       Seq(col("doc_id"), col("simhash"),
         posexplode(array((0 until SimhashBands).map(k =>
@@ -649,7 +678,24 @@ object Dedup {
         shiftright(col("sim_a"), j * SimhashBandBits).bitwiseAND(SimhashBandMask) =!=
           shiftright(col("sim_b"), j * SimhashBandBits).bitwiseAND(SimhashBandMask))
         .otherwise(lit(true))).reduce(_ && _)
-    val base = l.join(r, Seq("band_id", "band_key"))
+    // wideJoin: the band self-join's INPUT (4 rows per unique fingerprint)
+    // is tiny, so AQE coalesces its partitions to 1-2 tasks by input
+    // bytes — fine for plain pair emission, but when a consumer pipelines
+    // a heavy partial aggregate into the same stage (the dup graph's
+    // edge-distinct consumes millions of emitted pairs map-side), those
+    // 1-2 tasks own ALL the aggregation work. An explicit partition count
+    // on the join keys opts that one exchange out of coalescing; AQE
+    // keeps the matching side at the same width. Only the graph path asks
+    // for it — the pure pair queries measured faster letting AQE coalesce
+    // (one fewer wide exchange). Input skew loses nothing here: band keys
+    // are uniform by construction (exact-dup mass collapses before
+    // banding).
+    val lSide =
+      if (!wideJoin) l
+      else l.repartition(
+        math.max(1, l.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt),
+        col("band_id"), col("band_key"))
+    val base = lSide.join(r, Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b") &&
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming &&
         (if (dedupInJoin) noEarlierSharedBand else lit(true)))
@@ -725,15 +771,24 @@ object Dedup {
     * would become an "exact duplicate" of every other and q81 would
     * silently drop all but one of them. */
   def simhashDupGraphFromMeta(fps: DataFrame, maxHamming: Int = 6): DataFrame = {
+    // The fingerprint table is consumed three times downstream (the exact
+    // window, then each side of the band self-join). Without truncation
+    // each consumer re-runs the full text tokenize+hash map over the
+    // corpus — measured as the two dominant scan stages of every
+    // contraction-family query at sf0.1. The table itself is the narrow
+    // (doc_id, h128, simhash) row — node-sized, never corpus-text-sized —
+    // so a lazy local checkpoint (materialized by whichever consumer runs
+    // first, reused by the rest) trades three text passes for one.
+    val fpsOnce = org.apache.spark.sql.GraftBridge.checkpointNoStats(fps, eager = false)
     val byText = Window.partitionBy(col("h128"))
-    val withRep = fps.withColumn("rep", min(col("doc_id")).over(byText))
+    val withRep = fpsOnce.withColumn("rep", min(col("doc_id")).over(byText))
     val exactEdges = withRep
       .filter(col("h128").isNotNull && col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"),
         lit(0).as("hamming"))
     val uniq = withRep.filter(col("h128").isNull || col("doc_id") === col("rep"))
       .select(col("doc_id"), col("simhash"))
-    bandPairs(uniq, maxHamming).unionByName(exactEdges)
+    bandPairs(uniq, maxHamming, wideJoin = true).unionByName(exactEdges)
   }
 
   /** SimHash near-dup candidate pairs: equal 15-bit band ⇒ candidate; then

@@ -10,16 +10,33 @@ object JobCount {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "1m"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val jobs = new AtomicInteger(0)
     val trace = sys.env.contains("SPARK_GRAFT_JOB_TRACE")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        starts.put(j.jobId, System.nanoTime())
         if (trace) println(s"  [job ${j.jobId}] stages=${j.stageInfos.size} " +
           j.stageInfos.map(si => s"${si.stageId}:${si.name.takeWhile(_ != '\n').take(60)}").mkString(" | "))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = starts.get(j.jobId)
+        if (trace && t0 != 0L)
+          println(f"  [job ${j.jobId} END] wall=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = s.stageInfo
+        if (trace && sys.env.contains("SPARK_GRAFT_STAGE_TRACE"))
+          println(f"    [stage ${si.stageId}] tasks=${si.numTasks} " +
+            f"wall=${(si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3}%.2f " +
+            si.name.takeWhile(_ != '\n').take(50))
       }
     })
     def timed[T](tag: String)(f: => T): T = {
