@@ -705,6 +705,39 @@ object Dedup {
         carry.flatMap(c => Seq(col(s"a_$c"), col(s"b_$c"))): _*)
   }
 
+  /** The ASYMMETRIC band probe: near-dup pairs between a (small) probe
+    * frame and a corpus frame, both (doc_id, simhash) — the incremental
+    * form of the band self-join used by the streaming cluster gate
+    * ([[graft.streaming.StreamingCorpus.startClusterGate]]). Each
+    * qualifying (probe, corpus) pair is emitted exactly once (in-join
+    * first-shared-band dedup — both fingerprints are in-row, same
+    * discipline as [[bandPairsOnce]]); doc_a = probe side, doc_b = corpus
+    * side, unordered (consumers canonicalize). NULL fingerprints never
+    * pair (null band keys never equi-join).
+    *
+    * 100 TB shape: the probe side is batch-sized, the corpus side is one
+    * narrow row per distinct fingerprint; the join shuffles 4 band rows
+    * per fingerprint, never document text. */
+  private[graft] def bandProbe(probe: DataFrame, corpus: DataFrame,
+      maxHamming: Int): DataFrame = {
+    def banded(df: DataFrame, idc: String, simc: String) = df.select(
+      col("doc_id").as(idc), col("simhash").as(simc),
+      posexplode(array((0 until SimhashBands).map(k =>
+        shiftright(col("simhash"), k * SimhashBandBits).bitwiseAND(SimhashBandMask)): _*))
+        .as(Seq("band_id", "band_key")))
+    val noEarlierSharedBand = (0 until SimhashBands).map(j =>
+      when(col("band_id") > j,
+        shiftright(col("sim_a"), j * SimhashBandBits).bitwiseAND(SimhashBandMask) =!=
+          shiftright(col("sim_b"), j * SimhashBandBits).bitwiseAND(SimhashBandMask))
+        .otherwise(lit(true))).reduce(_ && _)
+    banded(probe, "doc_a", "sim_a")
+      .join(banded(corpus, "doc_b", "sim_b"), Seq("band_id", "band_key"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming &&
+        noEarlierSharedBand)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** SimHash near-dup candidate pairs, pre-distinct: a pair appears once
     * per shared band (≤4×). This is the EXHAUSTIVE pair surface (q35's
     * semantics: every near-dup pair, including pairs of identical texts);

@@ -413,6 +413,179 @@ object StreamingCorpus {
   }
 
   /**
+   * Incrementally-maintained duplicate clusters — the streaming
+   * counterpart of q74, closing the one re-contract-from-scratch consumer
+   * the round-9 audit left: instead of re-running the star contraction
+   * over the whole fingerprint graph per batch, the gate maintains the
+   * contraction's own FIXPOINT — a star forest (doc_id → root=component
+   * minimum, child > root) — across batches, and re-contracts only the
+   * components the batch touches.
+   *
+   * Per micro-batch:
+   *  1. fingerprint arriving docs once ([[graft.analytics.Dedup
+   *     .simhashMetaOf]] — the only pass over text);
+   *  2. maintain the REP table (h128 → lowest doc_id seen, one row per
+   *     distinct text; "lowest wins" is associative/commutative/
+   *     idempotent, so it converges under any delivery order or replay);
+   *  3. derive the batch's NEW edges, all batch-bounded: member → rep
+   *     exact edges, displaced-rep → new-rep edges (a late-arriving lower
+   *     id re-roots its text group), and near-dup band edges from the
+   *     asymmetric [[graft.analytics.Dedup.bandProbe]] of the batch's
+   *     reps against the rep table (4 narrow band rows per fingerprint —
+   *     never text, never the full pair surface);
+   *  4. map the new edges' endpoints into ROOT space through the current
+   *     forest (a root stands for its whole component), contract ONLY
+   *     that touched-root graph ([[graft.analytics.Dedup
+   *     .duplicateClusterEdges]] — its cost is touched-component-sized),
+   *     and merge the resulting root moves back: children of a moved root
+   *     re-point directly (star shape is preserved — no chains ever
+   *     form), and the contracted nodes' own rows upsert by doc_id.
+   *
+   * Equivalence to batch [[graft.analytics.Dedup.duplicateClusters]] over
+   * the full corpus (asserted under out-of-order arrival + replay in
+   * StreamingCorpusSpec): the forest's components always equal the
+   * components of every edge seen so far with root = component minimum —
+   * new edges connect exactly the doc pairs the batch graph would
+   * (exact edges chain members through current-or-displaced reps to the
+   * same component; band edges connect the same distinct fingerprints,
+   * and a band edge recorded against a LATER-displaced rep keeps its
+   * component through the displaced-rep edge), and the touched-subgraph
+   * contraction takes each merged component to the minimum over its
+   * touched roots — each of which was already its old component's
+   * minimum.
+   *
+   * Per-batch cost is bounded by batch size + touched-component count,
+   * not corpus size — the per-batch `statsPath` row (n_root_edges,
+   * n_forest_updates) is the deterministic observable: a batch touching
+   * no existing cluster records 0 root edges no matter how large the
+   * accumulated corpus is.
+   */
+  def startClusterGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      repPath: String,
+      forestPath: String,
+      checkpointDir: String,
+      statsPath: Option[String] = None,
+      maxHamming: Int = 6,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        maintainClusterForest(spark, batch, repPath, forestPath, batchId,
+          statsPath, maxHamming, nBuckets)
+      }
+      .start()
+  }
+
+  /** One batch step of [[startClusterGate]] — factored out so the spec can
+    * drive it directly and so a batch backfill can reuse it. */
+  def maintainClusterForest(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      repPath: String,
+      forestPath: String,
+      batchId: Long,
+      statsPath: Option[String] = None,
+      maxHamming: Int = 6,
+      nBuckets: Int = 32): Unit = {
+    import graft.analytics.Dedup
+    // one text pass: fingerprints, in-batch re-delivery collapsed; docs
+    // with NULL text never pair (q74 semantics) and stay out of the state
+    val meta = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      Merge.dedupLatest(
+        Dedup.simhashMetaOf(batch.select(col("doc_id"), col("text")))
+          .withColumn("_dump_seq", lit(batchId)),
+        Seq("doc_id"), "_dump_seq")
+        .filter(col("h128").isNotNull)
+        .select(col("doc_id"), col("h128"), col("simhash")),
+      eager = false)
+    val batchMin = meta.groupBy(col("h128"))
+      .agg(min(col("doc_id")).as("bmin"), min(col("simhash")).as("simhash"))
+    val repExists = BucketedMerge.hasData(spark, repPath)
+    val joined =
+      (if (repExists)
+        batchMin.join(
+          BucketedMerge.read(spark, repPath)
+            .select(col("h128"), col("rep").as("old_rep")),
+          Seq("h128"), "left")
+      else batchMin.withColumn("old_rep", lit(null).cast("long")))
+        .withColumn("new_rep", least(col("bmin"), col("old_rep")))
+    // the rep merge and every edge derivation read `joined` — truncate so
+    // the batch is fingerprinted and rep-joined once
+    val j = org.apache.spark.sql.GraftBridge.checkpointNoStats(joined, eager = false)
+    BucketedMerge.mergeInto(spark, repPath,
+      j.select(col("h128"), col("new_rep").as("rep"), col("simhash"),
+        (-col("new_rep")).as("_keep_rank")),
+      Seq("h128"), nBuckets, seqCol = Some("_keep_rank"))
+    val memberE = meta.join(j.select(col("h128"), col("new_rep")), "h128")
+      .filter(col("doc_id") =!= col("new_rep"))
+      .select(col("doc_id").as("doc_a"), col("new_rep").as("doc_b"))
+    val displacedE = j
+      .filter(col("old_rep").isNotNull && col("old_rep") =!= col("new_rep"))
+      .select(col("old_rep").as("doc_a"), col("new_rep").as("doc_b"))
+    // band edges probe the UPDATED rep table (batch reps included), so
+    // batch-internal near-dup pairs surface too; re-probing a replayed
+    // batch re-derives edges that are already no-ops in root space
+    val bandE = Dedup.bandProbe(
+      j.select(col("new_rep").as("doc_id"), col("simhash")),
+      BucketedMerge.read(spark, repPath)
+        .select(col("rep").as("doc_id"), col("simhash")),
+      maxHamming)
+    val newE = memberE.unionByName(displacedE).unionByName(bandE)
+    val forestExists = BucketedMerge.hasData(spark, forestPath)
+    val forest =
+      if (forestExists) BucketedMerge.read(spark, forestPath)
+        .select(col("doc_id"), col("root"))
+      else spark.range(0).select(col("id").as("doc_id"), col("id").as("root"))
+    val eRoots = newE
+      .join(forest.select(col("doc_id").as("doc_a"), col("root").as("ra")),
+        Seq("doc_a"), "left")
+      .join(forest.select(col("doc_id").as("doc_b"), col("root").as("rb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+        coalesce(col("rb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // touched-root contraction: nodes are current roots + new docs only
+    val (contracted, _) = Dedup.duplicateClusterEdges(eRoots)
+    val moved = forest
+      .join(contracted.select(col("src").as("root"), col("dst").as("new_root")),
+        Seq("root"))
+      .select(col("doc_id"), col("new_root").as("root"))
+    val updates = moved
+      .unionByName(contracted.select(col("src").as("doc_id"), col("dst").as("root")))
+      .withColumn("_dump_seq", lit(batchId))
+    // observability counts run BEFORE the merge: `updates` reads the
+    // pre-merge forest files, which the merge's bucket renames replace —
+    // counting afterwards would chase deleted files (`contracted` is a
+    // materialized checkpoint, so the recount is just the forest join)
+    val stats = statsPath.map(_ => (eRoots.count(), updates.count()))
+    BucketedMerge.mergeInto(spark, forestPath, updates,
+      Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+    statsPath.foreach { sp =>
+      import spark.implicits._
+      val (nEdges, nUpd) = stats.get
+      Seq((batchId, nEdges, nUpd))
+        .toDF("batch_id", "n_root_edges", "n_forest_updates")
+        .write.mode("append").parquet(sp)
+    }
+  }
+
+  /** The cluster table ((doc_id, cluster_id), one row per member incl.
+    * the root — [[graft.analytics.Dedup.duplicateClusters]]'s exact
+    * output shape) from the gate's forest state. */
+  def clustersFromForest(forest: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    forest.select(col("doc_id"), col("root").as("cluster_id"))
+      .unionByName(forest.select(col("root").as("doc_id"), col("root").as("cluster_id"))
+        .distinct())
+
+  /**
    * Continuously-maintained sequential funnel — the streaming counterpart
    * of q109: events land as files, the FUNNEL-TYPED subset is compacted
    * into a bucketed state table (keyed event_id, so replay and

@@ -322,6 +322,109 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     assert(ab.sameElements(Array(0)), "srcA x srcB exact dup must pin min_hamming 0")
   }
 
+  test("incrementally-maintained clusters equal batch q74 under replay, out-of-order arrival and root displacement") {
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_sclust").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val repPath = s"$root/wh/clust_rep"
+    val forestPath = s"$root/wh/clust_forest"
+    val statsPath = s"$root/wh/clust_stats"
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    def variant(v: Int) = (0 until 30)
+      .map(i => if (i % 11 == v % 11) s"x${v}_$i" else s"w$i").mkString(" ")
+    // wave 1: exact-dup group {10,11,12} on `base`, near-dup variants
+    // 20/21, uniques. wave 2 arrives OUT OF ORDER (doc 2 < every wave-1
+    // id) with base's exact text — it must DISPLACE root 10 and re-point
+    // 11/12/near-dups — plus a replayed doc and a near-dup of base.
+    // wave 3 is all-unique: the batch-boundedness probe.
+    val w1 = Seq((10L, base), (11L, base), (12L, base),
+      (20L, variant(1)), (21L, variant(2)), (30L, "nothing like it at all"))
+    // hostile shapes ride along: NULL text (must never pair — q74's
+    // null-fingerprint guard) and empty text (a real, pairable hash)
+    val w2 = Seq((2L, base), (4L, variant(3)), (2L, base),
+      (31L, "also entirely different text"), (32L, null: String),
+      (33L, ""), (34L, ""))
+    val w3 = Seq((40L, "unique forty text"), (41L, "unique forty one text"),
+      (42L, null: String))
+    def dfOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val schema = dfOf(w1).schema
+    def drain(): Unit = {
+      val q = StreamingCorpus.startClusterGate(spark, landing.getAbsolutePath,
+        schema, repPath, forestPath, s"$root/chk", Some(statsPath), nBuckets = 4)
+      q.awaitTermination()
+    }
+    def assertEqBatch(soFar: Seq[(Long, String)], tag: String): Unit = {
+      val streamed = StreamingCorpus.clustersFromForest(
+        BucketedMerge.read(spark, forestPath).select(col("doc_id"), col("root")))
+      val batch = graft.analytics.Dedup.duplicateClusters(
+        graft.analytics.Dedup.simhashDupGraphOf(dfOf(soFar)))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        s"$tag: incremental clusters diverge from batch duplicateClusters")
+    }
+    land(dfOf(w1), landing, "wave1"); drain(); assertEqBatch(w1, "wave1")
+    land(dfOf(w2), landing, "wave2"); drain(); assertEqBatch(w1 ++ w2, "wave2")
+    // the displaced root: doc 2 now roots base's whole group
+    val f2 = BucketedMerge.read(spark, forestPath)
+      .select(col("doc_id"), col("root")).as[(Long, Long)].collect().toMap
+    assert(f2(10L) == 2L && f2(11L) == 2L && f2(12L) == 2L,
+      "the late-arriving lower id must displace the root of the exact group")
+    // star shape: no child is ever a root (no chains), and child > root
+    assert(f2.keySet.intersect(f2.values.toSet).isEmpty, "forest must stay a star")
+    assert(f2.forall { case (c, r) => c > r }, "canonical child > root orientation")
+    land(dfOf(w3), landing, "wave3"); drain(); assertEqBatch(w1 ++ w2 ++ w3, "wave3")
+    // batch-boundedness, deterministically observable: the all-unique
+    // wave contracts NOTHING (0 root edges, 0 forest updates) no matter
+    // how many clusters the accumulated corpus holds
+    val stats = spark.read.parquet(statsPath)
+      .orderBy(col("batch_id").desc).limit(1)
+      .select(col("n_root_edges"), col("n_forest_updates"))
+      .as[(Long, Long)].head()
+    assert(stats == ((0L, 0L)),
+      s"an all-unique batch must not touch the forest (got $stats)")
+  }
+
+  test("cluster gate per-batch work scales with the batch, not the corpus") {
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_sclustsoak").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val repPath = s"$root/wh/rep"
+    val forestPath = s"$root/wh/forest"
+    val statsPath = s"$root/wh/stats"
+    // 100 exact-dup groups of 4 → a 400-doc corpus holding 100 clusters
+    def text(g: Int) = (0 until 25).map(w => s"g${g}w${(g * 13 + w * 5) % 97}").mkString(" ")
+    val w1 = (0 until 400).map(i => ((i + 100).toLong, text(i % 100)))
+    // the follow-up batch touches ONE existing group (+3 clearly-unique docs)
+    val w2 = Seq((10L, text(7)), (11L, text(7)),
+      (20L, "alpha beta gamma delta epsilon"),
+      (21L, "zeta eta theta iota kappa"),
+      (22L, "lambda mu nu xi omicron"))
+    def dfOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val schema = dfOf(w1).schema
+    def drain(): Unit = {
+      val q = StreamingCorpus.startClusterGate(spark, landing.getAbsolutePath,
+        schema, repPath, forestPath, s"$root/chk", Some(statsPath), nBuckets = 8)
+      q.awaitTermination()
+    }
+    land(dfOf(w1), landing, "wave1"); drain()
+    land(dfOf(w2), landing, "wave2"); drain()
+    val streamed = StreamingCorpus.clustersFromForest(
+      BucketedMerge.read(spark, forestPath).select(col("doc_id"), col("root")))
+    val batch = graft.analytics.Dedup.duplicateClusters(
+      graft.analytics.Dedup.simhashDupGraphOf(dfOf(w1 ++ w2)))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "incremental clusters diverge from batch duplicateClusters at soak scale")
+    // the deterministic batch-boundedness observable (not wall clock —
+    // see the round-9 ADVICE on timing asserts): the small batch's root
+    // edges and forest writes must be batch-sized; re-contracting the
+    // corpus would show ~300 forest updates and 100+ cluster edge groups
+    val st = spark.read.parquet(statsPath)
+      .orderBy(col("batch_id").desc).limit(1)
+      .select(col("n_root_edges"), col("n_forest_updates"))
+      .as[(Long, Long)].head()
+    assert(st._1 <= 20L, s"root-edge count must be batch-bounded, got ${st._1}")
+    assert(st._2 <= 20L, s"forest writes must be batch-bounded, got ${st._2}")
+  }
+
   test("streamed source sketches equal batch q115 under replay and out-of-order arrival") {
     import spark.implicits._
     val root = TempDirs.tempDir("graft_ssketch").toFile
