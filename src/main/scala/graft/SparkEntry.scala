@@ -177,6 +177,10 @@ object SparkEntry {
     // IVF recall@k vs brute-force ground truth — q107's sibling, so every
     // ANN tier ships with a distributed accuracy audit
     "q110_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.ivfRecallStats(s, d)),
+    "q121_ivf_hard_negatives" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfHardNegatives(s, d)),
+    "q122_hard_negative_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfHardNegativeRecallStats(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -259,6 +263,54 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
         | FROM s WHERE cosine IS NOT NULL)""".stripMargin
 
+
+  /** The q121/q122 IVF replay over the LABELED corpus: identical cell /
+    * centroid / routing machinery to [[ivfCte]], but cells and centroids
+    * index only labeled vectors (unlabeled rows can never be negatives)
+    * and the probed-cell scan keeps different-label neighbors only. */
+  private val ivfLabCte: String =
+    """WITH v AS (
+        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        | FROM embeddings WHERE label IS NOT NULL),
+        |cells AS (
+        | SELECT vec_id, label, e,
+        |  CAST(list_sum(list_transform(range(0,3), p ->
+        |   CASE WHEN list_sum(list_transform(range(1, len(e)+1),
+        |     i -> e[i] * (((('0x' || substring(md5(CAST(p AS VARCHAR) || '_' ||
+        |            CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 1000000)/1000000.0) - 0.5)))
+        |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS cell
+        | FROM v),
+        |cent AS (
+        | SELECT cell, dim,
+        |  CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+        | FROM (
+        |   SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x
+        |   FROM cells) t
+        | GROUP BY cell, dim),
+        |ca AS (SELECT cell, list(mean_v ORDER BY dim) AS c0 FROM cent GROUP BY cell),
+        |q AS (SELECT vec_id AS query_id, label AS ql, e AS qe
+        | FROM cells WHERE vec_id % 100 = 0),
+        |routed AS (
+        | SELECT query_id, ql, qe, cell,
+        |  list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*c0[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))) AS c_cos
+        | FROM q CROSS JOIN ca),
+        |probes AS (
+        | SELECT query_id, ql, qe, cell FROM (
+        |  SELECT query_id, ql, qe, cell,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS pr
+        |  FROM routed) t WHERE pr <= 4),
+        |s AS (
+        | SELECT p.query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(p.qe)+1), i -> p.qe[i]*c.e[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, len(p.qe)+1), i -> p.qe[i]*p.qe[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, len(c.e)+1), i -> c.e[i]*c.e[i])))) AS cosine
+        | FROM probes p JOIN cells c ON c.cell = p.cell
+        | WHERE p.query_id <> c.vec_id AND c.label <> p.ql),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        | FROM s WHERE cosine IS NOT NULL)""".stripMargin
 
   private val percentilesSql =
     """SELECT l_returnflag,
@@ -839,6 +891,38 @@ object SparkEntry {
           |    sqrt(list_sum(list_transform(range(1, len(c.e)+1), i -> c.e[i]*c.e[i])))) AS cosine
           | FROM (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0) q2
           | CROSS JOIN v c WHERE q2.query_id <> c.vec_id),
+          |br AS (SELECT query_id, neighbor_id FROM (
+          | SELECT query_id, neighbor_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+          | FROM bs WHERE cosine IS NOT NULL) t WHERE rn <= 5),
+          |hits AS (SELECT b.query_id, count(*) AS h
+          | FROM ivfr i JOIN br b
+          |   ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+          | GROUP BY b.query_id)
+          |SELECT q3.query_id, CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+          | round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
+          |FROM (SELECT DISTINCT query_id FROM br) q3
+          |LEFT JOIN hits ON q3.query_id = hits.query_id""".stripMargin),
+    // the routed hard-negative miner: the q37 IVF replay over the labeled
+    // corpus with the different-label filter in the probed-cell scan
+    "q121_ivf_hard_negatives" ->
+      (ivfLabCte +
+        """
+          |SELECT query_id, neighbor_id, round(cosine,6) AS cosine, CAST(rn AS INTEGER) AS rn
+          |FROM r WHERE rn <= 5""".stripMargin),
+    // approximation honesty for the routed miner: recall@k vs the q120
+    // brute-force hard-negative ground truth (q110's exact shape)
+    "q122_hard_negative_recall" ->
+      (ivfLabCte +
+        """,
+          |ivfr AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5),
+          |bs AS (SELECT q2.query_id, c.vec_id AS neighbor_id,
+          |  list_sum(list_transform(range(1, len(q2.qe)+1), i -> q2.qe[i]*c.e[i])) /
+          |   (sqrt(list_sum(list_transform(range(1, len(q2.qe)+1), i -> q2.qe[i]*q2.qe[i]))) *
+          |    sqrt(list_sum(list_transform(range(1, len(c.e)+1), i -> c.e[i]*c.e[i])))) AS cosine
+          | FROM (SELECT vec_id AS query_id, label AS ql, e AS qe
+          |        FROM v WHERE vec_id % 100 = 0) q2
+          | CROSS JOIN v c WHERE q2.query_id <> c.vec_id AND c.label <> q2.ql),
           |br AS (SELECT query_id, neighbor_id FROM (
           | SELECT query_id, neighbor_id,
           |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn

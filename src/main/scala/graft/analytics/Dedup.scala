@@ -520,9 +520,14 @@ object Dedup {
     // it parallel without fragmenting), the star-forest remnant rounds
     // collapse to a task per stage. Each round's plan is composed inside
     // the loop, so it picks up the conf set from the previous probe.
+    // cap at the session's configured width — the cluster operator knows
+    // the executor budget, this loop only ever narrows below it
+    val confParts = math.max(1L, partsBefore.toInt.toLong)
     def resizeLoop(nn: Long, ne: Long): Unit = if (smallRegime) {
-      val loopParts = math.min(32L,
-        math.max(math.max(1L, nn / 500000L + 1L), ne / 2000000L + 1L))
+      val loopParts = math.max(1L, math.min(confParts,
+        math.max(nn / 500000L, ne / 250000L) + 1L))
+      if (sys.env.contains("SPARK_GRAFT_LOOP_DEBUG"))
+        println(s"[contraction] nodes=$nn edges=$ne loopParts=$loopParts")
       spark.conf.set(partsKey, loopParts.toString)
     }
     if (smallRegime) spark.conf.set(aqeKey, "false")

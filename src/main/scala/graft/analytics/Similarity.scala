@@ -133,6 +133,72 @@ object Similarity {
         round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
   }
 
+  /**
+   * q121: IVF-ROUTED hard-negative mining — q120's semantics served
+   * through the cell-pruned index instead of the brute-force scan, the
+   * spelling a 100 TB miner actually runs: the labeled corpus is
+   * hyperplane-celled exactly as [[ivfTopK]], each query routes to its
+   * `nprobe` nearest centroids, and only those cells are scanned for
+   * different-label neighbors. Cells and centroids are built over the
+   * LABELED corpus only (unlabeled rows can never be negatives, so
+   * indexing them would only dilute the probes). Approximate by the same
+   * trade as every IVF path: a hard negative living in an unprobed cell
+   * is missed — which is exactly what [[ivfHardNegativeRecallStats]]
+   * (q122) quantifies per query against the q120 ground truth.
+   *
+   * 100 TB shape: centroids are 2^nplanes broadcast rows; the stride-
+   * bounded query set broadcasts against only the probed cells'
+   * partitions; per-query cost is nprobe/ncells of the labeled corpus,
+   * independent of total corpus growth, and the bounded-heap top-k keeps
+   * the shuffle at k rows per query per partition.
+   */
+  def ivfHardNegatives(s: SparkSession, d: String, k: Int = 5,
+      nprobe: Int = 4, stride: Long = 100, nplanes: Int = 3): DataFrame = {
+    val lab = embeddings(s, d).filter(col("label").isNotNull)
+    val dim = embeddingDim(embeddings(s, d))
+    val emb = lab.withColumn("cell", lshBucketCol(col("embedding"), nplanes, dim))
+    val cents = centroids(emb)
+    val queries = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val routed = queries.join(broadcast(cents))
+      .withColumn("c_cos", cosineNative(col("q_emb"), col("centroid")))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("cell"))
+    val probes = routed.withColumn("pr", row_number().over(wr))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_label"), col("cell"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("label").as("c_label"), col("cell"))
+    val scored = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("c_label") =!= col("q_label"))
+      .withColumn("cosine", cosineNative(col("q_emb"), col("c_emb")))
+    boundedTopK(scored, k)
+  }
+
+  /**
+   * q122: recall@k of the routed miner (q121) against the brute-force
+   * hard-negative ground truth (q120) — the same approximation-honesty
+   * audit every ANN tier ships (q107 for PQ, q110 for IVF): per query,
+   * how many of the true top-k hard negatives the cell-pruned scan found.
+   * Ground-truth queries with no routed hits stay in the output via the
+   * left join.
+   */
+  def ivfHardNegativeRecallStats(s: SparkSession, d: String, k: Int = 5,
+      nprobe: Int = 4, stride: Long = 100, nplanes: Int = 3): DataFrame = {
+    val routed = ivfHardNegatives(s, d, k, nprobe, stride, nplanes)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = hardNegatives(s, d, k, stride)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = routed.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
+  }
+
   /** Centroid per IVF cell: element-wise mean of member embeddings in
     * exploded (cell, dim, value) form — one shuffle keyed by (cell, dim),
     * then reassembled into an ordered array per cell. The frame must carry

@@ -116,6 +116,14 @@ object Soak100 {
         Similarity.pqAdcTopKOf(Tables.embeddings(spark, soakDir),
           4, 4, 2, 5, 10000L, trainSampleMod = 40).count())
       println(f"[q106] rows $a01 -> $a10, wall x${ta10 / ta01}%.1f on 100x data (|Q| fixed)")
+
+      // routed hard-negative mining (round-10): |Q| fixed via stride, so
+      // the multiplier isolates per-query serving cost as the index grows
+      val (hn01, thn01) = timed("q121 sf0.1")(
+        Similarity.ivfHardNegatives(spark, sf01, 5, 4, 100L).count())
+      val (hn10, thn10) = timed("q121 sf10")(
+        Similarity.ivfHardNegatives(spark, soakDir, 5, 4, 10000L).count())
+      println(f"[q121] rows $hn01 -> $hn10, wall x${thn10 / thn01}%.1f on 100x data (|Q| fixed)")
     }
     spark.stop()
   }
