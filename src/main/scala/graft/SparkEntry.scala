@@ -181,6 +181,8 @@ object SparkEntry {
       Similarity.ivfHardNegatives(s, d)),
     "q122_hard_negative_recall" -> ((s: SparkSession, d: String) =>
       Similarity.ivfHardNegativeRecallStats(s, d)),
+    "q123_dsir_resample" -> ((s: SparkSession, d: String) =>
+      TextStats.dsirSelect(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -903,6 +905,47 @@ object SparkEntry {
           | round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
           |FROM (SELECT DISTINCT query_id FROM br) q3
           |LEFT JOIN hits ON q3.query_id = hits.query_id""".stripMargin),
+    // DSIR importance resampling: hashed unigram+bigram models (60-bit md5
+    // hash folded to 256 buckets — the q91 feature spelling), add-one
+    // smoothed log importance ratio per doc (per-gram terms rounded then
+    // DECIMAL-summed — the q99 discipline), deterministic Gumbel-top-k
+    // selection keyed by the md5 id lottery
+    "q123_dsir_resample" ->
+      s"""WITH w AS (SELECT doc_id, lang, source, $tokens AS ws FROM documents),
+        |g AS (
+        | SELECT doc_id, lang, unnest(ws) AS g FROM w
+        | UNION ALL
+        | SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
+        |   i -> ws[i] || ' ' || ws[i+1])) AS g
+        | FROM w WHERE len(ws) >= 2),
+        |gb AS (SELECT doc_id, lang,
+        |  ('0x' || substring(md5(g),1,15))::BIGINT % 256 AS b FROM g),
+        |cnt AS (SELECT b,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tb,
+        |  CAST(count(*) AS BIGINT) AS rb
+        | FROM gb GROUP BY b),
+        |tot AS (SELECT CAST(sum(tb) AS BIGINT) AS t_tot,
+        |  CAST(sum(rb) AS BIGINT) AS r_tot FROM cnt),
+        |m AS (SELECT b,
+        |  CAST(round(ln((tb + 1.0) / (t_tot + 256.0)) -
+        |             ln((rb + 1.0) / (r_tot + 256.0)), 6) AS DECIMAL(18,6)) AS term
+        | FROM cnt CROSS JOIN tot),
+        |sc AS (SELECT gb.doc_id,
+        |  sum(CAST(m.term AS DECIMAL(28,6))) AS logw
+        | FROM gb JOIN m ON gb.b = m.b GROUP BY gb.doc_id),
+        |keyed AS (SELECT d.doc_id, d.source,
+        |  coalesce(sc.logw, CAST(0 AS DECIMAL(28,6))) AS logw,
+        |  coalesce(sc.logw, CAST(0 AS DECIMAL(28,6))) +
+        |   CAST(round(-ln(-ln(((('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
+        |     % 1000000) + 0.5) / 1000000.0)), 6) AS DECIMAL(18,6)) AS sel_key
+        | FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+        |r AS (SELECT doc_id, source, logw, sel_key,
+        |  row_number() OVER (ORDER BY sel_key DESC, doc_id) AS rank
+        | FROM keyed)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, source,
+        | round(CAST(logw AS DOUBLE), 6) AS logw,
+        | round(CAST(sel_key AS DOUBLE), 6) AS sel_key
+        |FROM r WHERE rank <= 100""".stripMargin,
     // the routed hard-negative miner: the q37 IVF replay over the labeled
     // corpus with the different-label filter in the probed-cell scan
     "q121_ivf_hard_negatives" ->

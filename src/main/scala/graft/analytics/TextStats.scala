@@ -579,6 +579,89 @@ object TextStats {
           Sampling.idBucket(col("doc_id"), lotteryMod.toLong) === 0)
 
   /**
+   * q123: DSIR importance resampling (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling") — the hashed-n-gram
+   * instantiation: fit bag-of-hashed-ngram distributions for the TARGET
+   * domain (here the `lang = 'en'` slice, the same class proxy the q91
+   * classifier trains on) and for the RAW corpus, weight every document
+   * by its log importance ratio log p̂_tgt(x) − log p̂_raw(x) (add-one
+   * smoothing over the `nBuckets` hash range), and resample without
+   * replacement ∝ the importance weight via deterministic Gumbel-top-k:
+   * key = log w + Gumbel(u), u derived from the md5 id lottery
+   * ([[Sampling.idBucket]]), top `keepN` by (key desc, doc_id).
+   * Gumbel-top-k sampling equals weighted sampling without replacement
+   * (Efraimidis–Spirakis / Vieira), so the selection IS the paper's
+   * resampling step with the engine's reproducibility discipline instead
+   * of a hidden RNG.
+   *
+   * 100 TB posture: features are unigram+bigram hashes folded to
+   * `nBuckets` (the paper's hashing trick), so BOTH models are
+   * nBuckets-row broadcast tables no matter the corpus; scoring is a
+   * second narrow gram scan joining those tables (q99's spelling), and
+   * the top-`keepN` selection compiles to TakeOrdered (map-side partial
+   * top-k — no global sort materializes). Per-gram terms round to 6 dp
+   * and sum as DECIMAL so array-order and join-order sums agree exactly
+   * (the q99 discipline); the Gumbel key stays decimal so the final
+   * (key, doc_id) order is a total order both engines compute bit-equal.
+   * NULL-lang docs count to raw only (unknown domain is not target
+   * evidence); gram-less docs (null/empty text) score 0 and still enter
+   * the lottery — selection must not silently exempt them.
+   */
+  def dsirSelect(s: SparkSession, d: String, nBuckets: Int = 256,
+      keepN: Int = 100): DataFrame =
+    dsirSelectOf(documents(s, d), nBuckets, keepN)
+
+  /** [[dsirSelect]] over an arbitrary (doc_id, lang, source, text) frame. */
+  def dsirSelectOf(docs: DataFrame, nBuckets: Int = 256,
+      keepN: Int = 100): DataFrame = {
+    val ws = docs
+      .withColumn("w", words(col("text")))
+      .withColumn("nw", coalesce(size(col("w")), lit(0)))
+    // hashed unigram + bigram feature stream (one row per occurrence)
+    def gramStream(cols: Seq[Column]): DataFrame =
+      ws.select(cols :+ explode(col("w")).as("g"): _*)
+        .unionByName(ws.filter(col("nw") >= 2)
+          .select(cols :+ explode(transform(
+            sequence(lit(1), col("nw") - 1),
+            i => concat(element_at(col("w"), i), lit(" "),
+              element_at(col("w"), i + 1)))).as("g"): _*))
+        .withColumn("b", featureBucket(col("g"), nBuckets))
+    // both models from ONE aggregate pass: raw = every gram, target = the
+    // en slice — nBuckets rows, broadcast
+    val counts = gramStream(Seq((col("lang") === "en").as("tgt")))
+      .groupBy(col("b")).agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("tb"),
+        count(lit(1)).as("rb"))
+    val tot = counts.agg(sum(col("tb")).as("t_tot"), sum(col("rb")).as("r_tot"))
+    val model = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log((col("tb") + 1).cast("double") /
+            (col("t_tot") + nBuckets).cast("double")) -
+          log((col("rb") + 1).cast("double") /
+            (col("r_tot") + nBuckets).cast("double")), 6)
+          .cast("decimal(18,6)").as("term"))
+    // second narrow scan: per-doc decimal log-ratio sum over the stream
+    val perDoc = gramStream(Seq(col("doc_id")))
+      .join(broadcast(model), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("term"), lit(0).cast("decimal(18,6)"))
+        .cast("decimal(28,6)")).as("logw"))
+    val u = (Sampling.idBucket(col("doc_id"), 1000000L).cast("double") + 0.5) /
+      lit(1000000.0)
+    val keyed = docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("logw", coalesce(col("logw"), lit(0).cast("decimal(28,6)")))
+      .withColumn("gumbel", round(-log(-log(u)), 6).cast("decimal(18,6)"))
+      .withColumn("sel_key", col("logw") + col("gumbel"))
+    val top = keyed.orderBy(col("sel_key").desc, col("doc_id")).limit(keepN)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("sel_key").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("source"),
+        round(col("logw").cast("double"), 6).as("logw"),
+        round(col("sel_key").cast("double"), 6).as("sel_key"))
+  }
+
+  /**
    * BPE tokenizer-training pair counts (Sennrich et al. 2016, "Neural
    * Machine Translation of Rare Words with Subword Units") — the merge-
    * selection step of byte-pair-encoding training: corpus-weighted counts
