@@ -884,10 +884,20 @@ object Dedup {
     // re-fingerprints the corpus).
     val live = checkpointNoStats(
       fps.filter(col("h128").isNotNull), eager = false) // null text never pairs
-    // multiplicity table: one row per distinct text; rep id `g` is the key
+    // Multiplicity table — one row per distinct SIMHASH VALUE (round 10;
+    // previously per distinct text): two documents share all four bands
+    // and sit at Hamming 0 exactly when their fingerprints are EQUAL, so
+    // every same-value member pair is an intra row and only DISTINCT
+    // values need banding. Short-doc zero-bias makes same-value blocks
+    // the quadratic mass of the surface — collapsing them cut the sf10
+    // banded stream 130M → 18M pairs (7×) with row-identical output
+    // (PairSurfaceSpec). `hh` keys the degenerate null-fingerprint rows
+    // by text instead, so they never cross-pair (null bands never join)
+    // while same-text exact dups still count intra at h = 0.
+    val hh = when(col("simhash").isNull, col("h128"))
     val groups = checkpointNoStats(
-      live.groupBy(col("h128"))
-        .agg(min(col("simhash")).as("simhash"), count(lit(1)).as("n"),
+      live.groupBy(col("simhash"), hh.as("hh"))
+        .agg(count(lit(1)).as("n"),
           min(col("doc_id")).as("g"), max(col("doc_id")).as("max_id")),
       eager = false)
     // The pair stream: unique fingerprints only, each pair EXACTLY ONCE
@@ -942,8 +952,11 @@ object Dedup {
       .agg(min(col("tb0")).as("tb"), max(col("ta0")).as("ta"))
     // membership (linear) × thresholds (≤ groups·(maxHamming+1)) counts
     // distinct participating docs per side without touching member pairs
+    // renamed group keys — `groups` derives from `live`, so joining on
+    // same-named columns would hit Spark's self-join attribute ambiguity
     val members = live
-      .join(groups.select(col("h128"), col("g")), "h128")
+      .join(groups.select(col("simhash").as("gsim"), col("hh").as("ghh"), col("g")),
+        col("simhash") <=> col("gsim") && hh <=> col("ghh"))
       .select(col("doc_id"), col("g"))
     val docsByH = members.join(thr, "g")
       .groupBy(col("hamming"))
@@ -1025,9 +1038,16 @@ object Dedup {
    * duplicate mass. Output stays |sources|²-bounded.
    */
   def crossSourceLeakageOf(docs: DataFrame, maxHamming: Int): DataFrame =
+    // the fingerprint row with `source` carried in the SAME scan — the
+    // [[simhashMetaOf]]-then-join spelling read the text column twice and
+    // paid a doc_id shuffle join for a column the scan already had
     crossSourceLeakageFromMeta(
-      simhashMetaOf(docs.select(col("doc_id"), col("text")))
-        .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+      docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h128"),
+        simhashFromHashes(
+          transform(array_distinct(words(col("text"))), w => mdHash60(w)))
+          .as("simhash"),
+        col("source")),
       maxHamming)
 
   /** [[crossSourceLeakageOf]] from a (doc_id, h128, simhash, source)
@@ -1042,16 +1062,23 @@ object Dedup {
     // [[hammingHistogramOf]] (several consuming branches each)
     val live = checkpointNoStats(
       meta.filter(col("h128").isNotNull), eager = false)
-    // per-(distinct text, source) stats rolled up INTO the group row as an
-    // array, so the banded join can carry them in-row (source count per
-    // group is |sources|-bounded; array order is irrelevant — every
-    // consumer explodes and re-aggregates)
+    // Per-(distinct SIMHASH VALUE, source) stats rolled up INTO the group
+    // row as an array, so the banded join can carry them in-row (source
+    // count per group is |sources|-bounded; array order is irrelevant —
+    // every consumer explodes and re-aggregates). Round 10: the group
+    // tier moved from distinct-text to distinct-fingerprint, the same
+    // collapse as [[hammingHistogramOf]] — equal fingerprints are exactly
+    // the Hamming-0 all-bands-shared mass, so same-value blocks (the
+    // quadratic bulk: 130M → 18M banded pairs at sf10) become intra rows
+    // and only distinct values band. `hh` quarantines null-fingerprint
+    // rows by text so they never cross-pair.
+    val hh = when(col("simhash").isNull, col("h128"))
     val groups = checkpointNoStats(
-      live.groupBy(col("h128"), col("source"))
-        .agg(min(col("simhash")).as("simhash"), count(lit(1)).as("n"),
+      live.groupBy(col("simhash"), hh.as("hh"), col("source"))
+        .agg(count(lit(1)).as("n"),
           min(col("doc_id")).as("smin"), max(col("doc_id")).as("smax"))
-        .groupBy(col("h128"))
-        .agg(min(col("simhash")).as("simhash"), min(col("smin")).as("g"),
+        .groupBy(col("simhash"), col("hh"))
+        .agg(min(col("smin")).as("g"),
           collect_list(struct(col("source"), col("n"),
             col("smin"), col("smax"))).as("srcs")),
       eager = false)
@@ -1140,7 +1167,9 @@ object Dedup {
         col("smin").as("pmin"), col("smax").as("pmax")))
       .groupBy(col("g"), col("u"))
       .agg(min(col("pmin")).as("tb"), max(col("pmax")).as("ta"))
-    val memberRows = live.join(groups.select(col("h128"), col("g")), "h128")
+    val memberRows = live
+      .join(groups.select(col("simhash").as("gsim"), col("hh").as("ghh"), col("g")),
+        col("simhash") <=> col("gsim") && hh <=> col("ghh"))
       .select(col("doc_id"), col("g"), col("source").as("u"))
     val diagDocs = memberRows.alias("m")
       .join(diagThr.alias("t"),
