@@ -39,8 +39,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var anyFailed = false
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    // One UNTIMED warmup query before the windows: session init (codegen
+    // compiler, parquet footer caches, JIT, scheduler warmup) plus this
+    // host's cold-start stall otherwise land on whichever query runs
+    // first — the first alphabetical query's recorded spread was ~6 s of
+    // pure session noise (round-9 brief #7). Warmup failures are ignored
+    // here; the timed loop reports them.
+    selected.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val results = selected
       .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -1030,13 +1030,27 @@ object TextStats {
       .withColumn("nw", coalesce(size(col("w")), lit(0)))
     // top-`vocabCap` grams per language, count-desc with gram tiebreak —
     // deterministic and identically ordered on both engines (UTF-8 byte
-    // order == code-point order)
-    def capped(df: DataFrame, gram: String, cnt: String): DataFrame =
-      df.withColumn("rn", row_number().over(
+    // order == code-point order). TWO-STAGE partial top-K (round-10
+    // ADVICE): a single per-language window funnels that language's whole
+    // distinct-gram table through one task — a dominant language's
+    // vocabulary becomes a one-partition sort/OOM hotspot at scale. Stage
+    // one takes the top cap within 64 hash sub-buckets (64 parallel,
+    // vocabulary-sized-but-partitioned sorts); the global top cap is a
+    // subset of the sub-bucket survivors, so stage two sorts ≤ 64·cap
+    // rows per language — bounded by the CAP, never by the vocabulary.
+    // Survivors (and hence results) are identical to the one-window form.
+    def capped(df: DataFrame, gram: String, cnt: String): DataFrame = {
+      val local = df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"), pmod(xxhash64(col(gram)), lit(64L)))
+            .orderBy(col(cnt).desc, col(gram))))
+        .filter(col("rn") <= vocabCap)
+        .drop("rn")
+      local.withColumn("rn", row_number().over(
           Window.partitionBy(col("lang"))
             .orderBy(col(cnt).desc, col(gram))))
         .filter(col("rn") <= vocabCap)
         .drop("rn")
+    }
     val uni = capped(wsDocs
       .select(col("lang"), explode(col("w")).as("w1"))
       .groupBy(col("lang"), col("w1"))
@@ -1260,7 +1274,17 @@ object TextStats {
       .withColumn("pmi",
         round(log10((col("cb").cast("double") * col("nu") * col("nu")) /
           (col("nb").cast("double") * col("cu1") * col("cu2"))), 6))
-    scored
+    // two-stage partial top-K (round-10 ADVICE, the q99 `capped`
+    // discipline): a dominant language's scored-bigram table never sorts
+    // in one task — 64 sub-bucket windows first, then a topK-bounded
+    // final rank identical to the one-window form
+    val localTop = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), pmod(xxhash64(col("w1"), col("w2")), lit(64L)))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))))
+      .filter(col("rn") <= topK)
+      .drop("rn")
+    localTop
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("lang"))
           .orderBy(col("pmi").desc, col("w1"), col("w2"))))
@@ -1332,7 +1356,17 @@ object TextStats {
           (col("tf").cast("double") +
             lit(k1) * (lit(1 - b) +
               lit(b) * (col("len").cast("double") / col("avgdl")))), 6))
-    scored
+    // two-stage partial top-K (round-10 ADVICE): a stopword term's full
+    // posting list never ranks in one task — sub-bucket windows by doc
+    // hash, then a topDocs-bounded final rank identical to the one-window
+    // form
+    val localTop = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tok"), pmod(xxhash64(col("doc_id")), lit(64L)))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rn") <= topDocs)
+      .drop("rn")
+    localTop
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("tok"))
           .orderBy(col("score").desc, col("doc_id"))))

@@ -33,7 +33,18 @@ case class SortedContains(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      // containsNull arrays are REJECTED, not scanned: binary search reads
+      // slots with arr.getLong, which returns undefined data on a null
+      // slot — a user-supplied array with NULL entries would silently
+      // mis-answer (the sortedness contract is unverifiable, but the
+      // null-element case is checkable at analysis time). The engine's
+      // callers build sets with sort_array(collect_set(...)), whose
+      // element type is containsNull = false.
+      case (ArrayType(LongType, false), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, true), _) => TypeCheckResult.TypeCheckFailure(
+        "sorted_contains requires an array<bigint> with non-nullable " +
+          "elements (a NULL slot would be read as undefined data by the " +
+          "binary search); build the set with sort_array(collect_set(...))")
       case _ => TypeCheckResult.TypeCheckFailure(
         s"sorted_contains expects (array<bigint>, bigint), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")

@@ -86,7 +86,14 @@ class BoilerplateDegradeSpec extends AnyFunSuite with SparkSuite {
     assert(d1 == 2L * 20000 - 2, s"hand-derived drop count at n=20k: $d1")
     assert(d10 == 2L * 200000 - 2, s"hand-derived drop count at n=200k: $d10")
     info(f"q98 degrade soak: 20k docs ${t1}%.2f s, 200k docs ${t10}%.2f s, x${t10 / t1}%.1f")
-    assert(t10 / t1 <= 6.0,
-      f"10x data must cost ≲ linear wall (got x${t10 / t1}%.1f)")
+    // the wall-clock ratio is advisory on shared/loaded hardware (round-10
+    // ADVICE: an in-test timing ratio fails without any code regression) —
+    // it HARD-fails only when soak timing is explicitly requested
+    if (sys.env.contains("SPARK_GRAFT_SOAK_TIMING"))
+      assert(t10 / t1 <= 6.0,
+        f"10x data must cost ≲ linear wall (got x${t10 / t1}%.1f)")
+    else if (t10 / t1 > 6.0)
+      info(f"advisory: wall ratio x${t10 / t1}%.1f exceeded 6.0 on this host " +
+        "(not asserted; set SPARK_GRAFT_SOAK_TIMING to enforce)")
   }
 }

@@ -61,9 +61,16 @@ class Round9OpsSpec extends AnyFunSuite with SparkSuite {
     try {
       graft.analytics.Relational.skewProfile(spark, d)
         .write.format("noop").mode("overwrite").save()
-      // listener events drain asynchronously; a short settle is enough at
-      // fixture scale
-      Thread.sleep(2000)
+      // listener events drain asynchronously; poll until the counter has
+      // fully caught up AND stayed stable, instead of a fixed sleep that
+      // a loaded listener bus can outlast (round-10 ADVICE)
+      var last = -1L; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 300) {
+        Thread.sleep(100); waited += 1
+        val cur = read.get()
+        if (cur == last && cur >= totalRows) stable += 1
+        else { stable = 0; last = cur }
+      }
       // old spelling read lineitem 3x + documents 2x (~2.2x total);
       // the one-scan form reads each table exactly once
       assert(read.get() <= (totalRows * 1.2).toLong,
