@@ -183,6 +183,10 @@ object SparkEntry {
       Similarity.ivfHardNegativeRecallStats(s, d)),
     "q123_dsir_resample" -> ((s: SparkSession, d: String) =>
       TextStats.dsirSelect(s, d)),
+    "q124_tokenizer_fertility" -> ((s: SparkSession, d: String) =>
+      TextStats.bpeFertility(s, d)),
+    "q125_entropy_profile" -> ((s: SparkSession, d: String) =>
+      TextStats.entropyProfile(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -1823,6 +1827,36 @@ object SparkEntry {
         | round(min(score), 6) AS min_score, round(max(score), 6) AS max_score
         |FROM bk GROUP BY 1, 2""".stripMargin,
     "q100_bpe_encode" -> bpeEncodeSql(8, 65536, 40),
+    "q124_tokenizer_fertility" -> bpeFertilitySql(8, 65536),
+    // per-(doc, word) entropy terms rounded 6 dp then DECIMAL-summed (the
+    // q99 discipline); norm_entropy rounds per doc before the per-lang
+    // decimal average, so aggregation order cannot fork the engines
+    "q125_entropy_profile" ->
+      s"""WITH wc AS (
+        | SELECT doc_id, lang, w, count(*) AS c
+        | FROM (SELECT doc_id, lang, unnest($tokens) AS w FROM documents) t
+        | GROUP BY doc_id, lang, w),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS types FROM wc GROUP BY doc_id),
+        |pd AS (
+        | SELECT wc.doc_id, wc.lang, tot.types,
+        |  sum(CAST(round(-(CAST(wc.c AS DOUBLE) / tot.n) *
+        |    log2(CAST(wc.c AS DOUBLE) / tot.n), 6) AS DECIMAL(28,6))) AS h
+        | FROM wc JOIN tot ON wc.doc_id = tot.doc_id
+        | GROUP BY wc.doc_id, wc.lang, tot.types),
+        |pn AS (
+        | SELECT doc_id, lang, h,
+        |  CASE WHEN types <= 1 THEN CAST(0 AS DECIMAL(18,6))
+        |       ELSE CAST(round(CAST(h AS DOUBLE) / log2(CAST(types AS DOUBLE)), 6)
+        |            AS DECIMAL(18,6)) END AS norm_h
+        | FROM pd)
+        |SELECT lang,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | round(CAST(sum(h) AS DOUBLE) / count(*), 6) AS avg_entropy,
+        | round(CAST(sum(CAST(norm_h AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_norm_entropy,
+        | round(CAST(max(h) AS DOUBLE), 6) AS max_entropy,
+        | round(CAST(min(h) AS DOUBLE), 6) AS min_entropy
+        |FROM pn GROUP BY lang""".stripMargin,
     // cross-source leakage: the q35 pair surface joined to sources,
     // normalized to src_a <= src_b (NULL last) by the same explicit CASE
     // the engine spells
@@ -2102,6 +2136,35 @@ object SparkEntry {
     * empty t-table coalesces to a tab pattern (unmatchable: words are
     * whitespace-split) — a no-op, matching the engine's shorter merge
     * list. */
+  /** q124 oracle: the q100 encode replay keyed by (lang, word), rolled up
+    * to per-language fertility/compression ratios. */
+  private def bpeFertilitySql(nMerges: Int, vocabCap: Int): String = {
+    val delimited =
+      "list_aggregate(list_transform(range(1, len(word)+1), " +
+        "i -> chr(10) || word[CAST(i AS INT)] || chr(10)), 'string_agg', '')"
+    val encoded = (1 to nMerges).foldLeft(delimited) { (acc, k) =>
+      val patt = s"(SELECT chr(10) || a || chr(10) || chr(10) || b || chr(10) FROM t$k)"
+      val repl = s"(SELECT chr(10) || a || b || chr(10) FROM t$k)"
+      s"replace($acc, coalesce($patt, chr(9)), coalesce($repl, chr(9)))"
+    }
+    s"""${bpeTrainCtes(nMerges, vocabCap)},
+      |wall AS MATERIALIZED (
+      | SELECT lang, w AS word, count(*) AS n
+      | FROM (SELECT lang, unnest($tokens) AS w FROM documents) t
+      | WHERE len(w) >= 1 GROUP BY lang, w),
+      |enc AS MATERIALIZED (
+      | SELECT lang, n,
+      |  CAST(len(list_filter(string_split($encoded, chr(10)), x -> x <> '')) AS BIGINT) AS n_toks,
+      |  CAST(len(word) AS BIGINT) AS n_chars
+      | FROM wall)
+      |SELECT lang,
+      | CAST(sum(n) AS BIGINT) AS n_words,
+      | CAST(sum(n * n_toks) AS BIGINT) AS n_tokens,
+      | round(CAST(sum(n * n_toks) AS DOUBLE) / sum(n), 6) AS fertility,
+      | round(CAST(sum(n * n_chars) AS DOUBLE) / sum(n * n_toks), 6) AS chars_per_token
+      |FROM enc GROUP BY lang""".stripMargin
+  }
+
   private def bpeEncodeSql(nMerges: Int, vocabCap: Int, topK: Int): String = {
     val delimited =
       "list_aggregate(list_transform(range(1, len(word)+1), " +

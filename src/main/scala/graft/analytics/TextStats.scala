@@ -613,53 +613,77 @@ object TextStats {
 
   /** [[dsirSelect]] over an arbitrary (doc_id, lang, source, text) frame. */
   def dsirSelectOf(docs: DataFrame, nBuckets: Int = 256,
-      keepN: Int = 100): DataFrame = {
+      keepN: Int = 100): DataFrame =
+    dsirTopOf(dsirKeyedOf(docs, dsirModelOf(docs, nBuckets), nBuckets), keepN)
+
+  /** The hashed unigram + bigram feature stream (one row per occurrence)
+    * with the bucket column — shared by DSIR training and scoring. */
+  private def dsirGramStream(docs: DataFrame, cols: Seq[Column],
+      nBuckets: Int): DataFrame = {
     val ws = docs
       .withColumn("w", words(col("text")))
       .withColumn("nw", coalesce(size(col("w")), lit(0)))
-    // hashed unigram + bigram feature stream (one row per occurrence)
-    def gramStream(cols: Seq[Column]): DataFrame =
-      ws.select(cols :+ explode(col("w")).as("g"): _*)
-        .unionByName(ws.filter(col("nw") >= 2)
-          .select(cols :+ explode(transform(
-            sequence(lit(1), col("nw") - 1),
-            i => concat(element_at(col("w"), i), lit(" "),
-              element_at(col("w"), i + 1)))).as("g"): _*))
-        .withColumn("b", featureBucket(col("g"), nBuckets))
-    // both models from ONE aggregate pass: raw = every gram, target = the
-    // en slice — nBuckets rows, broadcast
-    val counts = gramStream(Seq((col("lang") === "en").as("tgt")))
+    ws.select(cols :+ explode(col("w")).as("g"): _*)
+      .unionByName(ws.filter(col("nw") >= 2)
+        .select(cols :+ explode(transform(
+          sequence(lit(1), col("nw") - 1),
+          i => concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1)))).as("g"): _*))
+      .withColumn("b", featureBucket(col("g"), nBuckets))
+  }
+
+  /** Train the DSIR importance model over `docs`: the (b, term) frame of
+    * per-bucket smoothed log importance ratios (target = the en slice,
+    * raw = every gram; both distributions from ONE aggregate pass —
+    * nBuckets rows, broadcast). A model-training batch event: the
+    * streaming gate ([[graft.streaming.StreamingCorpus.startDsirGate]])
+    * scores against a FROZEN copy. */
+  def dsirModelOf(docs: DataFrame, nBuckets: Int = 256): DataFrame = {
+    val counts = dsirGramStream(docs, Seq((col("lang") === "en").as("tgt")), nBuckets)
       .groupBy(col("b")).agg(
         sum(when(col("tgt"), 1L).otherwise(0L)).as("tb"),
         count(lit(1)).as("rb"))
     val tot = counts.agg(sum(col("tb")).as("t_tot"), sum(col("rb")).as("r_tot"))
-    val model = counts.crossJoin(broadcast(tot))
+    counts.crossJoin(broadcast(tot))
       .select(col("b"),
         round(log((col("tb") + 1).cast("double") /
             (col("t_tot") + nBuckets).cast("double")) -
           log((col("rb") + 1).cast("double") /
             (col("r_tot") + nBuckets).cast("double")), 6)
           .cast("decimal(18,6)").as("term"))
-    // second narrow scan: per-doc decimal log-ratio sum over the stream
-    val perDoc = gramStream(Seq(col("doc_id")))
+  }
+
+  /** Score `docs` against a trained (b, term) model: one (doc_id, source,
+    * logw, sel_key) row per doc — the decimal log-ratio sum plus the
+    * deterministic Gumbel selection key. Pure in (docs, model), so the
+    * streaming gate's maintained table equals batch scoring under any
+    * arrival order; `nBuckets` must match the model's training value. */
+  def dsirKeyedOf(docs: DataFrame, model: DataFrame,
+      nBuckets: Int = 256): DataFrame = {
+    val perDoc = dsirGramStream(docs, Seq(col("doc_id")), nBuckets)
       .join(broadcast(model), Seq("b"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("term"), lit(0).cast("decimal(18,6)"))
         .cast("decimal(28,6)")).as("logw"))
     val u = (Sampling.idBucket(col("doc_id"), 1000000L).cast("double") + 0.5) /
       lit(1000000.0)
-    val keyed = docs.select(col("doc_id"), col("source"))
+    docs.select(col("doc_id"), col("source"))
       .join(perDoc, Seq("doc_id"), "left")
       .withColumn("logw", coalesce(col("logw"), lit(0).cast("decimal(28,6)")))
       .withColumn("gumbel", round(-log(-log(u)), 6).cast("decimal(18,6)"))
       .withColumn("sel_key", col("logw") + col("gumbel"))
-    val top = keyed.orderBy(col("sel_key").desc, col("doc_id")).limit(keepN)
-    top.withColumn("rank",
+      .select(col("doc_id"), col("source"), col("logw"), col("sel_key"))
+  }
+
+  /** The Gumbel-top-k selection over a (doc_id, source, logw, sel_key)
+    * frame — TakeOrdered, then rank over the keepN survivors only. */
+  def dsirTopOf(keyed: DataFrame, keepN: Int): DataFrame =
+    keyed.orderBy(col("sel_key").desc, col("doc_id")).limit(keepN)
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("sel_key").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("source"),
         round(col("logw").cast("double"), 6).as("logw"),
         round(col("sel_key").cast("double"), 6).as("sel_key"))
-  }
 
   /**
    * BPE tokenizer-training pair counts (Sennrich et al. 2016, "Neural
@@ -849,6 +873,109 @@ object TextStats {
     toks.crossJoin(broadcast(total))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(topK)
+  }
+
+  /**
+   * q124: tokenizer fertility audit — per language, how the ONE shared
+   * BPE tokenizer (trained by [[bpeFitMerges]], the q97 loop) treats that
+   * language's text: tokens per word (fertility — the standard
+   * multilingual-tokenizer health metric: a language with fertility ≫
+   * the corpus mean pays more sequence length per word and trains
+   * worse), characters per token (compression), and the raw word/token
+   * mass. A training-data pipeline reads this table before fixing a
+   * tokenizer: it is where under-served languages show up.
+   *
+   * 100 TB posture — the [[bpeEncodeOf]] discipline verbatim: one corpus
+   * scan into the per-(lang, word) frequency table (map-side combined,
+   * vocab-sized), each DISTINCT word encoded once by the nMerges-step
+   * literal replace chain (driver-fit model constants), and the final
+   * per-language aggregate runs over vocab rows. Ratios divide exact
+   * long sums and round to 6 dp, so cross-engine parity needs no decimal
+   * machinery. NULL-lang documents form their own audit row.
+   */
+  def bpeFertility(s: SparkSession, d: String, nMerges: Int = 8,
+      vocabCap: Int = 65536): DataFrame =
+    bpeFertilityOf(documents(s, d), nMerges, vocabCap)
+
+  /** [[bpeFertility]] over an arbitrary (lang, text) frame. */
+  def bpeFertilityOf(docs: DataFrame, nMerges: Int, vocabCap: Int): DataFrame = {
+    val merges = bpeFitMerges(docs, nMerges, vocabCap)
+    val wordFreq = docs
+      .select(col("lang"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+    val delimited = array_join(
+      transform(sequence(lit(1), length(col("word"))),
+        i => concat(lit("\n"), col("word").substr(i, lit(1)), lit("\n"))),
+      "")
+    val encoded = merges.foldLeft(delimited) { case (c, (_, a, b, m, _)) =>
+      call_function("replace", c,
+        lit("\n" + a + "\n\n" + b + "\n"), lit("\n" + m + "\n"))
+    }
+    wordFreq
+      .withColumn("n_toks",
+        size(filter(split(encoded, "\n", -1), x => x =!= lit(""))).cast("long"))
+      .withColumn("n_chars", length(col("word")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_toks")).as("n_tokens"),
+        round(sum(col("n") * col("n_toks")).cast("double") /
+          sum(col("n")), 6).as("fertility"),
+        round(sum(col("n") * col("n_chars")).cast("double") /
+          sum(col("n") * col("n_toks")), 6).as("chars_per_token"))
+  }
+
+  /**
+   * q125: per-document lexical entropy profile — the Shannon entropy of
+   * each document's word distribution (and its normalized form
+   * H / log₂ types), aggregated per language. The signal between q70's
+   * repetition ratios and q105's corpus-level Zipf fit: low entropy flags
+   * templated/repetitive text (a C4/Gopher-family quality dial), entropy
+   * ≈ its maximum flags word-salad; filter thresholds come from this
+   * table's per-language distribution, not from a global constant.
+   *
+   * Determinism: per-(doc, word) entropy terms are rounded to 6 dp and
+   * summed as DECIMAL (the q99 discipline), the normalized form rounds
+   * per doc before the per-language decimal average, so both engines
+   * aggregate identical values in any order. Single-type docs define
+   * norm_entropy = 0 (H is 0; log₂ 1 would divide by zero). Documents
+   * with no words (null text) carry no distribution and are excluded —
+   * they are q88/q91's concern, not an entropy signal.
+   *
+   * 100 TB posture: one corpus scan into (doc, word, count) map-side
+   * partials; everything after is doc- then language-keyed narrow
+   * aggregates. No broadcast state at all.
+   */
+  def entropyProfile(s: SparkSession, d: String): DataFrame =
+    entropyProfileOf(documents(s, d))
+
+  /** [[entropyProfile]] over an arbitrary (doc_id, lang, text) frame. */
+  def entropyProfileOf(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tot = wc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("types"))
+    val perDoc = wc.join(tot, "doc_id")
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("term",
+        round(-col("p") * log2(col("p")), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"), col("lang"), col("types"))
+      .agg(sum(col("term").cast("decimal(28,6)")).as("h"))
+      .withColumn("norm_h",
+        when(col("types") <= 1, lit(BigDecimal(0)).cast("decimal(18,6)"))
+          .otherwise(round(col("h").cast("double") /
+            log2(col("types").cast("double")), 6).cast("decimal(18,6)")))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("h")).cast("double") / count(lit(1)), 6).as("avg_entropy"),
+        round(sum(col("norm_h").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_norm_entropy"),
+        round(max(col("h")).cast("double"), 6).as("max_entropy"),
+        round(min(col("h")).cast("double"), 6).as("min_entropy"))
   }
 
   /** Corpus-wide heavy hitters: the canonical distributed word count with a

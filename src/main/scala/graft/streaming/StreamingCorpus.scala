@@ -752,6 +752,61 @@ object StreamingCorpus {
       .filter(col("hit_ratio") >= flagThreshold)
 
   /**
+   * Online DSIR gate — the streaming counterpart of q123 ([[graft
+   * .analytics.TextStats.dsirSelectOf]]): arriving documents are scored
+   * against a FROZEN hashed-n-gram importance model (`model` — the
+   * (b, term) frame a batch [[graft.analytics.TextStats.dsirModelOf]]
+   * training run produced; model refresh is a batch event, like the ANN
+   * codebook and the classifier weights) and their (logw, sel_key) rows
+   * merge into the bucketed score table. Scoring is a pure per-document
+   * function of the frozen model, so the table equals the batch scoring
+   * of the full corpus under any arrival order or replay; the top-`keepN`
+   * selection is then a deterministic function OF that narrow table,
+   * recomputed per batch (the q86 accounting discipline — a global
+   * weighted sample cannot be admitted row-by-row, because a late
+   * high-weight arrival must evict the current weakest selectee, which
+   * only the maintained key table can express).
+   *
+   * 100 TB posture: per batch, explode → nBuckets-row broadcast model
+   * join → per-doc decimal sum; the score table holds 3 narrow columns
+   * per doc, text is never re-read, and the selection recompute is a
+   * TakeOrdered over that table.
+   */
+  def startDsirGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      model: org.apache.spark.sql.DataFrame,
+      scoresPath: String,
+      selectedPath: String,
+      checkpointDir: String,
+      nBuckets: Int = 32,
+      featureBuckets: Int = 256,
+      keepN: Int = 100,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val scored = TextStats
+          .dsirKeyedOf(batch.dropDuplicates(Seq("doc_id")), model, featureBuckets)
+          .withColumn("_dump_seq", lit(batchId))
+        BucketedMerge.mergeInto(spark, scoresPath, scored,
+          Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+        if (BucketedMerge.hasData(spark, scoresPath))
+          TextStats.dsirTopOf(
+              BucketedMerge.read(spark, scoresPath)
+                .select(col("doc_id"), col("source"), col("logw"), col("sel_key")),
+              keepN)
+            .write.mode("overwrite").parquet(selectedPath)
+      }
+      .start()
+  }
+
+  /**
    * Online quality-classifier gate — the streaming counterpart of the
    * q91 batch filter ([[graft.analytics.TextStats
    * .classifierQualityStatsOf]]), completing the pattern that every

@@ -101,6 +101,81 @@ class Round10OpsSpec extends AnyFunSuite with SparkSuite {
       "every selected doc must come from the target-like half")
   }
 
+  test("q124 fertility: char-level identity at nMerges=0 and a hand-computed merge") {
+    // word mass: en {ab×2, cde}, fr {ab, x}, NULL-lang {yz}; a null-text
+    // doc contributes nothing. The only repeated pair corpus-wide is
+    // (a,b)×3, so nMerges=1 trains exactly that merge.
+    val docs = Seq(
+      (1L, "en", "ab ab cde"),
+      (2L, "fr", "ab x"),
+      (3L, null: String, "yz"),
+      (4L, "en", null: String)).toDF("doc_id", "lang", "text")
+    // nMerges=0: every token is one char — fertility = mean word length,
+    // chars_per_token ≡ 1
+    val flat = TextStats.bpeFertilityOf(docs, nMerges = 0, vocabCap = 1024)
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("fertility"),
+        col("chars_per_token"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => (Option(r._1).getOrElse("∅"), r._2, r._3, r._4, r._5)).toSet
+    assert(flat == Set(
+      ("en", 3L, 7L, 2.333333, 1.0),
+      ("fr", 2L, 3L, 1.5, 1.0),
+      ("∅", 1L, 2L, 2.0, 1.0)), s"char-level fertility diverged: $flat")
+    // one merge (a,b)→ab: "ab" becomes a single token everywhere
+    val merged = TextStats.bpeFertilityOf(docs, nMerges = 1, vocabCap = 1024)
+      .select(col("lang"), col("n_tokens"), col("fertility"), col("chars_per_token"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => (Option(r._1).getOrElse("∅"), r._2, r._3, r._4)).toSet
+    assert(merged == Set(
+      ("en", 5L, 1.666667, 1.4),
+      ("fr", 2L, 1.0, 1.5),
+      ("∅", 2L, 2.0, 1.0)), s"post-merge fertility diverged: $merged")
+  }
+
+  test("q125 entropy: decimal-exact against a scalar replay incl. hostile shapes") {
+    // single-type doc (norm := 0), uniform docs, a non-dyadic 2/3-1/3
+    // split, an empty-text doc (one "" token — the shared tokenizer's
+    // published behavior), a null-text doc (excluded), a NULL-lang doc
+    val docs = Seq(
+      (1L, "en", "a a b b"),
+      (2L, "en", "a a a a"),
+      (3L, "fr", "a b c d"),
+      (4L, "fr", "a a b"),
+      (5L, null: String, "x y"),
+      (6L, "en", ""),
+      (7L, "fr", null: String)).toDF("doc_id", "lang", "text")
+    def replay(ws: Seq[String]): (BigDecimal, BigDecimal) = {
+      val counts = ws.groupBy(identity).view.mapValues(_.size).values.toSeq
+      val n = counts.sum.toDouble
+      val h = counts.map { c =>
+        val p = c / n
+        r6(-p * (math.log(p) / math.log(2.0)))
+      }.foldLeft(BigDecimal(0))(_ + _)
+      val norm = if (counts.size <= 1) BigDecimal(0)
+        else r6(h.toDouble / (math.log(counts.size) / math.log(2.0)))
+      (h, norm)
+    }
+    val corpus = Seq(
+      ("en", Seq("a", "a", "b", "b")), ("en", Seq("a", "a", "a", "a")),
+      ("fr", Seq("a", "b", "c", "d")), ("fr", Seq("a", "a", "b")),
+      ("∅", Seq("x", "y")), ("en", Seq("")))
+    val expected = corpus.map { case (l, ws) => (l, replay(ws)) }
+      .groupBy(_._1).map { case (l, rows) =>
+        val hs = rows.map(_._2._1); val norms = rows.map(_._2._2)
+        (l, rows.size.toLong,
+          r6(hs.sum.toDouble / rows.size).toDouble,
+          r6(norms.sum.toDouble / rows.size).toDouble,
+          hs.max.toDouble, hs.min.toDouble)
+      }.toSet
+    val got = TextStats.entropyProfileOf(docs)
+      .select(col("lang"), col("n_docs"), col("avg_entropy"),
+        col("avg_norm_entropy"), col("max_entropy"), col("min_entropy"))
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => (Option(r._1).getOrElse("∅"), r._2, r._3, r._4, r._5, r._6)).toSet
+    assert(got == expected,
+      s"entropy profile diverged from the scalar replay:\n got $got\n exp $expected")
+  }
+
   test("q121 routed negatives ⊆ label constraint and q122 recall bounds") {
     val routed = Similarity.ivfHardNegatives(spark, d)
     val emb = graft.analytics.Tables.embeddings(spark, d)

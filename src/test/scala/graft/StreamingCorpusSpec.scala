@@ -383,6 +383,59 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       s"an all-unique batch must not touch the forest (got $stats)")
   }
 
+  test("streamed DSIR selection equals batch q123 under replay and out-of-order arrival") {
+    import graft.analytics.TextStats
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_sdsir").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val scoresPath = s"$root/wh/dsir_scores"
+    val selectedPath = s"$root/wh/dsir_selected"
+    // target-like (en-gram-heavy) and raw-like texts; wave 2 arrives out
+    // of order (lower ids), REPLAYS doc 11, and carries a high-weight doc
+    // that must EVICT a wave-1 selectee from the top-k. Hostile shapes
+    // ride along (null text, empty text, null lang/source).
+    def doc(id: Long, lang: String, src: String, t: String) = (id, t, lang, src, 0L)
+    val w1 = Seq(
+      doc(10L, "en", "s0", "alpha beta gamma alpha beta"),
+      doc(11L, "fr", "s1", "rawone rawtwo rawthree"),
+      doc(12L, "en", "s0", "alpha beta alpha beta alpha"),
+      doc(13L, null, "s1", "rawone rawtwo"))
+    val w2 = Seq(
+      doc(2L, "en", "s0", Seq.fill(10)("alpha beta gamma").mkString(" ")),
+      doc(11L, "fr", "s1", "rawone rawtwo rawthree"), // replay
+      doc(3L, "fr", null, null),
+      doc(4L, "en", "s1", ""))
+    val schema = docsDF(w1).schema
+    // the FROZEN model trains on the full corpus (the batch event), the
+    // gate then scores arrivals against it incrementally
+    val all = docsDF(w1 ++ w2.filterNot(_._1 == 11L))
+    val model = TextStats.dsirModelOf(all).localCheckpoint(true)
+    def drain(): Unit = {
+      val q = StreamingCorpus.startDsirGate(spark, landing.getAbsolutePath,
+        schema, model, scoresPath, selectedPath, s"$root/chk",
+        nBuckets = 4, featureBuckets = 256, keepN = 3)
+      q.awaitTermination()
+    }
+    land(docsDF(w1), landing, "wave1"); drain()
+    val midTop = spark.read.parquet(selectedPath)
+      .select(col("doc_id")).as[Long].collect().toSet
+    land(docsDF(w2), landing, "wave2"); drain()
+    val streamed = spark.read.parquet(selectedPath)
+      .select(col("rank"), col("doc_id"), col("source"), col("logw"), col("sel_key"))
+    val batch = TextStats.dsirTopOf(TextStats.dsirKeyedOf(all, model), keepN = 3)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed DSIR selection diverges from the batch selection on the same corpus")
+    val endTop = streamed.select(col("doc_id")).as[Long].collect().toSet
+    assert(endTop != midTop,
+      "a late high-weight arrival must reshape the selection (eviction)")
+    // the maintained score table equals batch scoring of the full corpus
+    val sTab = BucketedMerge.read(spark, scoresPath)
+      .select(col("doc_id"), col("source"), col("logw"), col("sel_key"))
+    val bTab = TextStats.dsirKeyedOf(all, model)
+    assert(sTab.exceptAll(bTab).isEmpty && bTab.exceptAll(sTab).isEmpty,
+      "streamed DSIR score table diverges from batch scoring")
+  }
+
   test("cluster gate per-batch work scales with the batch, not the corpus") {
     import spark.implicits._
     val root = TempDirs.tempDir("graft_sclustsoak").toFile
