@@ -187,6 +187,8 @@ object SparkEntry {
       TextStats.bpeFertility(s, d)),
     "q125_entropy_profile" -> ((s: SparkSession, d: String) =>
       TextStats.entropyProfile(s, d)),
+    "q126_cms_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      TextStats.cmsHeavyHitters(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -1828,6 +1830,7 @@ object SparkEntry {
         |FROM bk GROUP BY 1, 2""".stripMargin,
     "q100_bpe_encode" -> bpeEncodeSql(8, 65536, 40),
     "q124_tokenizer_fertility" -> bpeFertilitySql(8, 65536),
+    "q126_cms_heavy_hitters" -> cmsSql(4, 1024, 20),
     // per-(doc, word) entropy terms rounded 6 dp then DECIMAL-summed (the
     // q99 discipline); norm_entropy rounds per doc before the per-lang
     // decimal average, so aggregation order cannot fork the engines
@@ -2136,6 +2139,31 @@ object SparkEntry {
     * empty t-table coalesces to a tab pattern (unmatchable: words are
     * whitespace-split) — a no-op, matching the engine's shorter merge
     * list. */
+  /** q126 oracle: the count-min sketch replayed bucket-for-bucket — the
+    * same md5-derived row hashes, min-of-depth estimate, and overestimate
+    * against the exact top-k counts. */
+  private def cmsSql(depth: Int, width: Int, k: Int): String = {
+    val rows = (0 until depth).mkString(", ")
+    def bucket(w: String, i: String) =
+      s"('0x' || substring(md5('cms' || CAST($i AS VARCHAR) || '|' || $w),1,15))::BIGINT % $width"
+    s"""WITH toks AS (SELECT t.w AS w FROM documents, UNNEST($tokens) AS t(w)),
+      |sk AS (
+      | SELECT u.i AS i, ${bucket("w", "u.i")} AS b, CAST(count(*) AS BIGINT) AS c
+      | FROM toks, UNNEST([$rows]) AS u(i)
+      | GROUP BY 1, 2),
+      |top AS (
+      | SELECT w AS word, CAST(count(*) AS BIGINT) AS n_exact
+      | FROM toks GROUP BY w ORDER BY n_exact DESC, word LIMIT $k),
+      |wb AS (
+      | SELECT top.word, top.n_exact, u.i AS i, ${bucket("top.word", "u.i")} AS b
+      | FROM top, UNNEST([$rows]) AS u(i))
+      |SELECT wb.word, wb.n_exact, min(sk.c) AS n_est,
+      | min(sk.c) - wb.n_exact AS overestimate
+      |FROM wb JOIN sk ON sk.i = wb.i AND sk.b = wb.b
+      |GROUP BY wb.word, wb.n_exact
+      |ORDER BY wb.n_exact DESC, wb.word""".stripMargin
+  }
+
   /** q124 oracle: the q100 encode replay keyed by (lang, word), rolled up
     * to per-language fertility/compression ratios. */
   private def bpeFertilitySql(nMerges: Int, vocabCap: Int): String = {

@@ -995,6 +995,73 @@ object TextStats {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /**
+   * q126: count-min-sketch heavy-hitter audit (Cormode & Muthukrishnan
+   * 2005) — the MERGEABLE approximate counterpart of q52's exact word
+   * count. The sketch is a depth×width table of bucket counts under
+   * depth independent md5-derived hashes; a word's estimate is the MIN
+   * of its depth bucket counts, which can only OVERESTIMATE (collisions
+   * add, never subtract). Like q107/q110/q111, this is the honesty
+   * audit: it computes both tiers and reports the per-word overestimate,
+   * so an operator can pick (depth, width) from measured error before
+   * trusting the sketch alone. The production path at 100 TB is the
+   * sketch tier by itself: depth·width counters of FIXED size replace
+   * the vocab-sized exact shuffle, the table is associative+commutative
+   * under addition (map-side combined here; delta-mergeable across
+   * streams — [[graft.streaming.StreamingCorpus.startCmsGate]] maintains
+   * exactly this state).
+   *
+   * Determinism: bucket hashes are md5-derived (`cms{i}|word`), so both
+   * engines place every token identically; counts are exact longs.
+   */
+  def cmsHeavyHitters(s: SparkSession, d: String, depth: Int = 4,
+      width: Int = 1024, k: Int = 20): DataFrame =
+    cmsHeavyHittersOf(documents(s, d), depth, width, k)
+
+  /** [[cmsHeavyHitters]] over an arbitrary (text) frame. */
+  def cmsHeavyHittersOf(docs: DataFrame, depth: Int, width: Int,
+      k: Int): DataFrame = {
+    val toks = docs.select(explode(words(col("text"))).as("w"))
+    val sketch = cmsSketchOf(toks, depth, width)
+    val top = toks.groupBy(col("w").as("word"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("word"))
+      .limit(k)
+    cmsEstimatesOf(sketch, top, depth, width)
+      .select(col("word"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overestimate"))
+      .orderBy(col("n_exact").desc, col("word"))
+  }
+
+  /** Serve CMS estimates for a candidate `word` frame (other columns ride
+    * along): min over the depth bucket counts, sketch broadcast. */
+  def cmsEstimatesOf(sketch: DataFrame, candidates: DataFrame, depth: Int,
+      width: Int): DataFrame = {
+    val carried = candidates.columns.map(col).toSeq
+    candidates
+      .select(carried :+
+        explode(transform(sequence(lit(0), lit(depth - 1)),
+          i => struct(i.as("i"), cmsBucket(col("word"), i, width).as("b")))).as("ib"): _*)
+      .select(carried :+ col("ib.i").as("i") :+ col("ib.b").as("b"): _*)
+      .join(broadcast(sketch), Seq("i", "b"))
+      .groupBy(carried: _*)
+      .agg(min(col("c")).as("n_est"))
+  }
+
+  /** The (i, b, c) count-min sketch of a one-column (`w`) token stream:
+    * ≤ depth·width rows, built map-side in one pass over the stream. */
+  def cmsSketchOf(toks: DataFrame, depth: Int, width: Int): DataFrame =
+    toks
+      .select(explode(transform(sequence(lit(0), lit(depth - 1)),
+        i => struct(i.as("i"), cmsBucket(col("w"), i, width).as("b")))).as("ib"))
+      .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Row-`i` CMS bucket of a word: hash60("cms{i}|" + word) mod width. */
+  private def cmsBucket(w: Column, i: Column, width: Int): Column =
+    pmod(hash60(concat(lit("cms"), i.cast("string"), lit("|"), w)),
+      lit(width.toLong))
+
+  /**
    * Boilerplate span removal — the C4 / RefinedWeb "line dedup" rule over
    * a corpus whose documents carry no newlines: the repeated unit is a
    * non-overlapping `spanWords`-word span. A span whose hash occurs in

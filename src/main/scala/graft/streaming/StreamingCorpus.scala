@@ -807,6 +807,87 @@ object StreamingCorpus {
   }
 
   /**
+   * Online count-min-sketch gate — the streaming counterpart of q126
+   * ([[graft.analytics.TextStats.cmsHeavyHitters]]'s sketch tier): the
+   * depth×width bucket-count table is THE canonical delta-mergeable
+   * stream sketch (counts add; addition is associative + commutative),
+   * so each batch contributes one fixed-size delta and the maintained
+   * table equals the batch sketch of everything ingested — under any
+   * arrival order. Replay safety is NOT free for counts (re-delivery
+   * would double-add), so the gate anti-joins arrivals against the
+   * ingested-id table first (the narrow doc_id-keyed state every other
+   * gate already maintains) and only NEW docs' tokens enter the delta.
+   *
+   * Exactly-once under crash-replay: a failed `foreachBatch` attempt may
+   * have already merged PART of its state before the SAME batchId re-runs,
+   * so plain "add the delta" would double-count. Both state writes are
+   * therefore idempotent upserts: the id table keeps the EARLIEST batch
+   * that saw each doc (lowest-wins seq merge), the batch's fresh set is
+   * derived as "not seen by any batch with a LOWER id" (a replayed
+   * attempt filters out its own earlier rows and recomputes the identical
+   * set), and the delta lands keyed (batch_id, i, b) — a re-run overwrites
+   * its own rows instead of adding them. The served sketch is the
+   * (i, b)-sum over the delta table ([[cmsSketch]]).
+   *
+   * 100 TB posture: per batch, one token pass over NEW docs map-side
+   * combined into ≤ depth·width delta rows, one keyed anti-join against
+   * the id table, and a tiny-table upsert — per-batch work is bounded by
+   * batch size; the delta table holds ≤ depth·width rows per batch.
+   * Estimates for any candidate word list are served from [[cmsSketch]]
+   * via [[graft.analytics.TextStats.cmsEstimatesOf]] without touching
+   * the corpus.
+   */
+  def startCmsGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      seenPath: String,
+      deltasPath: String,
+      checkpointDir: String,
+      depth: Int = 4,
+      width: Int = 1024,
+      nBuckets: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val arrivals = batch.dropDuplicates(Seq("doc_id"))
+          .select(col("doc_id"), col("text"))
+        val fresh = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+          if (BucketedMerge.hasData(spark, seenPath))
+            arrivals.join(
+              BucketedMerge.read(spark, seenPath)
+                .filter(col("first_batch") < batchId).select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+          else arrivals,
+          eager = false)
+        BucketedMerge.mergeInto(spark, seenPath,
+          fresh.select(col("doc_id"), lit(batchId).as("first_batch"),
+            (-lit(batchId)).as("_keep_rank")),
+          Seq("doc_id"), nBuckets, seqCol = Some("_keep_rank"))
+        val delta = graft.analytics.TextStats.cmsSketchOf(
+          fresh.select(explode(graft.analytics.TextStats.words(col("text")))
+            .as("w")),
+          depth, width)
+        BucketedMerge.mergeInto(spark, deltasPath,
+          delta.select(lit(batchId).as("batch_id"), col("i"), col("b"), col("c")),
+          Seq("batch_id", "i", "b"), nBuckets = 1)
+      }
+      .start()
+  }
+
+  /** The served CMS state of [[startCmsGate]]: the (i, b)-summed delta
+    * table — ≡ the batch [[graft.analytics.TextStats.cmsSketchOf]] of
+    * every distinct ingested doc. */
+  def cmsSketch(spark: SparkSession, deltasPath: String): org.apache.spark.sql.DataFrame =
+    BucketedMerge.read(spark, deltasPath)
+      .groupBy(col("i"), col("b")).agg(sum(col("c")).as("c"))
+
+  /**
    * Online quality-classifier gate — the streaming counterpart of the
    * q91 batch filter ([[graft.analytics.TextStats
    * .classifierQualityStatsOf]]), completing the pattern that every

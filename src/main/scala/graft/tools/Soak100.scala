@@ -124,6 +124,25 @@ object Soak100 {
       val (hn10, thn10) = timed("q121 sf10")(
         Similarity.ivfHardNegatives(spark, soakDir, 5, 4, 10000L).count())
       println(f"[q121] rows $hn01 -> $hn10, wall x${thn10 / thn01}%.1f on 100x data (|Q| fixed)")
+
+      // round-10 text additions. DSIR: 256-row broadcast model + per-doc
+      // decimal sums + TakeOrdered — per-doc cost must stay flat. The
+      // fertility/entropy pair scan once into vocab-/doc-keyed aggregates;
+      // the token-renamed fixture grows the distinct-word table ~x100
+      // (honest worst case for q124's encode-each-distinct-word pass).
+      import graft.analytics.TextStats
+      val (ds01, tds01) = timed("q123 sf0.1")(TextStats.dsirSelect(spark, sf01).count())
+      val (ds10, tds10) = timed("q123 sf10")(TextStats.dsirSelect(spark, soakDir).count())
+      println(f"[q123] rows $ds01 -> $ds10, wall x${tds10 / tds01}%.1f on 100x data (keepN fixed)")
+      val (f01, tf01) = timed("q124 sf0.1")(TextStats.bpeFertility(spark, sf01).count())
+      val (f10, tf10) = timed("q124 sf10")(TextStats.bpeFertility(spark, soakDir).count())
+      println(f"[q124] rows $f01 -> $f10, wall x${tf10 / tf01}%.1f on 100x data")
+      val (en01, ten01) = timed("q125 sf0.1")(TextStats.entropyProfile(spark, sf01).count())
+      val (en10, ten10) = timed("q125 sf10")(TextStats.entropyProfile(spark, soakDir).count())
+      println(f"[q125] rows $en01 -> $en10, wall x${ten10 / ten01}%.1f on 100x data")
+      val (cm01, tcm01) = timed("q126 sf0.1")(TextStats.cmsHeavyHitters(spark, sf01).count())
+      val (cm10, tcm10) = timed("q126 sf10")(TextStats.cmsHeavyHitters(spark, soakDir).count())
+      println(f"[q126] rows $cm01 -> $cm10, wall x${tcm10 / tcm01}%.1f on 100x data (fixed sketch)")
     }
     spark.stop()
   }

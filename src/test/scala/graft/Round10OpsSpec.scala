@@ -176,6 +176,36 @@ class Round10OpsSpec extends AnyFunSuite with SparkSuite {
       s"entropy profile diverged from the scalar replay:\n got $got\n exp $expected")
   }
 
+  test("q126 CMS: bucket math replays scalar CMS incl. forced collisions") {
+    // width=2 forces collisions (4 distinct words into 2 buckets per
+    // row), so the min-of-depth estimate and its overestimate are both
+    // exercised; hostile shapes: null text (excluded), empty text (one
+    // "" token), a multibyte word
+    val docs = Seq(
+      (1L, "a b a čX"),
+      (2L, "b a a"),
+      (3L, null: String),
+      (4L, "")).toDF("doc_id", "text")
+    val depth = 2; val width = 2
+    val toks = Seq("a", "b", "a", "čX", "b", "a", "a", "")
+    def bucket(i: Int, w: String): Long =
+      math.floorMod(hash60(s"cms$i|$w"), width.toLong)
+    val sketch: Map[(Int, Long), Long] = toks.flatMap(w =>
+      (0 until depth).map(i => (i, bucket(i, w))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = exact.map { case (w, n) =>
+      val est = (0 until depth).map(i => sketch((i, bucket(i, w)))).min
+      (w, n, est, est - n)
+    }.toSeq.sortBy { case (w, n, _, _) => (-n, w) }
+    val got = TextStats.cmsHeavyHittersOf(docs, depth, width, k = 10)
+      .select(col("word"), col("n_exact"), col("n_est"), col("overestimate"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected,
+      s"CMS diverged from the scalar replay:\n got $got\n exp $expected")
+    assert(got.exists(_._4 > 0), "width=2 must force at least one collision")
+  }
+
   test("q121 routed negatives ⊆ label constraint and q122 recall bounds") {
     val routed = Similarity.ivfHardNegatives(spark, d)
     val emb = graft.analytics.Tables.embeddings(spark, d)

@@ -436,6 +436,51 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       "streamed DSIR score table diverges from batch scoring")
   }
 
+  test("streamed CMS sketch equals batch q126 sketch under replay and out-of-order arrival") {
+    import graft.analytics.TextStats
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_scms").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val seenPath = s"$root/wh/cms_seen"
+    val deltasPath = s"$root/wh/cms_deltas"
+    // wave 2 REPLAYS doc 11 verbatim and re-delivers doc 12's id with
+    // different text (first wins — the id is the identity); hostile
+    // shapes: null text (no tokens, still marked seen), empty text (one
+    // "" token), multibyte tokens, whitespace runs
+    def doc(id: Long, t: String) = (id, t, "en", "s0", 0L)
+    val w1 = Seq(
+      doc(10L, "alpha beta alpha"),
+      doc(11L, "beta   beta\tgamma"),
+      doc(12L, "čolö 😀 alpha"),
+      doc(13L, null))
+    val w2 = Seq(
+      doc(2L, "alpha alpha alpha delta"),
+      doc(11L, "beta   beta\tgamma"), // replay
+      doc(12L, "DIFFERENT text"),     // late re-delivery, must not count
+      doc(4L, ""))
+    val schema = docsDF(w1).schema
+    def drain(): Unit = {
+      val q = StreamingCorpus.startCmsGate(spark, landing.getAbsolutePath,
+        schema, seenPath, deltasPath, s"$root/chk", depth = 4, width = 64)
+      q.awaitTermination()
+    }
+    land(docsDF(w1), landing, "wave1"); drain()
+    land(docsDF(w2), landing, "wave2"); drain()
+    val streamed = StreamingCorpus.cmsSketch(spark, deltasPath)
+    val batchToks = docsDF(w1 ++ w2.filterNot(d => Seq(11L, 12L).contains(d._1)))
+      .select(explode(TextStats.words(col("text"))).as("w"))
+    val batchSketch = TextStats.cmsSketchOf(batchToks, depth = 4, width = 64)
+    assert(streamed.exceptAll(batchSketch).isEmpty &&
+      batchSketch.exceptAll(streamed).isEmpty,
+      "streamed CMS sketch diverges from the batch sketch of distinct ingested docs")
+    // served estimates can only OVERESTIMATE the exact counts
+    val exact = batchToks.groupBy(col("w").as("word"))
+      .agg(count(lit(1)).as("n_exact"))
+    val est = TextStats.cmsEstimatesOf(streamed, exact, depth = 4, width = 64)
+    assert(est.filter(col("n_est") < col("n_exact")).isEmpty,
+      "a CMS estimate underestimated an exact count")
+  }
+
   test("cluster gate per-batch work scales with the batch, not the corpus") {
     import spark.implicits._
     val root = TempDirs.tempDir("graft_sclustsoak").toFile
