@@ -206,6 +206,33 @@ class Round10OpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.exists(_._4 > 0), "width=2 must force at least one collision")
   }
 
+  test("round-10 plans: scans prune to the consumed columns; sketch/model sides broadcast") {
+    // q124 must read only (lang, text); q125 only (doc_id, lang, text);
+    // q126 only (text) — a scan reading source/n_chars for these would
+    // move dead bytes at 100 TB
+    def readSchemas(plan: String): Seq[String] =
+      "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    val p124 = TextStats.bpeFertility(spark, d).queryExecution.executedPlan.toString
+    assert(readSchemas(p124).nonEmpty && readSchemas(p124).forall(s =>
+      !s.contains("source") && !s.contains("n_chars") && !s.contains("doc_id")),
+      s"q124 scan reads unconsumed columns:\n${readSchemas(p124)}")
+    val p125 = TextStats.entropyProfile(spark, d).queryExecution.executedPlan.toString
+    assert(readSchemas(p125).nonEmpty && readSchemas(p125).forall(s =>
+      !s.contains("source") && !s.contains("n_chars")),
+      s"q125 scan reads unconsumed columns:\n${readSchemas(p125)}")
+    val p126 = TextStats.cmsHeavyHitters(spark, d).queryExecution.executedPlan.toString
+    assert(readSchemas(p126).nonEmpty && readSchemas(p126).forall(_ == "text:string"),
+      s"q126 scans must read text only:\n${readSchemas(p126)}")
+    // the ≤ depth·width sketch joins the 20 candidate rows broadcast-side
+    assert(p126.contains("BroadcastExchange"),
+      s"q126 sketch join is not broadcast:\n$p126")
+    // q123's model join must broadcast the nBuckets-row model, never
+    // shuffle the exploded gram stream for it
+    val p123 = TextStats.dsirSelect(spark, d).queryExecution.executedPlan.toString
+    assert(p123.contains("BroadcastExchange"),
+      s"q123 model join is not broadcast:\n$p123")
+  }
+
   test("q121 routed negatives ⊆ label constraint and q122 recall bounds") {
     val routed = Similarity.ivfHardNegatives(spark, d)
     val emb = graft.analytics.Tables.embeddings(spark, d)
