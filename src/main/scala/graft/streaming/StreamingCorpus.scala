@@ -855,29 +855,45 @@ object StreamingCorpus {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val arrivals = batch.dropDuplicates(Seq("doc_id"))
-          .select(col("doc_id"), col("text"))
-        val fresh = org.apache.spark.sql.GraftBridge.checkpointNoStats(
-          if (BucketedMerge.hasData(spark, seenPath))
-            arrivals.join(
-              BucketedMerge.read(spark, seenPath)
-                .filter(col("first_batch") < batchId).select(col("doc_id")),
-              Seq("doc_id"), "left_anti")
-          else arrivals,
-          eager = false)
-        BucketedMerge.mergeInto(spark, seenPath,
-          fresh.select(col("doc_id"), lit(batchId).as("first_batch"),
-            (-lit(batchId)).as("_keep_rank")),
-          Seq("doc_id"), nBuckets, seqCol = Some("_keep_rank"))
-        val delta = graft.analytics.TextStats.cmsSketchOf(
-          fresh.select(explode(graft.analytics.TextStats.words(col("text")))
-            .as("w")),
-          depth, width)
-        BucketedMerge.mergeInto(spark, deltasPath,
-          delta.select(lit(batchId).as("batch_id"), col("i"), col("b"), col("c")),
-          Seq("batch_id", "i", "b"), nBuckets = 1)
+        maintainCmsState(spark, batch, batchId, seenPath, deltasPath,
+          depth, width, nBuckets)
       }
       .start()
+  }
+
+  /** One batch step of [[startCmsGate]] — factored out so the spec can
+    * replay a CRASHED attempt (same batchId, partially-landed state)
+    * directly and assert both upserts converge instead of double-adding. */
+  def maintainCmsState(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      batchId: Long,
+      seenPath: String,
+      deltasPath: String,
+      depth: Int = 4,
+      width: Int = 1024,
+      nBuckets: Int = 8): Unit = {
+    val arrivals = batch.dropDuplicates(Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val fresh = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      if (BucketedMerge.hasData(spark, seenPath))
+        arrivals.join(
+          BucketedMerge.read(spark, seenPath)
+            .filter(col("first_batch") < batchId).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      else arrivals,
+      eager = false)
+    BucketedMerge.mergeInto(spark, seenPath,
+      fresh.select(col("doc_id"), lit(batchId).as("first_batch"),
+        (-lit(batchId)).as("_keep_rank")),
+      Seq("doc_id"), nBuckets, seqCol = Some("_keep_rank"))
+    val delta = graft.analytics.TextStats.cmsSketchOf(
+      fresh.select(explode(graft.analytics.TextStats.words(col("text")))
+        .as("w")),
+      depth, width)
+    BucketedMerge.mergeInto(spark, deltasPath,
+      delta.select(lit(batchId).as("batch_id"), col("i"), col("b"), col("c")),
+      Seq("batch_id", "i", "b"), nBuckets = 1)
   }
 
   /** The served CMS state of [[startCmsGate]]: the (i, b)-summed delta

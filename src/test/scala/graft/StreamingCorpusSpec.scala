@@ -481,6 +481,41 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       "a CMS estimate underestimated an exact count")
   }
 
+  test("CMS gate is exactly-once under crash-replay of a partially-landed batch") {
+    import graft.analytics.TextStats
+    import graft.ingest.BucketedMerge
+    val root = TempDirs.tempDir("graft_scmscrash").toFile
+    val seenPath = s"$root/wh/seen"
+    val deltasPath = s"$root/wh/deltas"
+    val b0 = docsDF(Seq((1L, "alpha beta", "en", "s", 0L),
+      (2L, "beta beta", "en", "s", 0L)))
+    val b1 = docsDF(Seq((2L, "beta beta", "en", "s", 0L), // cross-batch dup
+      (3L, "alpha gamma gamma", "en", "s", 0L)))
+    StreamingCorpus.maintainCmsState(spark, b0, 0L, seenPath, deltasPath,
+      depth = 4, width = 64)
+    // CRASH WINDOW: attempt 1 of batch 1 merges the SEEN table and dies
+    // before its delta lands — replay must still count batch 1 exactly once
+    BucketedMerge.mergeInto(spark, seenPath,
+      b1.dropDuplicates(Seq("doc_id")).select(col("doc_id"),
+        lit(1L).as("first_batch"), lit(-1L).as("_keep_rank")),
+      Seq("doc_id"), 8, seqCol = Some("_keep_rank"))
+    StreamingCorpus.maintainCmsState(spark, b1, 1L, seenPath, deltasPath,
+      depth = 4, width = 64)
+    // and a full re-run of the same batchId (crash AFTER both writes)
+    StreamingCorpus.maintainCmsState(spark, b1, 1L, seenPath, deltasPath,
+      depth = 4, width = 64)
+    val streamed = StreamingCorpus.cmsSketch(spark, deltasPath)
+    val batchSketch = TextStats.cmsSketchOf(
+      docsDF(Seq((1L, "alpha beta", "en", "s", 0L),
+        (2L, "beta beta", "en", "s", 0L),
+        (3L, "alpha gamma gamma", "en", "s", 0L)))
+        .select(explode(TextStats.words(col("text"))).as("w")),
+      depth = 4, width = 64)
+    assert(streamed.exceptAll(batchSketch).isEmpty &&
+      batchSketch.exceptAll(streamed).isEmpty,
+      "crash-replay double-counted or dropped a batch")
+  }
+
   test("cluster gate per-batch work scales with the batch, not the corpus") {
     import spark.implicits._
     val root = TempDirs.tempDir("graft_sclustsoak").toFile
