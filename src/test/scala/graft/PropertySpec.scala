@@ -156,4 +156,62 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 8)
+    rows <- Gen.listOfN(n, for {
+      id <- Gen.choose(1L, 50L)
+      nw <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(nw, Gen.oneOf("alpha", "beta", "gamma", "delta",
+        "ε", "the", "of", "zz"))
+    } yield (id, ws.mkString(" ")))
+  } yield rows.distinctBy(_._1)
+
+  test("CMS sketch is mergeable and never underestimates (8 generated corpora)") {
+    import graft.analytics.TextStats
+    import org.apache.spark.sql.functions.{col, explode, count, lit}
+    samples(corpusGen, 8).foreach { rows =>
+      def toks(rs: Seq[(Long, String)]) = rs.toDF("doc_id", "text")
+        .select(explode(TextStats.words(col("text"))).as("w"))
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      val whole = TextStats.cmsSketchOf(toks(rows), 3, 8).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // the mergeability law: sketch(corpus) = cellwise sum of the
+      // halves' sketches — the algebra both the map-side combine and the
+      // streaming gate's delta table rely on
+      val summed = (TextStats.cmsSketchOf(toks(h1), 3, 8).collect() ++
+        TextStats.cmsSketchOf(toks(h2), 3, 8).collect())
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(whole == summed, s"sketch not mergeable for $rows")
+      // the one-sided error law
+      val exact = toks(rows).groupBy(col("w").as("word"))
+        .agg(count(lit(1)).as("n_exact"))
+      val under = TextStats.cmsEstimatesOf(
+        TextStats.cmsSketchOf(toks(rows), 3, 8), exact, 3, 8)
+        .filter(col("n_est") < col("n_exact"))
+      assert(under.isEmpty, s"CMS underestimated for $rows")
+    }
+  }
+
+  test("DSIR scoring is per-doc pure against a frozen model (5 generated corpora)") {
+    import graft.analytics.TextStats
+    import org.apache.spark.sql.functions.col
+    samples(corpusGen, 5).foreach { rows =>
+      val docs = rows.map { case (id, t) =>
+        (id, if (id % 2 == 0) "en" else "xx", s"s${id % 3}", t)
+      }.toDF("doc_id", "lang", "source", "text")
+      val model = TextStats.dsirModelOf(docs, 32).localCheckpoint(true)
+      val full = TextStats.dsirKeyedOf(docs, model, 32).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      // each doc scored ALONE equals its row in the full frame — the
+      // purity the streaming gate's batch-≡ rests on
+      rows.foreach { case (id, _) =>
+        val alone = TextStats.dsirKeyedOf(
+          docs.filter(col("doc_id") === id), model, 32).collect()
+        assert(alone.length == 1 && alone.head.toSeq.drop(1) == full(id),
+          s"doc $id scores differently alone vs in-corpus for $rows")
+      }
+    }
+  }
 }
