@@ -2139,13 +2139,14 @@ object SparkEntry {
     * empty t-table coalesces to a tab pattern (unmatchable: words are
     * whitespace-split) — a no-op, matching the engine's shorter merge
     * list. */
-  /** q126 oracle: the count-min sketch replayed bucket-for-bucket — the
-    * same md5-derived row hashes, min-of-depth estimate, and overestimate
+  /** q126 oracle: the count-min sketch replayed bucket-for-bucket — row
+    * i's hash is the i-th 32-bit slice of md5(word) (the engine's
+    * one-digest double-hashing), min-of-depth estimate, and overestimate
     * against the exact top-k counts. */
   private def cmsSql(depth: Int, width: Int, k: Int): String = {
     val rows = (0 until depth).mkString(", ")
     def bucket(w: String, i: String) =
-      s"('0x' || substring(md5('cms' || CAST($i AS VARCHAR) || '|' || $w),1,15))::BIGINT % $width"
+      s"('0x' || substring(md5($w), $i*8+1, 8))::BIGINT % $width"
     s"""WITH toks AS (SELECT t.w AS w FROM documents, UNNEST($tokens) AS t(w)),
       |sk AS (
       | SELECT u.i AS i, ${bucket("w", "u.i")} AS b, CAST(count(*) AS BIGINT) AS c

@@ -1010,8 +1010,9 @@ object TextStats {
    * streams — [[graft.streaming.StreamingCorpus.startCmsGate]] maintains
    * exactly this state).
    *
-   * Determinism: bucket hashes are md5-derived (`cms{i}|word`), so both
-   * engines place every token identically; counts are exact longs.
+   * Determinism: row i's bucket is the i-th 32-bit slice of md5(word)
+   * mod width (one digest per token), so both engines place every token
+   * identically; counts are exact longs.
    */
   def cmsHeavyHitters(s: SparkSession, d: String, depth: Int = 4,
       width: Int = 1024, k: Int = 20): DataFrame =
@@ -1039,8 +1040,7 @@ object TextStats {
     val carried = candidates.columns.map(col).toSeq
     candidates
       .select(carried :+
-        explode(transform(sequence(lit(0), lit(depth - 1)),
-          i => struct(i.as("i"), cmsBucket(col("word"), i, width).as("b")))).as("ib"): _*)
+        explode(cmsSlices(md5(col("word")), depth, width)).as("ib"): _*)
       .select(carried :+ col("ib.i").as("i") :+ col("ib.b").as("b"): _*)
       .join(broadcast(sketch), Seq("i", "b"))
       .groupBy(carried: _*)
@@ -1048,18 +1048,28 @@ object TextStats {
   }
 
   /** The (i, b, c) count-min sketch of a one-column (`w`) token stream:
-    * ≤ depth·width rows, built map-side in one pass over the stream. */
+    * ≤ depth·width rows, built map-side in ONE pass over the stream with
+    * ONE md5 per token — the depth row-hashes are disjoint 32-bit slices
+    * of that digest (the standard double-hashing discipline; Kirsch &
+    * Mitzenmacher 2006 for the Bloom-family argument), so the per-token
+    * cost does not scale with depth. */
   def cmsSketchOf(toks: DataFrame, depth: Int, width: Int): DataFrame =
     toks
-      .select(explode(transform(sequence(lit(0), lit(depth - 1)),
-        i => struct(i.as("i"), cmsBucket(col("w"), i, width).as("b")))).as("ib"))
+      .select(md5(col("w")).as("h"))
+      .select(explode(cmsSlices(col("h"), depth, width)).as("ib"))
       .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
       .agg(count(lit(1)).as("c"))
 
-  /** Row-`i` CMS bucket of a word: hash60("cms{i}|" + word) mod width. */
-  private def cmsBucket(w: Column, i: Column, width: Int): Column =
-    pmod(hash60(concat(lit("cms"), i.cast("string"), lit("|"), w)),
-      lit(width.toLong))
+  /** The depth (i, b) CMS coordinates of one md5 digest: row i's bucket
+    * is hex slice [8i+1, 8i+8] (32 bits) mod width. depth ≤ 4 — the
+    * digest holds four disjoint 32-bit slices. */
+  private def cmsSlices(h: Column, depth: Int, width: Int): Column = {
+    require(depth <= 4, s"CMS depth $depth > 4: one md5 digest holds four 32-bit slices")
+    transform(sequence(lit(0), lit(depth - 1)),
+      i => struct(i.as("i"),
+        pmod(conv(h.substr(i * lit(8) + lit(1), lit(8)), 16, 10).cast("long"),
+          lit(width.toLong)).as("b")))
+  }
 
   /**
    * Boilerplate span removal — the C4 / RefinedWeb "line dedup" rule over

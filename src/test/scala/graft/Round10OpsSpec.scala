@@ -188,8 +188,15 @@ class Round10OpsSpec extends AnyFunSuite with SparkSuite {
       (4L, "")).toDF("doc_id", "text")
     val depth = 2; val width = 2
     val toks = Seq("a", "b", "a", "čX", "b", "a", "a", "")
-    def bucket(i: Int, w: String): Long =
-      math.floorMod(hash60(s"cms$i|$w"), width.toLong)
+    // row i's bucket = i-th 32-bit md5 slice mod width (one digest per
+    // token — the engine's double-hashing spelling, replayed here)
+    def bucket(i: Int, w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      math.floorMod(
+        java.lang.Long.parseLong(hex.substring(i * 8, i * 8 + 8), 16),
+        width.toLong)
+    }
     val sketch: Map[(Int, Long), Long] = toks.flatMap(w =>
       (0 until depth).map(i => (i, bucket(i, w))))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
