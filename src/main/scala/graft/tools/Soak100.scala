@@ -76,12 +76,22 @@ object Soak100 {
     }
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_SOAK_PASSES", "2").toInt
+    // SPARK_GRAFT_SOAK_ONLY=q126,q101 re-soaks single families after a
+    // respelling without paying the whole battery (which also skews walls:
+    // by the time a full pass reaches the contraction, one JVM has run six
+    // families of accumulated checkpoint blocks — see BENCH_NOTES round 10)
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(tag: String): Boolean = only.forall(_.contains(tag))
     (1 to passes).foreach { pass =>
       println(s"--- pass $pass")
+      if (want("exact")) {
       val (ne01, te01) = timed("exact_groups sf0.1")(Dedup.exactGroups(spark, sf01).count())
       val (ne10, te10) = timed("exact_groups sf10")(Dedup.exactGroups(spark, soakDir).count())
       println(f"[exact_groups] rows $ne01 -> $ne10 (x${ne10.toDouble / ne01}%.0f), wall x${te10 / te01}%.1f on 100x data")
+      }
 
+      if (want("q74")) {
       val ((n01, r01), t01) = timed("q74 sf0.1") {
         val (e, r) = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(spark, sf01))
         (e.count(), r)
@@ -91,24 +101,30 @@ object Soak100 {
         (e.count(), r)
       }
       println(f"[q74] edges $n01 -> $n10 (x${n10.toDouble / n01}%.0f), rounds $r01 -> $r10, wall x${t10 / t01}%.1f on 100x data")
+      }
 
       // pair-surface aggregates (round-9 collapsed spelling): banding runs
       // over unique fingerprints, so 100x duplicate mass must cost ~linear
+      if (want("q114")) {
       val (h01, th01) = timed("q114 sf0.1")(Dedup.hammingHistogram(spark, sf01).count())
       val (h10, th10) = timed("q114 sf10")(Dedup.hammingHistogram(spark, soakDir).count())
       println(f"[q114] rows $h01 -> $h10, wall x${th10 / th01}%.1f on 100x data")
+      }
       def docsOf(d: String) = spark.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), col("text"), col("source"))
+      if (want("q101")) {
       val (l01, tl01) = timed("q101 sf0.1")(
         Dedup.crossSourceLeakageOf(docsOf(sf01), 6).count())
       val (l10, tl10) = timed("q101 sf10")(
         Dedup.crossSourceLeakageOf(docsOf(soakDir), 6).count())
       println(f"[q101] cells $l01 -> $l10, wall x${tl10 / tl01}%.1f on 100x data")
+      }
 
       // ADC serving: |Q| held fixed via the stride (per-query cost is the
       // observable); codebook sample-trained at 100x (FAISS discipline,
       // 1/40 keeps the training set within ~2.5x of sf0.1's)
       import graft.analytics.{Similarity, Tables}
+      if (want("q106")) {
       val (a01, ta01) = timed("q106 sf0.1")(
         Similarity.pqAdcTopKOf(Tables.embeddings(spark, sf01),
           4, 4, 2, 5, 100L).count())
@@ -116,14 +132,17 @@ object Soak100 {
         Similarity.pqAdcTopKOf(Tables.embeddings(spark, soakDir),
           4, 4, 2, 5, 10000L, trainSampleMod = 40).count())
       println(f"[q106] rows $a01 -> $a10, wall x${ta10 / ta01}%.1f on 100x data (|Q| fixed)")
+      }
 
       // routed hard-negative mining (round-10): |Q| fixed via stride, so
       // the multiplier isolates per-query serving cost as the index grows
+      if (want("q121")) {
       val (hn01, thn01) = timed("q121 sf0.1")(
         Similarity.ivfHardNegatives(spark, sf01, 5, 4, 100L).count())
       val (hn10, thn10) = timed("q121 sf10")(
         Similarity.ivfHardNegatives(spark, soakDir, 5, 4, 10000L).count())
       println(f"[q121] rows $hn01 -> $hn10, wall x${thn10 / thn01}%.1f on 100x data (|Q| fixed)")
+      }
 
       // round-10 text additions. DSIR: 256-row broadcast model + per-doc
       // decimal sums + TakeOrdered — per-doc cost must stay flat. The
@@ -131,18 +150,26 @@ object Soak100 {
       // the token-renamed fixture grows the distinct-word table ~x100
       // (honest worst case for q124's encode-each-distinct-word pass).
       import graft.analytics.TextStats
+      if (want("q123")) {
       val (ds01, tds01) = timed("q123 sf0.1")(TextStats.dsirSelect(spark, sf01).count())
       val (ds10, tds10) = timed("q123 sf10")(TextStats.dsirSelect(spark, soakDir).count())
       println(f"[q123] rows $ds01 -> $ds10, wall x${tds10 / tds01}%.1f on 100x data (keepN fixed)")
+      }
+      if (want("q124")) {
       val (f01, tf01) = timed("q124 sf0.1")(TextStats.bpeFertility(spark, sf01).count())
       val (f10, tf10) = timed("q124 sf10")(TextStats.bpeFertility(spark, soakDir).count())
       println(f"[q124] rows $f01 -> $f10, wall x${tf10 / tf01}%.1f on 100x data")
+      }
+      if (want("q125")) {
       val (en01, ten01) = timed("q125 sf0.1")(TextStats.entropyProfile(spark, sf01).count())
       val (en10, ten10) = timed("q125 sf10")(TextStats.entropyProfile(spark, soakDir).count())
       println(f"[q125] rows $en01 -> $en10, wall x${ten10 / ten01}%.1f on 100x data")
+      }
+      if (want("q126")) {
       val (cm01, tcm01) = timed("q126 sf0.1")(TextStats.cmsHeavyHitters(spark, sf01).count())
       val (cm10, tcm10) = timed("q126 sf10")(TextStats.cmsHeavyHitters(spark, soakDir).count())
       println(f"[q126] rows $cm01 -> $cm10, wall x${tcm10 / tcm01}%.1f on 100x data (fixed sketch)")
+      }
     }
     spark.stop()
   }
