@@ -623,12 +623,15 @@ object TextStats {
     val ws = docs
       .withColumn("w", words(col("text")))
       .withColumn("nw", coalesce(size(col("w")), lit(0)))
-    ws.select(cols :+ explode(col("w")).as("g"): _*)
-      .unionByName(ws.filter(col("nw") >= 2)
-        .select(cols :+ explode(transform(
-          sequence(lit(1), col("nw") - 1),
-          i => concat(element_at(col("w"), i), lit(" "),
-            element_at(col("w"), i + 1)))).as("g"): _*))
+    // one explode of unigrams ++ bigrams = ONE scan of the corpus text
+    // per pass (the union-of-two-explodes spelling read it twice); the
+    // nw guard matters — sequence(1, 0) would DESCEND, not come up empty
+    val bigrams = when(col("nw") >= 2,
+      transform(sequence(lit(1), col("nw") - 1),
+        i => concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    ws.select(cols :+ explode(concat(col("w"), bigrams)).as("g"): _*)
       .withColumn("b", featureBucket(col("g"), nBuckets))
   }
 
