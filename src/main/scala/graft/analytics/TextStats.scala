@@ -1306,17 +1306,20 @@ object TextStats {
     val scored = wsDocs.select(col("doc_id"), col("lang"), col("nw"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("nw"), col("score"))
-    val tercile = Window.partitionBy(col("lang"))
+    // ONE pass over the scored table: the union-of-filters spelling
+    // evaluated the whole model-join + per-doc-agg subtree once per
+    // branch. Partitioning the tercile window by (lang, score IS NULL)
+    // keeps the non-null terciles identical while the null partition's
+    // ntile is computed-and-ignored ("none" wins in the CASE)
+    val tercile = Window.partitionBy(col("lang"), col("score").isNull)
       .orderBy(col("score"), col("doc_id"))
-    val bucketed = scored.filter(col("score").isNotNull)
+    val bucketed = scored
       .withColumn("t", ntile(3).over(tercile))
       .withColumn("bucket",
-        when(col("t") === 1, lit("head"))
+        when(col("score").isNull, lit("none"))
+          .when(col("t") === 1, lit("head"))
           .when(col("t") === 2, lit("middle"))
           .otherwise(lit("tail")))
-      .unionByName(
-        scored.filter(col("score").isNull).withColumn("bucket", lit("none")),
-        allowMissingColumns = true)
     bucketed.groupBy(col("lang"), col("bucket"))
       .agg(
         count(lit(1)).as("n_docs"),
