@@ -835,7 +835,11 @@ object StreamingCorpus {
    * batch size; the delta table holds ≤ depth·width rows per batch.
    * Estimates for any candidate word list are served from [[cmsSketch]]
    * via [[graft.analytics.TextStats.cmsEstimatesOf]] without touching
-   * the corpus.
+   * the corpus. With `hhPath` set, the gate also maintains the classic
+   * CMS φ-heavy-hitter candidate table (threshold-filtered estimates at
+   * each word's arrivals, keep-max by word): any word whose TRUE count
+   * reaches `hhThreshold` is guaranteed present — see
+   * [[maintainCmsState]].
    */
   def startCmsGate(
       spark: SparkSession,
@@ -847,6 +851,8 @@ object StreamingCorpus {
       depth: Int = 4,
       width: Int = 1024,
       nBuckets: Int = 8,
+      hhPath: Option[String] = None,
+      hhThreshold: Long = 0L,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     spark.readStream
       .schema(schema)
@@ -856,7 +862,7 @@ object StreamingCorpus {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         maintainCmsState(spark, batch, batchId, seenPath, deltasPath,
-          depth, width, nBuckets)
+          depth, width, nBuckets, hhPath, hhThreshold)
       }
       .start()
   }
@@ -872,7 +878,9 @@ object StreamingCorpus {
       deltasPath: String,
       depth: Int = 4,
       width: Int = 1024,
-      nBuckets: Int = 8): Unit = {
+      nBuckets: Int = 8,
+      hhPath: Option[String] = None,
+      hhThreshold: Long = 0L): Unit = {
     val arrivals = batch.dropDuplicates(Seq("doc_id"))
       .select(col("doc_id"), col("text"))
     val fresh = org.apache.spark.sql.GraftBridge.checkpointNoStats(
@@ -887,13 +895,37 @@ object StreamingCorpus {
       fresh.select(col("doc_id"), lit(batchId).as("first_batch"),
         (-lit(batchId)).as("_keep_rank")),
       Seq("doc_id"), nBuckets, seqCol = Some("_keep_rank"))
-    val delta = graft.analytics.TextStats.cmsSketchOf(
+    val freshToks = org.apache.spark.sql.GraftBridge.checkpointNoStats(
       fresh.select(explode(graft.analytics.TextStats.words(col("text")))
         .as("w")),
-      depth, width)
+      eager = false)
+    val delta = graft.analytics.TextStats.cmsSketchOf(freshToks, depth, width)
     BucketedMerge.mergeInto(spark, deltasPath,
       delta.select(lit(batchId).as("batch_id"), col("i"), col("b"), col("c")),
       Seq("batch_id", "i", "b"), nBuckets = 1)
+    // φ-heavy-hitter candidates (Cormode & Muthukrishnan's CMS+candidate
+    // construction): after the batch's delta lands, re-estimate the
+    // batch's DISTINCT words against the updated sketch and keep those at
+    // or above the threshold, keep-max upsert by word. One-sided like the
+    // sketch itself: a word's estimate at its LAST arrival already counts
+    // every one of its occurrences, so any word whose TRUE count reaches
+    // the threshold is guaranteed present (no false negatives); entries
+    // are words whose estimate crossed the threshold at some arrival.
+    // Replay-safe: a re-run re-estimates against a sketch that is a
+    // superset of the crashed attempt's, and max(est) only grows. State
+    // is threshold-bounded (≤ total-token-mass / threshold candidates),
+    // never vocab-sized.
+    hhPath.foreach { hp =>
+      val est = graft.analytics.TextStats.cmsEstimatesOf(
+        cmsSketch(spark, deltasPath),
+        freshToks.select(col("w").as("word")).distinct(),
+        depth, width)
+        .filter(col("n_est") >= hhThreshold)
+      BucketedMerge.mergeInto(spark, hp,
+        est.select(col("word"), col("n_est"),
+          col("n_est").as("_keep_rank")),
+        Seq("word"), nBuckets, seqCol = Some("_keep_rank"))
+    }
   }
 
   /** The served CMS state of [[startCmsGate]]: the (i, b)-summed delta

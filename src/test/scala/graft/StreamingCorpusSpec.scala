@@ -481,6 +481,45 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       "a CMS estimate underestimated an exact count")
   }
 
+  test("CMS heavy-hitter candidates: a true-heavy word can never be missed") {
+    import graft.analytics.TextStats
+    val root = TempDirs.tempDir("graft_scmshh").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val seenPath = s"$root/wh/seen"
+    val deltasPath = s"$root/wh/deltas"
+    val hhPath = s"$root/wh/hh"
+    // "alpha" reaches the threshold only across waves (3 + 3); "rare"
+    // stays below it; wave 2 replays doc 11
+    def doc(id: Long, t: String) = (id, t, "en", "s0", 0L)
+    val w1 = Seq(doc(10L, "alpha alpha alpha rare"), doc(11L, "beta beta"))
+    val w2 = Seq(doc(12L, "alpha alpha alpha beta"), doc(11L, "beta beta"))
+    val schema = docsDF(w1).schema
+    def drain(): Unit = {
+      val q = StreamingCorpus.startCmsGate(spark, landing.getAbsolutePath,
+        schema, seenPath, deltasPath, s"$root/chk", depth = 4, width = 1024,
+        hhPath = Some(hhPath), hhThreshold = 5L)
+      q.awaitTermination()
+    }
+    land(docsDF(w1), landing, "wave1"); drain()
+    land(docsDF(w2), landing, "wave2"); drain()
+    val hh = spark.read.parquet(hhPath)
+      .select(col("word"), col("n_est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docsDF(w1 ++ w2.filterNot(_._1 == 11L))
+      .select(explode(TextStats.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the no-false-negative guarantee: every true-heavy word is present
+    exact.filter(_._2 >= 5L).keys.foreach { w =>
+      assert(hh.contains(w), s"true-heavy word '$w' missing from $hh")
+    }
+    // every entry's estimate is at or above threshold AND its true count
+    hh.foreach { case (w, est) =>
+      assert(est >= 5L && est >= exact.getOrElse(w, 0L),
+        s"entry ($w, $est) violates the one-sided contract (exact=${exact.get(w)})")
+    }
+  }
+
   test("CMS gate is exactly-once under crash-replay of a partially-landed batch") {
     import graft.analytics.TextStats
     import graft.ingest.BucketedMerge
