@@ -189,6 +189,8 @@ object SparkEntry {
       TextStats.entropyProfile(s, d)),
     "q126_cms_heavy_hitters" -> ((s: SparkSession, d: String) =>
       TextStats.cmsHeavyHitters(s, d)),
+    "q127_dedup_agreement" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupMethodAgreement(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -1831,6 +1833,7 @@ object SparkEntry {
     "q100_bpe_encode" -> bpeEncodeSql(8, 65536, 40),
     "q124_tokenizer_fertility" -> bpeFertilitySql(8, 65536),
     "q126_cms_heavy_hitters" -> cmsSql(4, 1024, 20),
+    "q127_dedup_agreement" -> dedupAgreementSql(),
     // per-(doc, word) entropy terms rounded 6 dp then DECIMAL-summed (the
     // q99 discipline); norm_entropy rounds per doc before the per-lang
     // decimal average, so aggregation order cannot fork the engines
@@ -2139,6 +2142,68 @@ object SparkEntry {
     * empty t-table coalesces to a tab pattern (unmatchable: words are
     * whitespace-split) — a no-op, matching the engine's shorter merge
     * list. */
+  /** q127 oracle: both pair surfaces replayed from their own CTE chains
+    * (the q32 cand CTE and the q35 predicate — single sources, so the
+    * oracles cannot desynchronize), the SimHash membership of each
+    * MinHash pair recomputed from the joined fingerprints, and the
+    * simhash_only cell recovered by the same subtraction the engine
+    * performs against the (q114-equivalent) SimHash totals. */
+  private def dedupAgreementSql(numPerm: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxHamming: Int = 6): String = {
+    val sharedBand = (0 until 4).map(k =>
+      s"((sa >> ${k * 15}) & 32767) = ((sb >> ${k * 15}) & 32767)")
+      .mkString("(", " OR ", ")")
+    minhashCte(numPerm, bands) + "," + simhashFpCte("") +
+      s""",
+       |cand AS (
+       | SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |  CAST(len(list_intersect(list_distinct(a.ws), list_distinct(b2.ws))) AS DOUBLE) /
+       |   len(list_distinct(list_concat(a.ws, b2.ws))) AS jac
+       | FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+       | WHERE ${minhashBandMatch(numPerm, bands)}),
+       |mh AS (SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+       |       FROM cand WHERE jac >= $threshold),
+       |mhs AS (
+       | SELECT mh.jaccard, fa.simhash AS sa, fb.simhash AS sb,
+       |  bit_count(xor(fa.simhash, fb.simhash)) AS ham
+       | FROM mh JOIN fp fa ON mh.doc_a = fa.doc_id
+       |         JOIN fp fb ON mh.doc_b = fb.doc_id),
+       |mhc AS (
+       | SELECT jaccard, ham, ($sharedBand AND ham <= $maxHamming) AS in_sh
+       | FROM mhs),
+       |agg1 AS (
+       | SELECT
+       |  coalesce(CAST(sum(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_both,
+       |  sum(CASE WHEN in_sh THEN CAST(jaccard AS DECIMAL(18,6)) END) AS jsum_both,
+       |  coalesce(CAST(sum(CASE WHEN in_sh THEN ham END) AS BIGINT), 0) AS hsum_both,
+       |  coalesce(CAST(sum(CASE WHEN NOT in_sh THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_mo,
+       |  sum(CASE WHEN NOT in_sh THEN CAST(jaccard AS DECIMAL(18,6)) END) AS jsum_mo,
+       |  coalesce(CAST(sum(CASE WHEN NOT in_sh THEN ham END) AS BIGINT), 0) AS hsum_mo
+       | FROM mhc),
+       |sh AS (
+       | SELECT coalesce(CAST(count(*) AS BIGINT), 0) AS n_sh,
+       |  coalesce(CAST(sum(bit_count(xor(a.simhash, b.simhash))) AS BIGINT), 0) AS hsum_sh
+       | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       | WHERE $simhashPairPredicate)
+       |SELECT * FROM (
+       | SELECT 'both' AS agreement, n_both AS n_pairs,
+       |  CASE WHEN n_both > 0 THEN round(CAST(jsum_both AS DOUBLE) / n_both, 6) END AS avg_jaccard,
+       |  CASE WHEN n_both > 0 THEN round(CAST(hsum_both AS DOUBLE) / n_both, 6) END AS avg_hamming
+       | FROM agg1, sh
+       | UNION ALL
+       | SELECT 'minhash_only', n_mo,
+       |  CASE WHEN n_mo > 0 THEN round(CAST(jsum_mo AS DOUBLE) / n_mo, 6) END,
+       |  CASE WHEN n_mo > 0 THEN round(CAST(hsum_mo AS DOUBLE) / n_mo, 6) END
+       | FROM agg1, sh
+       | UNION ALL
+       | SELECT 'simhash_only', n_sh - n_both,
+       |  CAST(NULL AS DOUBLE),
+       |  CASE WHEN n_sh - n_both > 0
+       |       THEN round(CAST(hsum_sh - hsum_both AS DOUBLE) / (n_sh - n_both), 6) END
+       | FROM agg1, sh)
+       |ORDER BY agreement""".stripMargin
+  }
+
   /** q126 oracle: the count-min sketch replayed bucket-for-bucket — row
     * i's hash is the i-th 32-bit slice of md5(word) (the engine's
     * one-digest double-hashing), min-of-depth estimate, and overestimate

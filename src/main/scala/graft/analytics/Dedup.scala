@@ -211,6 +211,68 @@ object Dedup {
         round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("abs_err"))
   }
 
+  /**
+   * q127: dedup-method agreement matrix — the table an operator reads to
+   * CHOOSE a near-dup family, and to see where the two disagree. Cells
+   * over the doc-level pair universe: `both` (MinHash-LSH pair at
+   * word-set Jaccard ≥ threshold AND SimHash banded pair at Hamming ≤
+   * maxHamming), `minhash_only` (Jaccard-near pairs the SimHash bands
+   * miss — overlapping vocabularies whose fingerprints drifted),
+   * `simhash_only` (Hamming-near pairs below the Jaccard gate or outside
+   * the 3-gram banding — e.g. word-permuted templates). Per cell: pair
+   * count and the mean score each method assigns; `simhash_only`'s
+   * avg_jaccard is declared NULL — word sets are never re-read for it.
+   *
+   * 100 TB shape — NO pair-stream join: the SimHash totals come from the
+   * collapsed q114 histogram ([[hammingHistogramOf]]: distinct-VALUE
+   * banding + multiplicity algebra), the MinHash side is q32's
+   * THRESHOLDED true-pair set (linear in near-dup mass) with both
+   * fingerprints attached by doc-id equi-joins and the SimHash
+   * membership predicate evaluated IN-ROW (band equality + bit_count of
+   * xor, two longs); `simhash_only` is recovered by subtraction. The
+   * wide 1-row aggregate is lazily checkpointed so the three output rows
+   * do not re-run either surface.
+   */
+  def dedupMethodAgreement(s: SparkSession, d: String, numPerm: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5,
+      maxHamming: Int = 6): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.checkpointNoStats
+    val mh = minhashPairs(s, d, numPerm, bands, threshold)
+    val fps = simhashFingerprints(s, d).select(col("doc_id"), col("simhash"))
+    val withSims = mh
+      .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
+    val sharedBand = (0 until SimhashBands).map(k =>
+      shiftright(col("sim_a"), k * SimhashBandBits).bitwiseAND(SimhashBandMask) ===
+        shiftright(col("sim_b"), k * SimhashBandBits).bitwiseAND(SimhashBandMask))
+      .reduce(_ || _)
+    val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+    val mhAgg = withSims
+      .withColumn("in_sh", sharedBand && ham <= maxHamming)
+      .withColumn("ham", ham)
+      .agg(
+        coalesce(sum(when(col("in_sh"), 1L).otherwise(0L)), lit(0L)).as("n_both"),
+        sum(when(col("in_sh"), col("jaccard").cast("decimal(18,6)"))).as("jsum_both"),
+        coalesce(sum(when(col("in_sh"), col("ham"))), lit(0L)).as("hsum_both"),
+        coalesce(sum(when(!col("in_sh"), 1L).otherwise(0L)), lit(0L)).as("n_mo"),
+        sum(when(!col("in_sh"), col("jaccard").cast("decimal(18,6)"))).as("jsum_mo"),
+        coalesce(sum(when(!col("in_sh"), col("ham"))), lit(0L)).as("hsum_mo"))
+    val shTot = hammingHistogram(s, d, maxHamming)
+      .agg(coalesce(sum(col("n_pairs")), lit(0L)).as("n_sh"),
+        coalesce(sum(col("hamming") * col("n_pairs")), lit(0L)).as("hsum_sh"))
+    val row = checkpointNoStats(mhAgg.crossJoin(shTot), eager = false)
+    def cell(name: String, n: Column, jsum: Column, hsum: Column) =
+      row.select(lit(name).as("agreement"),
+        n.cast("long").as("n_pairs"),
+        when(n > 0, round(jsum.cast("double") / n, 6)).as("avg_jaccard"),
+        when(n > 0, round(hsum.cast("double") / n, 6)).as("avg_hamming"))
+    cell("both", col("n_both"), col("jsum_both"), col("hsum_both"))
+      .unionByName(cell("minhash_only", col("n_mo"), col("jsum_mo"), col("hsum_mo")))
+      .unionByName(cell("simhash_only", col("n_sh") - col("n_both"),
+        lit(null).cast("decimal(18,6)"), col("hsum_sh") - col("hsum_both")))
+      .orderBy(col("agreement"))
+  }
+
   /** Exact word-set Jaccard for candidate pairs; keeps pairs ≥ threshold. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
     val da = docs.select(col("doc_id").as("doc_a"), words(col("text")).as("words_a"))

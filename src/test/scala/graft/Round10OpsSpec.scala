@@ -240,6 +240,56 @@ class Round10OpsSpec extends AnyFunSuite with SparkSuite {
       s"q123 model join is not broadcast:\n$p123")
   }
 
+  test("q127 agreement matrix equals the matrix of the collected q32/q35 surfaces") {
+    import graft.analytics.Dedup
+    // ground truth from the two independently-oracle-checked pair
+    // surfaces, reduced driver-side — the subtraction/in-row spelling
+    // under test must reproduce it cell for cell
+    val mh = Dedup.minhashPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sh = Dedup.simhashPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val fps = Dedup.simhashFingerprints(spark, d)
+      .select(col("doc_id"), col("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamOf(p: (Long, Long)): Long =
+      java.lang.Long.bitCount(fps(p._1) ^ fps(p._2)).toLong
+    def r6d(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mh-side cells score hamming from the fingerprints (the engine's
+    // in-row arithmetic); simhash_only from the sh surface itself
+    def cell(pairSet: Set[(Long, Long)], name: String) = {
+      val pairs = pairSet.toSeq // Set.map would collapse equal scores
+      val js = pairs.flatMap(mh.get).map(j =>
+        BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      val hs = pairs.map(hamOf)
+      (name, pairs.size.toLong,
+        if (js.isEmpty) None else Some(r6d(js.sum.toDouble / js.size)),
+        if (hs.isEmpty) None else Some(r6d(hs.sum.toDouble / hs.size)))
+    }
+    val both = mh.keySet intersect sh.keySet
+    val expected = Seq(
+      cell(both, "both"),
+      cell(mh.keySet diff sh.keySet, "minhash_only"),
+      (("simhash_only"), (sh.keySet diff mh.keySet).size.toLong,
+        None: Option[Double], {
+          val hs = (sh.keySet diff mh.keySet).toSeq.map(sh)
+          if (hs.isEmpty) None else Some(r6d(hs.sum.toDouble / hs.size))
+        }))
+    val got = Dedup.dedupMethodAgreement(spark, d)
+      .select(col("agreement"), col("n_pairs"), col("avg_jaccard"), col("avg_hamming"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == expected,
+      s"agreement matrix diverged:\n got $got\n exp $expected")
+    // the 'both' cell's avg_hamming from the in-row test must also match
+    // the mean over the true intersection (cell() above only uses sh's
+    // hamming where present — same source, so this is covered by the
+    // equality; keep a sanity floor that the matrix is non-degenerate)
+    assert(got.map(_._2).sum > 0, "no pairs at sf0.001 — fixture changed?")
+  }
+
   test("q121 routed negatives ⊆ label constraint and q122 recall bounds") {
     val routed = Similarity.ivfHardNegatives(spark, d)
     val emb = graft.analytics.Tables.embeddings(spark, d)
