@@ -170,6 +170,11 @@ object Soak100 {
       val (cm10, tcm10) = timed("q126 sf10")(TextStats.cmsHeavyHitters(spark, soakDir).count())
       println(f"[q126] rows $cm01 -> $cm10, wall x${tcm10 / tcm01}%.1f on 100x data (fixed sketch)")
       }
+      if (want("q127")) {
+      val (ag01, tag01) = timed("q127 sf0.1")(Dedup.dedupMethodAgreement(spark, sf01).count())
+      val (ag10, tag10) = timed("q127 sf10")(Dedup.dedupMethodAgreement(spark, soakDir).count())
+      println(f"[q127] rows $ag01 -> $ag10, wall x${tag10 / tag01}%.1f on 100x data")
+      }
     }
     spark.stop()
   }
