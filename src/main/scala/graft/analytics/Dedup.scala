@@ -238,7 +238,14 @@ object Dedup {
       maxHamming: Int = 6): DataFrame = {
     import org.apache.spark.sql.GraftBridge.checkpointNoStats
     val mh = minhashPairs(s, d, numPerm, bands, threshold)
-    val fps = simhashFingerprints(s, d).select(col("doc_id"), col("simhash"))
+    // ONE fingerprint pass feeds the histogram AND both pair-side joins
+    // (separate simhashFingerprints + hammingHistogram spellings would
+    // tokenize+hash the corpus text three times); node-sized narrow table
+    val meta = checkpointNoStats(
+      simhashMetaOf(documentsSpread(s, d)
+        .select(col("doc_id"), col("text"))),
+      eager = false)
+    val fps = meta.select(col("doc_id"), col("simhash"))
     val withSims = mh
       .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
       .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
@@ -257,7 +264,7 @@ object Dedup {
         coalesce(sum(when(!col("in_sh"), 1L).otherwise(0L)), lit(0L)).as("n_mo"),
         sum(when(!col("in_sh"), col("jaccard").cast("decimal(18,6)"))).as("jsum_mo"),
         coalesce(sum(when(!col("in_sh"), col("ham"))), lit(0L)).as("hsum_mo"))
-    val shTot = hammingHistogram(s, d, maxHamming)
+    val shTot = hammingHistogramOf(meta, maxHamming)
       .agg(coalesce(sum(col("n_pairs")), lit(0L)).as("n_sh"),
         coalesce(sum(col("hamming") * col("n_pairs")), lit(0L)).as("hsum_sh"))
     val row = checkpointNoStats(mhAgg.crossJoin(shTot), eager = false)
