@@ -49,7 +49,7 @@ object Bench {
     // here; the timed loop reports them.
     selected.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val results = selected
       .map { case (name, fn) =>

@@ -2150,6 +2150,11 @@ object SparkEntry {
     * performs against the (q114-equivalent) SimHash totals. */
   private def dedupAgreementSql(numPerm: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, maxHamming: Int = 6): String = {
+    // the `sh` CTE reuses simhashPairPredicate, which hardcodes Hamming
+    // <= 6 — a different bound would silently desynchronize the
+    // simhash_only subtraction from the mhc membership gate
+    require(maxHamming == 6,
+      s"dedupAgreementSql is pinned to maxHamming=6 (got $maxHamming)")
     val sharedBand = (0 until 4).map(k =>
       s"((sa >> ${k * 15}) & 32767) = ((sb >> ${k * 15}) & 32767)")
       .mkString("(", " OR ", ")")

@@ -424,15 +424,21 @@ object StreamingCorpus {
    * Per micro-batch:
    *  1. fingerprint arriving docs once ([[graft.analytics.Dedup
    *     .simhashMetaOf]] — the only pass over text);
-   *  2. maintain the REP table (h128 → lowest doc_id seen, one row per
-   *     distinct text; "lowest wins" is associative/commutative/
-   *     idempotent, so it converges under any delivery order or replay);
-   *  3. derive the batch's NEW edges, all batch-bounded: member → rep
-   *     exact edges, displaced-rep → new-rep edges (a late-arriving lower
-   *     id re-roots its text group), and near-dup band edges from the
-   *     asymmetric [[graft.analytics.Dedup.bandProbe]] of the batch's
-   *     reps against the rep table (4 narrow band rows per fingerprint —
-   *     never text, never the full pair surface);
+   *  2. derive the batch's NEW edges from PRE-merge state, all
+   *     batch-bounded: member → rep exact edges, displaced-rep → new-rep
+   *     edges (a late-arriving lower id re-roots its text group), and
+   *     near-dup band edges from the asymmetric
+   *     [[graft.analytics.Dedup.bandProbe]] of the batch's reps against
+   *     the logical post-merge rep view (4 narrow band rows per
+   *     fingerprint — never text, never the full pair surface);
+   *  3. merge state in crash-safe order — forest first, THEN the rep
+   *     table (h128 → lowest doc_id seen; "lowest wins" is associative/
+   *     commutative/idempotent). Edges derive only from the rep table, so
+   *     a retry of a partially-applied batch (forest merged, rep merge
+   *     lost) re-reads the original old_rep, re-derives the identical
+   *     edge set, and every edge no-ops in root space through the
+   *     already-merged forest — replay-equivalent under crashes anywhere
+   *     in the batch, not just whole-batch re-delivery;
    *  4. map the new edges' endpoints into ROOT space through the current
    *     forest (a root stands for its whole component), contract ONLY
    *     that touched-root graph ([[graft.analytics.Dedup
@@ -517,26 +523,33 @@ object StreamingCorpus {
           Seq("h128"), "left")
       else batchMin.withColumn("old_rep", lit(null).cast("long")))
         .withColumn("new_rep", least(col("bmin"), col("old_rep")))
-    // the rep merge and every edge derivation read `joined` — truncate so
-    // the batch is fingerprinted and rep-joined once
+    // every edge derivation and the (later) rep merge read `joined` —
+    // truncate so the batch is fingerprinted and rep-joined once
     val j = org.apache.spark.sql.GraftBridge.checkpointNoStats(joined, eager = false)
-    BucketedMerge.mergeInto(spark, repPath,
-      j.select(col("h128"), col("new_rep").as("rep"), col("simhash"),
-        (-col("new_rep")).as("_keep_rank")),
-      Seq("h128"), nBuckets, seqCol = Some("_keep_rank"))
     val memberE = meta.join(j.select(col("h128"), col("new_rep")), "h128")
       .filter(col("doc_id") =!= col("new_rep"))
       .select(col("doc_id").as("doc_a"), col("new_rep").as("doc_b"))
     val displacedE = j
       .filter(col("old_rep").isNotNull && col("old_rep") =!= col("new_rep"))
       .select(col("old_rep").as("doc_a"), col("new_rep").as("doc_b"))
-    // band edges probe the UPDATED rep table (batch reps included), so
-    // batch-internal near-dup pairs surface too; re-probing a replayed
-    // batch re-derives edges that are already no-ops in root space
+    // band edges probe the LOGICAL post-merge rep view (stored reps with
+    // the batch's rows swapped in), so batch-internal near-dup pairs
+    // surface too — without mutating the rep table first. CRASH-REPLAY
+    // SAFETY hinges on this ordering: all edges derive from PRE-merge
+    // state, the forest merge lands before the rep merge, so a retry of a
+    // partially-applied batch (forest merged, rep not) still sees the
+    // original old_rep, re-derives the identical edge set, and every edge
+    // maps to a same-root no-op through the already-merged forest.
+    val updatedReps =
+      (if (repExists)
+        BucketedMerge.read(spark, repPath)
+          .select(col("h128"), col("rep"), col("simhash"))
+          .join(j.select(col("h128")), Seq("h128"), "left_anti")
+          .unionByName(j.select(col("h128"), col("new_rep").as("rep"), col("simhash")))
+      else j.select(col("h128"), col("new_rep").as("rep"), col("simhash")))
     val bandE = Dedup.bandProbe(
       j.select(col("new_rep").as("doc_id"), col("simhash")),
-      BucketedMerge.read(spark, repPath)
-        .select(col("rep").as("doc_id"), col("simhash")),
+      updatedReps.select(col("rep").as("doc_id"), col("simhash")),
       maxHamming)
     val newE = memberE.unionByName(displacedE).unionByName(bandE)
     val forestExists = BucketedMerge.hasData(spark, forestPath)
@@ -566,8 +579,15 @@ object StreamingCorpus {
     // counting afterwards would chase deleted files (`contracted` is a
     // materialized checkpoint, so the recount is just the forest join)
     val stats = statsPath.map(_ => (eRoots.count(), updates.count()))
+    // forest BEFORE rep table (see the crash-replay note above): the rep
+    // merge is the only step that would change a retry's derived edges,
+    // so it must be the LAST state mutation of the batch
     BucketedMerge.mergeInto(spark, forestPath, updates,
       Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+    BucketedMerge.mergeInto(spark, repPath,
+      j.select(col("h128"), col("new_rep").as("rep"), col("simhash"),
+        (-col("new_rep")).as("_keep_rank")),
+      Seq("h128"), nBuckets, seqCol = Some("_keep_rank"))
     statsPath.foreach { sp =>
       import spark.implicits._
       val (nEdges, nUpd) = stats.get
@@ -854,6 +874,11 @@ object StreamingCorpus {
       hhPath: Option[String] = None,
       hhThreshold: Long = 0L,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // threshold 0 admits every distinct word (n_est >= 0 always holds),
+    // making the heavy-hitter state vocab-sized and voiding the
+    // 'threshold-bounded, never vocab-sized' contract
+    require(hhPath.isEmpty || hhThreshold > 0L,
+      "hhPath requires hhThreshold > 0 — a zero threshold admits the whole vocab")
     spark.readStream
       .schema(schema)
       .parquet(landingDir)
@@ -881,6 +906,8 @@ object StreamingCorpus {
       nBuckets: Int = 8,
       hhPath: Option[String] = None,
       hhThreshold: Long = 0L): Unit = {
+    require(hhPath.isEmpty || hhThreshold > 0L,
+      "hhPath requires hhThreshold > 0 — a zero threshold admits the whole vocab")
     val arrivals = batch.dropDuplicates(Seq("doc_id"))
       .select(col("doc_id"), col("text"))
     val fresh = org.apache.spark.sql.GraftBridge.checkpointNoStats(

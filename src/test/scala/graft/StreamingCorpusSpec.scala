@@ -555,6 +555,74 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       "crash-replay double-counted or dropped a batch")
   }
 
+  test("cluster gate converges under crash-replay of a partially-merged batch") {
+    import spark.implicits._
+    import graft.ingest.BucketedMerge
+    val root = TempDirs.tempDir("graft_sclustcrash").toFile
+    val repPath = s"$root/wh/rep"
+    val forestPath = s"$root/wh/forest"
+    val base = (0 until 30).map(i => s"c$i").mkString(" ")
+    def dfOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    // wave 1 seeds an exact-dup group rooted at 10; wave 2's doc 2 must
+    // DISPLACE that root — the exact shape the partial-merge window can
+    // permanently disconnect if edges ever derive from post-merge reps
+    val w1 = Seq((10L, base), (11L, base), (12L, base),
+      (30L, "nothing like it at all"))
+    val w2 = Seq((2L, base), (31L, "also entirely different text"))
+    def copyDir(src: String, dst: String): Unit = {
+      import java.nio.file.{Files, Paths, Path => JPath}
+      val s = Paths.get(src); val d = Paths.get(dst)
+      val it = Files.walk(s).iterator()
+      while (it.hasNext) {
+        val p: JPath = it.next()
+        val t = d.resolve(s.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def deleteDir(p: String): Unit = {
+      import java.nio.file.{Files, Paths, Path => JPath}
+      if (Files.exists(Paths.get(p))) {
+        val it = Files.walk(Paths.get(p)).sorted(
+          java.util.Comparator.reverseOrder[JPath]()).iterator()
+        while (it.hasNext) Files.delete(it.next())
+      }
+    }
+    StreamingCorpus.maintainClusterForest(spark, dfOf(w1), repPath,
+      forestPath, 0L, nBuckets = 4)
+    // CRASH WINDOW: attempt 1 of batch 1 merges the FOREST and dies before
+    // the rep merge. Simulated by snapshotting reps, running the batch
+    // fully, then restoring the pre-batch rep table.
+    val repSnap = s"$root/wh/rep_snapshot"
+    copyDir(repPath, repSnap)
+    StreamingCorpus.maintainClusterForest(spark, dfOf(w2), repPath,
+      forestPath, 1L, nBuckets = 4)
+    deleteDir(repPath); copyDir(repSnap, repPath)
+    // the retry (same batchId) must re-derive identical no-op edges and
+    // land the lost rep merge — not read old_rep == new_rep and drop the
+    // displaced-root edge
+    StreamingCorpus.maintainClusterForest(spark, dfOf(w2), repPath,
+      forestPath, 1L, nBuckets = 4)
+    // and a full re-run (crash AFTER both merges) must also be a no-op
+    StreamingCorpus.maintainClusterForest(spark, dfOf(w2), repPath,
+      forestPath, 1L, nBuckets = 4)
+    val streamed = StreamingCorpus.clustersFromForest(
+      BucketedMerge.read(spark, forestPath).select(col("doc_id"), col("root")))
+    val batch = graft.analytics.Dedup.duplicateClusters(
+      graft.analytics.Dedup.simhashDupGraphOf(dfOf(w1 ++ w2)))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "crash-replayed clusters diverge from batch duplicateClusters")
+    val f = BucketedMerge.read(spark, forestPath)
+      .select(col("doc_id"), col("root")).as[(Long, Long)].collect().toMap
+    assert(f(10L) == 2L && f(11L) == 2L && f(12L) == 2L,
+      "displaced group must re-root at 2 even across the crash window")
+    val reps = BucketedMerge.read(spark, repPath)
+      .select(col("rep")).as[Long].collect().toSet
+    assert(reps.contains(2L) && !reps.contains(10L),
+      s"retry must land the lost rep merge (got reps=$reps)")
+  }
+
   test("cluster gate per-batch work scales with the batch, not the corpus") {
     import spark.implicits._
     val root = TempDirs.tempDir("graft_sclustsoak").toFile
