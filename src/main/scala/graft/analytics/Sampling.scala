@@ -305,8 +305,10 @@ object Sampling {
       minTokens: Int = 10, maxTokens: Int = 1000,
       chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
     // exact-first graph: identical texts collapse before banding, so a
-    // duplicate-heavy corpus can't blow the band join up quadratically
-    val losers = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(s, d))._1
+    // duplicate-heavy corpus can't blow the band join up quadratically;
+    // the contraction is the session-shared fixpoint (Dedup
+    // .sharedClusterEdges) q74/q81/q118 also ride
+    val losers = Dedup.sharedClusterEdges(s, d)._1
       .select(col("src").as("doc_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
@@ -328,8 +330,9 @@ object Sampling {
     // the contraction's (child > root) edges ARE the losers — one row per
     // non-survivor member, no roots union to build and filter back out;
     // exact-first graph (see Dedup.simhashDupGraph) keeps the band join
-    // linear on duplicate-heavy corpora
-    val losers = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(s, d))._1
+    // linear on duplicate-heavy corpora, and the contraction itself is
+    // the session-shared fixpoint (Dedup.sharedClusterEdges)
+    val losers = Dedup.sharedClusterEdges(s, d)._1
       .select(col("src").as("doc_id"))
     Tables.documents(s, d)
       .join(losers, Seq("doc_id"), "left_anti")

@@ -81,7 +81,12 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
       "q35_simhash_pairs" -> (d => Dedup.simhashPairs(spark, d).count()),
       "q78_winnow_fps" -> (d => TextStats.winnowFingerprints(spark, d).count()),
       "q79_winnow_pairs" -> (d => TextStats.winnowPairs(spark, d).count()),
-      "q81_dedup_apply" -> (d => Sampling.dedupApply(spark, d).count()),
+      // clear the session-shared contraction memo so the soak times the
+      // real work, not a cache hit from a previous run on the same dir
+      "q81_dedup_apply" -> (d => {
+        Dedup.clearSharedClusterEdges()
+        Sampling.dedupApply(spark, d).count()
+      }),
       "q84_shared_grams" -> (d => TextStats.sharedGramPairs(spark, d).count()),
       "q85_ngram_contam" -> (d => TextStats.ngramContamination(spark, d).count()),
       // classifier filter: two clean corpus scans (train, score) against a
