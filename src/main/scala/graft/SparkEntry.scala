@@ -191,6 +191,9 @@ object SparkEntry {
       TextStats.cmsHeavyHitters(s, d)),
     "q127_dedup_agreement" -> ((s: SparkSession, d: String) =>
       Dedup.dedupMethodAgreement(s, d)),
+    // image perceptual-near-dup (dHash over real decoded PNGs) histogram
+    "q128_image_dhash_histogram" -> ((s: SparkSession, d: String) =>
+      Multimodal.imageDhashHistogram(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -1834,6 +1837,7 @@ object SparkEntry {
     "q124_tokenizer_fertility" -> bpeFertilitySql(8, 65536),
     "q126_cms_heavy_hitters" -> cmsSql(4, 1024, 20),
     "q127_dedup_agreement" -> dedupAgreementSql(),
+    "q128_image_dhash_histogram" -> imageDhashSql(),
     // per-(doc, word) entropy terms rounded 6 dp then DECIMAL-summed (the
     // q99 discipline); norm_entropy rounds per doc before the per-lang
     // decimal average, so aggregation order cannot fork the engines
@@ -2142,6 +2146,45 @@ object SparkEntry {
     * empty t-table coalesces to a tab pattern (unmatchable: words are
     * whitespace-split) — a no-op, matching the engine's shorter merge
     * list. */
+  /** q128 oracle: the dHash fingerprints replayed from the PURE pixel and
+    * dimension formulas (the q43 discipline — the engine decodes REAL
+    * PNGs, so if either the encode or the decode drifted from the
+    * formula, the hashes and hence this histogram would mismatch), then
+    * the q114 banded-pair histogram over them via the shared
+    * [[simhashPairPredicate]]. `% 16777216` is double-wrapped so negative
+    * ids reduce to the same low-24-bits the JVM's toInt & 0xFFFFFF keeps. */
+  private def imageDhashSql(): String =
+    s"""WITH dims AS (
+       | SELECT doc_id, (1 + n_chars % 64) AS w, (1 + (n_chars * 7) % 48) AS h
+       | FROM documents WHERE n_chars IS NOT NULL),
+       |grid AS (
+       | SELECT doc_id, gy, gx, ((gx * w) // 11) AS sx, ((gy * h) // 6) AS sy
+       | FROM dims, (SELECT unnest(range(6)) AS gy) ys,
+       |            (SELECT unnest(range(11)) AS gx) xs),
+       |gray AS (
+       | SELECT doc_id, gy, gx,
+       |  ((((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) // 3) AS g
+       | FROM (SELECT doc_id, gy, gx,
+       |        ((doc_id * 131 + sx * 31 + sy * 7) % 16777216 + 16777216)
+       |          % 16777216 AS v
+       |       FROM grid) t),
+       |fp AS (
+       | SELECT g1.doc_id,
+       |  CAST(coalesce(sum(CASE WHEN g1.g > g2.g
+       |    THEN (1::BIGINT << CAST(g1.gy * 10 + g1.gx AS INTEGER))
+       |    ELSE 0 END), 0) AS BIGINT) AS simhash
+       | FROM gray g1 JOIN gray g2
+       |   ON g1.doc_id = g2.doc_id AND g1.gy = g2.gy AND g2.gx = g1.gx + 1
+       | GROUP BY 1),
+       |hp AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       | WHERE $simhashPairPredicate)
+       |SELECT hamming, count(*) AS n_pairs,
+       | count(DISTINCT doc_a) AS n_docs_a, count(DISTINCT doc_b) AS n_docs_b
+       |FROM hp GROUP BY hamming""".stripMargin
+
   /** q127 oracle: both pair surfaces replayed from their own CTE chains
     * (the q32 cand CTE and the q35 predicate — single sources, so the
     * oracles cannot desynchronize), the SimHash membership of each

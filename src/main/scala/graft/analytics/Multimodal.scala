@@ -155,6 +155,81 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "resized_w", "resized_h")
   }
 
+  // ------------------------------------------------- image near-dup (q128)
+
+  /** dHash grid geometry: 6 rows × 11 columns of nearest-neighbor gray
+    * samples → 6×10 = 60 horizontal-gradient bits. 60 bits deliberately —
+    * the fingerprint drops straight into the SimHash band machinery
+    * ([[Dedup.SimhashBands]] 4×15-bit bands, [[Dedup.hammingHistogramOf]]
+    * distinct-value banding), so the image near-dup surface inherits the
+    * cartesian-free, duplicate-collapsed 100 TB posture for free. */
+  val DhashRows = 6
+  val DhashCols = 11
+
+  /** Perceptual difference hash of one decoded image: sample gray
+    * (integer mean of R,G,B) at the DhashRows×DhashCols nearest-neighbor
+    * grid, set bit (row·10 + c) iff gray(c) > gray(c+1). Gradient-based,
+    * so uniform brightness shifts and resizes preserve the hash — the
+    * published dHash property that makes it a near-dup key rather than a
+    * checksum. */
+  def dhash60(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    var bits = 0L
+    var gy = 0
+    while (gy < DhashRows) {
+      val sy = gy * h / DhashRows
+      var prev = 0
+      var gx = 0
+      while (gx < DhashCols) {
+        val sx = gx * w / DhashCols
+        val v = img.getRGB(sx, sy)
+        val gray = (((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)) / 3
+        if (gx > 0 && prev > gray) bits |= 1L << (gy * 10 + (gx - 1))
+        prev = gray
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  final case class DhashRow(doc_id: Long, h128: Option[String], simhash: Option[Long])
+
+  /** Per-image fingerprint rows (doc_id, h128 = payload md5, dhash) —
+    * the image analogue of [[Dedup.simhashMetaOf]]: a narrow per-partition
+    * decode map (codec + digest initialized once per partition, payloads
+    * never shuffle), emitting exactly the frame shape the banded pair
+    * machinery consumes. NULL payload → NULL fingerprint (never pairs). */
+  def dhashMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pngMediaTable(s, d).mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { row =>
+        if (row.payload == null) DhashRow(row.doc_id, None, None)
+        else {
+          md.reset()
+          val hex = md.digest(row.payload).map("%02x".format(_)).mkString
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.payload))
+          DhashRow(row.doc_id, Some(hex), Some(dhash60(img)))
+        }
+      }
+    }.toDF()
+  }
+
+  /**
+   * q128: image perceptual-near-dup Hamming histogram — the multimodal
+   * counterpart of the q114 text histogram: decode every image once,
+   * dHash it, and count near-dup image pairs per Hamming distance over
+   * the banded surface. Rides [[Dedup.hammingHistogramOf]] unchanged:
+   * distinct-VALUE banding (images with identical hashes collapse before
+   * the band join), in-join pair dedup, multiplicity algebra — no pair
+   * row ever shuffles, no cartesian product.
+   */
+  def imageDhashHistogram(s: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame =
+    Dedup.hammingHistogramOf(dhashMeta(s, d), maxHamming)
+
   /** Frame-sampling shape: deterministic "frames" (offset markers) per media
     * item — the explode pattern a video pipeline uses, minus the codec. */
   def frameSample(s: SparkSession, d: String, everyBytes: Int = 256): DataFrame =

@@ -47,6 +47,52 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  private def grayImg(w: Int, h: Int)(f: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.max(0, math.min(255, f(x, y)))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("dHash: planted near-identical pair at Hamming 1; shift and resize invariance") {
+    // monotone left-to-right gradient: every left sample < right sample,
+    // so no gradient bit is ever set
+    val base = grayImg(66, 12)((x, _) => x)
+    assert(Multimodal.dhash60(base) == 0L)
+    // near-identical variant: spike ONE grid sample (gx=3 → sx=18, gy=2 →
+    // sy=4); only the (gx=3 > gx=4) comparison flips → Hamming exactly 1
+    val spiked = grayImg(66, 12)((x, y) => if (x == 18 && y == 4) 255 else x)
+    val hb = Multimodal.dhash60(base); val hs = Multimodal.dhash60(spiked)
+    assert(java.lang.Long.bitCount(hb ^ hs) == 1,
+      s"planted single-sample spike must cost exactly 1 bit (got ${java.lang.Long.bitCount(hb ^ hs)})")
+    assert((hs >> (2 * 10 + 3) & 1L) == 1L, "the flipped bit is (row 2, c 3)")
+    // uniform brightness shift preserves every gradient comparison
+    val brighter = grayImg(66, 12)((x, _) => x + 30)
+    assert(Multimodal.dhash60(brighter) == hb)
+    // a half-size render of the same gradient hashes identically —
+    // the resize robustness that makes dHash a near-dup key
+    val small = grayImg(33, 6)((x, _) => x * 2)
+    assert(Multimodal.dhash60(small) == hb)
+  }
+
+  test("q128 pipeline: fingerprint nullity tracks payload; banded plan stays cartesian-free") {
+    import spark.implicits._
+    val meta = Multimodal.dhashMeta(spark, d)
+      .select(col("doc_id"), col("h128").isNull, col("simhash").isNull)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(meta.nonEmpty)
+    meta.foreach { case (id, hNull, sNull) =>
+      assert(hNull == sNull, s"doc $id: h128/simhash nullity diverged")
+    }
+    val plan = Multimodal.imageDhashHistogram(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "image near-dup surface must stay the banded equi-join")
+  }
+
   test("resize preserves aspect and caps the long side") {
     assert(Multimodal.resizeBox(640, 480, 256) == ((256L, 192L)))
     assert(Multimodal.resizeBox(100, 50, 256) == ((100L, 50L))) // no upscale
