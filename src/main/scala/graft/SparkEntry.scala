@@ -194,6 +194,9 @@ object SparkEntry {
     // image perceptual-near-dup (dHash over real decoded PNGs) histogram
     "q128_image_dhash_histogram" -> ((s: SparkSession, d: String) =>
       Multimodal.imageDhashHistogram(s, d)),
+    // paragraph-level exact dedup with first-occurrence survivorship
+    "q129_paragraph_dedup" -> ((s: SparkSession, d: String) =>
+      TextStats.paragraphDedup(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -1838,6 +1841,30 @@ object SparkEntry {
     "q126_cms_heavy_hitters" -> cmsSql(4, 1024, 20),
     "q127_dedup_agreement" -> dedupAgreementSql(),
     "q128_image_dhash_histogram" -> imageDhashSql(),
+    // q129: the q98 span CTEs with first-occurrence (doc_id, pos)
+    // survivorship instead of the df-threshold drop set
+    "q129_paragraph_dedup" ->
+      """WITH ws AS (
+        | SELECT doc_id, regexp_split_to_array(trim(coalesce(text,'')), '\s+') AS w
+        | FROM documents),
+        |c AS (SELECT doc_id, w, CAST(unnest(range(0, greatest(len(w),1), 8)) AS INT) AS s
+        | FROM ws),
+        |h AS (SELECT doc_id, s, span,
+        |  CAST(('0x' || substring(md5(span), 1, 15)) AS BIGINT) AS sh
+        | FROM (SELECT doc_id, s, array_to_string(w[s+1:s+8], ' ') AS span FROM c) t),
+        |r AS (SELECT doc_id, s, span,
+        |  row_number() OVER (PARTITION BY sh ORDER BY doc_id, s) AS rn FROM h),
+        |k AS (
+        | SELECT doc_id, count(*) AS n_paragraphs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY s) AS cleaned
+        | FROM r GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_paragraphs AS BIGINT) AS n_paragraphs, n_dropped,
+        | CASE WHEN cleaned IS NULL OR cleaned = '' THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(cleaned, '\s+')) AS BIGINT)
+        | END AS kept_tokens,
+        | CAST(('0x' || substring(md5(cleaned), 1, 15)) AS BIGINT) AS cleaned_hash
+        |FROM k""".stripMargin,
     // per-(doc, word) entropy terms rounded 6 dp then DECIMAL-summed (the
     // q99 discipline); norm_entropy rounds per doc before the per-lang
     // decimal average, so aggregation order cannot fork the engines

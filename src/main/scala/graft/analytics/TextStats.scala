@@ -1191,6 +1191,74 @@ object TextStats {
   }
 
   /**
+   * q129: paragraph-level exact dedup — the Dolma discipline, the
+   * granularity between chunk-level dedup (q90) and boilerplate removal
+   * (q98): every paragraph (fixed `spanWords`-word span, the same split
+   * both span families share) is content-hashed, the FIRST occurrence in
+   * global (doc_id, pos) order survives, every later copy — including
+   * within-document repeats — is removed, and the cleaned text is
+   * reassembled in position order. Differs from q98 exactly where Dolma
+   * differs from C4-style boilerplate removal: q98 drops ALL copies of a
+   * frequent span; paragraph dedup keeps one canonical copy.
+   *
+   * Output per document: paragraph count, dropped count, kept whitespace
+   * tokens, and the 60-bit hash of the reassembled cleaned text (pinning
+   * SURVIVORSHIP and REASSEMBLY ORDER, not just counts).
+   *
+   * 100 TB posture: the dedup shuffles only (doc_id, pos, hash60) rows —
+   * span text never leaves its document row. One hash-keyed map-side-
+   * combined min aggregate elects keepers, one hash-keyed equi-join marks
+   * losers, one doc-keyed aggregate collects dropped positions, and
+   * reassembly is an IN-ROW filter of the original span array against the
+   * sorted drop-position set (binary-search probes, the q98 broadcast-
+   * path discipline).
+   */
+  def paragraphDedup(s: SparkSession, d: String, spanWords: Int = 8): DataFrame =
+    paragraphDedupOf(documents(s, d), spanWords)
+
+  /** [[paragraphDedup]] over an arbitrary (doc_id, text) frame; requires
+    * non-null unique doc_id (the corpus primary key — survivorship is
+    * (doc_id, pos)-ordered). */
+  def paragraphDedupOf(docs: DataFrame, spanWords: Int): DataFrame = {
+    val withSpans = docs
+      .withColumn("w", words(coalesce(col("text"), lit(""))))
+      .withColumn("spans", transform(
+        sequence(lit(0),
+          greatest(ceil(size(col("w")).cast("double") / spanWords), lit(1))
+            .cast("int") - 1),
+        i => array_join(slice(col("w"), i * spanWords + 1, lit(spanWords)), " ")))
+    // the only shuffled surface: narrow (doc_id, pos, hash) occurrence rows
+    val occ = withSpans
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), hash60(col("span")).as("sh"))
+    // keeper election: lexicographic min (doc_id, pos) per content hash —
+    // associative/commutative, so map-side partials collapse hot hashes
+    val keepers = occ.groupBy(col("sh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+    val droppedPs = occ.join(keepers, "sh")
+      .filter(col("doc_id") =!= col("k.doc_id") || col("pos") =!= col("k.pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("drop_ps"))
+    withSpans.join(droppedPs, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("drop_ps").isNull, col("spans"))
+          .otherwise(filter(col("spans"), (_, i) =>
+            !graft.functions.SortedContains.sortedContains(
+              col("drop_ps"), i.cast("long")))))
+      .withColumn("cleaned",
+        when(size(col("kept")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(col("kept"), " ")))
+      .select(
+        col("doc_id"),
+        size(col("spans")).cast("long").as("n_paragraphs"),
+        coalesce(size(col("drop_ps")), lit(0)).cast("long").as("n_dropped"),
+        when(col("cleaned").isNull || col("cleaned") === "", lit(0L))
+          .otherwise(size(split(col("cleaned"), "\\s+")).cast("long"))
+          .as("kept_tokens"),
+        hash60(col("cleaned")).as("cleaned_hash"))
+  }
+
+  /**
    * CCNet-style language-model quality bucketing: score every document by
    * its average bigram negative log-probability under a per-language model
    * trained on the corpus itself (add-one smoothing over the observed
