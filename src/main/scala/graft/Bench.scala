@@ -97,8 +97,11 @@ object Bench {
     } else if (only.isEmpty &&
         (selfTarget.isDefined || sfDir.stripSuffix("/").endsWith("sf0.1"))) {
       val out = selfTarget.getOrElse("BENCH_SELF.json")
+      // whitespace-tolerant: a pretty-printed record (e.g. a hand or tool
+      // rewrite with "field": {) must merge, not silently start a fresh
+      // record — round-11 lost a window's converged minima to exactly that
       def parseNumMap(json: String, field: String): Map[String, Double] =
-        ("\"" + field + "\":\\{([^}]*)\\}").r.findFirstMatchIn(json).map { m =>
+        ("\"" + field + "\":\\s*\\{([^}]*)\\}").r.findFirstMatchIn(json).map { m =>
           m.group(1).split(",").filter(_.contains(":")).map { kv =>
             val i = kv.lastIndexOf(':')
             kv.take(i).trim.stripPrefix("\"").stripSuffix("\"") ->
@@ -115,7 +118,7 @@ object Bench {
       val (oldQ, oldSp, oldWindows) =
         try {
           if (old.contains("\"sf0.1\"") || old.contains("sf0.1\"")) {
-            val w = "\"windows\":(\\d+)".r.findFirstMatchIn(old)
+            val w = "\"windows\":\\s*(\\d+)".r.findFirstMatchIn(old)
               .map(_.group(1).toInt).getOrElse(1)
             (parseNumMap(old, "queries"), parseNumMap(old, "spread"), w)
           } else (Map.empty[String, Double], Map.empty[String, Double], 0)
