@@ -88,6 +88,13 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
         Sampling.dedupApply(spark, d).count()
       }),
       "q84_shared_grams" -> (d => TextStats.sharedGramPairs(spark, d).count()),
+      // image near-dup: per-partition PNG encode+decode+dHash, then the
+      // collapsed q114 histogram machinery over the 60-bit fingerprints
+      "q128_image_dhash" -> (d => graft.analytics.Multimodal
+        .imageDhashHistogram(spark, d).count()),
+      // paragraph dedup: narrow (doc_id, pos, hash) shuffle + in-row
+      // reassembly — wall must track corpus size, not span-pair count
+      "q129_paragraph_dedup" -> (d => TextStats.paragraphDedup(spark, d).count()),
       "q85_ngram_contam" -> (d => TextStats.ngramContamination(spark, d).count()),
       // classifier filter: two clean corpus scans (train, score) against a
       // FIXED-size broadcast model — the per-row cost is the observable
