@@ -197,6 +197,9 @@ object SparkEntry {
     // paragraph-level exact dedup with first-occurrence survivorship
     "q129_paragraph_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.paragraphDedup(s, d)),
+    // image near-dup clusters: the q74 contraction over the dHash graph
+    "q130_image_dhash_clusters" -> ((s: SparkSession, d: String) =>
+      Multimodal.imageDhashClusters(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -1841,6 +1844,7 @@ object SparkEntry {
     "q126_cms_heavy_hitters" -> cmsSql(4, 1024, 20),
     "q127_dedup_agreement" -> dedupAgreementSql(),
     "q128_image_dhash_histogram" -> imageDhashSql(),
+    "q130_image_dhash_clusters" -> imageDhashClustersSql(),
     // q129: the q98 span CTEs with first-occurrence (doc_id, pos)
     // survivorship instead of the df-threshold drop set
     "q129_paragraph_dedup" ->
@@ -2180,8 +2184,11 @@ object SparkEntry {
     * the q114 banded-pair histogram over them via the shared
     * [[simhashPairPredicate]]. `% 16777216` is double-wrapped so negative
     * ids reduce to the same low-24-bits the JVM's toInt & 0xFFFFFF keeps. */
-  private def imageDhashSql(): String =
-    s"""WITH dims AS (
+  /** The dHash fingerprint CTE chain (dims → grid → gray → fp), shared by
+    * the q128 histogram and q130 cluster oracles. `prefix` lets the
+    * recursive consumer start the chain with WITH RECURSIVE. */
+  private def dhashFpCte(prefix: String = "WITH"): String =
+    s"""$prefix dims AS (
        | SELECT doc_id, (1 + n_chars % 64) AS w, (1 + (n_chars * 7) % 48) AS h
        | FROM documents WHERE n_chars IS NOT NULL),
        |grid AS (
@@ -2202,7 +2209,13 @@ object SparkEntry {
        |    ELSE 0 END), 0) AS BIGINT) AS simhash
        | FROM gray g1 JOIN gray g2
        |   ON g1.doc_id = g2.doc_id AND g1.gy = g2.gy AND g2.gx = g1.gx + 1
-       | GROUP BY 1),
+       | GROUP BY 1)""".stripMargin
+
+  /** q128 oracle: the q114 banded-pair histogram over the replayed dHash
+    * fingerprints. */
+  private def imageDhashSql(): String =
+    dhashFpCte() +
+      s""",
        |hp AS (
        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
@@ -2211,6 +2224,25 @@ object SparkEntry {
        |SELECT hamming, count(*) AS n_pairs,
        | count(DISTINCT doc_a) AS n_docs_a, count(DISTINCT doc_b) AS n_docs_b
        |FROM hp GROUP BY hamming""".stripMargin
+
+  /** q130 oracle: recursive-CTE connected components (the q74 oracle's
+    * reach/clusters chain) over the replayed dHash pair graph. */
+  private def imageDhashClustersSql(): String =
+    dhashFpCte("WITH RECURSIVE") +
+      s""",
+        |p AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        | WHERE $simhashPairPredicate),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+        |reach AS (
+        | SELECT src AS node, src AS lbl FROM (SELECT DISTINCT src FROM e) t
+        | UNION
+        | SELECT e.src AS node, r.lbl FROM e JOIN reach r ON r.node = e.dst),
+        |clusters AS (
+        | SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id FROM clusters""".stripMargin
 
   /** q127 oracle: both pair surfaces replayed from their own CTE chains
     * (the q32 cand CTE and the q35 predicate — single sources, so the

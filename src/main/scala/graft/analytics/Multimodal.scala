@@ -230,6 +230,20 @@ object Multimodal {
       maxHamming: Int = 6): DataFrame =
     Dedup.hammingHistogramOf(dhashMeta(s, d), maxHamming)
 
+  /**
+   * q130: image near-dup clusters — the multimodal counterpart of q74:
+   * the dHash pair graph ([[Dedup.simhashDupGraphFromMeta]] over
+   * [[dhashMeta]]: exact-payload duplicates collapse before banding, a
+   * no-op on unique renders but the required guard on real corpora where
+   * 30–60% of images are byte-identical re-posts), contracted to
+   * (doc_id, cluster_id) by the same O(log)-round star contraction.
+   * An image-corpus release dedups on exactly this table.
+   */
+  def imageDhashClusters(s: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.simhashDupGraphFromMeta(dhashMeta(s, d), maxHamming))
+
   /** Frame-sampling shape: deterministic "frames" (offset markers) per media
     * item — the explode pattern a video pipeline uses, minus the codec. */
   def frameSample(s: SparkSession, d: String, everyBytes: Int = 256): DataFrame =

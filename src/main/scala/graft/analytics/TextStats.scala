@@ -1219,14 +1219,29 @@ object TextStats {
   /** [[paragraphDedup]] over an arbitrary (doc_id, text) frame; requires
     * non-null unique doc_id (the corpus primary key — survivorship is
     * (doc_id, pos)-ordered). */
-  def paragraphDedupOf(docs: DataFrame, spanWords: Int): DataFrame = {
-    val withSpans = docs
+  /** The shared paragraph split: `spans` = fixed `spanWords`-word windows
+    * (the q98 spelling — NULL/empty text yields one empty span). */
+  private[graft] def spanColumns(docs: DataFrame, spanWords: Int): DataFrame =
+    docs
       .withColumn("w", words(coalesce(col("text"), lit(""))))
       .withColumn("spans", transform(
         sequence(lit(0),
           greatest(ceil(size(col("w")).cast("double") / spanWords), lit(1))
             .cast("int") - 1),
         i => array_join(slice(col("w"), i * spanWords + 1, lit(spanWords)), " ")))
+
+  /** The paragraph occurrence stream (doc_id, pos, sh, n_toks) — the
+    * narrow surface both the batch dedup and the streaming gate shuffle;
+    * span TEXT never leaves its document row. */
+  def paragraphOccurrencesOf(docs: DataFrame, spanWords: Int): DataFrame =
+    spanColumns(docs, spanWords)
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), hash60(col("span")).as("sh"),
+        when(col("span") === "", 0L)
+          .otherwise(size(split(col("span"), "\\s+")).cast("long")).as("n_toks"))
+
+  def paragraphDedupOf(docs: DataFrame, spanWords: Int): DataFrame = {
+    val withSpans = spanColumns(docs, spanWords)
     // the only shuffled surface: narrow (doc_id, pos, hash) occurrence rows
     val occ = withSpans
       .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))

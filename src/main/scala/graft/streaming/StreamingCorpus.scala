@@ -597,6 +597,150 @@ object StreamingCorpus {
     }
   }
 
+  /**
+   * Online paragraph-dedup gate — the streaming counterpart of q129's
+   * survivorship decision: the gate maintains which paragraph occurrence
+   * (doc_id, pos) is the canonical FIRST copy of each distinct span, and
+   * the per-document drop ledger, across batches.
+   *
+   * State (all text-free, the declared bounds):
+   *  - KEEPER table (sh → (doc_id, pos, n_toks)): one row per distinct
+   *    span hash. "Lexicographic min (doc_id, pos)" is associative,
+   *    commutative and idempotent, so it converges to the batch q129
+   *    keeper under any delivery order or replay; a late-arriving lower
+   *    occurrence DISPLACES the stored keeper.
+   *  - DROPS ledger ((doc_id, pos) → n_toks): one row per dropped
+   *    occurrence — the duplicate mass. Monotone: the keeper only ever
+   *    decreases, so a dropped occurrence can never become a keeper
+   *    again, and re-derived rows upsert idempotently.
+   *  - DOCS table (doc_id → n_paragraphs, total_tokens): per-doc totals,
+   *    idempotent overwrite.
+   *
+   * CRASH-REPLAY SAFETY (the [[maintainClusterForest]] discipline): all
+   * of a batch's drop rows derive from PRE-merge keeper state, and the
+   * drops merge lands BEFORE the keeper merge — a retry of a partially-
+   * applied batch re-reads the original keepers, re-derives the
+   * identical drop set, and upserts it idempotently. The keeper merge is
+   * the last state mutation, exactly because it is the only one that
+   * would change a retry's derivation.
+   *
+   * Served output ([[paragraphLedger]]): (doc_id, n_paragraphs,
+   * n_dropped, kept_tokens) ≡ batch [[graft.analytics.TextStats
+   * .paragraphDedup]] on those columns (asserted under out-of-order
+   * arrival + replay + a simulated crash window in StreamingCorpusSpec).
+   * The reassembled cleaned TEXT is deliberately not served — text never
+   * enters gate state; a consumer holding the documents applies the
+   * drop ledger locally (the in-row filter batch q129 uses).
+   */
+  def startParagraphGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      keeperPath: String,
+      dropsPath: String,
+      docsPath: String,
+      checkpointDir: String,
+      spanWords: Int = 8,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        maintainParagraphState(spark, batch, keeperPath, dropsPath, docsPath,
+          batchId, spanWords, nBuckets)
+      }
+      .start()
+  }
+
+  /** One batch step of [[startParagraphGate]] — factored out so the spec
+    * can replay a crashed attempt directly. */
+  def maintainParagraphState(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      keeperPath: String,
+      dropsPath: String,
+      docsPath: String,
+      batchId: Long,
+      spanWords: Int = 8,
+      nBuckets: Int = 32): Unit = {
+    import graft.analytics.TextStats
+    // one text pass; in-batch re-delivery collapses on (doc_id, pos)
+    val occ = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      Merge.dedupLatest(
+        TextStats.paragraphOccurrencesOf(
+          batch.select(col("doc_id"), col("text")), spanWords)
+          .withColumn("_dump_seq", lit(batchId)),
+        Seq("doc_id", "pos"), "_dump_seq")
+        .select(col("doc_id"), col("pos"), col("sh"), col("n_toks")),
+      eager = false)
+    // per-doc totals: replay rewrites identical rows (idempotent)
+    BucketedMerge.mergeInto(spark, docsPath,
+      occ.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_paragraphs"),
+          sum(col("n_toks")).as("total_tokens"))
+        .withColumn("_dump_seq", lit(batchId)),
+      Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+    // keeper election against PRE-merge state
+    val bmin = occ.groupBy(col("sh"))
+      .agg(min(struct(col("doc_id").as("d"), col("pos").as("p"),
+        col("n_toks").as("t"))).as("bk"))
+    val keeperExists = BucketedMerge.hasData(spark, keeperPath)
+    val okType = "struct<d:bigint,p:int,t:bigint>"
+    val j = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      (if (keeperExists)
+        bmin.join(
+          BucketedMerge.read(spark, keeperPath)
+            .select(col("sh"), struct(col("kd").as("d"), col("kp").as("p"),
+              col("kt").as("t")).as("ok")),
+          Seq("sh"), "left")
+      else bmin.withColumn("ok", lit(null).cast(okType)))
+        .withColumn("wk", when(col("ok").isNull || col("bk") < col("ok"),
+          col("bk")).otherwise(col("ok"))),
+      eager = false)
+    val batchLosers = occ.join(j.select(col("sh"), col("wk")), "sh")
+      .filter(!(col("doc_id") === col("wk.d") && col("pos") === col("wk.p")))
+      .select(col("doc_id"), col("pos"), col("n_toks"))
+    val displaced = j
+      .filter(col("ok").isNotNull &&
+        !(col("ok.d") === col("wk.d") && col("ok.p") === col("wk.p")))
+      .select(col("ok.d").as("doc_id"), col("ok.p").as("pos"),
+        col("ok.t").as("n_toks"))
+    // drops BEFORE keepers (see the crash-replay note in the scaladoc)
+    BucketedMerge.mergeInto(spark, dropsPath,
+      batchLosers.unionByName(displaced).withColumn("_dump_seq", lit(batchId)),
+      Seq("doc_id", "pos"), nBuckets, seqCol = Some("_dump_seq"))
+    // keep-min-lexicographic via a struct rank: dedupLatest keeps the MAX
+    // _keep_rank, and max of (-d, -p) is the lexicographic min (d, p)
+    BucketedMerge.mergeInto(spark, keeperPath,
+      j.select(col("sh"), col("wk.d").as("kd"), col("wk.p").as("kp"),
+        col("wk.t").as("kt"),
+        struct((-col("wk.d")).as("rd"), (-col("wk.p")).as("rp")).as("_keep_rank")),
+      Seq("sh"), nBuckets, seqCol = Some("_keep_rank"))
+  }
+
+  /** The served survivorship ledger from the gate's state — column-equal
+    * to batch q129 on (doc_id, n_paragraphs, n_dropped, kept_tokens). */
+  def paragraphLedger(spark: SparkSession, docsPath: String,
+      dropsPath: String): org.apache.spark.sql.DataFrame = {
+    val docs = BucketedMerge.read(spark, docsPath)
+      .select(col("doc_id"), col("n_paragraphs"), col("total_tokens"))
+    val drops =
+      if (BucketedMerge.hasData(spark, dropsPath))
+        BucketedMerge.read(spark, dropsPath)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("nd"), sum(col("n_toks")).as("dt"))
+      else docs.sparkSession.range(0)
+        .select(col("id").as("doc_id"), lit(0L).as("nd"), lit(0L).as("dt"))
+    docs.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paragraphs"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        (col("total_tokens") - coalesce(col("dt"), lit(0L))).as("kept_tokens"))
+  }
+
   /** The cluster table ((doc_id, cluster_id), one row per member incl.
     * the root — [[graft.analytics.Dedup.duplicateClusters]]'s exact
     * output shape) from the gate's forest state. */

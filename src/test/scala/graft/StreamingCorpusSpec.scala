@@ -555,6 +555,87 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       "crash-replay double-counted or dropped a batch")
   }
 
+  test("paragraph gate equals batch q129 under out-of-order arrival, replay and a crash window") {
+    import spark.implicits._
+    import graft.analytics.TextStats
+    import graft.ingest.BucketedMerge
+    val root = TempDirs.tempDir("graft_spara").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val keeperPath = s"$root/wh/keepers"
+    val dropsPath = s"$root/wh/drops"
+    val docsPath = s"$root/wh/docs"
+    // spanWords = 2. Wave 1: doc 10 repeats "a b" within itself, doc 20
+    // shares "c d" with it. Wave 2 arrives OUT OF ORDER: doc 2 < 10
+    // carries "a b" — it must DISPLACE doc 10's keeper retroactively —
+    // plus a replayed doc 20 and the hostile NULL/empty-text shapes.
+    val w1 = Seq((10L, "a b c d a b"), (20L, "c d e f"), (30L, "g h"))
+    val w2 = Seq((2L, "a b"), (20L, "c d e f"),
+      (32L, null: String), (33L, ""))
+    def dfOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val schema = dfOf(w1).schema
+    def drain(): Unit = {
+      val q = StreamingCorpus.startParagraphGate(spark, landing.getAbsolutePath,
+        schema, keeperPath, dropsPath, docsPath, s"$root/chk",
+        spanWords = 2, nBuckets = 4)
+      q.awaitTermination()
+    }
+    val cols = Seq("doc_id", "n_paragraphs", "n_dropped", "kept_tokens")
+    def assertEqBatch(soFar: Seq[(Long, String)], tag: String): Unit = {
+      val streamed = StreamingCorpus.paragraphLedger(spark, docsPath, dropsPath)
+        .select(cols.map(col): _*)
+      val batch = TextStats.paragraphDedupOf(dfOf(soFar.distinct), spanWords = 2)
+        .select(cols.map(col): _*)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        s"$tag: streamed ledger diverges from batch q129")
+    }
+    land(dfOf(w1), landing, "wave1"); drain(); assertEqBatch(w1, "wave1")
+    land(dfOf(w2), landing, "wave2"); drain(); assertEqBatch(w1 ++ w2, "wave2")
+    // the displacement is visible: doc 10's "a b" at pos 0 is now a loser
+    val ledger = StreamingCorpus.paragraphLedger(spark, docsPath, dropsPath)
+      .select(cols.map(col): _*)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(ledger(10L) == ((10L, 3L, 2L, 2L)),
+      s"doc 10 must lose both 'a b' spans to doc 2 (got ${ledger(10L)})")
+    assert(ledger(2L) == ((2L, 1L, 0L, 2L)), "doc 2 keeps the displaced span")
+    // CRASH WINDOW: batch 2's drops merge lands, the keeper merge dies.
+    // Simulated by snapshotting keepers, running fully, restoring keepers.
+    def copyDir(src: String, dst: String): Unit = {
+      import java.nio.file.{Files, Paths, Path => JPath}
+      val s = Paths.get(src); val d0 = Paths.get(dst)
+      val it = Files.walk(s).iterator()
+      while (it.hasNext) {
+        val p: JPath = it.next()
+        val t = d0.resolve(s.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def deleteDir(p: String): Unit = {
+      import java.nio.file.{Files, Paths, Path => JPath}
+      if (Files.exists(Paths.get(p))) {
+        val it = Files.walk(Paths.get(p)).sorted(
+          java.util.Comparator.reverseOrder[JPath]()).iterator()
+        while (it.hasNext) Files.delete(it.next())
+      }
+    }
+    // doc 1 displaces the "c d" keeper (held by doc 10 at pos 1)
+    val w3 = Seq((1L, "c d"))
+    val snap = s"$root/wh/keepers_snap"
+    copyDir(keeperPath, snap)
+    StreamingCorpus.maintainParagraphState(spark, dfOf(w3), keeperPath,
+      dropsPath, docsPath, 7L, spanWords = 2, nBuckets = 4)
+    deleteDir(keeperPath); copyDir(snap, keeperPath)
+    // retry with the same batchId, then a full re-run (crash after both)
+    StreamingCorpus.maintainParagraphState(spark, dfOf(w3), keeperPath,
+      dropsPath, docsPath, 7L, spanWords = 2, nBuckets = 4)
+    StreamingCorpus.maintainParagraphState(spark, dfOf(w3), keeperPath,
+      dropsPath, docsPath, 7L, spanWords = 2, nBuckets = 4)
+    assertEqBatch(w1 ++ w2 ++ w3, "crash-replayed wave3")
+    val keepers = BucketedMerge.read(spark, keeperPath)
+      .select(col("kd")).as[Long].collect().toSet
+    assert(keepers.contains(1L), "doc 1 must hold the displaced 'c d' keeper")
+  }
+
   test("cluster gate converges under crash-replay of a partially-merged batch") {
     import spark.implicits._
     import graft.ingest.BucketedMerge
