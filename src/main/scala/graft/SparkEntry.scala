@@ -200,6 +200,9 @@ object SparkEntry {
     // image near-dup clusters: the q74 contraction over the dHash graph
     "q130_image_dhash_clusters" -> ((s: SparkSession, d: String) =>
       Multimodal.imageDhashClusters(s, d)),
+    // audio-style per-frame RMS energy + zero crossings (VAD shape)
+    "q131_audio_frame_energy" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioFrameFeatures(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -1845,6 +1848,32 @@ object SparkEntry {
     "q127_dedup_agreement" -> dedupAgreementSql(),
     "q128_image_dhash_histogram" -> imageDhashSql(),
     "q130_image_dhash_clusters" -> imageDhashClustersSql(),
+    // q131: bytes via the q59 hex-decode discipline; integer-exact square
+    // sums, double only at the final rounded sqrt
+    "q131_audio_frame_energy" ->
+      """WITH hx AS (
+        | SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+        | FROM documents WHERE text IS NOT NULL),
+        |fr AS (
+        | SELECT doc_id, n, h,
+        |  CAST(unnest(range(0, greatest(CAST(ceil(n / 256.0) AS BIGINT), 1)))
+        |   AS BIGINT) AS frame_idx
+        | FROM hx),
+        |sm AS (
+        | SELECT doc_id, frame_idx,
+        |  list_transform(range(CAST(frame_idx*256 AS INTEGER),
+        |                       CAST(least(frame_idx*256 + 256, n) AS INTEGER)),
+        |    i -> ('0x' || substring(h, CAST(i*2+1 AS INTEGER), 2))::INTEGER - 128)
+        |   AS s
+        | FROM fr)
+        |SELECT doc_id, frame_idx, CAST(len(s) AS BIGINT) AS n_samples,
+        | CASE WHEN len(s) > 0 THEN
+        |  round(sqrt(CAST(list_sum(list_transform(s, x -> x*x)) AS DOUBLE)
+        |    / len(s)), 6) END AS rms_energy,
+        | CAST(coalesce(len(list_filter(range(0, len(s)-1),
+        |   i -> (s[CAST(i+1 AS INTEGER)] < 0) <> (s[CAST(i+2 AS INTEGER)] < 0))),
+        |  0) AS BIGINT) AS n_zero_cross
+        |FROM sm""".stripMargin,
     // q129: the q98 span CTEs with first-occurrence (doc_id, pos)
     // survivorship instead of the df-threshold drop set
     "q129_paragraph_dedup" ->

@@ -244,6 +244,65 @@ object Multimodal {
     Dedup.duplicateClusters(
       Dedup.simhashDupGraphFromMeta(dhashMeta(s, d), maxHamming))
 
+  final case class AudioFrame(doc_id: Long, frame_idx: Long, n_samples: Long,
+    sq_sum: Long, n_zero_cross: Long)
+
+  /**
+   * q131: audio-style frame features — per-frame RMS energy and
+   * zero-crossing count over the payload bytes read as centered 8-bit
+   * PCM samples (byte − 128). The exact per-frame computation a
+   * VAD / silence-trimming pass runs before an audio corpus is chunked;
+   * here the payload is the deterministic text-byte fixture, so every
+   * value is oracle-replayable (the q59 hex-decode discipline).
+   *
+   * Determinism across engines: the squared sum is EXACT integer
+   * arithmetic (≤ frameBytes·128² per frame — no overflow, no float
+   * accumulation order), and only the final sqrt/divide runs in double,
+   * rounded to 6 dp. NULL payloads carry no frames (the q44 convention);
+   * an empty payload keeps one 0-sample frame with NULL rms.
+   *
+   * 100 TB posture: a pure per-partition flatMap — no shuffle anywhere;
+   * frames inherit the scan's partitioning.
+   */
+  def audioFrameFeatures(s: SparkSession, d: String,
+      frameBytes: Int = 256): DataFrame =
+    audioFrameFeaturesOf(mediaTable(s, d), frameBytes)
+
+  /** [[audioFrameFeatures]] over an arbitrary (doc_id, payload) frame. */
+  def audioFrameFeaturesOf(media: DataFrame, frameBytes: Int): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[MediaRow]
+      .filter((r: MediaRow) => r.payload != null)
+      .mapPartitions { batch =>
+        batch.flatMap { row =>
+          val b = row.payload
+          val nFrames = math.max((b.length + frameBytes - 1) / frameBytes, 1)
+          (0 until nFrames).iterator.map { f =>
+            val start = f * frameBytes
+            val end = math.min(start + frameBytes, b.length)
+            var sq = 0L; var zc = 0L
+            var i = start
+            while (i < end) {
+              val s0 = (b(i) & 0xFF) - 128
+              sq += s0.toLong * s0
+              if (i + 1 < end) {
+                val s1 = (b(i + 1) & 0xFF) - 128
+                if ((s0 < 0) != (s1 < 0)) zc += 1
+              }
+              i += 1
+            }
+            AudioFrame(row.doc_id, f.toLong, (end - start).toLong, sq, zc)
+          }
+        }
+      }.toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_samples"),
+        when(col("n_samples") > 0,
+          round(sqrt(col("sq_sum").cast("double") / col("n_samples")), 6))
+          .as("rms_energy"),
+        col("n_zero_cross"))
+  }
+
   /** Frame-sampling shape: deterministic "frames" (offset markers) per media
     * item — the explode pattern a video pipeline uses, minus the codec. */
   def frameSample(s: SparkSession, d: String, everyBytes: Int = 256): DataFrame =

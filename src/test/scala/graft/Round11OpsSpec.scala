@@ -40,6 +40,33 @@ class Round11OpsSpec extends AnyFunSuite with SparkSuite {
     assert(h == expect, "cleaned_hash must pin the reassembled 'a b c d'")
   }
 
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q131: frame energy pinned against scalar PCM math; frames split at the byte boundary") {
+    import graft.analytics.Multimodal
+    // "ab" -> bytes 97,98 -> centered -31,-30: sq_sum 1861, no crossing.
+    // "a" + 0x80-ish multibyte char exercises the utf-8 path: "aé" is
+    // bytes 97,195,169 -> centered -31,67,41 -> one crossing at (−31, 67).
+    val media = Seq(
+      (1L, "ab".getBytes("UTF-8")),
+      (2L, "aé".getBytes("UTF-8")),
+      (3L, Array.emptyByteArray),
+      (4L, null: Array[Byte])).toDF("doc_id", "payload")
+    val rows = Multimodal.audioFrameFeaturesOf(media, frameBytes = 2)
+      .select("doc_id", "frame_idx", "n_samples", "rms_energy", "n_zero_cross")
+      .as[(Long, Long, Long, Option[Double], Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(rows((1L, 0L)) == ((2L, Some(r6(math.sqrt(1861.0 / 2))), 0L)))
+    // doc 2 has 3 bytes -> frames [97,195] and [169]: crossings are
+    // WITHIN-frame only (the zc window does not straddle the boundary)
+    assert(rows((2L, 0L)) == ((2L, Some(r6(math.sqrt((31 * 31 + 67 * 67) / 2.0))), 1L)))
+    assert(rows((2L, 1L)) == ((1L, Some(41.0), 0L)))
+    // empty payload: one 0-sample frame, NULL rms; NULL payload: no frames
+    assert(rows((3L, 0L)) == ((0L, None, 0L)))
+    assert(!rows.keySet.exists(_._1 == 4L))
+  }
+
   test("q129 plan: hash-keyed equi-joins only, no cartesian, span text never shuffles") {
     val plan = TextStats.paragraphDedup(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
