@@ -203,6 +203,9 @@ object SparkEntry {
     // audio-style per-frame RMS energy + zero crossings (VAD shape)
     "q131_audio_frame_energy" -> ((s: SparkSession, d: String) =>
       Multimodal.audioFrameFeatures(s, d)),
+    // content-defined chunking (gear-criterion boundaries) dup mass
+    "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
+      TextStats.cdcChunkDedup(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -1874,6 +1877,30 @@ object SparkEntry {
         |   i -> (s[CAST(i+1 AS INTEGER)] < 0) <> (s[CAST(i+2 AS INTEGER)] < 0))),
         |  0) AS BIGINT) AS n_zero_cross
         |FROM sm""".stripMargin,
+    // q132: the same lag-window boundary bit + running-sum chunk id, then
+    // chunk hashes grouped for the duplicate mass
+    "q132_cdc_chunk_dedup" ->
+      s"""WITH dd AS (SELECT doc_id, $tokens AS w FROM documents),
+        |wr AS (SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+        |        w[CAST(t.i AS INTEGER)+1] AS word
+        |       FROM dd, UNNEST(range(0, coalesce(len(w),0))) t(i)),
+        |g AS (SELECT doc_id, i, word,
+        |  lag(word) OVER (PARTITION BY doc_id ORDER BY i) AS pw FROM wr),
+        |b AS (SELECT doc_id, i, word,
+        |  CASE WHEN pw IS NOT NULL AND
+        |    ('0x' || substring(md5(pw || ' ' || word), 1, 15))::BIGINT % 16 = 0
+        |  THEN 1 ELSE 0 END AS bb FROM g),
+        |c AS (SELECT doc_id, i, word,
+        |  coalesce(sum(bb) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        | FROM b),
+        |ch AS (SELECT doc_id, chunk_id,
+        |  md5(string_agg(word, ' ' ORDER BY i)) AS chunk_md5,
+        |  count(*) AS nw FROM c GROUP BY 1, 2)
+        |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(min(nw) AS BIGINT) AS n_words
+        |FROM ch GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     // q129: the q98 span CTEs with first-occurrence (doc_id, pos)
     // survivorship instead of the df-threshold drop set
     "q129_paragraph_dedup" ->

@@ -1274,6 +1274,58 @@ object TextStats {
   }
 
   /**
+   * q132: content-defined chunk dedup — the CDC (Rabin/FastCDC) member of
+   * the chunk family: chunk boundaries fall where a rolling content hash
+   * satisfies the gear criterion (here: hash60 of the trailing word
+   * bigram ≡ 0 mod `divisor`, average chunk ≈ `divisor` words), so an
+   * INSERTION shifts only the chunks it touches — the boundary positions
+   * downstream re-synchronize, where q90's fixed windows re-chunk the
+   * whole tail. Output: the duplicate chunk mass (content hash, copy
+   * count, document count, chunk length) — n_copies ≥ 2 only, so the
+   * result is duplicate-mass-sized, not corpus-sized.
+   *
+   * Declared divergence from production CDC: no min/max chunk-length
+   * clamp (pure gear criterion) — chunk lengths are geometric(1/divisor),
+   * which is the analyzable baseline and keeps both engines' replay
+   * identical.
+   *
+   * Plan shape (the winnowing discipline): words explode to rows, the
+   * boundary bit is a lag window, the chunk id a running sum window —
+   * whole-stage-codegen end to end, ONE shuffle on doc_id for the
+   * windows, then hash-keyed aggregates; chunk text reassembles in-group
+   * from sorted (pos, word) structs.
+   */
+  def cdcChunkDedup(s: SparkSession, d: String, divisor: Int = 16): DataFrame =
+    cdcChunkDedupOf(documents(s, d), divisor)
+
+  /** [[cdcChunkDedup]] over an arbitrary (doc_id, text) frame. */
+  def cdcChunkDedupOf(docs: DataFrame, divisor: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cum = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val wr = docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
+    val withChunk = wr
+      .withColumn("pw", lag(col("word"), 1).over(byDoc))
+      .withColumn("b",
+        when(col("pw").isNotNull &&
+          hash60(concat_ws(" ", col("pw"), col("word"))) % divisor === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum(col("b")).over(cum), lit(0L)))
+    withChunk
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("word")))).as("pw"))
+      .select(col("doc_id"),
+        md5(array_join(transform(col("pw"), p => p.getField("word")), " ")
+          .cast("binary")).as("chunk_md5"),
+        size(col("pw")).cast("long").as("nw"))
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("nw")).as("n_words"))
+      .filter(col("n_copies") >= 2)
+  }
+
+  /**
    * CCNet-style language-model quality bucketing: score every document by
    * its average bigram negative log-probability under a per-language model
    * trained on the corpus itself (add-one smoothing over the observed

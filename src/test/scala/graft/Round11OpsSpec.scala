@@ -67,6 +67,27 @@ class Round11OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!rows.keySet.exists(_._1 == 4L))
   }
 
+  test("q132: chunk boundaries re-synchronize after an insertion (the CDC property)") {
+    // doc 2 = doc 1 with ONE word prepended. Fixed-window chunking (q90)
+    // would shift every downstream window and share ~nothing; CDC
+    // boundaries depend only on local content, so after the first
+    // boundary past the insertion the chunk streams realign.
+    val ws = (0 until 400).map(i => s"w${i * 7 % 101}x$i")
+    val docs = Seq((1L, ws.mkString(" ")),
+      (2L, "inserted " + ws.mkString(" "))).toDF("doc_id", "text")
+    val shared = TextStats.cdcChunkDedupOf(docs, divisor = 16)
+      .filter(col("n_docs") === 2).count()
+    assert(shared >= 5,
+      s"a 1-word insertion must leave most CDC chunks shared (got $shared)")
+    // control: within-doc repetition also surfaces (same chunk twice in
+    // one doc counts as copies but one doc)
+    val rep = (0 until 40).map(i => s"r${i % 20}").mkString(" ") // 2x cycle
+    val one = Seq((9L, rep + " " + rep)).toDF("doc_id", "text")
+    val dup = TextStats.cdcChunkDedupOf(one, divisor = 4)
+      .filter(col("n_docs") === 1 && col("n_copies") >= 2).count()
+    assert(dup >= 1, "within-doc repeated chunks must count as copies")
+  }
+
   test("q129 plan: hash-keyed equi-joins only, no cartesian, span text never shuffles") {
     val plan = TextStats.paragraphDedup(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
