@@ -206,6 +206,9 @@ object SparkEntry {
     // content-defined chunking (gear-criterion boundaries) dup mass
     "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.cdcChunkDedup(s, d)),
+    // Matryoshka-truncation recall@k vs full-dim ground truth
+    "q133_mrl_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.mrlRecallStats(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -1901,6 +1904,7 @@ object SparkEntry {
         | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         | CAST(min(nw) AS BIGINT) AS n_words
         |FROM ch GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    "q133_mrl_recall" -> mrlRecallSql(),
     // q129: the q98 span CTEs with first-occurrence (doc_id, pos)
     // survivorship instead of the df-threshold drop set
     "q129_paragraph_dedup" ->
@@ -2299,6 +2303,41 @@ object SparkEntry {
         |clusters AS (
         | SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
         |SELECT doc_id, cluster_id FROM clusters""".stripMargin
+
+  /** q133 oracle: per truncation tier, the q36 top-k CTE over the first
+    * `dims` components, recall-joined against the full-dimension top-k. */
+  private def mrlRecallSql(k: Int = 5, stride: Long = 100,
+      tiers: Seq[Int] = Seq(8, 16, 32)): String = {
+    def cos(n: String) =
+      s"""list_sum(list_transform(range(1, $n), i -> qe[i]*ce[i])) /
+         |   (sqrt(list_sum(list_transform(range(1, $n), i -> qe[i]*qe[i]))) *
+         |    sqrt(list_sum(list_transform(range(1, $n), i -> ce[i]*ce[i]))))""".stripMargin
+    def topk(tag: String, n: String) =
+      s"""s$tag AS (SELECT query_id, neighbor_id, ${cos(n)} AS cosine
+         | FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |t$tag AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM s$tag WHERE cosine IS NOT NULL) t WHERE rn <= $k)""".stripMargin
+    val tierCtes = tiers.map(dm => topk(s"$dm", s"${dm + 1}") +
+      s""",
+         |h$dm AS (SELECT query_id, count(*) AS h
+         | FROM t$dm JOIN tfull USING (query_id, neighbor_id) GROUP BY 1),
+         |r$dm AS (SELECT $dm AS trunc_dims, eq.query_id,
+         |  CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(h, 0) AS DOUBLE) / $k, 6) AS recall
+         | FROM eq LEFT JOIN h$dm USING (query_id))""".stripMargin)
+      .mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id % $stride = 0),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+       |  FROM embeddings),
+       |${topk("full", "len(qe)+1")},
+       |eq AS (SELECT DISTINCT query_id FROM tfull),
+       |$tierCtes
+       |${tiers.map(dm => s"SELECT * FROM r$dm").mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   /** q127 oracle: both pair surfaces replayed from their own CTE chains
     * (the q32 cand CTE and the q35 predicate — single sources, so the

@@ -54,8 +54,12 @@ object Similarity {
    * At scale: the corpus never shuffles — scoring is map-side; only the
    * (tiny) scored-pairs stream shuffles for the top-k.
    */
-  def bruteForceTopK(s: SparkSession, d: String, k: Int = 5, stride: Long = 100): DataFrame = {
-    val emb = embeddings(s, d)
+  def bruteForceTopK(s: SparkSession, d: String, k: Int = 5, stride: Long = 100): DataFrame =
+    topKOf(embeddings(s, d), k, stride)
+
+  /** The brute-force scoring core over an arbitrary (vec_id, embedding)
+    * frame — shared by [[bruteForceTopK]] and the q133 truncation tiers. */
+  private def topKOf(emb: DataFrame, k: Int, stride: Long): DataFrame = {
     val queries = emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
@@ -63,6 +67,40 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("q_emb"), col("c_emb")))
     boundedTopK(scored, k)
+  }
+
+  /**
+   * q133: Matryoshka-truncation recall audit — recall@k of top-k search
+   * over PREFIX-truncated embeddings vs the full-dimension ground truth,
+   * per truncation tier. The table an operator reads before shipping
+   * MRL-style truncated vectors (Kusupati et al. 2022) to cut index cost
+   * — the memory/recall trade made measurable, joining the q107/q110/
+   * q122 approximation-honesty suite.
+   *
+   * 100 TB shape: each tier is the [[bruteForceTopK]] scoring core over
+   * a NARROWER in-row slice (no extra scan state; the slice is free at
+   * the scan), stride-bounded broadcast queries, bounded-heap top-k —
+   * per-tier cost strictly below the full-dim pass it audits.
+   */
+  def mrlRecallStats(s: SparkSession, d: String, k: Int = 5,
+      stride: Long = 100, tiers: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val exact = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      bruteForceTopK(s, d, k, stride)
+        .select(col("query_id"), col("neighbor_id")),
+      eager = false)
+    val exactQ = exact.select(col("query_id")).distinct()
+    tiers.map { dims =>
+      val emb = embeddings(s, d).select(col("vec_id"),
+        slice(col("embedding"), 1, dims).as("embedding"))
+      val hits = topKOf(emb, k, stride)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      exactQ.join(hits, Seq("query_id"), "left")
+        .select(lit(dims).as("trunc_dims"), col("query_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
+    }.reduce(_ unionByName _)
   }
 
   /** Per-query top-k via the bounded-heap aggregate: partial k-heaps build

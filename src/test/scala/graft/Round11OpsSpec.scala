@@ -88,6 +88,19 @@ class Round11OpsSpec extends AnyFunSuite with SparkSuite {
     assert(dup >= 1, "within-doc repeated chunks must count as copies")
   }
 
+  test("q133: the full-dimension tier is the identity (recall exactly 1.0)") {
+    import graft.analytics.Similarity
+    val d = "/root/testdata/sf0.001"
+    val out = Similarity.mrlRecallStats(spark, d, tiers = Seq(64))
+      .select("recall").as[Double].collect()
+    assert(out.nonEmpty && out.forall(_ == 1.0),
+      "truncating to the full 64 dims must reproduce the ground truth exactly")
+    // and a genuine truncation degrades or matches, never exceeds 1.0
+    val t8 = Similarity.mrlRecallStats(spark, d, tiers = Seq(8))
+      .select("recall").as[Double].collect()
+    assert(t8.nonEmpty && t8.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("q129 plan: hash-keyed equi-joins only, no cartesian, span text never shuffles") {
     val plan = TextStats.paragraphDedup(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
