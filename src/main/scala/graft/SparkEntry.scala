@@ -209,6 +209,9 @@ object SparkEntry {
     // Matryoshka-truncation recall@k vs full-dim ground truth
     "q133_mrl_recall" -> ((s: SparkSession, d: String) =>
       Similarity.mrlRecallStats(s, d)),
+    // per-language script/character-class profile (mC4/CCNet signal)
+    "q134_script_profile" -> ((s: SparkSession, d: String) =>
+      TextStats.scriptProfile(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -1905,6 +1908,40 @@ object SparkEntry {
         | CAST(min(nw) AS BIGINT) AS n_words
         |FROM ch GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     "q133_mrl_recall" -> mrlRecallSql(),
+    // q134: same explicit \x{...} ranges (RE2 ≡ Java on explicit ranges),
+    // 'g' flag for replace-all, 6-dp-rounded per-doc fracs DECIMAL-summed
+    "q134_script_profile" ->
+      """WITH f AS (
+        | SELECT lang,
+        |  CASE WHEN length(text) > 0 THEN CAST(round(CAST(length(text) -
+        |   length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+        |   / length(text), 6) AS DECIMAL(18,6)) END AS latin,
+        |  CASE WHEN length(text) > 0 THEN CAST(round(CAST(length(text) -
+        |   length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS DOUBLE)
+        |   / length(text), 6) AS DECIMAL(18,6)) END AS cyrillic,
+        |  CASE WHEN length(text) > 0 THEN CAST(round(CAST(length(text) -
+        |   length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS DOUBLE)
+        |   / length(text), 6) AS DECIMAL(18,6)) END AS cjk,
+        |  CASE WHEN length(text) > 0 THEN CAST(round(CAST(length(text) -
+        |   length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |   / length(text), 6) AS DECIMAL(18,6)) END AS digit,
+        |  CASE WHEN length(text) > 0 THEN CAST(round(CAST(length(text) -
+        |   length(regexp_replace(text, '[ ' || chr(9) || chr(10) || chr(13) ||
+        |     chr(12) || ']', '', 'g')) AS DOUBLE)
+        |   / length(text), 6) AS DECIMAL(18,6)) END AS space
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CASE WHEN count(latin) > 0
+        |  THEN round(CAST(sum(latin) AS DOUBLE) / count(latin), 6) END AS avg_latin,
+        | CASE WHEN count(cyrillic) > 0
+        |  THEN round(CAST(sum(cyrillic) AS DOUBLE) / count(cyrillic), 6) END AS avg_cyrillic,
+        | CASE WHEN count(cjk) > 0
+        |  THEN round(CAST(sum(cjk) AS DOUBLE) / count(cjk), 6) END AS avg_cjk,
+        | CASE WHEN count(digit) > 0
+        |  THEN round(CAST(sum(digit) AS DOUBLE) / count(digit), 6) END AS avg_digit,
+        | CASE WHEN count(space) > 0
+        |  THEN round(CAST(sum(space) AS DOUBLE) / count(space), 6) END AS avg_space
+        |FROM f GROUP BY lang""".stripMargin,
     // q129: the q98 span CTEs with first-occurrence (doc_id, pos)
     // survivorship instead of the df-threshold drop set
     "q129_paragraph_dedup" ->

@@ -1326,6 +1326,46 @@ object TextStats {
   }
 
   /**
+   * q134: script profile — per-language mean character-class fractions
+   * (Latin letters, Cyrillic, CJK unified, digits, whitespace), the
+   * mC4/CCNet script-filtering signal: a "lang=en" slice with rising CJK
+   * or Cyrillic mass is misrouted text or mojibake the lang-id pass
+   * missed (complements q104's encoding-quality profile).
+   *
+   * Cross-engine determinism: classes are EXPLICIT codepoint ranges in
+   * `\x{...}` syntax (identical semantics in Java regex and RE2 —
+   * named classes like \p{IsLatin} diverge between engines) and
+   * whitespace is the explicit [ \t\n\r\f] set (Java's \s includes
+   * \x0B, RE2's does not); per-doc fractions round to 6 dp then sum as
+   * DECIMAL (the q125 discipline), so aggregation order cannot fork
+   * the engines. Char counts are codepoint counts on both sides.
+   *
+   * 100 TB posture: one scan, per-row regexp counts (codegen'd), one
+   * lang-keyed map-side-combined aggregate.
+   */
+  def scriptProfile(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val n = length(t).cast("double")
+    def frac(pat: String) = when(n > 0,
+      round((length(t) - length(regexp_replace(t, pat, ""))).cast("double") / n, 6)
+        .cast("decimal(18,6)"))
+    val classes = Seq(
+      "latin" -> "[A-Za-z]",
+      "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+      "digit" -> "[0-9]",
+      "space" -> "[ \\t\\n\\r\\f]")
+    val perDoc = documents(s, d).select(
+      col("lang") +: classes.map { case (nm, p) => frac(p).as(nm) }: _*)
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        classes.map { case (nm, _) =>
+          when(count(col(nm)) > 0,
+            round(sum(col(nm)).cast("double") / count(col(nm)), 6))
+            .as(s"avg_$nm") }: _*)
+  }
+
+  /**
    * CCNet-style language-model quality bucketing: score every document by
    * its average bigram negative log-probability under a per-language model
    * trained on the corpus itself (add-one smoothing over the observed

@@ -101,6 +101,28 @@ class Round11OpsSpec extends AnyFunSuite with SparkSuite {
     assert(t8.nonEmpty && t8.forall(r => r >= 0.0 && r <= 1.0))
   }
 
+  test("q134: planted scripts classify into the right fractions; emoji stays unclassified") {
+    val dir = TempDirs.tempDir("graft_q134").toString
+    // "abгд一二 34" = 2 latin, 2 cyrillic, 2 cjk, 1 space, 2 digits, 9 chars
+    // total; the emoji doc is 0 in every class (non-BMP, 2 chars with
+    // the space); NULL text excluded from every average
+    Seq((1L, "abгд一二 34", "xx", "s", 9L),
+      (2L, "🙂 x", "xx", "s", 3L),
+      (3L, null: String, "xx", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextStats.scriptProfile(spark, dir).collect().head
+    def f(name: String) = Option(r.getAs[Any](name)).map(_.asInstanceOf[Double])
+    assert(r.getAs[Long]("n_docs") == 3L)
+    def r6d(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // averages over the two non-null docs
+    assert(f("avg_latin").contains(r6d((r6d(2.0 / 9) + r6d(1.0 / 3)) / 2)))
+    assert(f("avg_cyrillic").contains(r6d(r6d(2.0 / 9) / 2)))
+    assert(f("avg_cjk").contains(r6d(r6d(2.0 / 9) / 2)))
+    assert(f("avg_digit").contains(r6d(r6d(2.0 / 9) / 2)))
+    assert(f("avg_space").contains(r6d((r6d(1.0 / 9) + r6d(1.0 / 3)) / 2)))
+  }
+
   test("q129 plan: hash-keyed equi-joins only, no cartesian, span text never shuffles") {
     val plan = TextStats.paragraphDedup(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
