@@ -217,6 +217,24 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Session-scoped memo of the decoded fingerprint table per corpus dir
+    * — the [[Dedup.sharedClusterEdges]] discipline applied to the image
+    * family: q128 (histogram) and q130 (clusters) both need exactly this
+    * narrow (doc_id, h128, simhash) table, and the render+decode pass
+    * over every payload is their dominant cost. Keyed by applicationId
+    * so a restarted context never serves a stale RDD. */
+  private val dhashMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def dhashMetaShared(s: SparkSession, d: String): DataFrame = {
+    val key = (s.sparkContext.applicationId, new java.io.File(d).getCanonicalPath)
+    dhashMetaCache.computeIfAbsent(key,
+      _ => org.apache.spark.sql.GraftBridge.checkpointNoStats(
+        dhashMeta(s, d), eager = false))
+  }
+
+  private[graft] def clearDhashMetaCache(): Unit = dhashMetaCache.clear()
+
   /**
    * q128: image perceptual-near-dup Hamming histogram — the multimodal
    * counterpart of the q114 text histogram: decode every image once,
@@ -224,11 +242,12 @@ object Multimodal {
    * the banded surface. Rides [[Dedup.hammingHistogramOf]] unchanged:
    * distinct-VALUE banding (images with identical hashes collapse before
    * the band join), in-join pair dedup, multiplicity algebra — no pair
-   * row ever shuffles, no cartesian product.
+   * row ever shuffles, no cartesian product. The fingerprint table is
+   * the session-shared [[dhashMetaShared]] q130 also rides.
    */
   def imageDhashHistogram(s: SparkSession, d: String,
       maxHamming: Int = 6): DataFrame =
-    Dedup.hammingHistogramOf(dhashMeta(s, d), maxHamming)
+    Dedup.hammingHistogramOf(dhashMetaShared(s, d), maxHamming)
 
   /**
    * q130: image near-dup clusters — the multimodal counterpart of q74:
@@ -242,7 +261,7 @@ object Multimodal {
   def imageDhashClusters(s: SparkSession, d: String,
       maxHamming: Int = 6): DataFrame =
     Dedup.duplicateClusters(
-      Dedup.simhashDupGraphFromMeta(dhashMeta(s, d), maxHamming))
+      Dedup.simhashDupGraphFromMeta(dhashMetaShared(s, d), maxHamming))
 
   final case class AudioFrame(doc_id: Long, frame_idx: Long, n_samples: Long,
     sq_sum: Long, n_zero_cross: Long)
