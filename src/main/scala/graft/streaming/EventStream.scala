@@ -88,4 +88,70 @@ object EventStream {
           UserStat(user, n, v)
       }
   }
+
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, value_sum: Double)
+
+  /**
+   * CLOSED-session emission via `flatMapGroupsWithState` — the flatMap
+   * variant precisely because one micro-batch can close SEVERAL of a
+   * user's sessions at once (a burst of gap-crossing events), which
+   * `mapGroupsWithState`'s one-row-per-key contract cannot emit.
+   * [[sessions]] (the built-in `session_window`) reports sessions as
+   * running aggregates; this op emits a session exactly once, when it
+   * CLOSES — the shape a downstream sink (billing, funnel export) wants.
+   *
+   * State per user is the OPEN session only ((start, last, n, sum) — 4
+   * scalars, the declared bound), evicted two ways: a new event beyond
+   * the gap closes-and-emits, and `EventTimeTimeout` anchored at
+   * last + gap closes idle sessions as the watermark passes — no key
+   * waits forever for a user who never returns.
+   *
+   * Event-time caveat (documented, inherent to streaming sessionization):
+   * events later than the watermark are dropped by the engine itself, so
+   * a session closed by timeout stays closed even if such a straggler
+   * would have extended it; within the watermark, late events merge
+   * correctly because each batch's rows are processed in ts order.
+   */
+  def closedSessions(events: DataFrame, gapMinutes: Int = 60): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.withWatermark("ts", "2 hours")
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[(Long, Long, Long, Double)]) =>
+          def emit(s: (Long, Long, Long, Double)) = ClosedSession(user,
+            new java.sql.Timestamp(s._1), new java.sql.Timestamp(s._2), s._3, s._4)
+          if (state.hasTimedOut) {
+            val closed = emit(state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t, v) =>
+              val ms = t.getTime
+              cur = cur match {
+                case Some(s) if ms - s._2 <= gapMs =>
+                  Some((s._1, math.max(s._2, ms), s._3 + 1, s._4 + v))
+                case Some(s) =>
+                  closed ::= emit(s)
+                  Some((ms, ms, 1L, v))
+                case None => Some((ms, ms, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s._2 + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
 }

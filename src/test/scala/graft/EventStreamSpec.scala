@@ -83,6 +83,37 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
     assert(last(8L) == ((2L, 8.0))) // events 3,5: values 3+5
   }
 
+  test("flatMapGroupsWithState emits each closed session exactly once") {
+    // user 7's burst closes TWO sessions in one batch (the case that
+    // forces the flatMap variant); the far-future flush event pushes the
+    // watermark so the last open sessions close by EventTimeTimeout
+    val dir = TempDirs.tempDir("graft_closed_sessions").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 12:30:00"), 7L, "click", 4.0, "{}"), // gap > 1h
+      (4L, ts("2024-01-01 15:00:00"), 7L, "click", 8.0, "{}"), // gap > 1h
+      (5L, ts("2024-01-01 10:59:00"), 8L, "view", 3.0, "{}"),
+      (6L, ts("2024-01-02 23:00:00"), 9L, "flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = runToMemory(
+      EventStream.closedSessions(EventStream.readStream(spark, dir)).toDF(),
+      "closed_sessions", mode = "append")
+      .select("user_id", "session_start", "n_events", "value_sum")
+      .as[(Long, Timestamp, Long, Double)].collect()
+      .map(r => (r._1, r._2.toString) -> ((r._3, r._4))).toMap
+    // user 7: sessions (10:00-10:10), (12:30), (15:00) — first two close
+    // by the 15:00 arrival in the same batch, the third by timeout
+    assert(out((7L, "2024-01-01 10:00:00.0")) == ((2L, 3.0)))
+    assert(out((7L, "2024-01-01 12:30:00.0")) == ((1L, 4.0)))
+    assert(out((7L, "2024-01-01 15:00:00.0")) == ((1L, 8.0)))
+    assert(out((8L, "2024-01-01 10:59:00.0")) == ((1L, 3.0)))
+    // exactly-once and no spurious rows: user 9's flush session is still
+    // OPEN (its timeout is beyond the watermark) so exactly 4 closed
+    assert(out.size == 4, s"expected 4 closed sessions, got ${out.keySet}")
+  }
+
   test("streaming dedup drops replayed event ids") {
     val out = runToMemory(
       EventStream.dedupEvents(EventStream.readStream(spark, eventsDir)
