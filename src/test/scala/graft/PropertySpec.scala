@@ -113,6 +113,56 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  private val para_corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 25)
+    rows <- Gen.listOfN(n, for {
+      id <- Gen.choose(1L, 1000L)
+      nw <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(nw, Gen.oneOf((1 to 12).map(i => s"t$i")))
+    } yield (id, ws.mkString(" ")))
+  } yield rows.groupBy(_._1).map(_._2.head).toList // unique doc ids
+
+  test("paragraph dedup conserves mass and elects exactly one keeper per hash (12 generated corpora)") {
+    import graft.analytics.TextStats
+    samples(para_corpusGen, 12).foreach { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val out = TextStats.paragraphDedupOf(docs, spanWords = 3)
+        .select("doc_id", "n_paragraphs", "n_dropped", "kept_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(out.length == rows.length, "one output row per document")
+      out.foreach { case (id, np, nd, kt) =>
+        assert(np >= 1 && nd >= 0 && nd <= np && kt >= 0,
+          s"doc $id: mass violated (np=$np nd=$nd kt=$kt)")
+      }
+      // global conservation: total occurrences = distinct kept + dropped,
+      // i.e. every occurrence is either the one keeper of its hash or dropped
+      val occ = TextStats.paragraphOccurrencesOf(docs, 3)
+      val total = occ.count()
+      val distinctHashes = occ.select("sh").distinct().count()
+      val dropped = out.map(_._3).sum
+      assert(total == distinctHashes + dropped,
+        s"occurrences $total != keepers $distinctHashes + dropped $dropped")
+    }
+  }
+
+  test("CDC duplicate mass is bounded by corpus word mass at every divisor (10 generated corpora)") {
+    import graft.analytics.TextStats
+    import org.apache.spark.sql.functions.{col, split, trim, coalesce, lit, size, sum => fsum}
+    samples(para_corpusGen, 10).foreach { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val words = docs.select(
+        coalesce(size(split(trim(coalesce(col("text"), lit(""))), "\\s+")), lit(0))
+          .cast("long").as("nw"))
+        .agg(fsum(col("nw"))).as[Long].head()
+      def dupMass(divisor: Int): Long =
+        TextStats.cdcChunkDedupOf(docs, divisor)
+          .select((col("n_copies") * col("n_words")).cast("long")).as[Long]
+          .collect().sum
+      assert(dupMass(16) <= words && dupMass(2) <= words,
+        s"duplicate chunk mass exceeds corpus word mass ($words)")
+    }
+  }
+
   test("classifier score is the exact model weight sum per document (15 generated corpora)") {
     import graft.analytics.TextStats
     // independent JVM recomputation of the whole q91 contract: hash each
