@@ -212,6 +212,9 @@ object SparkEntry {
     // per-language script/character-class profile (mC4/CCNet signal)
     "q134_script_profile" -> ((s: SparkSession, d: String) =>
       TextStats.scriptProfile(s, d)),
+    // linear-counting distinct-vocab sketch + honesty audit
+    "q135_distinct_sketch" -> ((s: SparkSession, d: String) =>
+      TextStats.distinctSketchAudit(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -1942,6 +1945,20 @@ object SparkEntry {
         | CASE WHEN count(space) > 0
         |  THEN round(CAST(sum(space) AS DOUBLE) / count(space), 6) END AS avg_space
         |FROM f GROUP BY lang""".stripMargin,
+    // q135: the bitmap replayed as a DISTINCT (lang, bucket) count —
+    // exact integer state, so the estimate is bit-for-bit checkable
+    "q135_distinct_sketch" ->
+      s"""WITH tok AS (
+        | SELECT lang, unnest($tokens) AS w FROM documents WHERE lang IS NOT NULL),
+        |bk AS (SELECT DISTINCT lang,
+        |  ('0x' || substring(md5(w), 1, 15))::BIGINT % 4096 AS b FROM tok),
+        |sb AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_set_bits FROM bk GROUP BY 1),
+        |ex AS (SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS n_exact FROM tok GROUP BY 1)
+        |SELECT lang, n_exact, n_set_bits,
+        | round(-4096.0 * ln((4096.0 - n_set_bits) / 4096.0), 6) AS n_est,
+        | round(abs(-4096.0 * ln((4096.0 - n_set_bits) / 4096.0) - n_exact)
+        |   / n_exact, 6) AS rel_err
+        |FROM ex JOIN sb USING (lang)""".stripMargin,
     // q129: the q98 span CTEs with first-occurrence (doc_id, pos)
     // survivorship instead of the df-threshold drop set
     "q129_paragraph_dedup" ->

@@ -1326,6 +1326,42 @@ object TextStats {
   }
 
   /**
+   * q135: linear-counting distinct-vocabulary sketch + audit — the
+   * mergeable approximate COUNT-DISTINCT member of the sketch family
+   * (Whang et al. 1990), next to q126's CMS (frequencies) and q115's
+   * MinHash unions (set similarity): per language, an m-bit bitmap where
+   * bit = hash(word) mod m; distinct-word estimate = −m·ln(z/m) with z
+   * the unset-bit count. Chosen over HLL deliberately: the bitmap is
+   * exact integer state both engines replay bit-for-bit, so the estimate
+   * — unlike Spark's approx_count_distinct — is fully oracle-checkable,
+   * and bitmaps merge by OR (map-side combinable, stream-mergeable).
+   * The audit reports the exact distinct count and the relative error —
+   * the q107/q110/q126 honesty discipline: m is chosen from measured
+   * error, not faith.
+   *
+   * 100 TB posture: state is ≤ m rows per language no matter the corpus
+   * (the (lang, bucket) distinct), one scan, map-side combines; the
+   * exact tier is the corpus-linear audit part — production serves the
+   * sketch alone.
+   */
+  def distinctSketchAudit(s: SparkSession, d: String, m: Int = 4096): DataFrame = {
+    val tok = documents(s, d)
+      .filter(col("lang").isNotNull)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+    val buckets = tok
+      .select(col("lang"), pmod(hash60(col("w")), lit(m.toLong)).as("b"))
+      .distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_set_bits"))
+    val exact = tok.groupBy(col("lang"))
+      .agg(countDistinct(col("w")).as("n_exact"))
+    val est = lit(-m.toDouble) * log((lit(m.toDouble) - col("n_set_bits")) / m.toDouble)
+    exact.join(buckets, Seq("lang"))
+      .select(col("lang"), col("n_exact"), col("n_set_bits"),
+        round(est, 6).as("n_est"),
+        round(abs(est - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
+  }
+
+  /**
    * q134: script profile — per-language mean character-class fractions
    * (Latin letters, Cyrillic, CJK unified, digits, whitespace), the
    * mC4/CCNet script-filtering signal: a "lang=en" slice with rising CJK

@@ -123,6 +123,33 @@ class Round11OpsSpec extends AnyFunSuite with SparkSuite {
     assert(f("avg_space").contains(r6d((r6d(1.0 / 9) + r6d(1.0 / 3)) / 2)))
   }
 
+  test("q135: linear-counting bitmap is union-mergeable and one-sided below saturation") {
+    val dir = TempDirs.tempDir("graft_q135").toString
+    def write(rows: Seq[(Long, String)], path: String) =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$path/documents.parquet")
+    write(Seq((1L, "apple banana cherry")), dir)
+    val r = TextStats.distinctSketchAudit(spark, dir).collect().head
+    // 3 words into 4096 buckets: no collision for this planted set
+    assert(r.getAs[Long]("n_exact") == 3L && r.getAs[Long]("n_set_bits") == 3L)
+    // estimate >= set bits always (-m ln(1-k/m) >= k), and tiny here
+    assert(r.getAs[Double]("n_est") >= 3.0 && r.getAs[Double]("n_est") < 3.01)
+    // mergeability: the union corpus's bit set is the OR of the parts'
+    val dirA = TempDirs.tempDir("graft_q135a").toString
+    val dirB = TempDirs.tempDir("graft_q135b").toString
+    val dirU = TempDirs.tempDir("graft_q135u").toString
+    write(Seq((1L, "apple banana x1 x2")), dirA)
+    write(Seq((2L, "banana cherry x3")), dirB)
+    write(Seq((1L, "apple banana x1 x2"), (2L, "banana cherry x3")), dirU)
+    def bits(p: String): Long = TextStats.distinctSketchAudit(spark, p)
+      .select("n_set_bits").as[Long].head()
+    // |bits(U)| counts the distinct union buckets: <= |A|+|B|, >= max
+    assert(bits(dirU) <= bits(dirA) + bits(dirB) && bits(dirU) >= bits(dirA))
+    assert(bits(dirU) == 6L, "5 distinct words + no collisions = 6? no: " +
+      "apple banana cherry x1 x2 x3 = 6 distinct buckets")
+  }
+
   test("q129 plan: hash-keyed equi-joins only, no cartesian, span text never shuffles") {
     val plan = TextStats.paragraphDedup(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
