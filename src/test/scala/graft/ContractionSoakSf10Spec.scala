@@ -66,6 +66,26 @@ class ContractionSoakSf10Spec extends AnyFunSuite with SparkSuite {
       f"exact dedup super-linear at 100x: $te01%.1fs -> $te10%.1fs")
   }
 
+  test("paragraph dedup at 100x: the narrow occurrence shuffle stays linear-ish") {
+    ensureSf10()
+    import graft.analytics.TextStats
+    val (tp01, np01) = minOf2(TextStats.paragraphDedup(spark, sf01).count())
+    val (tp10, np10) = minOf2(TextStats.paragraphDedup(spark, soakDir).count())
+    info(f"q129_paragraph_dedup: sf0.1 $tp01%.1fs ($np01 rows) -> sf10 $tp10%.1fs ($np10 rows), ratio ${tp10 / tp01}%.1fx (100x data)")
+    assert(np10 == np01 * 100, "one row per doc: exact 100x row scaling")
+    assert(tp10 <= tp01 * 300 + 60,
+      f"paragraph dedup super-linear at 100x: $tp01%.1fs -> $tp10%.1fs")
+
+    // q132 CDC: the word explode + lag/cumsum windows are the linear
+    // part; the duplicate-mass output scales with within-shard structure
+    val (tc01, nc01) = minOf2(TextStats.cdcChunkDedup(spark, sf01).count())
+    val (tc10, nc10) = minOf2(TextStats.cdcChunkDedup(spark, soakDir).count())
+    info(f"q132_cdc_chunks: sf0.1 $tc01%.1fs ($nc01 rows) -> sf10 $tc10%.1fs ($nc10 rows), ratio ${tc10 / tc01}%.1fx (100x data)")
+    assert(nc10 >= nc01, "100x corpus cannot hold less duplicate chunk mass")
+    assert(tc10 <= tc01 * 300 + 60,
+      f"CDC chunking super-linear at 100x: $tc01%.1fs -> $tc10%.1fs")
+  }
+
   test("round-8 profile family at 100x: source caps and encoding quality stay linear-ish") {
     ensureSf10()
     // q103: at 500k docs every source is far over the cap, so this is the
