@@ -1344,20 +1344,34 @@ object TextStats {
    * exact tier is the corpus-linear audit part — production serves the
    * sketch alone.
    */
+  /** The set bits of the q135 bitmap: distinct (lang, bucket) rows —
+    * the state the batch audit counts and the streaming gate maintains
+    * (set union is idempotent/commutative/associative, so the gate needs
+    * no batch bookkeeping at all). */
+  def vocabBuckets(docs: DataFrame, m: Int): DataFrame =
+    docs.filter(col("lang").isNotNull)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .select(col("lang"), pmod(hash60(col("w")), lit(m.toLong)).as("b"))
+      .distinct()
+
+  /** The q135 estimate columns from a set-bit count — shared by the batch
+    * audit and the gate's served table. */
+  def linearCountEstimate(m: Int): Column =
+    round(lit(-m.toDouble) *
+      log((lit(m.toDouble) - col("n_set_bits")) / m.toDouble), 6)
+
   def distinctSketchAudit(s: SparkSession, d: String, m: Int = 4096): DataFrame = {
     val tok = documents(s, d)
       .filter(col("lang").isNotNull)
       .select(col("lang"), explode(words(col("text"))).as("w"))
-    val buckets = tok
-      .select(col("lang"), pmod(hash60(col("w")), lit(m.toLong)).as("b"))
-      .distinct()
+    val buckets = vocabBuckets(documents(s, d), m)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_set_bits"))
     val exact = tok.groupBy(col("lang"))
       .agg(countDistinct(col("w")).as("n_exact"))
     val est = lit(-m.toDouble) * log((lit(m.toDouble) - col("n_set_bits")) / m.toDouble)
     exact.join(buckets, Seq("lang"))
       .select(col("lang"), col("n_exact"), col("n_set_bits"),
-        round(est, 6).as("n_est"),
+        linearCountEstimate(m).as("n_est"),
         round(abs(est - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
   }
 

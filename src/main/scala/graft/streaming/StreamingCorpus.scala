@@ -741,6 +741,52 @@ object StreamingCorpus {
         (col("total_tokens") - coalesce(col("dt"), lit(0L))).as("kept_tokens"))
   }
 
+  /**
+   * Online distinct-vocabulary sketch gate — streaming q135: the bitmap
+   * state IS the distinct (lang, bucket) table, and set union is the one
+   * merge that is idempotent, commutative and associative outright — so
+   * unlike the CMS gate (whose counts need batchId-keyed deltas to stay
+   * exactly-once) this gate needs NO replay bookkeeping: re-delivered,
+   * out-of-order or crash-replayed batches upsert the same rows. Served
+   * table: per-language set-bit count and the linear-counting estimate
+   * (−m·ln(z/m)); ≡ batch [[graft.analytics.TextStats
+   * .distinctSketchAudit]] on (lang, n_set_bits, n_est) by construction
+   * (asserted under replay + out-of-order in StreamingCorpusSpec). The
+   * exact tier is deliberately absent here — the sketch exists for the
+   * regime where the exact distinct is unaffordable.
+   *
+   * State bound: ≤ m rows per language, forever.
+   */
+  def startDistinctSketchGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      bitsPath: String,
+      servedPath: String,
+      checkpointDir: String,
+      m: Int = 4096,
+      nBuckets: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import graft.analytics.TextStats
+        BucketedMerge.mergeInto(spark, bitsPath,
+          TextStats.vocabBuckets(batch, m), Seq("lang", "b"), nBuckets)
+        if (BucketedMerge.hasData(spark, bitsPath))
+          BucketedMerge.read(spark, bitsPath)
+            .groupBy(col("lang")).agg(count(lit(1)).as("n_set_bits"))
+            .select(col("lang"), col("n_set_bits"),
+              TextStats.linearCountEstimate(m).as("n_est"))
+            .write.mode("overwrite").parquet(servedPath)
+      }
+      .start()
+  }
+
   /** The cluster table ((doc_id, cluster_id), one row per member incl.
     * the root — [[graft.analytics.Dedup.duplicateClusters]]'s exact
     * output shape) from the gate's forest state. */

@@ -636,6 +636,51 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     assert(keepers.contains(1L), "doc 1 must hold the displaced 'c d' keeper")
   }
 
+  test("distinct-sketch gate equals batch q135 under replay and out-of-order arrival") {
+    import graft.analytics.TextStats
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_sdsk").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val bitsPath = s"$root/wh/bits"
+    val servedPath = s"$root/wh/served"
+    // wave 2 arrives out of order (lower ids), REPLAYS doc 11 verbatim,
+    // and carries the hostile shapes (null text, null lang, empty text)
+    val w1 = Seq((10L, "apple banana cherry", "en", "s", 0L),
+      (11L, "banana dog", "en", "s", 0L),
+      (12L, "un deux", "fr", "s", 0L))
+    val w2 = Seq((2L, "apple egg", "en", "s", 0L),
+      (11L, "banana dog", "en", "s", 0L),
+      (3L, null: String, "en", "s", 0L),
+      (4L, "orphan", null: String, "s", 0L),
+      (5L, "", "fr", "s", 0L))
+    def dfOf(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val schema = dfOf(w1).schema
+    def drain(): Unit = {
+      val q = StreamingCorpus.startDistinctSketchGate(spark,
+        landing.getAbsolutePath, schema, bitsPath, servedPath,
+        s"$root/chk", m = 4096, nBuckets = 4)
+      q.awaitTermination()
+    }
+    def assertEqBatch(soFar: Seq[(Long, String, String, String, Long)], tag: String): Unit = {
+      val batchDir = TempDirs.tempDir(s"graft_sdsk_b").toString
+      dfOf(soFar.distinct).write.mode("overwrite")
+        .parquet(s"$batchDir/documents.parquet")
+      val batch = TextStats.distinctSketchAudit(spark, batchDir)
+        .select(col("lang"), col("n_set_bits"), col("n_est"))
+      val streamed = spark.read.parquet(servedPath)
+        .select(col("lang"), col("n_set_bits"), col("n_est"))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        s"$tag: streamed sketch diverges from batch q135")
+    }
+    land(dfOf(w1), landing, "wave1"); drain(); assertEqBatch(w1, "wave1")
+    land(dfOf(w2), landing, "wave2"); drain(); assertEqBatch(w1 ++ w2, "wave2")
+    // bound: the bits table can never exceed m rows per language
+    val perLang = graft.ingest.BucketedMerge.read(spark, bitsPath)
+      .groupBy(col("lang")).count().select("count").as[Long].collect()
+    assert(perLang.forall(_ <= 4096L))
+  }
+
   test("cluster gate converges under crash-replay of a partially-merged batch") {
     import spark.implicits._
     import graft.ingest.BucketedMerge
