@@ -215,6 +215,9 @@ object SparkEntry {
     // linear-counting distinct-vocab sketch + honesty audit
     "q135_distinct_sketch" -> ((s: SparkSession, d: String) =>
       TextStats.distinctSketchAudit(s, d)),
+    // leakage-free (cluster-keyed) split audit vs naive doc-keyed
+    "q136_cluster_split_audit" -> ((s: SparkSession, d: String) =>
+      Sampling.clusterAwareSplit(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -402,6 +405,33 @@ object SparkEntry {
 
   private def dupClustersOracle: String =
     dupClustersCte + "\nSELECT doc_id, cluster_id FROM clusters"
+
+  /** q136 oracle: the q74 recursive-CTE clusters, singletons keyed by
+    * their own id, and the q64 split arithmetic applied to both keys. */
+  private def clusterSplitAuditSql: String = {
+    def sp(key: String) =
+      s"""CASE
+         |   WHEN ('0x' || substring(md5(CAST($key AS VARCHAR)),1,8))::BIGINT % 100 < 80 THEN 'train'
+         |   WHEN ('0x' || substring(md5(CAST($key AS VARCHAR)),1,8))::BIGINT % 100 < 90 THEN 'val'
+         |   ELSE 'test' END""".stripMargin
+    dupClustersCte +
+      s""",
+        |a AS (
+        | SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+        |sp AS (
+        | SELECT doc_id, cluster_id,
+        |  ${sp("doc_id")} AS by_doc,
+        |  ${sp("cluster_id")} AS by_cluster
+        | FROM a)
+        |SELECT 'by_doc' AS method, by_doc AS split,
+        | count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters
+        |FROM sp GROUP BY 2
+        |UNION ALL
+        |SELECT 'by_cluster', by_cluster,
+        | count(*), count(DISTINCT cluster_id)
+        |FROM sp GROUP BY 2""".stripMargin
+  }
 
   /** q32's oracle, generated so the permutation constants come from the
     * same md5 derivation the Spark side uses (Dedup.minhashA/minhashB) —
@@ -1959,6 +1989,7 @@ object SparkEntry {
         | round(abs(-4096.0 * ln((4096.0 - n_set_bits) / 4096.0) - n_exact)
         |   / n_exact, 6) AS rel_err
         |FROM ex JOIN sb USING (lang)""".stripMargin,
+    "q136_cluster_split_audit" -> clusterSplitAuditSql,
     // q129: the q98 span CTEs with first-occurrence (doc_id, pos)
     // survivorship instead of the df-threshold drop set
     "q129_paragraph_dedup" ->

@@ -50,6 +50,40 @@ object Sampling {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("total_tokens"))
 
+  /**
+   * q136: leakage-free split audit — near-duplicates must land in the
+   * SAME train/val/test split, or evaluation leaks training data (the
+   * published split-contamination failure: a near-copy of a training
+   * document scoring as "held out"). Assignment keyed by the q74
+   * duplicate-CLUSTER id puts every member of a cluster in one split;
+   * keyed by doc id it splits clusters apart. The audit reports, per
+   * (method, split), the document count and the count of distinct
+   * clusters touching the split: summed over splits, `by_cluster` equals
+   * the total cluster count exactly, while `by_doc` exceeds it by the
+   * number of straddling clusters — the leakage, visible in the table.
+   *
+   * Rides [[graft.analytics.Dedup.sharedClusterEdges]] (the session-
+   * shared contraction fixpoint) — singletons and roots key by their own
+   * doc id; the audit itself is two narrow aggregates.
+   */
+  def clusterAwareSplit(s: SparkSession, d: String): DataFrame = {
+    val edges = graft.analytics.Dedup.sharedClusterEdges(s, d)._1
+    val assigned = Tables.documents(s, d).select(col("doc_id"))
+      .join(edges.select(col("src").as("doc_id"), col("dst").as("cid")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        splitName(col("doc_id")).as("by_doc"),
+        splitName(col("cluster_id")).as("by_cluster"))
+    def byMethod(method: String, key: String) =
+      assigned.groupBy(col(key).as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .select(lit(method).as("method"), col("split"),
+          col("n_docs"), col("n_clusters"))
+    byMethod("by_doc", "by_doc").unionByName(byMethod("by_cluster", "by_cluster"))
+  }
+
   /** Sequence-length histogram: docs bucketed by token count in steps of
     * `binTokens`, capped at `maxBin` (the overflow bin) — the shape that
     * drives context-length packing decisions. */

@@ -150,6 +150,26 @@ class Round11OpsSpec extends AnyFunSuite with SparkSuite {
       "apple banana cherry x1 x2 x3 = 6 distinct buckets")
   }
 
+  test("q136: cluster-keyed assignment never straddles a cluster; doc-keyed leaks") {
+    import graft.analytics.Sampling
+    val out = Sampling.clusterAwareSplit(spark, "/root/testdata/sf0.001")
+      .select("method", "split", "n_docs", "n_clusters")
+      .as[(String, String, Long, Long)].collect()
+    val byM = out.groupBy(_._1)
+    val totalDocs = byM("by_doc").map(_._3).sum
+    assert(byM("by_cluster").map(_._3).sum == totalDocs,
+      "both methods must partition every document")
+    // the leakage signature: cluster-keyed split counts each cluster in
+    // EXACTLY one split, so the per-split cluster counts sum to the true
+    // cluster total; doc-keyed counts straddling clusters once per split
+    val clustersByCluster = byM("by_cluster").map(_._4).sum
+    val clustersByDoc = byM("by_doc").map(_._4).sum
+    assert(clustersByDoc >= clustersByCluster,
+      s"doc-keyed cannot touch fewer clusters ($clustersByDoc < $clustersByCluster)")
+    assert(clustersByDoc > clustersByCluster,
+      "sf0.001 holds cross-split near-dup clusters; doc-keyed must leak some")
+  }
+
   test("q129 plan: hash-keyed equi-joins only, no cartesian, span text never shuffles") {
     val plan = TextStats.paragraphDedup(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
