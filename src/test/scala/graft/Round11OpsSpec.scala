@@ -178,4 +178,16 @@ class Round11OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "paragraph dedup must not degrade to a nested-loop join")
   }
+
+  test("round-11 plans: no cartesian product in any new query") {
+    val d = "/root/testdata/sf0.001"
+    Seq("q128_image_dhash_histogram", "q129_paragraph_dedup",
+      "q130_image_dhash_clusters", "q131_audio_frame_energy",
+      "q132_cdc_chunk_dedup", "q133_mrl_recall", "q134_script_profile",
+      "q135_distinct_sketch", "q136_cluster_split_audit").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q plan went cartesian")
+    }
+  }
 }
