@@ -218,6 +218,18 @@ object SparkEntry {
     // leakage-free (cluster-keyed) split audit vs naive doc-keyed
     "q136_cluster_split_audit" -> ((s: SparkSession, d: String) =>
       Sampling.clusterAwareSplit(s, d)),
+    // margin-based bitext mining (ratio margin, both-endpoint top-k avgs)
+    "q137_bitext_margin" -> ((s: SparkSession, d: String) =>
+      Similarity.bitextMarginMining(s, d)),
+    // Bloom-prefiltered decontamination rollup (exact confirm join)
+    "q138_bloom_decontamination" -> ((s: SparkSession, d: String) =>
+      TextStats.bloomDecontamination(s, d)),
+    // UniMax language-budget waterfilling (closed-form, engine-exact)
+    "q139_unimax_mixture" -> ((s: SparkSession, d: String) =>
+      Sampling.unimaxAllocation(s, d)),
+    // LAION-style image admission funnel over real decoded dimensions
+    "q140_image_filter_funnel" -> ((s: SparkSession, d: String) =>
+      Multimodal.imageFilterFunnel(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -1990,6 +2002,99 @@ object SparkEntry {
         |   / n_exact, 6) AS rel_err
         |FROM ex JOIN sb USING (lang)""".stripMargin,
     "q136_cluster_split_audit" -> clusterSplitAuditSql,
+    // q137: the same two bounded scoring passes, spelled as cross joins the
+    // oracle can afford at sf0.01; top-k averages summed IN RANK ORDER
+    // (list(... ORDER BY rn) then list_sum) to match the engine's array fold
+    "q137_bitext_margin" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |src AS (SELECT vec_id AS src_id, v FROM e WHERE label % 2 = 0),
+        |tgt AS (SELECT vec_id AS tgt_id, v FROM e WHERE label % 2 = 1),
+        |q AS (SELECT src_id, v FROM src WHERE src_id % 20 = 0),
+        |fs AS (SELECT q.src_id, t.tgt_id, ${cosListSql("q.v", "t.v")} AS cosine
+        | FROM q CROSS JOIN tgt t),
+        |fr AS (SELECT src_id, tgt_id, cosine,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS rn
+        | FROM fs WHERE cosine IS NOT NULL),
+        |ft AS (SELECT * FROM fr WHERE rn <= 4),
+        |sa AS (SELECT src_id,
+        |  round(list_sum(list(cosine ORDER BY rn)) / count(*), 6) AS src_avg
+        | FROM ft GROUP BY src_id),
+        |cd AS (SELECT tg.tgt_id, tg.v
+        | FROM (SELECT DISTINCT tgt_id FROM ft) c JOIN tgt tg USING (tgt_id)),
+        |bs AS (SELECT cd.tgt_id, s.src_id, ${cosListSql("cd.v", "s.v")} AS cosine
+        | FROM cd CROSS JOIN src s),
+        |br AS (SELECT tgt_id, src_id, cosine,
+        |  row_number() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS rn
+        | FROM bs WHERE cosine IS NOT NULL),
+        |ba AS (SELECT tgt_id,
+        |  round(list_sum(list(cosine ORDER BY rn)) / count(*), 6) AS tgt_avg
+        | FROM br WHERE rn <= 4 GROUP BY tgt_id),
+        |best AS (SELECT src_id, tgt_id, round(cosine, 6) AS cosine
+        | FROM ft WHERE rn = 1)
+        |SELECT b.src_id, b.tgt_id, b.cosine,
+        | round(b.cosine / ((sa.src_avg + ba.tgt_avg) / 2), 6) AS margin,
+        | (round(b.cosine / ((sa.src_avg + ba.tgt_avg) / 2), 6) >= 1.05) AS accepted
+        |FROM best b JOIN sa USING (src_id) JOIN ba USING (tgt_id)""".stripMargin,
+    // q138: the EXACT contamination accounting (no Bloom — the prefilter is
+    // one-sided and confirm-joined, so the engine result equals this)
+    "q138_bloom_decontamination" ->
+      (allGramCte(8) +
+        """,
+          |bench AS (SELECT DISTINCT h FROM fp WHERE doc_id % 97 = 0 AND doc_id < 97000),
+          |x AS (
+          | SELECT f.doc_id, count(*) AS n_grams,
+          |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          | FROM fp f LEFT JOIN bench b ON f.h = b.h
+          | WHERE f.doc_id % 97 <> 0
+          | GROUP BY f.doc_id),
+          |pd AS (SELECT doc_id,
+          |  round(CAST(n_hit AS DOUBLE) / n_grams, 6) AS hit_ratio FROM x)
+          |SELECT d.source, count(*) AS n_docs,
+          | CAST(sum(CASE WHEN pd.hit_ratio >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+          |   AS n_contaminated,
+          | round(CAST(sum(CASE WHEN pd.hit_ratio >= 0.2 THEN 1 ELSE 0 END) AS DOUBLE)
+          |   / count(*), 6) AS contam_ratio
+          |FROM pd JOIN documents d USING (doc_id)
+          |GROUP BY d.source""".stripMargin),
+    // q139: the waterfilling recurrence in its closed form — capped iff the
+    // cap fits under the running waterlevel, remainder split equally
+    "q139_unimax_mixture" ->
+      s"""WITH pl AS (SELECT lang,
+        |  CAST(coalesce(sum(len($tokens)), 0) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) * 3.0 AS cap,
+        |  row_number() OVER (ORDER BY CAST(n_tokens AS DOUBLE) * 3.0 ASC,
+        |    lang ASC NULLS LAST) AS i,
+        |  count(*) OVER () AS n,
+        |  coalesce(sum(CAST(n_tokens AS DOUBLE) * 3.0) OVER (
+        |    ORDER BY CAST(n_tokens AS DOUBLE) * 3.0 ASC, lang ASC NULLS LAST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prefix,
+        |  sum(CAST(n_tokens AS DOUBLE)) OVER () * 0.5 AS b
+        | FROM pl),
+        |f AS (SELECT *, (cap * (n - i + 1) <= b - prefix) AS flag FROM w),
+        |g AS (SELECT *,
+        |  sum(CASE WHEN flag THEN cap ELSE 0.0 END) OVER () AS capsum,
+        |  sum(CASE WHEN flag THEN 1 ELSE 0 END) OVER () AS t FROM f)
+        |SELECT lang, n_tokens,
+        | round(CASE WHEN flag THEN cap ELSE (b - capsum) / (n - t) END, 6)
+        |   AS alloc_tokens,
+        | round(CASE WHEN n_tokens > 0 THEN
+        |   (CASE WHEN flag THEN cap ELSE (b - capsum) / (n - t) END) / n_tokens
+        |   ELSE 0.0 END, 6) AS epochs
+        |FROM g""".stripMargin,
+    // q140: dimensions re-derived from the generator formula (q43's oracle
+    // discipline) — the funnel diverges if encode or decode lied
+    "q140_image_filter_funnel" ->
+      """SELECT source,
+        | CASE WHEN n_chars IS NULL THEN 'no_payload'
+        |  WHEN least(1 + n_chars % 64, 1 + (n_chars * 7) % 48) < 8 THEN 'too_small'
+        |  WHEN (1 + n_chars % 64) > 3 * (1 + (n_chars * 7) % 48)
+        |    OR (1 + (n_chars * 7) % 48) > 3 * (1 + n_chars % 64) THEN 'bad_aspect'
+        |  ELSE 'kept' END AS verdict,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY source, verdict""".stripMargin,
     // q129: the q98 span CTEs with first-occurrence (doc_id, pos)
     // survivorship instead of the df-threshold drop set
     "q129_paragraph_dedup" ->
@@ -2642,6 +2747,13 @@ object SparkEntry {
 
   /** CTE `fp(doc_id, h)`: distinct positional word k-gram hashes per doc —
     * the exhaustive sibling of [[winnowFpCte]] (no min-window sampling). */
+  /** DuckDB cosine over two DOUBLE[] expressions — q36's formula verbatim
+    * (same dot/norm accumulation order as the native expression). */
+  private def cosListSql(qe: String, ce: String): String =
+    s"""list_sum(list_transform(range(1, len($qe)+1), i -> $qe[i]*$ce[i])) /
+       |   (sqrt(list_sum(list_transform(range(1, len($qe)+1), i -> $qe[i]*$qe[i]))) *
+       |    sqrt(list_sum(list_transform(range(1, len($ce)+1), i -> $ce[i]*$ce[i]))))""".stripMargin
+
   private def allGramCte(k: Int): String =
     s"""WITH ws AS (SELECT doc_id, $tokens AS w FROM documents),
       |g AS (SELECT doc_id, list_transform(range(0, greatest(len(w)-$k,0)+1),
@@ -2649,7 +2761,8 @@ object SparkEntry {
       | FROM ws),
       |fp AS (SELECT DISTINCT doc_id,
       |  CAST(('0x' || substring(md5(g2), 1, 15)) AS BIGINT) AS h
-      | FROM (SELECT doc_id, unnest(grams) AS g2 FROM g) t)""".stripMargin
+      | FROM (SELECT doc_id, unnest(grams) AS g2 FROM g) t
+      | WHERE g2 IS NOT NULL)""".stripMargin
 
   private val winnowFpCte: String =
     s"""WITH ws AS (SELECT doc_id, $tokens AS w FROM documents),

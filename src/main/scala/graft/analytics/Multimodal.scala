@@ -332,4 +332,32 @@ object Multimodal {
         posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("frame_idx", "frame_no")))
       .select(col("doc_id"), col("frame_idx"),
         (col("frame_no") * everyBytes).as("byte_offset"))
+
+  /**
+   * q140: image admission funnel (the LAION-style pre-filter): every image
+   * is decoded (real `javax.imageio` pass over the PNG payload, honest
+   * dimensions) and sorted into the first rejection bucket it hits —
+   * missing payload → `no_payload`, short side under `minSide` →
+   * `too_small`, aspect ratio beyond `maxAspect`:1 → `bad_aspect` — else
+   * `kept`; reported as per-source bucket counts, the dashboard a
+   * multimodal ingest reads before spending embedding compute.
+   *
+   * Scale shape: decode runs batched per partition inside the scan task
+   * (no shuffle carries a payload), verdicts are integer column math, and
+   * only (source, verdict) pairs reach the final map-side-combined
+   * aggregate. The oracle re-derives dimensions from the generator formula
+   * — if either the encode or the decode lied, the funnel counts diverge.
+   */
+  def imageFilterFunnel(s: SparkSession, d: String, minSide: Int = 8,
+      maxAspect: Int = 3): DataFrame =
+    decodeMeta(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("verdict",
+        when(col("width").isNull, "no_payload")
+          .when(least(col("width"), col("height")) < minSide, "too_small")
+          .when(col("width") > col("height") * maxAspect ||
+            col("height") > col("width") * maxAspect, "bad_aspect")
+          .otherwise("kept"))
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"))
 }

@@ -538,4 +538,53 @@ object Sampling {
         coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L))
           .as("kept_checksum"))
   }
+
+  /**
+   * q139: UniMax language-budget allocation (Chung et al. 2023) — the
+   * published multilingual mixing rule: give every language an equal share
+   * of the token budget UNLESS that share exceeds `epochCap` epochs of the
+   * language's corpus, in which case the language is capped and its unused
+   * share waterfalls to the rest. Computed in closed form: sort languages
+   * by ascending cap; a language is capped exactly when its cap fits under
+   * the running waterlevel `(B − prefix)/(remaining)`, and every uncapped
+   * language splits the remainder equally.
+   *
+   * Scale + determinism shape: the per-language token census is the only
+   * corpus-sized pass (map-side partial sums); the waterfilling runs over
+   * a LANGUAGE-COUNT-sized frame — the unpartitioned windows the plan
+   * shows touch tens of rows, not the corpus. All arithmetic is products
+   * and ordered sums of exactly-representable integers-in-double (token
+   * counts × epochCap), so the cap verdicts and equal-share divisions are
+   * bit-identical across engines with no decimal crutch.
+   */
+  def unimaxAllocation(s: SparkSession, d: String, epochCap: Double = 3.0,
+      budgetFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = Tables.documents(s, d)
+      .withColumn("n_toks", size(split(trim(col("text")), "\\s+")))
+      .groupBy(col("lang"))
+      .agg(coalesce(sum(col("n_toks").cast("long")), lit(0L)).as("n_tokens"))
+    val ord = Window.orderBy(col("cap").asc, col("lang").asc_nulls_last)
+    val all = Window.partitionBy()
+    perLang
+      .withColumn("cap", col("n_tokens").cast("double") * epochCap)
+      .withColumn("i", row_number().over(ord))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("prefix", coalesce(
+        sum(col("cap")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .withColumn("b",
+        sum(col("n_tokens").cast("double")).over(all) * budgetFrac)
+      .withColumn("flag",
+        col("cap") * (col("n") - col("i") + 1) <= col("b") - col("prefix"))
+      .withColumn("capsum",
+        sum(when(col("flag"), col("cap")).otherwise(0.0)).over(all))
+      .withColumn("t", sum(when(col("flag"), 1L).otherwise(0L)).over(all))
+      .withColumn("alloc", when(col("flag"), col("cap"))
+        .otherwise((col("b") - col("capsum")) / (col("n") - col("t"))))
+      .select(col("lang"), col("n_tokens"),
+        round(col("alloc"), 6).as("alloc_tokens"),
+        round(when(col("n_tokens") > 0, col("alloc") / col("n_tokens"))
+          .otherwise(0.0), 6).as("epochs"))
+  }
 }

@@ -970,4 +970,67 @@ object Similarity {
         col("c_dist").as("dist"), col("se").as("se"))).as("b"))
       .select(col("vec_id"), col("sub"), col("b.se").as("se"),
         col("b.code").as("code"), col("b.dist").as("dist_raw"))
+
+  /** Mean of a BoundedTopK result's scores, summed IN RANK ORDER (array
+    * fold, not an unordered aggregate) so both engines add the same floats
+    * in the same sequence — the determinism rule the margin ratio needs. */
+  private def orderedTopAvg(top: Column): Column =
+    aggregate(top, lit(0.0), (acc, e) => acc + e.getField("score")) / size(top)
+
+  /**
+   * q137: margin-based bitext mining (Artetxe & Schwenk 2019; the CCMatrix
+   * selection rule). Sides are the odd/even `label` halves of the
+   * embedding space standing in for two languages. For each strided source
+   * vector: its top-k cosine neighbors on the target side; the candidate
+   * pair is the rank-1 neighbor, scored by the RATIO margin
+   * `cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2)` — a pair only counts as
+   * parallel when it stands out from BOTH endpoints' neighborhoods, which
+   * kills the hub vectors that plain cosine thresholds mis-mine.
+   *
+   * Scale shape: both scoring passes are bounded broadcasts against a
+   * one-direction scan — the strided query set forward, the (≤ k·queries)
+   * candidate set backward; the corpus side never shuffles, per-endpoint
+   * state is a k-heap. At 100 TB the same two passes route through the IVF
+   * cells (q37/q121's machinery) instead of the full scan; this is the
+   * exact-scoring form the routed variant is audited against, like
+   * q110/q122. Margin math runs on 6-dp-rounded cosines and rank-ordered
+   * top-k sums, so the accept verdict is engine-exact.
+   */
+  def bitextMarginMining(s: SparkSession, d: String, k: Int = 4,
+      stride: Long = 20, accept: Double = 1.05): DataFrame = {
+    val emb = embeddings(s, d)
+      .filter(col("label").isNotNull && col("embedding").isNotNull)
+    val srcSide = emb.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("s_emb"))
+    val tgtSide = emb.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"))
+    val queries = srcSide.filter(col("src_id") % stride === 0)
+
+    val fwd = tgtSide.join(broadcast(queries))
+      .withColumn("cosine", cosineNative(col("s_emb"), col("t_emb")))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("src_id"))
+      .agg(graft.functions.BoundedTopK.topK(k)(col("cosine"), col("tgt_id")).as("top"))
+      .withColumn("src_avg", round(orderedTopAvg(col("top")), 6))
+
+    // every forward neighbor needs its own-neighborhood average: ≤ k·|queries|
+    // candidates, re-armed with their vectors and broadcast over the source scan
+    val cands = fwd.select(explode(col("top.id")).as("tgt_id")).distinct()
+      .join(tgtSide, Seq("tgt_id"))
+    val back = srcSide.join(broadcast(cands))
+      .withColumn("cosine", cosineNative(col("t_emb"), col("s_emb")))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("tgt_id"))
+      .agg(graft.functions.BoundedTopK.topK(k)(col("cosine"), col("src_id")).as("btop"))
+      .select(col("tgt_id"), round(orderedTopAvg(col("btop")), 6).as("tgt_avg"))
+
+    fwd.select(col("src_id"), col("src_avg"),
+        col("top")(0).getField("id").as("tgt_id"),
+        round(col("top")(0).getField("score"), 6).as("cosine"))
+      .join(back, Seq("tgt_id"))
+      .withColumn("margin",
+        round(col("cosine") / ((col("src_avg") + col("tgt_avg")) / 2), 6))
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"),
+        (col("margin") >= accept).as("accepted"))
+  }
 }

@@ -368,6 +368,59 @@ object TextStats {
   }
 
   /**
+   * q138: Bloom-prefiltered decontamination rollup — per-source counts of
+   * documents whose k-gram overlap with the benchmark set reaches
+   * `flagThreshold` (the removal verdict a decontamination pass acts on;
+   * The Pile / RefinedWeb discipline).
+   *
+   * Same exact semantics as [[ngramContamination]]'s hit accounting, but
+   * the corpus-side gram stream is prefiltered by a
+   * [[graft.functions.BloomContains]] probe built over the benchmark gram
+   * hashes BEFORE the confirm join: at 100 TB the gram stream is
+   * corpus-sized while true contamination is eval-sized, so the one-sided
+   * Bloom (no false negatives — proven in Round11bOpsSpec) discards the
+   * overwhelmingly clean volume inside the scan's codegen stage, and only
+   * possible hits reach the broadcast confirm-join that removes false
+   * positives. The result is bit-identical to the exact join; the oracle
+   * runs the exact form.
+   *
+   * The benchmark hash collect is a MODEL BUILD, not a data collect: the
+   * eval set is hard-capped (`maxBench` docs) exactly like the DSIR /
+   * classifier broadcasts, and it lands in the plan as a fixed-size bit
+   * array plus the confirm-side broadcast.
+   */
+  def bloomDecontamination(s: SparkSession, d: String, k: Int = 8,
+      benchStride: Long = 97, maxBench: Long = 1000,
+      flagThreshold: Double = 0.2): DataFrame = {
+    import graft.functions.BloomContains
+    val grams = allGramHashes(s, d, k)
+    val benchSel = col("doc_id") % benchStride === 0 &&
+      col("doc_id") < benchStride * maxBench
+    val benchGrams = grams.filter(benchSel).select(col("h")).distinct()
+    val benchHashes = benchGrams.collect().map(_.getLong(0)) // eval-sized model
+    val bits = BloomContains.build(
+      benchHashes.iterator, BloomContains.sizeFor(benchHashes.length.toLong))
+
+    val corpusGrams = grams.filter(!benchSel)
+    val totals = corpusGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = corpusGrams
+      .filter(BloomContains.contains(col("h"), bits))     // scan-side prefilter
+      .join(broadcast(benchGrams), Seq("h"))              // exact confirm
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val perDoc = totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("hit_ratio",
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"), 6))
+    perDoc
+      .join(documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hit_ratio") >= flagThreshold, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contam_ratio",
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6))
+  }
+
+  /**
    * The composite training-data prep pipeline in one plan: language filter →
    * quality gate (token-count band) → exact dedup (keep lowest doc_id per
    * identical text) → per-source token accounting. Each stage is a narrow

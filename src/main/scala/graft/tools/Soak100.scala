@@ -175,6 +175,26 @@ object Soak100 {
       val (ag10, tag10) = timed("q127 sf10")(Dedup.dedupMethodAgreement(spark, soakDir).count())
       println(f"[q127] rows $ag01 -> $ag10, wall x${tag10 / tag01}%.1f on 100x data")
       }
+
+      // round-11 second wave. Bitext margin: |Q| fixed via stride so the
+      // multiplier isolates per-query scoring as the corpus grows (the
+      // at-scale caller routes through IVF cells instead of the full scan).
+      if (want("q137")) {
+      val (b01, tb01) = timed("q137 sf0.1")(
+        Similarity.bitextMarginMining(spark, sf01).count())
+      val (b10, tb10) = timed("q137 sf10")(
+        Similarity.bitextMarginMining(spark, soakDir, stride = 2000L).count())
+      println(f"[q137] pairs $b01 -> $b10, wall x${tb10 / tb01}%.1f on 100x data (|Q| fixed)")
+      }
+      // Bloom decontamination: eval set hard-capped, so the 100x corpus
+      // gram stream must cost ~linear with the probe inside the scan
+      if (want("q138")) {
+      val (c01, tc01) = timed("q138 sf0.1")(
+        TextStats.bloomDecontamination(spark, sf01).count())
+      val (c10, tc10) = timed("q138 sf10")(
+        TextStats.bloomDecontamination(spark, soakDir).count())
+      println(f"[q138] sources $c01 -> $c10, wall x${tc10 / tc01}%.1f on 100x data")
+      }
     }
     spark.stop()
   }

@@ -184,7 +184,9 @@ class Round11OpsSpec extends AnyFunSuite with SparkSuite {
     Seq("q128_image_dhash_histogram", "q129_paragraph_dedup",
       "q130_image_dhash_clusters", "q131_audio_frame_energy",
       "q132_cdc_chunk_dedup", "q133_mrl_recall", "q134_script_profile",
-      "q135_distinct_sketch", "q136_cluster_split_audit").foreach { q =>
+      "q135_distinct_sketch", "q136_cluster_split_audit",
+      "q137_bitext_margin", "q138_bloom_decontamination",
+      "q139_unimax_mixture", "q140_image_filter_funnel").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, d)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plan went cartesian")

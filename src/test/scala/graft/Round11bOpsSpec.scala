@@ -1,0 +1,207 @@
+package graft
+
+import graft.analytics.{Multimodal, Sampling, Similarity, TextStats}
+import graft.functions.BloomContains
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 second-wave operator gates: q137 bitext margin mining, q138
+  * Bloom decontamination, q139 UniMax waterfilling, q140 image funnel. */
+class Round11bOpsSpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  /** Planted two-language embedding space: query 0 has one stand-out
+    * parallel target (101) among distractors; query 20 is a hub whose
+    * whole neighborhood looks alike; 40/106 are zero vectors. */
+  private lazy val bitextDir: String = {
+    val p = tempDir("bitext").toString
+    val rows = Seq(
+      // src side (even labels): 0 is the stand-out query; 20 is a hub whose
+      // direction is densely populated on BOTH sides (6/8/10 mirror it)
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0.9f, 0.2f, 0f, 0f), 0),
+      (4L, Array(0.8f, 0f, 0.1f, 0f), 0),
+      (6L, Array(0.09f, 1f, 0.06f, 0f), 0),
+      (8L, Array(0.11f, 0.99f, 0.05f, 0f), 0),
+      (10L, Array(0.1f, 0.98f, 0.04f, 0.01f), 2),
+      (20L, Array(0.1f, 1f, 0.05f, 0f), 2),
+      (40L, Array(0f, 0f, 0f, 0f), 0), // zero query: must vanish
+      // tgt side (odd labels)
+      (101L, Array(0.99f, 0.1f, 0f, 0f), 1), // parallel to query 0
+      (102L, Array(0.1f, 1f, 0.05f, 0.01f), 1),
+      (103L, Array(0.09f, 0.99f, 0.06f, 0f), 1),
+      (104L, Array(0.11f, 1f, 0.04f, 0f), 1),
+      (105L, Array(0.1f, 0.99f, 0.05f, 0f), 1),
+      (106L, Array(0f, 0f, 0f, 0f), 1)) // zero target: never a neighbor
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/embeddings.parquet")
+    p
+  }
+
+  test("q137: stand-out parallel pair accepted, hub query rejected, zero vectors vanish") {
+    val out = Similarity.bitextMarginMining(spark, bitextDir)
+      .select("src_id", "tgt_id", "cosine", "margin", "accepted")
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0L, 20L),
+      "exactly the two live strided queries mine a pair (zero query drops)")
+    val (_, tgt0, cos0, margin0, acc0) = out(0L)
+    assert(tgt0 == 101L, "query 0's rank-1 neighbor is the planted parallel")
+    assert(cos0 > 0.95 && margin0 > 1.3 && acc0,
+      s"planted pair must stand out from both neighborhoods (cos=$cos0 margin=$margin0)")
+    val (_, _, _, margin20, acc20) = out(20L)
+    assert(margin20 < 1.05 && !acc20,
+      s"hub query's uniform neighborhood must hold margin near 1 (margin=$margin20)")
+    assert(!out.values.exists(r => r._2 == 106L), "zero target never mined")
+  }
+
+  test("q137 margin is the documented ratio of its own rounded parts") {
+    // re-derive margin from cosine and the two neighborhood averages by
+    // recomputing the pass at k=4 over the planted space in scala
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q0 = Array(1f, 0f, 0f, 0f)
+    val tgts = Seq(101L -> Array(0.99f, 0.1f, 0f, 0f), 102L -> Array(0.1f, 1f, 0.05f, 0.01f),
+      103L -> Array(0.09f, 0.99f, 0.06f, 0f), 104L -> Array(0.11f, 1f, 0.04f, 0f),
+      105L -> Array(0.1f, 0.99f, 0.05f, 0f))
+    val srcs = Seq(Array(1f, 0f, 0f, 0f), Array(0.9f, 0.2f, 0f, 0f),
+      Array(0.8f, 0f, 0.1f, 0f), Array(0.09f, 1f, 0.06f, 0f),
+      Array(0.11f, 0.99f, 0.05f, 0f), Array(0.1f, 0.98f, 0.04f, 0.01f),
+      Array(0.1f, 1f, 0.05f, 0f))
+    val fwd = tgts.map { case (id, v) => (id, cos(q0, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(4)
+    val srcAvg = r6(fwd.map(_._2).sum / fwd.size)
+    val best = fwd.head
+    val tgtV = tgts.toMap.apply(best._1)
+    val back = srcs.map(sv => cos(tgtV, sv)).sortBy(-_).take(4)
+    val tgtAvg = r6(back.sum / back.size)
+    val expect = r6(r6(best._2) / ((srcAvg + tgtAvg) / 2))
+    val got = Similarity.bitextMarginMining(spark, bitextDir)
+      .filter(col("src_id") === 0L).select("margin").as[Double].head()
+    assert(math.abs(got - expect) < 2e-6,
+      s"margin must be the ratio of rounded parts (got=$got expect=$expect)")
+  }
+
+  test("bloom filter: one-sided — every inserted key passes; false positives stay rare") {
+    val keys = (1L to 1000L).map(_ * 0x9E37L)
+    val bits = BloomContains.build(keys.iterator, BloomContains.sizeFor(keys.size.toLong))
+    val inDf = keys.toDF("h")
+    assert(inDf.filter(BloomContains.contains(col("h"), bits)).count() == 1000L,
+      "no false negatives, ever")
+    val outDf = (100000L to 110000L).map(_ * 31L + 7L).toDF("h")
+    val fp = outDf.filter(BloomContains.contains(col("h"), bits)).count()
+    assert(fp < 500L, s"false-positive rate out of family at 10 bits/key ($fp/10001)")
+  }
+
+  test("bloom filter: interpreted eval agrees with the codegen probe") {
+    val keys = (1L to 64L).map(BloomContains.mix64)
+    val bits = BloomContains.build(keys.iterator, 1024)
+    val probes = (keys ++ (500L to 600L).map(_ * 13L)).distinct
+    // interpreted reference: same probe math run driver-side
+    def ref(h: Long): Boolean = {
+      val h1 = BloomContains.mix64(h)
+      val h2 = BloomContains.mix64(h + 0x9E3779B97F4A7C15L) | 1L
+      (0 until 7).forall { j =>
+        val idx = (h1 + j.toLong * h2) & 1023L
+        (bits((idx >>> 6).toInt) & (1L << (idx & 63L).toInt)) != 0L
+      }
+    }
+    val got = probes.toDF("h")
+      .select(col("h"), BloomContains.contains(col("h"), bits).as("hit"))
+      .as[(Long, Boolean)].collect().toMap
+    probes.foreach(h => assert(got(h) == ref(h), s"probe $h diverged"))
+  }
+
+  test("q138 equals the exact (bloom-free) contamination rollup") {
+    val d = "/root/testdata/sf0.001"
+    val got = TextStats.bloomDecontamination(spark, d)
+      .as[(String, Long, Long, Double)].collect().toSet
+    // exact reference: q85's accounting without any prefilter, same rollup
+    val grams = TextStats.allGramHashes(spark, d, 8)
+    val benchSel = col("doc_id") % 97 === 0 && col("doc_id") < 97000L
+    val bench = grams.filter(benchSel).select(col("h")).distinct()
+    val exact = grams.filter(!benchSel)
+      .join(broadcast(bench).withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("hit_ratio",
+        round(col("n_hit").cast("double") / col("n_grams"), 6))
+      .join(graft.analytics.Tables.documents(spark, d).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hit_ratio") >= 0.2, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contam_ratio",
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == exact, "bloom prefilter must not change the exact answer")
+    assert(got.nonEmpty)
+  }
+
+  test("q138 plan: bloom probe sits scan-side, no cartesian") {
+    val plan = TextStats.bloomDecontamination(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_contains"), "prefilter must survive into the physical plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q139: planted two-language waterfill — tiny lang capped at 3 epochs, big lang gets the rest") {
+    val p = tempDir("unimax").toString
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" "), "aa", "s1", 19L),
+      (2L, Seq.fill(600)("w").mkString(" "), "bb", "s1", 1199L),
+      (3L, Seq.fill(400)("w").mkString(" "), "bb", "s1", 799L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/documents.parquet")
+    val out = Sampling.unimaxAllocation(spark, p)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // totals 1010, B = 505; caps: aa 30 (fits: 30*2 <= 505), bb 3000 (no)
+    assert(out("aa") == (("aa", 10L, 30.0, 3.0)))
+    assert(out("bb") == (("bb", 1000L, 475.0, 0.475)))
+  }
+
+  test("q139 laws on the real corpus: budget exhausted, caps respected, uncapped equal") {
+    val rows = Sampling.unimaxAllocation(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_._2).sum.toDouble
+    val allocSum = rows.map(_._3).sum
+    assert(math.abs(allocSum - 0.5 * totalTokens) < 1e-3,
+      s"waterfilling must spend the whole budget (got $allocSum of ${0.5 * totalTokens})")
+    rows.foreach { case (lang, _, _, epochs) =>
+      assert(epochs <= 3.0 + 1e-9, s"$lang over the epoch cap: $epochs")
+    }
+    val uncapped = rows.filter(_._4 < 3.0 - 1e-9).map(_._3)
+    assert(uncapped.distinct.size <= 1,
+      "every uncapped language takes the same equal share")
+  }
+
+  test("q140: funnel counts re-derived from the generator formula; all docs bucketed once") {
+    val d = "/root/testdata/sf0.001"
+    val gotRows = Multimodal.imageFilterFunnel(spark, d)
+      .as[(String, String, Long)].collect()
+    val got = gotRows.toSet
+    val expect = graft.analytics.Tables.documents(spark, d)
+      .select("source", "n_chars").as[(String, Option[Long])].collect()
+      .groupBy { case (src, nc) =>
+        val verdict = nc match {
+          case None => "no_payload"
+          case Some(n) =>
+            val (w, h) = Multimodal.imageDims(n)
+            if (math.min(w, h) < 8) "too_small"
+            else if (w > 3 * h || h > 3 * w) "bad_aspect"
+            else "kept"
+        }
+        (src, verdict)
+      }.map { case ((src, v), xs) => (src, v, xs.length.toLong) }.toSet
+    assert(got == expect)
+    assert(gotRows.map(_._3).sum ==
+      graft.analytics.Tables.documents(spark, d).count())
+  }
+}
