@@ -230,6 +230,15 @@ object SparkEntry {
     // LAION-style image admission funnel over real decoded dimensions
     "q140_image_filter_funnel" -> ((s: SparkSession, d: String) =>
       Multimodal.imageFilterFunnel(s, d)),
+    // span-level surgical decontamination (remove the overlap, keep the doc)
+    "q141_surgical_decontamination" -> ((s: SparkSession, d: String) =>
+      TextStats.surgicalDecontamination(s, d)),
+    // the routed (cell-pruned) bitext miner — q137 at index cost
+    "q142_ivf_bitext_margin" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfBitextMarginMining(s, d)),
+    // routing-honesty audit: routed pair vs exact pair per query
+    "q143_bitext_routing_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.bitextRoutingRecall(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -2084,6 +2093,56 @@ object SparkEntry {
         |   (CASE WHEN flag THEN cap ELSE (b - capsum) / (n - t) END) / n_tokens
         |   ELSE 0.0 END, 6) AS epochs
         |FROM g""".stripMargin,
+    // q141: positional gram replay — token covered iff any of the previous
+    // k-1 grams (or its own) hits the bench set; cleaned text re-assembled
+    // with string_agg ORDER BY and checksum-pinned (reassembly itself gated)
+    "q141_surgical_decontamination" ->
+      (allGramCte(8) +
+        s""",
+          |bench AS (SELECT DISTINCT h FROM fp WHERE doc_id % 97 = 0 AND doc_id < 97000),
+          |cw AS (SELECT doc_id, source, $tokens AS w FROM documents
+          | WHERE doc_id % 97 <> 0 AND text IS NOT NULL),
+          |tp AS (SELECT doc_id, source, w,
+          |  CAST(unnest(range(0, len(w))) AS INT) AS wpos FROM cw),
+          |tt AS (SELECT doc_id, source, wpos, w[wpos+1] AS word,
+          |  CASE WHEN wpos < greatest(len(w)-8,0)+1 THEN
+          |   ('0x' || substring(md5(array_to_string(w[wpos+1:wpos+8], ' ')),1,15))::BIGINT
+          |  END AS h
+          | FROM tp),
+          |hh AS (SELECT t.doc_id, t.source, t.wpos, t.word,
+          |  CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS ghit
+          | FROM tt t LEFT JOIN bench b ON t.h = b.h),
+          |cv AS (SELECT *, max(ghit) OVER (PARTITION BY doc_id ORDER BY wpos
+          |  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 1 AS covered FROM hh),
+          |pd AS (SELECT doc_id, source, count(*) AS n_tokens,
+          |  CAST(sum(CASE WHEN NOT covered THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  coalesce(string_agg(CASE WHEN NOT covered THEN word END, ' '
+          |    ORDER BY wpos), '') AS cleaned
+          | FROM cv GROUP BY doc_id, source)
+          |SELECT source, count(*) AS n_docs,
+          | CAST(sum(CASE WHEN n_kept < n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+          |   AS n_docs_touched,
+          | CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+          | CAST(sum(n_tokens - n_kept) AS BIGINT) AS tokens_removed,
+          | CAST(sum((('0x' || substring(md5(cleaned),1,15))::BIGINT) % 1000000007)
+          |   AS BIGINT) AS cleaned_checksum
+          |FROM pd GROUP BY source""".stripMargin),
+    // q142: the routed chain replayed (cells, per-side centroids, nprobe=2)
+    "q142_ivf_bitext_margin" ->
+      (bitextBaseCte + bitextChainCtes("r", routed = true) +
+        """
+          |SELECT src_id, tgt_id, cosine, margin, (margin >= 1.05) AS accepted
+          |FROM rres""".stripMargin),
+    // q143: both chains in one WITH; routed pair vs exact pair per query
+    "q143_bitext_routing_recall" ->
+      (bitextBaseCte + bitextChainCtes("x", routed = false) +
+        bitextChainCtes("r", routed = true) +
+        """
+          |SELECT x.src_id, x.tgt_id AS exact_tgt, r.tgt_id AS routed_tgt,
+          | CASE WHEN r.tgt_id IS NULL THEN 0
+          |      WHEN r.tgt_id = x.tgt_id THEN 1 ELSE 0 END AS pair_hit,
+          | round(r.margin - x.margin, 6) AS margin_delta
+          |FROM xres x LEFT JOIN rres r USING (src_id)""".stripMargin),
     // q140: dimensions re-derived from the generator formula (q43's oracle
     // discipline) — the funnel diverges if encode or decode lied
     "q140_image_filter_funnel" ->
@@ -2747,6 +2806,90 @@ object SparkEntry {
 
   /** CTE `fp(doc_id, h)`: distinct positional word k-gram hashes per doc —
     * the exhaustive sibling of [[winnowFpCte]] (no min-window sampling). */
+  /** Shared base CTEs for the bitext-mining oracles (q142/q143): the
+    * labeled odd/even halves with the ivfCte hyperplane cell attached. */
+  private val bitextBaseCte: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+      |cl AS (SELECT vec_id, v, label,
+      |  CAST(list_sum(list_transform(range(0,3), p ->
+      |   CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+      |     i -> v[i] * (((('0x' || substring(md5(CAST(p AS VARCHAR) || '_' ||
+      |            CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 1000000)/1000000.0) - 0.5)))
+      |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS cell
+      | FROM e),
+      |bsrc AS (SELECT vec_id AS src_id, v, cell FROM cl WHERE label % 2 = 0),
+      |btgt AS (SELECT vec_id AS tgt_id, v, cell FROM cl WHERE label % 2 = 1),
+      |bq AS (SELECT src_id, v, cell FROM bsrc WHERE src_id % 20 = 0)""".stripMargin
+
+  /** One bitext margin chain (forward top-k → rank-ordered averages →
+    * backward top-k → margin), CTE names prefixed by `p` so the exact and
+    * routed chains coexist in one WITH (q143). `routed = true` inserts the
+    * per-side centroid tables and nprobe=2 cell pruning before each
+    * scoring pass — the q142 plan's oracle replay. */
+  private def bitextChainCtes(p: String, routed: Boolean): String = {
+    val fwdScore =
+      if (!routed)
+        s""",${p}fs AS (SELECT q.src_id, t.tgt_id, ${cosListSql("q.v", "t.v")} AS cosine
+          | FROM bq q CROSS JOIN btgt t)""".stripMargin
+      else
+        s""",${p}tc AS (SELECT cell, dim,
+          |  CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+          | FROM (SELECT cell, unnest(range(1, len(v)+1)) AS dim, unnest(v) AS x
+          |   FROM btgt) t GROUP BY cell, dim),
+          |${p}tca AS (SELECT cell, list(mean_v ORDER BY dim) AS c0 FROM ${p}tc GROUP BY cell),
+          |${p}sc AS (SELECT cell, dim,
+          |  CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+          | FROM (SELECT cell, unnest(range(1, len(v)+1)) AS dim, unnest(v) AS x
+          |   FROM bsrc) t GROUP BY cell, dim),
+          |${p}sca AS (SELECT cell, list(mean_v ORDER BY dim) AS c0 FROM ${p}sc GROUP BY cell),
+          |${p}fr0 AS (SELECT q.src_id, q.v, a.cell, ${cosListSql("q.v", "a.c0")} AS c_cos
+          | FROM bq q CROSS JOIN ${p}tca a),
+          |${p}fp AS (SELECT src_id, v, cell FROM (
+          |  SELECT src_id, v, cell,
+          |   row_number() OVER (PARTITION BY src_id ORDER BY c_cos DESC, cell) AS pr
+          |  FROM ${p}fr0) t WHERE pr <= 2),
+          |${p}fs AS (SELECT q.src_id, t.tgt_id, ${cosListSql("q.v", "t.v")} AS cosine
+          | FROM ${p}fp q JOIN btgt t ON t.cell = q.cell)""".stripMargin
+    val backScore =
+      if (!routed)
+        s""",${p}bs AS (SELECT c.tgt_id, s.src_id, ${cosListSql("c.v", "s.v")} AS cosine
+          | FROM ${p}cd c CROSS JOIN bsrc s)""".stripMargin
+      else
+        s""",${p}br0 AS (SELECT c.tgt_id, c.v, a.cell, ${cosListSql("c.v", "a.c0")} AS c_cos
+          | FROM ${p}cd c CROSS JOIN ${p}sca a),
+          |${p}bp AS (SELECT tgt_id, v, cell FROM (
+          |  SELECT tgt_id, v, cell,
+          |   row_number() OVER (PARTITION BY tgt_id ORDER BY c_cos DESC, cell) AS pr
+          |  FROM ${p}br0) t WHERE pr <= 2),
+          |${p}bs AS (SELECT c.tgt_id, s.src_id, ${cosListSql("c.v", "s.v")} AS cosine
+          | FROM ${p}bp c JOIN bsrc s ON s.cell = c.cell)""".stripMargin
+    fwdScore +
+      s""",
+        |${p}fr AS (SELECT src_id, tgt_id, cosine,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS rn
+        | FROM ${p}fs WHERE cosine IS NOT NULL),
+        |${p}ft AS (SELECT * FROM ${p}fr WHERE rn <= 4),
+        |${p}sa AS (SELECT src_id,
+        |  round(list_sum(list(cosine ORDER BY rn)) / count(*), 6) AS src_avg
+        | FROM ${p}ft GROUP BY src_id),
+        |${p}cd AS (SELECT tg.tgt_id, tg.v
+        | FROM (SELECT DISTINCT tgt_id FROM ${p}ft) c JOIN btgt tg USING (tgt_id))""".stripMargin +
+      backScore +
+      s""",
+        |${p}br AS (SELECT tgt_id, src_id, cosine,
+        |  row_number() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS rn
+        | FROM ${p}bs WHERE cosine IS NOT NULL),
+        |${p}ba AS (SELECT tgt_id,
+        |  round(list_sum(list(cosine ORDER BY rn)) / count(*), 6) AS tgt_avg
+        | FROM ${p}br WHERE rn <= 4 GROUP BY tgt_id),
+        |${p}best AS (SELECT src_id, tgt_id, round(cosine, 6) AS cosine
+        | FROM ${p}ft WHERE rn = 1),
+        |${p}res AS (SELECT b.src_id, b.tgt_id, b.cosine,
+        |  round(b.cosine / ((sa.src_avg + ba.tgt_avg) / 2), 6) AS margin
+        | FROM ${p}best b JOIN ${p}sa sa USING (src_id) JOIN ${p}ba ba USING (tgt_id))""".stripMargin
+  }
+
   /** DuckDB cosine over two DOUBLE[] expressions — q36's formula verbatim
     * (same dot/norm accumulation order as the native expression). */
   private def cosListSql(qe: String, ce: String): String =

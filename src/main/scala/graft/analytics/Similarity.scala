@@ -1033,4 +1033,94 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"),
         (col("margin") >= accept).as("accepted"))
   }
+
+  /**
+   * q142: the ROUTED spelling of [[bitextMarginMining]] — the form a
+   * 100 TB miner actually runs (the q121 discipline): each side is
+   * cell-indexed by the hyperplane signature, queries route to their
+   * `nprobe` nearest TARGET-side centroids, forward candidates route back
+   * to SOURCE-side centroids, and both scoring passes scan only probed
+   * cells via the cell equi-join — per-query cost bounded by cell mass,
+   * never corpus mass. Same margin algebra as the exact pass; q143 audits
+   * what the pruning costs.
+   */
+  def ivfBitextMarginMining(s: SparkSession, d: String, k: Int = 4,
+      stride: Long = 20, nprobe: Int = 2, nplanes: Int = 3,
+      accept: Double = 1.05): DataFrame = {
+    val base = embeddings(s, d)
+      .filter(col("label").isNotNull && col("embedding").isNotNull)
+    val dim = embeddingDim(embeddings(s, d))
+    val emb = base.withColumn("cell", lshBucketCol(col("embedding"), nplanes, dim))
+    val srcSide = emb.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("s_emb"), col("cell"))
+    val tgtSide = emb.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"), col("cell"))
+    // per-side centroid tables: ≤ 2^nplanes rows each, broadcast
+    val tgtCents = centroids(tgtSide.select(col("cell"), col("t_emb").as("embedding")))
+    val srcCents = centroids(srcSide.select(col("cell"), col("s_emb").as("embedding")))
+
+    val queries = srcSide.filter(col("src_id") % stride === 0)
+      .select(col("src_id"), col("s_emb"))
+    val wf = Window.partitionBy(col("src_id")).orderBy(col("c_cos").desc, col("cell"))
+    val fProbes = queries.join(broadcast(tgtCents))
+      .withColumn("c_cos", cosineNative(col("s_emb"), col("centroid")))
+      .withColumn("pr", row_number().over(wf))
+      .filter(col("pr") <= nprobe)
+      .select(col("src_id"), col("s_emb"), col("cell"))
+    val fwd = tgtSide.join(broadcast(fProbes), Seq("cell"))
+      .withColumn("cosine", cosineNative(col("s_emb"), col("t_emb")))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("src_id"))
+      .agg(graft.functions.BoundedTopK.topK(k)(col("cosine"), col("tgt_id")).as("top"))
+      .withColumn("src_avg", round(orderedTopAvg(col("top")), 6))
+
+    val cands = fwd.select(explode(col("top.id")).as("tgt_id")).distinct()
+      .join(tgtSide, Seq("tgt_id"))
+      .select(col("tgt_id"), col("t_emb"))
+    val wb = Window.partitionBy(col("tgt_id")).orderBy(col("c_cos").desc, col("cell"))
+    val bProbes = cands.join(broadcast(srcCents))
+      .withColumn("c_cos", cosineNative(col("t_emb"), col("centroid")))
+      .withColumn("pr", row_number().over(wb))
+      .filter(col("pr") <= nprobe)
+      .select(col("tgt_id"), col("t_emb"), col("cell"))
+    val back = srcSide.join(broadcast(bProbes), Seq("cell"))
+      .withColumn("cosine", cosineNative(col("t_emb"), col("s_emb")))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("tgt_id"))
+      .agg(graft.functions.BoundedTopK.topK(k)(col("cosine"), col("src_id")).as("btop"))
+      .select(col("tgt_id"), round(orderedTopAvg(col("btop")), 6).as("tgt_avg"))
+
+    fwd.select(col("src_id"), col("src_avg"),
+        col("top")(0).getField("id").as("tgt_id"),
+        round(col("top")(0).getField("score"), 6).as("cosine"))
+      .join(back, Seq("tgt_id"))
+      .withColumn("margin",
+        round(col("cosine") / ((col("src_avg") + col("tgt_avg")) / 2), 6))
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"),
+        (col("margin") >= accept).as("accepted"))
+  }
+
+  /**
+   * q143: routing-honesty audit for the bitext miner — per exact-side
+   * query, did the cell-pruned pass (q142) mine the SAME pair the
+   * exhaustive pass (q137) mined, and at what margin shift? The
+   * q110/q122/q107 discipline applied to pair mining: every approximate
+   * tier ships the table that says what the approximation costs. A query
+   * the routed pass lost entirely (all probed cells empty) stays visible
+   * with pair_hit 0.
+   */
+  def bitextRoutingRecall(s: SparkSession, d: String, k: Int = 4,
+      stride: Long = 20, nprobe: Int = 2): DataFrame = {
+    val exact = bitextMarginMining(s, d, k, stride)
+      .select(col("src_id"), col("tgt_id").as("exact_tgt"),
+        col("margin").as("exact_margin"))
+    val routed = ivfBitextMarginMining(s, d, k, stride, nprobe)
+      .select(col("src_id"), col("tgt_id").as("routed_tgt"),
+        col("margin").as("routed_margin"))
+    exact.join(routed, Seq("src_id"), "left")
+      .select(col("src_id"), col("exact_tgt"), col("routed_tgt"),
+        coalesce((col("routed_tgt") === col("exact_tgt")).cast("int"), lit(0))
+          .as("pair_hit"),
+        round(col("routed_margin") - col("exact_margin"), 6).as("margin_delta"))
+  }
 }

@@ -401,7 +401,10 @@ object TextStats {
     val bits = BloomContains.build(
       benchHashes.iterator, BloomContains.sizeFor(benchHashes.length.toLong))
 
-    val corpusGrams = grams.filter(!benchSel)
+    // corpus = every non-multiple of the stride (q85's convention — NOT
+    // !benchSel: a stride multiple above the bench cap is in NEITHER set,
+    // matching the oracle's `doc_id % stride <> 0`)
+    val corpusGrams = grams.filter(col("doc_id") % benchStride =!= 0)
     val totals = corpusGrams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
     val hits = corpusGrams
@@ -418,6 +421,67 @@ object TextStats {
         sum(when(col("hit_ratio") >= flagThreshold, 1L).otherwise(0L)).as("n_contaminated"))
       .withColumn("contam_ratio",
         round(col("n_contaminated").cast("double") / col("n_docs"), 6))
+  }
+
+  /**
+   * q141: span-level surgical decontamination (Lee et al. 2022; the GPT-3
+   * appendix discipline) — instead of FLAGGING contaminated documents
+   * (q85/q138), REMOVE exactly the token spans that overlap a benchmark
+   * k-gram and keep the rest of the document: every token covered by any
+   * hitting gram (positions `wpos .. wpos+k-1`) is dropped, the survivors
+   * reassemble in order, and the per-source table reports documents
+   * touched, tokens removed, and a checksum over every cleaned text so
+   * the oracle pins the reassembly itself.
+   *
+   * One corpus scan: the token stream derives grams in-row (lead()
+   * window), the bench gram set is an eval-sized broadcast, and a token
+   * is covered iff any of the previous k-1 grams (or its own) hit — a
+   * bounded running `max` over the same window order, so coverage never
+   * materializes a positions table or re-joins the corpus. Only
+   * (doc_id, wpos, word-after-filter) ever shuffles.
+   */
+  def surgicalDecontamination(s: SparkSession, d: String, k: Int = 8,
+      benchStride: Long = 97, maxBench: Long = 1000): DataFrame = {
+    val grams = allGramHashes(s, d, k)
+    val benchGrams = grams
+      .filter(col("doc_id") % benchStride === 0 && col("doc_id") < benchStride * maxBench)
+      .select(col("h")).distinct()
+
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val cover = ord.rowsBetween(-(k - 1), 0)
+    val toks = documents(s, d)
+      .filter(col("doc_id") % benchStride =!= 0)
+      .select(col("doc_id"), col("source"),
+        posexplode(words(col("text"))).as(Seq("wpos", "word")))
+      .withColumn("n_words", count(lit(1)).over(byDoc))
+      .withColumn("gram", when(
+        col("wpos") < greatest(col("n_words") - k, lit(0)) + 1,
+        concat_ws(" ",
+          col("word") +: (1 until k).map(j => lead(col("word"), j).over(ord)): _*)))
+      .withColumn("h",
+        conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10).cast("long"))
+    val hit = toks
+      .join(broadcast(benchGrams).withColumn("bhit", lit(1)), Seq("h"), "left")
+      .withColumn("ghit", coalesce(col("bhit"), lit(0)))
+      .withColumn("covered", max(col("ghit")).over(cover) === 1)
+    val perDoc = hit.groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(!col("covered"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("covered"),
+            struct(col("wpos"), col("word"))))),
+          p => p.getField("word"))).as("cleaned"))
+    perDoc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_kept") < col("n_tokens"), 1L).otherwise(0L))
+          .as("n_docs_touched"),
+        sum(col("n_tokens")).as("tokens_before"),
+        sum(col("n_tokens") - col("n_kept")).as("tokens_removed"),
+        sum(pmod(conv(substring(md5(col("cleaned").cast("binary")), 1, 15), 16, 10)
+          .cast("long"), lit(1000000007L))).as("cleaned_checksum"))
   }
 
   /**

@@ -195,6 +195,15 @@ object Soak100 {
         TextStats.bloomDecontamination(spark, soakDir).count())
       println(f"[q138] sources $c01 -> $c10, wall x${tc10 / tc01}%.1f on 100x data")
       }
+      // surgical decontamination: positional token stream (no distinct) +
+      // per-doc reassembly — the heaviest per-token shape of the family
+      if (want("q141")) {
+      val (s01, ts01) = timed("q141 sf0.1")(
+        TextStats.surgicalDecontamination(spark, sf01).count())
+      val (s10, ts10) = timed("q141 sf10")(
+        TextStats.surgicalDecontamination(spark, soakDir).count())
+      println(f"[q141] sources $s01 -> $s10, wall x${ts10 / ts01}%.1f on 100x data")
+      }
     }
     spark.stop()
   }

@@ -186,7 +186,9 @@ class Round11OpsSpec extends AnyFunSuite with SparkSuite {
       "q132_cdc_chunk_dedup", "q133_mrl_recall", "q134_script_profile",
       "q135_distinct_sketch", "q136_cluster_split_audit",
       "q137_bitext_margin", "q138_bloom_decontamination",
-      "q139_unimax_mixture", "q140_image_filter_funnel").foreach { q =>
+      "q139_unimax_mixture", "q140_image_filter_funnel",
+      "q141_surgical_decontamination", "q142_ivf_bitext_margin",
+      "q143_bitext_routing_recall").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, d)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plan went cartesian")

@@ -182,6 +182,53 @@ class Round11bOpsSpec extends AnyFunSuite with SparkSuite {
       "every uncapped language takes the same equal share")
   }
 
+  test("q141: planted shared 8-gram — exactly the overlapping span drops, reassembly checksum pinned") {
+    val p = tempDir("surgical").toString
+    val docs = Seq(
+      // doc 0 is the benchmark (0 % 97 == 0); doc 1 embeds its 8-gram
+      (0L, "a b c d e f g h x y", "en", "s1", 19L),
+      (1L, "p q a b c d e f g h r s", "en", "s1", 23L),
+      (2L, "u v w", "en", "s1", 5L),
+      (3L, null.asInstanceOf[String], "en", "s1", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/documents.parquet")
+    val out = TextStats.surgicalDecontamination(spark, p)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 1)
+    val (src, nDocs, touched, before, removed, checksum) = out.head
+    def h60(t: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15), 16)
+    // doc 1: gram [a..h] hits at wpos 2 → tokens 2..9 covered → "p q r s";
+    // doc 2 untouched; doc 3 (NULL text) absent
+    assert((src, nDocs, touched, before, removed) == (("s1", 2L, 1L, 15L, 8L)))
+    assert(checksum == h60("p q r s") % 1000000007L + h60("u v w") % 1000000007L)
+  }
+
+  test("q142/q143: probing every cell makes the routed miner identical to the exact one") {
+    // 4-dim space → ≤ 8 hyperplane cells; nprobe=8 prunes nothing, so the
+    // routed chain must reproduce the exhaustive chain bit-for-bit
+    val audit = Similarity.bitextRoutingRecall(spark, bitextDir, nprobe = 8)
+      .as[(Long, Long, Option[Long], Int, Option[Double])].collect()
+    assert(audit.map(_._1).sorted.toSeq == Seq(0L, 20L))
+    audit.foreach { case (srcId, exactTgt, routedTgt, hit, delta) =>
+      assert(routedTgt.contains(exactTgt), s"query $srcId routed to a different pair")
+      assert(hit == 1 && delta.contains(0.0),
+        s"unpruned routing must be exact (query $srcId: hit=$hit delta=$delta)")
+    }
+  }
+
+  test("q143 shape under real pruning: every exact query stays visible, hits are 0/1") {
+    val rows = Similarity.bitextRoutingRecall(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Option[Long], Int, Option[Double])].collect()
+    val exactN = Similarity.bitextMarginMining(spark, "/root/testdata/sf0.001").count()
+    assert(rows.length.toLong == exactN, "left join must keep lost queries visible")
+    assert(rows.forall(r => r._4 == 0 || r._4 == 1))
+    rows.filter(_._3.isEmpty).foreach(r =>
+      assert(r._4 == 0 && r._5.isEmpty, "a lost query has no hit and no delta"))
+  }
+
   test("q140: funnel counts re-derived from the generator formula; all docs bucketed once") {
     val d = "/root/testdata/sf0.001"
     val gotRows = Multimodal.imageFilterFunnel(spark, d)
