@@ -1027,7 +1027,7 @@ object Similarity {
     fwd.select(col("src_id"), col("src_avg"),
         col("top")(0).getField("id").as("tgt_id"),
         round(col("top")(0).getField("score"), 6).as("cosine"))
-      .join(back, Seq("tgt_id"))
+      .join(broadcast(back), Seq("tgt_id")) // candidate-sized by construction
       .withColumn("margin",
         round(col("cosine") / ((col("src_avg") + col("tgt_avg")) / 2), 6))
       .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"),
@@ -1093,7 +1093,7 @@ object Similarity {
     fwd.select(col("src_id"), col("src_avg"),
         col("top")(0).getField("id").as("tgt_id"),
         round(col("top")(0).getField("score"), 6).as("cosine"))
-      .join(back, Seq("tgt_id"))
+      .join(broadcast(back), Seq("tgt_id")) // candidate-sized by construction
       .withColumn("margin",
         round(col("cosine") / ((col("src_avg") + col("tgt_avg")) / 2), 6))
       .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"),
