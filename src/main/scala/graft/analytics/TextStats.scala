@@ -442,16 +442,27 @@ object TextStats {
    */
   def surgicalDecontamination(s: SparkSession, d: String, k: Int = 8,
       benchStride: Long = 97, maxBench: Long = 1000): DataFrame = {
-    val grams = allGramHashes(s, d, k)
-    val benchGrams = grams
+    val benchGrams = allGramHashes(s, d, k)
       .filter(col("doc_id") % benchStride === 0 && col("doc_id") < benchStride * maxBench)
       .select(col("h")).distinct()
+    val corpus = documents(s, d).filter(col("doc_id") % benchStride =!= 0)
+    surgicalRollupOf(surgicalLedgerOf(corpus, benchGrams, k))
+  }
 
+  /**
+   * [[surgicalDecontamination]]'s per-document ledger over an arbitrary
+   * (doc_id, text, source) frame and a frozen bench gram set — a PURE
+   * per-document function (each doc's row depends only on its own text
+   * and the bench set), which is what lets the streaming gate merge
+   * ledger rows idempotently under replay. Text-free output: the cleaned
+   * text leaves the plan as its 60-bit hash (`cleaned_h`).
+   */
+  def surgicalLedgerOf(docs: DataFrame, benchGrams: DataFrame,
+      k: Int = 8): DataFrame = {
     val ord = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
     val byDoc = Window.partitionBy(col("doc_id"))
     val cover = ord.rowsBetween(-(k - 1), 0)
-    val toks = documents(s, d)
-      .filter(col("doc_id") % benchStride =!= 0)
+    val toks = docs
       .select(col("doc_id"), col("source"),
         posexplode(words(col("text"))).as(Seq("wpos", "word")))
       .withColumn("n_words", count(lit(1)).over(byDoc))
@@ -461,28 +472,33 @@ object TextStats {
           col("word") +: (1 until k).map(j => lead(col("word"), j).over(ord)): _*)))
       .withColumn("h",
         conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10).cast("long"))
-    val hit = toks
-      .join(broadcast(benchGrams).withColumn("bhit", lit(1)), Seq("h"), "left")
+    toks
+      .join(broadcast(benchGrams.select(col("h"))).withColumn("bhit", lit(1)),
+        Seq("h"), "left")
       .withColumn("ghit", coalesce(col("bhit"), lit(0)))
       .withColumn("covered", max(col("ghit")).over(cover) === 1)
-    val perDoc = hit.groupBy(col("doc_id"), col("source"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(when(!col("covered"), 1L).otherwise(0L)).as("n_kept"),
-        concat_ws(" ", transform(
+        conv(substring(md5(concat_ws(" ", transform(
           array_sort(collect_list(when(!col("covered"),
             struct(col("wpos"), col("word"))))),
-          p => p.getField("word"))).as("cleaned"))
-    perDoc.groupBy(col("source"))
+          p => p.getField("word"))).cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("cleaned_h"))
+  }
+
+  /** The q141 per-source table as a deterministic function of the ledger
+    * — shared by the batch query and the streaming gate's readback. */
+  def surgicalRollupOf(ledger: DataFrame): DataFrame =
+    ledger.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("n_kept") < col("n_tokens"), 1L).otherwise(0L))
           .as("n_docs_touched"),
         sum(col("n_tokens")).as("tokens_before"),
         sum(col("n_tokens") - col("n_kept")).as("tokens_removed"),
-        sum(pmod(conv(substring(md5(col("cleaned").cast("binary")), 1, 15), 16, 10)
-          .cast("long"), lit(1000000007L))).as("cleaned_checksum"))
-  }
+        sum(pmod(col("cleaned_h"), lit(1000000007L))).as("cleaned_checksum"))
 
   /**
    * The composite training-data prep pipeline in one plan: language filter →

@@ -945,6 +945,49 @@ object StreamingCorpus {
       .start()
   }
 
+  /**
+   * Online SURGICAL decontamination gate — the streaming counterpart of
+   * q141 ([[graft.analytics.TextStats.surgicalDecontamination]]): arriving
+   * documents are scored against the frozen benchmark k-gram set and their
+   * per-document ledger rows (doc_id, source, n_tokens, n_kept, cleaned_h
+   * — TEXT-FREE, the cleaned text leaves the plan as its hash) merge into
+   * the bucketed ledger at `ledgerPath`. The ledger row is a pure function
+   * of (doc text, bench set), so re-delivery and replay merge the
+   * identical row (keep-latest on `_dump_seq` is a no-op overwrite) and
+   * the maintained ledger equals the batch ledger of the full corpus
+   * under any arrival order; the q141 per-source table is then
+   * [[graft.analytics.TextStats.surgicalRollupOf]] over the ledger.
+   *
+   * 100 TB posture: per batch one doc_id-partitioned window pass over the
+   * batch's tokens (grams, coverage and reassembly share the sort), the
+   * eval-sized bench set broadcast, ledger rows narrow and bucket-pruned
+   * on merge; no state ever holds text.
+   */
+  def startSurgicalGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      benchGrams: org.apache.spark.sql.DataFrame,
+      ledgerPath: String,
+      checkpointDir: String,
+      k: Int = 8,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val ledger = TextStats.surgicalLedgerOf(batch, benchGrams, k)
+          .withColumn("_dump_seq", lit(batchId))
+        BucketedMerge.mergeInto(spark, ledgerPath, ledger,
+          Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+      }
+      .start()
+  }
+
   /** The gate's scoring step — pure so the spec can equate stream and
     * batch: per doc, distinct-gram hit ratio against the bench set. */
   def scoreContamination(docs: org.apache.spark.sql.DataFrame,

@@ -191,6 +191,59 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     benchGrams.unpersist()
   }
 
+  test("streamed surgical-decontamination ledger equals batch, under out-of-order + replay") {
+    import graft.analytics.TextStats
+    val root = TempDirs.tempDir("graft_surgical").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val ledgerPath = s"$root/wh/ledger"
+
+    // frozen bench set: the gram universe of one 30-word doc
+    val benchBody = (1 to 30).map(i => s"bench$i").mkString(" ")
+    val benchGrams = TextStats.allGramHashesOf(
+      docsDF(Seq((0L, benchBody, "en", "src0", benchBody.length.toLong))), k = 8).cache()
+    benchGrams.count()
+
+    // w1: doc embedding a bench 8-gram mid-text (span removed) + clean doc;
+    // w2 (out of order, lower ids): a verbatim copy (fully removed)
+    val spanned = "pre1 pre2 " + (1 to 8).map(i => s"bench$i").mkString(" ") +
+      " post1 post2 post3"
+    val w1 = Seq(
+      doc(11L, 0, "x").copy(_2 = spanned),
+      doc(12L, 12, "clean"))
+    val w2 = Seq(doc(5L, 0, "y").copy(_2 = benchBody))
+
+    def drain(): Unit = {
+      val q = StreamingCorpus.startSurgicalGate(spark, landing.getAbsolutePath,
+        docsDF(w1).schema, benchGrams, ledgerPath, s"$root/chk", k = 8, nBuckets = 8)
+      q.awaitTermination()
+    }
+    land(docsDF(w1), landing, "wave1"); drain()
+    land(docsDF(w2), landing, "wave2"); drain()
+    land(docsDF(w1), landing, "wave1_replay"); drain() // re-delivery: no-op
+
+    val cols = Seq("doc_id", "source", "n_tokens", "n_kept", "cleaned_h")
+    val streamed = graft.ingest.BucketedMerge.read(spark, ledgerPath)
+      .select(cols.head, cols.tail: _*)
+    val batch = TextStats.surgicalLedgerOf(docsDF(w1 ++ w2), benchGrams, k = 8)
+      .select(cols.head, cols.tail: _*)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "maintained ledger diverges from the batch ledger")
+
+    // the q141 table is a deterministic readback of the ledger
+    val rollS = TextStats.surgicalRollupOf(streamed)
+    val rollB = TextStats.surgicalRollupOf(batch)
+    assert(rollS.exceptAll(rollB).isEmpty && rollB.exceptAll(rollS).isEmpty)
+
+    // planted semantics: span removal kept "pre1 pre2 post1 post2 post3";
+    // the verbatim copy lost everything; the clean doc is untouched
+    val byId = streamed.collect().map(r => r.getLong(0) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    assert(byId(11L) == ((13L, 5L)), s"span doc: ${byId(11L)}")
+    assert(byId(5L)._2 == 0L, "verbatim copy must lose every token")
+    assert(byId(12L)._1 == byId(12L)._2, "clean doc must keep every token")
+    benchGrams.unpersist()
+  }
+
   test("streamed cell index against a frozen codebook equals the batch assignment") {
     val root = TempDirs.tempDir("graft_scells").toFile
     val landing = new File(root, "landing"); landing.mkdirs()
