@@ -264,4 +264,53 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("UniMax closed form equals the iterative greedy, exactly (15 generated corpora)") {
+    import graft.analytics.Sampling
+    import org.apache.spark.sql.functions.col
+    // independent reference: the PUBLISHED algorithm as written — allocate
+    // ascending, each language min(cap, remaining budget / remaining langs)
+    def greedy(counts: Seq[(String, Long)], epochCap: Double,
+        budgetFrac: Double): Map[String, Double] = {
+      val b = budgetFrac * counts.map(_._2).sum.toDouble
+      val sorted = counts.map { case (l, c) => (l, c, c.toDouble * epochCap) }
+        .sortBy { case (l, _, cap) => (cap, l) }
+      var remaining = b
+      var left = sorted.size
+      sorted.map { case (l, _, cap) =>
+        val share = remaining / left
+        val alloc = math.min(cap, share)
+        remaining -= alloc; left -= 1
+        l -> alloc
+      }.toMap
+    }
+    val corpusGen: Gen[List[(String, Long)]] = for {
+      n <- Gen.choose(1, 8)
+      rows <- Gen.listOfN(n, for {
+        l <- Gen.choose(0, 11).map(i => s"l$i")
+        cv <- Gen.oneOf(Gen.choose(0L, 30L), Gen.choose(1000L, 100000L))
+      } yield (l, cv))
+    } yield rows.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).sum) }.toList
+    samples(corpusGen, 15).foreach { counts =>
+      val docs = counts.zipWithIndex.map { case ((l, c), i) =>
+        (i.toLong, Seq.fill(c.toInt min 100000)("w").mkString(" "), l, "s", 0L)
+      } // cap fixture size; re-derive counts from the actual token lists
+      // split("") is [""] — one (empty) token, matching the engine's
+      // size(split(trim(text))) convention (q39 precedent)
+      val actual0 = docs.map(d => d._3 -> d._2.split("\\s+").length.toLong)
+      val actual = actual0.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).sum) }.toSeq
+      val p = tempDir("unimax_prop").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/documents.parquet")
+      val got = Sampling.unimaxAllocation(spark, p)
+        .select(col("lang"), col("alloc_tokens")).as[(String, Double)]
+        .collect().toMap
+      val want = greedy(actual, 3.0, 0.5)
+      assert(got.keySet == want.keySet, s"lang sets diverge for $actual")
+      want.foreach { case (l, a) =>
+        val r6 = BigDecimal(a).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(l) == r6, s"$l: closed form ${got(l)} != greedy $r6 for $actual")
+      }
+    }
+  }
 }
