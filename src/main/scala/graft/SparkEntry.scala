@@ -239,6 +239,12 @@ object SparkEntry {
     // routing-honesty audit: routed pair vs exact pair per query
     "q143_bitext_routing_recall" -> ((s: SparkSession, d: String) =>
       Similarity.bitextRoutingRecall(s, d)),
+    // blocked kNN graph with reciprocal-edge flag (cell-bounded quadratic)
+    "q144_knn_graph" -> ((s: SparkSession, d: String) =>
+      Similarity.knnGraph(s, d)),
+    // semantic clusters over the mutual-kNN graph, label-purity audited
+    "q145_knn_cluster_purity" -> ((s: SparkSession, d: String) =>
+      Similarity.knnClusterPurity(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -2143,6 +2149,42 @@ object SparkEntry {
           |      WHEN r.tgt_id = x.tgt_id THEN 1 ELSE 0 END AS pair_hit,
           | round(r.margin - x.margin, 6) AS margin_delta
           |FROM xres x LEFT JOIN rres r USING (src_id)""".stripMargin),
+    // q144: cell self-join + per-vector top-k + reversed-pair left join
+    "q144_knn_graph" ->
+      (knnGraphCte("WITH") +
+        """
+          |SELECT a.vec_id, a.nbr_id, a.cosine, a.rn,
+          | (b.vec_id IS NOT NULL) AS mutual
+          |FROM t a LEFT JOIN t b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id""".stripMargin),
+    // q145: mutual edges → recursive components (q74 oracle discipline) →
+    // per-cluster label histogram → majority/purity
+    "q145_knn_cluster_purity" ->
+      (knnGraphCte("WITH RECURSIVE") +
+        """,
+          |m AS (SELECT a.vec_id AS doc_a, a.nbr_id AS doc_b
+          | FROM t a JOIN t b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id
+          | WHERE a.vec_id < a.nbr_id),
+          |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM m
+          |       UNION SELECT doc_b AS src, doc_a AS dst FROM m),
+          |reach AS (
+          | SELECT src AS node, src AS lbl FROM (SELECT DISTINCT src FROM e2) z
+          | UNION
+          | SELECT e2.src AS node, r2.lbl FROM e2 JOIN reach r2 ON r2.node = e2.dst),
+          |clusters AS (
+          | SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+          |pl AS (SELECT c.cluster_id, em.label, count(*) AS n
+          | FROM clusters c JOIN embeddings em ON em.vec_id = c.doc_id
+          | WHERE em.label IS NOT NULL GROUP BY c.cluster_id, em.label),
+          |tp AS (SELECT cluster_id, label AS top_label, n AS top_n FROM (
+          |  SELECT cluster_id, label, n,
+          |   row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, label) AS rn
+          |  FROM pl) z WHERE rn = 1)
+          |SELECT g.cluster_id, g.n_vecs, g.n_labels, tp.top_label,
+          | CAST(tp.top_n AS BIGINT) AS top_n,
+          | round(CAST(tp.top_n AS DOUBLE) / g.n_vecs, 6) AS purity
+          |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_labels,
+          |       CAST(sum(n) AS BIGINT) AS n_vecs FROM pl GROUP BY cluster_id) g
+          |JOIN tp USING (cluster_id)""".stripMargin),
     // q140: dimensions re-derived from the generator formula (q43's oracle
     // discipline) — the funnel diverges if encode or decode lied
     "q140_image_filter_funnel" ->
@@ -2806,6 +2848,27 @@ object SparkEntry {
 
   /** CTE `fp(doc_id, h)`: distinct positional word k-gram hashes per doc —
     * the exhaustive sibling of [[winnowFpCte]] (no min-window sampling). */
+  /** The q144 kNN-graph CTE chain (cells → in-cell scoring → per-vector
+    * top-k table `t`), shared by the q144 and q145 oracles. */
+  private def knnGraphCte(withKw: String): String =
+    s"""$withKw v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |cells AS (
+      | SELECT vec_id, e,
+      |  CAST(list_sum(list_transform(range(0,3), p ->
+      |   CASE WHEN list_sum(list_transform(range(1, len(e)+1),
+      |     i -> e[i] * (((('0x' || substring(md5(CAST(p AS VARCHAR) || '_' ||
+      |            CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 1000000)/1000000.0) - 0.5)))
+      |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS cell
+      | FROM v),
+      |s AS (SELECT a.vec_id, b.vec_id AS nbr_id, ${cosListSql("a.e", "b.e")} AS cosine
+      | FROM cells a JOIN cells b ON b.cell = a.cell AND b.vec_id <> a.vec_id),
+      |r AS (SELECT vec_id, nbr_id, cosine,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rn
+      | FROM s WHERE cosine IS NOT NULL),
+      |t AS (SELECT vec_id, nbr_id, round(cosine, 6) AS cosine,
+      |  CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5)""".stripMargin
+
   /** Shared base CTEs for the bitext-mining oracles (q142/q143): the
     * labeled odd/even halves with the ivfCte hyperplane cell attached. */
   private val bitextBaseCte: String =

@@ -1101,6 +1101,87 @@ object Similarity {
   }
 
   /**
+   * q144: blocked kNN-graph construction — every vector's top-k cosine
+   * neighbors WITHIN ITS HYPERPLANE CELL, plus the mutual-edge flag (the
+   * reciprocal-kNN signal graph-clustering and SemDeDup-style pipelines
+   * consume). The published blocked/LSH kNN-graph recipe: exact kNN is
+   * corpus-quadratic, so candidates are restricted to the cell block and
+   * the join is a cell-keyed equi-join — per-cell quadratic, never
+   * corpus-quadratic; at 100 TB the cell count scales with `nplanes`
+   * (≈ log2(corpus / target cell size)), keeping blocks bounded. The
+   * symmetry pass (mutual flag) is a self-equi-join of the k-bounded edge
+   * table on the reversed pair — edge-table-sized, not corpus-sized.
+   *
+   * Zero/NULL vectors have no defined cosine to anything and appear in
+   * the graph neither as sources nor as neighbors.
+   */
+  def knnGraph(s: SparkSession, d: String, k: Int = 5,
+      nplanes: Int = 3): DataFrame = {
+    val base = embeddings(s, d).filter(col("embedding").isNotNull)
+    val dim = embeddingDim(embeddings(s, d))
+    val emb = base.withColumn("cell", lshBucketCol(col("embedding"), nplanes, dim))
+    val left = emb.select(col("vec_id"), col("embedding").as("q_emb"), col("cell"))
+    val right = emb.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("c_emb"), col("cell"))
+    val scored = left.join(right, Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cosine", cosineNative(col("q_emb"), col("c_emb")))
+      .filter(col("cosine").isNotNull)
+    val topk = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      scored.groupBy(col("vec_id"))
+        .agg(graft.functions.BoundedTopK.topK(k)(col("cosine"), col("nbr_id")).as("top"))
+        .select(col("vec_id"), posexplode(col("top")).as(Seq("idx", "e")))
+        .select(col("vec_id"), col("e.id").as("nbr_id"),
+          round(col("e.score"), 6).as("cosine"), (col("idx") + 1).as("rn")),
+      eager = false)
+    val reverse = topk.select(col("nbr_id").as("vec_id"),
+      col("vec_id").as("nbr_id"), lit(1).as("rev"))
+    topk.join(reverse, Seq("vec_id", "nbr_id"), "left")
+      .select(col("vec_id"), col("nbr_id"), col("cosine"), col("rn"),
+        col("rev").isNotNull.as("mutual"))
+  }
+
+  /**
+   * q145: semantic clusters over the MUTUAL kNN graph (q144's reciprocal
+   * edges) — connected components via the q74 star contraction, evaluated
+   * by label purity: per cluster, its labeled-member count, distinct
+   * labels, majority label and purity. The standard external-validation
+   * table for embedding-space clustering (does the geometry rediscover
+   * the labels?); unlabeled vectors ride the graph but cannot vote, so
+   * stats cover labeled members (a cluster of only unlabeled members is
+   * not evaluable and drops).
+   *
+   * Scale: mutual edges are k-bounded (≤ k·|corpus| rows), the
+   * contraction is rounds-bounded (q74's machinery unchanged), per-label
+   * aggregates are map-side; nothing corpus-quadratic anywhere.
+   */
+  def knnClusterPurity(s: SparkSession, d: String, k: Int = 5,
+      nplanes: Int = 3): DataFrame = {
+    val pairs = knnGraph(s, d, k, nplanes)
+      .filter(col("mutual") && col("vec_id") < col("nbr_id"))
+      .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
+    val clusters = Dedup.duplicateClusters(pairs) // (doc_id, cluster_id)
+    val perLabel = clusters
+      .join(embeddings(s, d)
+        .filter(col("label").isNotNull)
+        .select(col("vec_id").as("doc_id"), col("label")), Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n").desc, col("label"))
+    val top = perLabel.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("label").as("top_label"),
+        col("n").as("top_n"))
+    perLabel.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_labels"), sum(col("n")).as("n_vecs"))
+      .join(top, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_vecs"), col("n_labels"),
+        col("top_label"), col("top_n"),
+        round(col("top_n").cast("double") / col("n_vecs"), 6).as("purity"))
+  }
+
+  /**
    * q143: routing-honesty audit for the bitext miner — per exact-side
    * query, did the cell-pruned pass (q142) mine the SAME pair the
    * exhaustive pass (q137) mined, and at what margin shift? The

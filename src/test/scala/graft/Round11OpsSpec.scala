@@ -188,7 +188,8 @@ class Round11OpsSpec extends AnyFunSuite with SparkSuite {
       "q137_bitext_margin", "q138_bloom_decontamination",
       "q139_unimax_mixture", "q140_image_filter_funnel",
       "q141_surgical_decontamination", "q142_ivf_bitext_margin",
-      "q143_bitext_routing_recall").foreach { q =>
+      "q143_bitext_routing_recall", "q144_knn_graph",
+      "q145_knn_cluster_purity").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, d)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plan went cartesian")

@@ -229,6 +229,76 @@ class Round11bOpsSpec extends AnyFunSuite with SparkSuite {
       assert(r._4 == 0 && r._5.isEmpty, "a lost query has no hit and no delta"))
   }
 
+  test("q144: kNN edges stay in-cell, ranks are dense, mutuality is symmetric") {
+    val d = "/root/testdata/sf0.001"
+    val edges = Similarity.knnGraph(spark, d)
+      .as[(Long, Long, Double, Int, Boolean)].collect()
+    assert(edges.nonEmpty)
+    // dense ranks 1..deg per vector, neighbor ids distinct
+    edges.groupBy(_._1).foreach { case (v, es) =>
+      assert(es.map(_._4).sorted.toSeq == (1 to es.length),
+        s"vector $v has gapped ranks")
+      assert(es.map(_._2).distinct.length == es.length)
+    }
+    // mutual flag is exactly "reversed edge exists in the k-bounded table"
+    val set = edges.map(e => (e._1, e._2)).toSet
+    edges.foreach { case (v, n, _, _, m) =>
+      assert(m == set.contains((n, v)), s"mutual flag wrong on ($v,$n)")
+    }
+    // zero/NULL vectors appear on neither side (the sf fixture has none,
+    // so plant one: a vector alone in a cell with a zero-vector companion)
+    val p = tempDir("knn").toString
+    Seq((1L, Array(1f, 0f, 0f, 0f), 0), (2L, Array(0f, 0f, 0f, 0f), 0),
+      (3L, Array(0.9f, 0.1f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/embeddings.parquet")
+    val planted = Similarity.knnGraph(spark, p)
+      .as[(Long, Long, Double, Int, Boolean)].collect()
+    assert(planted.forall(e => e._1 != 2L && e._2 != 2L),
+      "zero vector must be absent from the graph")
+    // 1 and 3 share cell 6 (plane signs -,+,+ for both) and are mutual rank-1
+    assert(planted.map(e => (e._1, e._2, e._4, e._5)).toSet ==
+      Set((1L, 3L, 1, true), (3L, 1L, 1, true)))
+  }
+
+  test("q145: clusters match an independent union-find over the mutual edges; purity laws hold") {
+    val d = "/root/testdata/sf0.001"
+    val mutual = Similarity.knnGraph(spark, d)
+      .filter(col("mutual") && col("vec_id") < col("nbr_id"))
+      .select("vec_id", "nbr_id").as[(Long, Long)].collect()
+    assert(mutual.nonEmpty)
+    // independent union-find, components labeled by their minimum
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+      .groupBy(_._2).map { case (root, xs) => root -> xs.keys.toSet }
+    val labels = graft.analytics.Tables.embeddings(spark, d)
+      .filter(col("label").isNotNull)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val got = Similarity.knnClusterPurity(spark, d)
+      .as[(Long, Long, Long, Int, Long, Double)].collect()
+    // every evaluable component appears exactly once with the right size
+    val evaluable = want.filter { case (_, members) => members.exists(labels.contains) }
+    assert(got.map(_._1).toSet ==
+      evaluable.map { case (_, ms) => ms.min }.toSet)
+    got.foreach { case (cid, nVecs, nLabels, topLabel, topN, purity) =>
+      val members = evaluable.values.find(_.min == cid).get.filter(labels.contains)
+      assert(nVecs == members.size.toLong, s"cluster $cid size")
+      val hist = members.toSeq.map(labels).groupBy(identity).view.mapValues(_.size)
+      assert(nLabels == hist.size.toLong)
+      val (wantLabel, wantN) = hist.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert((topLabel, topN) == ((wantLabel, wantN.toLong)), s"cluster $cid majority")
+      assert(purity > 0.0 && purity <= 1.0 && topN <= nVecs)
+    }
+  }
+
   test("q140: funnel counts re-derived from the generator formula; all docs bucketed once") {
     val d = "/root/testdata/sf0.001"
     val gotRows = Multimodal.imageFilterFunnel(spark, d)
