@@ -1161,12 +1161,16 @@ object Similarity {
       .filter(col("mutual") && col("vec_id") < col("nbr_id"))
       .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
     val clusters = Dedup.duplicateClusters(pairs) // (doc_id, cluster_id)
-    val perLabel = clusters
-      .join(embeddings(s, d)
-        .filter(col("label").isNotNull)
-        .select(col("vec_id").as("doc_id"), col("label")), Seq("doc_id"))
-      .groupBy(col("cluster_id"), col("label"))
-      .agg(count(lit(1)).as("n"))
+    // (cluster, label) histogram feeds BOTH the majority window and the
+    // totals — pin it so the contraction upstream runs once, not twice
+    val perLabel = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      clusters
+        .join(embeddings(s, d)
+          .filter(col("label").isNotNull)
+          .select(col("vec_id").as("doc_id"), col("label")), Seq("doc_id"))
+        .groupBy(col("cluster_id"), col("label"))
+        .agg(count(lit(1)).as("n")),
+      eager = false)
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n").desc, col("label"))
     val top = perLabel.withColumn("rn", row_number().over(w))

@@ -204,6 +204,16 @@ object Soak100 {
         TextStats.surgicalDecontamination(spark, soakDir).count())
       println(f"[q141] sources $s01 -> $s10, wall x${ts10 / ts01}%.1f on 100x data")
       }
+      // blocked kNN graph: the cell count must scale with the corpus
+      // (nplanes 3 → 10 keeps per-cell density flat), so the in-cell
+      // quadratic stays bounded and the total stays ~linear
+      if (want("q144")) {
+      val (k01, tk01) = timed("q144 sf0.1")(
+        Similarity.knnGraph(spark, sf01).count())
+      val (k10, tk10) = timed("q144 sf10")(
+        Similarity.knnGraph(spark, soakDir, nplanes = 10).count())
+      println(f"[q144] edges $k01 -> $k10, wall x${tk10 / tk01}%.1f on 100x data (nplanes 3 -> 10)")
+      }
     }
     spark.stop()
   }
