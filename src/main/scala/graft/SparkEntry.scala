@@ -245,6 +245,9 @@ object SparkEntry {
     // semantic clusters over the mutual-kNN graph, label-purity audited
     "q145_knn_cluster_purity" -> ((s: SparkSession, d: String) =>
       Similarity.knnClusterPurity(s, d)),
+    // learned-vs-heuristic quality-filter agreement matrix per source
+    "q146_filter_agreement" -> ((s: SparkSession, d: String) =>
+      TextStats.filterAgreement(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -2185,6 +2188,53 @@ object SparkEntry {
           |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_labels,
           |       CAST(sum(n) AS BIGINT) AS n_vecs FROM pl GROUP BY cluster_id) g
           |JOIN tp USING (cluster_id)""".stripMargin),
+    // q146: q91's per-doc kept chain joined with q88's per-doc rule pass —
+    // both verdicts in their exact established spellings
+    "q146_filter_agreement" ->
+      s"""WITH tb AS (
+        | SELECT doc_id, source, (lang = 'en') AS pos,
+        |  ('0x' || substring(md5(w), 1, 15))::BIGINT % 256 AS b
+        | FROM (SELECT doc_id, source, lang, unnest($tokens) AS w FROM documents) t),
+        |counts AS (
+        | SELECT b,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_b,
+        |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_b
+        | FROM tb GROUP BY b),
+        |w AS (
+        | SELECT b,
+        |  CAST(pos_b AS DECIMAL(38,0)) * (SELECT CAST(sum(neg_b) AS BIGINT) FROM counts)
+        |   - CAST(neg_b AS DECIMAL(38,0)) * (SELECT CAST(sum(pos_b) AS BIGINT) FROM counts) AS wt
+        | FROM counts),
+        |sc AS (
+        | SELECT t.doc_id, sum(coalesce(w.wt, CAST(0 AS DECIMAL(38,0)))) AS score
+        | FROM tb t LEFT JOIN w USING (b) GROUP BY t.doc_id),
+        |k AS (
+        | SELECT d.doc_id,
+        |  (coalesce(sc.score, CAST(0 AS DECIMAL(38,0))) > 0 OR
+        |   ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT % 10 = 0) AS kept
+        | FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |gt AS (SELECT doc_id, source, $tokens AS ws FROM documents),
+        |gf AS (
+        | SELECT doc_id, source, coalesce(len(ws), 0) AS nw,
+        |  round(CAST(list_sum(list_transform(ws, w2 -> length(w2))) AS DOUBLE) / len(ws), 6) AS mean_len,
+        |  round(CAST(len(list_filter(ws, w2 -> w2 IN ('the','a','of','to','and','in'))) AS DOUBLE) / len(ws), 6) AS stop_frac,
+        |  round(CAST(len(list_filter(ws, w2 -> regexp_matches(w2, '^[a-z]+$$'))) AS DOUBLE) / len(ws), 6) AS alpha_frac
+        | FROM gt),
+        |gg AS (
+        | SELECT doc_id, source,
+        |  (CASE WHEN nw < 20 OR nw > 90 THEN 1 ELSE 0 END
+        |   + CASE WHEN mean_len < 4.0 OR mean_len > 5.0 THEN 1 ELSE 0 END
+        |   + CASE WHEN stop_frac < 0.02 THEN 1 ELSE 0 END
+        |   + CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END) = 0 AS gpass
+        | FROM gf)
+        |SELECT gg.source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN k.kept AND gg.gpass THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pass,
+        | CAST(sum(CASE WHEN k.kept AND NOT gg.gpass THEN 1 ELSE 0 END) AS BIGINT) AS n_clf_only,
+        | CAST(sum(CASE WHEN NOT k.kept AND gg.gpass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_only,
+        | CAST(sum(CASE WHEN NOT k.kept AND NOT gg.gpass THEN 1 ELSE 0 END) AS BIGINT) AS n_both_fail,
+        | round(CAST(sum(CASE WHEN k.kept = gg.gpass THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS agreement
+        |FROM gg JOIN k USING (doc_id) GROUP BY gg.source""".stripMargin,
     // q140: dimensions re-derived from the generator formula (q43's oracle
     // discipline) — the funnel diverges if encode or decode lied
     "q140_image_filter_funnel" ->

@@ -118,9 +118,34 @@ object TextStats {
   /** [[gopherQuality]] over an arbitrary (source, text) frame. */
   def gopherQualityOf(docs: DataFrame,
       minWords: Int, maxWords: Int, minMeanLen: Double, maxMeanLen: Double,
+      minStopFrac: Double, minAlphaFrac: Double): DataFrame =
+    gopherFlagged(docs, Seq("source"), minWords, maxWords, minMeanLen,
+      maxMeanLen, minStopFrac, minAlphaFrac)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("f_words")).cast("long").as("n_fail_words"),
+        sum(col("f_mean_len")).cast("long").as("n_fail_mean_len"),
+        sum(col("f_stop")).cast("long").as("n_fail_stopword"),
+        sum(col("f_alpha")).cast("long").as("n_fail_alpha"),
+        sum(when(col("f_words") + col("f_mean_len") + col("f_stop") +
+          col("f_alpha") === 0, 1L).otherwise(0L)).as("n_pass"))
+
+  /** The per-document Gopher rule flags (doc_id, source, f_words,
+    * f_mean_len, f_stop, f_alpha) — [[gopherQualityOf]]'s scoring step,
+    * exposed so q146 can cross-classify against the learned filter. */
+  def gopherDocFlags(docs: DataFrame,
+      minWords: Int = 20, maxWords: Int = 90,
+      minMeanLen: Double = 4.0, maxMeanLen: Double = 5.0,
+      minStopFrac: Double = 0.02, minAlphaFrac: Double = 0.8): DataFrame =
+    gopherFlagged(docs, Seq("doc_id", "source"), minWords, maxWords,
+      minMeanLen, maxMeanLen, minStopFrac, minAlphaFrac)
+
+  private def gopherFlagged(docs: DataFrame, keyCols: Seq[String],
+      minWords: Int, maxWords: Int, minMeanLen: Double, maxMeanLen: Double,
       minStopFrac: Double, minAlphaFrac: Double): DataFrame = {
     val stop = Seq("the", "a", "of", "to", "and", "in")
-    val flagged = docs
+    docs
       .withColumn("ws", words(col("text")))
       // null text ⇒ 0 words ⇒ fails the word-count rule (and only it):
       // without the coalesces a null row's flags are NULL, the sums skip
@@ -136,21 +161,50 @@ object TextStats {
       .withColumn("alpha_frac",
         round(size(filter(col("ws"), w => w.rlike("^[a-z]+$"))).cast("double") /
           col("nw"), 6))
-      .select(col("source"),
+      .select(keyCols.map(col) ++ Seq(
         (col("nw") < minWords || col("nw") > maxWords).cast("int").as("f_words"),
         coalesce((col("mean_len") < minMeanLen || col("mean_len") > maxMeanLen)
           .cast("int"), lit(0)).as("f_mean_len"),
         coalesce((col("stop_frac") < minStopFrac).cast("int"), lit(0)).as("f_stop"),
-        coalesce((col("alpha_frac") < minAlphaFrac).cast("int"), lit(0)).as("f_alpha"))
-    flagged.groupBy(col("source"))
+        coalesce((col("alpha_frac") < minAlphaFrac).cast("int"), lit(0)).as("f_alpha")): _*)
+  }
+
+  /**
+   * q146: quality-filter agreement matrix — per source, the 2×2
+   * cross-classification of the LEARNED filter's verdict (q91's
+   * classifier `kept`) against the HEURISTIC rules' verdict (q88's
+   * all-Gopher-rules pass). The table a pipeline reads when tuning
+   * filters: high `clf_only`/`gopher_only` mass means the two disagree
+   * and thresholds need attention — the q127 method-agreement discipline
+   * applied to quality filtering.
+   *
+   * One token-explode pass feeds the classifier (model train + score),
+   * one narrow pass computes the rule flags; the join is doc-keyed and
+   * the output source-keyed. Both verdicts are the exact q88/q91
+   * spellings, so the matrix rows reconcile with those tables.
+   */
+  def filterAgreement(s: SparkSession, d: String,
+      nBuckets: Int = 256, lotteryMod: Int = 10): DataFrame = {
+    val docs = documents(s, d)
+    val weights = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      classifierWeights(docs, nBuckets), eager = true)
+    val clf = classifierScores(docs, weights, nBuckets, lotteryMod)
+      .select(col("doc_id"), col("kept"))
+    val gp = gopherDocFlags(docs)
+      .select(col("doc_id"), col("source"),
+        (col("f_words") + col("f_mean_len") + col("f_stop") +
+          col("f_alpha") === 0).as("gpass"))
+    gp.join(clf, Seq("doc_id"))
+      .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col("f_words")).cast("long").as("n_fail_words"),
-        sum(col("f_mean_len")).cast("long").as("n_fail_mean_len"),
-        sum(col("f_stop")).cast("long").as("n_fail_stopword"),
-        sum(col("f_alpha")).cast("long").as("n_fail_alpha"),
-        sum(when(col("f_words") + col("f_mean_len") + col("f_stop") +
-          col("f_alpha") === 0, 1L).otherwise(0L)).as("n_pass"))
+        sum(when(col("kept") && col("gpass"), 1L).otherwise(0L)).as("n_both_pass"),
+        sum(when(col("kept") && !col("gpass"), 1L).otherwise(0L)).as("n_clf_only"),
+        sum(when(!col("kept") && col("gpass"), 1L).otherwise(0L)).as("n_gopher_only"),
+        sum(when(!col("kept") && !col("gpass"), 1L).otherwise(0L)).as("n_both_fail"))
+      .withColumn("agreement",
+        round((col("n_both_pass") + col("n_both_fail")).cast("double") /
+          col("n_docs"), 6))
   }
 
   /**

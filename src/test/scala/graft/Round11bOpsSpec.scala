@@ -299,6 +299,29 @@ class Round11bOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q146: agreement matrix reconciles exactly with the q88 and q91 tables") {
+    val d = "/root/testdata/sf0.001"
+    val m = TextStats.filterAgreement(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m.nonEmpty)
+    // marginals: gopher-pass mass per source must equal q88's n_pass,
+    // classifier-kept mass must equal q91's kept=true doc count
+    val q88 = TextStats.gopherQuality(spark, d)
+      .select("source", "n_pass").as[(String, Long)].collect().toMap
+    val q91 = TextStats.classifierQualityStats(spark, d)
+      .filter(col("kept")).select("source", "n_docs")
+      .as[(String, Long)].collect().toMap
+    m.foreach { case (src, (_, n, bp, co, go, bf, agr)) =>
+      assert(bp + co + go + bf == n, s"$src: cells must partition the docs")
+      assert(bp + go == q88(src), s"$src: gopher marginal diverges from q88")
+      assert(bp + co == q91.getOrElse(src, 0L),
+        s"$src: classifier marginal diverges from q91")
+      assert(agr == BigDecimal((bp + bf).toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("q140: funnel counts re-derived from the generator formula; all docs bucketed once") {
     val d = "/root/testdata/sf0.001"
     val gotRows = Multimodal.imageFilterFunnel(spark, d)
