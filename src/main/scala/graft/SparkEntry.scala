@@ -248,6 +248,9 @@ object SparkEntry {
     // learned-vs-heuristic quality-filter agreement matrix per source
     "q146_filter_agreement" -> ((s: SparkSession, d: String) =>
       TextStats.filterAgreement(s, d)),
+    // per-source length-distribution drift vs the reference source
+    "q147_source_drift_chi2" -> ((s: SparkSession, d: String) =>
+      TextStats.sourceDriftChi2(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -2235,6 +2238,39 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN k.kept = gg.gpass THEN 1 ELSE 0 END) AS DOUBLE)
         |   / count(*), 6) AS agreement
         |FROM gg JOIN k USING (doc_id) GROUP BY gg.source""".stripMargin,
+    // q147: q65's bin rule, largest source as reference, Laplace-smoothed
+    // expectations, 12-dp decimal-summed chi-square terms (order-free)
+    "q147_source_drift_chi2" ->
+      s"""WITH b AS (
+        | SELECT source,
+        |  CAST(least(ceil(len($tokens) / 16.0), 6) AS INT) AS bin
+        | FROM documents),
+        |bc AS (SELECT source, bin, count(*) AS o FROM b GROUP BY source, bin),
+        |st AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_docs FROM bc GROUP BY source),
+        |rf AS (SELECT source AS ref_source, n_docs AS n_ref FROM (
+        |  SELECT source, n_docs,
+        |   row_number() OVER (ORDER BY n_docs DESC, source ASC NULLS LAST) AS rn
+        |  FROM st) t WHERE rn = 1),
+        |rb AS (SELECT bc.bin, bc.o AS ref_o FROM bc JOIN rf
+        |  ON bc.source IS NOT DISTINCT FROM rf.ref_source),
+        |ab AS (SELECT CAST(unnest(range(0, 7)) AS INT) AS bin),
+        |gx AS (
+        | SELECT st.source, ab.bin, st.n_docs, coalesce(bc.o, 0) AS o
+        | FROM st CROSS JOIN ab
+        | LEFT JOIN bc ON bc.source IS NOT DISTINCT FROM st.source AND bc.bin = ab.bin),
+        |g2 AS (
+        | SELECT g.source, g.n_docs,
+        |  CAST(g.n_docs AS DOUBLE) *
+        |   (CAST(coalesce(rb.ref_o, 0) + 1 AS DOUBLE) /
+        |    CAST((SELECT n_ref FROM rf) + 7 AS DOUBLE)) AS e,
+        |  CAST(g.o AS DOUBLE) AS od
+        | FROM gx g LEFT JOIN rb ON rb.bin = g.bin)
+        |SELECT source, max(n_docs) AS n_docs,
+        | (max(CASE WHEN source IS NOT DISTINCT FROM (SELECT ref_source FROM rf)
+        |   THEN 1 ELSE 0 END) = 1) AS is_ref,
+        | round(CAST(sum(CAST(round((od - e) * (od - e) / e, 12)
+        |   AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
+        |FROM g2 GROUP BY source""".stripMargin,
     // q140: dimensions re-derived from the generator formula (q43's oracle
     // discipline) — the funnel diverges if encode or decode lied
     "q140_image_filter_funnel" ->

@@ -208,6 +208,65 @@ object TextStats {
   }
 
   /**
+   * q147: source-distribution drift audit — per source, the chi-square
+   * statistic of its token-length-bin distribution against the REFERENCE
+   * source (the largest, deterministically chosen), with Laplace-smoothed
+   * expectations so an empty reference bin cannot divide by zero. The
+   * corpus-drift alarm a pipeline runs per snapshot/source before mixing:
+   * a source whose length profile walked away from the reference shows a
+   * large chi2 long before eval metrics move.
+   *
+   * Engine-exactness: each bin's chi-square term is rounded to 12 dp and
+   * summed as DECIMAL (the q125 discipline), so aggregation order cannot
+   * fork engines; the bin grid is a fixed 7-row broadcast; NULL sources
+   * are real groups (null-safe joins throughout).
+   */
+  def sourceDriftChi2(s: SparkSession, d: String,
+      binTokens: Int = 16, maxBin: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBins = maxBin + 1
+    val binned = documents(s, d)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("bin",
+        least(ceil(col("n_tokens") / binTokens.toDouble), lit(maxBin)).cast("int"))
+    val binCounts = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("o"))
+    val srcTotals = binCounts.groupBy(col("source"))
+      .agg(sum(col("o")).as("n_docs"))
+    val ref = srcTotals
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("source").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("source").as("ref_source"), col("n_docs").as("n_ref"))
+    val refBins = binCounts.join(broadcast(ref),
+        binCounts("source") <=> ref("ref_source"))
+      .select(col("bin"), col("o").as("ref_o"))
+    val allBins = s.range(0, nBins.toLong).select(col("id").cast("int").as("bin"))
+    val grid = srcTotals.join(broadcast(allBins))
+      .join(binCounts.withColumnRenamed("source", "bc_source"),
+        srcTotals("source") <=> col("bc_source") &&
+          allBins("bin") === binCounts("bin"), "left")
+      .select(srcTotals("source"), allBins("bin"), col("n_docs"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .join(broadcast(refBins.withColumnRenamed("bin", "rb_bin")),
+        col("bin") === col("rb_bin"), "left")
+      .join(broadcast(ref))
+      .withColumn("e", col("n_docs").cast("double") *
+        ((coalesce(col("ref_o"), lit(0L)) + 1).cast("double") /
+          (col("n_ref") + nBins).cast("double")))
+      .withColumn("term",
+        round((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e"), 12))
+    grid.groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max((col("source") <=> col("ref_source")).cast("int")).as("is_ref_i"),
+        round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6)
+          .as("chi2"))
+      .select(col("source"), col("n_docs"),
+        (col("is_ref_i") === 1).as("is_ref"), col("chi2"))
+  }
+
+  /**
    * Document fingerprint: Karp-Rabin polynomial rolling hash over word
    * codepoints (base 31, mod 1e9+7), computed with a sequential
    * higher-order `aggregate` — the building block for shift-resistant

@@ -189,7 +189,8 @@ class Round11OpsSpec extends AnyFunSuite with SparkSuite {
       "q139_unimax_mixture", "q140_image_filter_funnel",
       "q141_surgical_decontamination", "q142_ivf_bitext_margin",
       "q143_bitext_routing_recall", "q144_knn_graph",
-      "q145_knn_cluster_purity", "q146_filter_agreement").foreach { q =>
+      "q145_knn_cluster_purity", "q146_filter_agreement",
+      "q147_source_drift_chi2").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, d)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plan went cartesian")

@@ -322,6 +322,39 @@ class Round11bOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q147: chi2 re-derived independently; reference is the largest source; drift ranks as planted") {
+    val d = "/root/testdata/sf0.001"
+    val got = TextStats.sourceDriftChi2(spark, d)
+      .as[(String, Long, Boolean, Double)].collect().map(r => r._1 -> r).toMap
+    // independent recomputation from raw (source, n_tokens)
+    val raw = graft.analytics.Tables.documents(spark, d)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).as("nt"))
+      .as[(String, Int)].collect()
+    val bins = raw.map { case (src, nt) => (src, math.min(math.ceil(nt / 16.0).toInt, 6)) }
+    val byS = bins.groupBy(_._1)
+    val totals = byS.view.mapValues(_.size.toLong).toMap
+    val refSrc = totals.toSeq.sortBy { case (s2, n) => (-n, s2) }.head._1
+    val refBins = byS(refSrc).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nRef = totals(refSrc)
+    def r(x: Double, dp: Int) = BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+    totals.foreach { case (src, n) =>
+      val hist = byS(src).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val chi2 = (0 to 6).map { bin =>
+        val e = n.toDouble * ((refBins.getOrElse(bin, 0L) + 1).toDouble / (nRef + 7).toDouble)
+        val o = hist.getOrElse(bin, 0L).toDouble
+        r((o - e) * (o - e) / e, 12)
+      }.sum
+      val (gs, gn, gref, gchi) = got(src)
+      assert(gn == n && gref == (src == refSrc), s"$src totals/ref flag")
+      assert(math.abs(gchi - r(chi2.toDouble, 6).toDouble) < 1e-9,
+        s"$src chi2: got $gchi want ${r(chi2.toDouble, 6)}")
+    }
+    // the reference scores (near-)minimal drift against itself
+    val refChi = got(refSrc)._4
+    assert(got.values.forall(_._4 >= 0.0) && refChi <= got.values.map(_._4).max)
+  }
+
   test("q140: funnel counts re-derived from the generator formula; all docs bucketed once") {
     val d = "/root/testdata/sf0.001"
     val gotRows = Multimodal.imageFilterFunnel(spark, d)
