@@ -214,6 +214,15 @@ object Soak100 {
         Similarity.knnGraph(spark, soakDir, nplanes = 10).count())
       println(f"[q144] edges $k01 -> $k10, wall x${tk10 / tk01}%.1f on 100x data (nplanes 3 -> 10)")
       }
+      // mutual-kNN clusters: the contraction must stay rounds-bounded as
+      // the mutual-edge mass grows x100 (same nplanes scale rule as q144)
+      if (want("q145")) {
+      val (c01, tc01) = timed("q145 sf0.1")(
+        Similarity.knnClusterPurity(spark, sf01).count())
+      val (c10, tc10) = timed("q145 sf10")(
+        Similarity.knnClusterPurity(spark, soakDir, nplanes = 10).count())
+      println(f"[q145] clusters $c01 -> $c10, wall x${tc10 / tc01}%.1f on 100x data (nplanes 3 -> 10)")
+      }
     }
     spark.stop()
   }
