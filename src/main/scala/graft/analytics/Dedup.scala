@@ -462,19 +462,76 @@ object Dedup {
    * and the same plan splits into per-stage jobs.
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 30,
-      broadcastMaxNodes: Long = 2000000L): DataFrame =
-    duplicateClustersWithRounds(pairs, maxIter, broadcastMaxNodes)._1
+      broadcastMaxNodes: Long = 2000000L,
+      localFinishMaxEdges: Long = LocalFinishMaxEdgesDefault): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIter, broadcastMaxNodes,
+      localFinishMaxEdges)._1
 
   /** [[duplicateClusters]] plus the star-contraction round count (one
     * round = large-star + small-star) — the observable ClusterSoakSpec
     * pins against adversarial (chain) topology, where the round count,
     * not per-round cost, is the scale risk. */
   def duplicateClustersWithRounds(pairs: DataFrame, maxIter: Int = 30,
-      broadcastMaxNodes: Long = 2000000L): (DataFrame, Int) = {
-    val (edges, iter) = duplicateClusterEdges(pairs, maxIter, broadcastMaxNodes)
+      broadcastMaxNodes: Long = 2000000L,
+      localFinishMaxEdges: Long = LocalFinishMaxEdgesDefault): (DataFrame, Int) = {
+    val (edges, iter) = duplicateClusterEdges(pairs, maxIter, broadcastMaxNodes,
+      localFinishMaxEdges)
     val members = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
     val roots = edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")).distinct()
     (members.unionByName(roots), iter)
+  }
+
+  /** Default single-task endgame threshold for [[duplicateClusterEdges]]:
+    * an edge remnant of ≤250k (src, dst) longs is ~4 MB of payload — far
+    * under one executor task's working memory at any sane configuration,
+    * while the per-ROUND loop cost it replaces (plan composition + an
+    * 8-stage scheduler job) is ~0.3–0.5 s regardless of data volume. */
+  val LocalFinishMaxEdgesDefault: Long = 250000L
+
+  /**
+   * Endgame for the star contraction: once the (still-unconverged) edge
+   * remnant fits a single task, compute the component-minima fixpoint in
+   * ONE distributed job — a union-find over the coalesced edge list
+   * inside a single `mapPartitions` task. No driver collect: the edge
+   * list never leaves the executors, and the result is the same
+   * (child > root-at-component-min) frame shape the loop converges to.
+   * This is the standard two-phase CC endgame (contract while the graph
+   * is cluster-sized, finish locally when the remnant fits one worker):
+   * without it, a few-thousand-edge graph still pays the loop's fixed
+   * per-round scheduler cost for every one of its O(log) rounds — at
+   * sf0.1 that fixed cost was ~60% of q130's and q145's whole wall.
+   */
+  private def localFinish(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select(col("src"), col("dst")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        // union-find to component minima, path-compressed — emits exactly
+        // the loop's fixpoint: (member, component-min) for every non-root
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        val nodes = scala.collection.mutable.LongMap.empty[Unit]
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) { x = p; p = parent.getOrElse(x, x) }
+          val root = x
+          x = x0
+          p = parent.getOrElse(x, x)
+          while (p != x) { parent(x) = root; x = p; p = parent.getOrElse(x, x) }
+          root
+        }
+        it.foreach { case (a, b) =>
+          nodes(a) = (); nodes(b) = ()
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        nodes.keysIterator.flatMap { n =>
+          val r = find(n)
+          if (r != n) Iterator.single((n, r)) else Iterator.empty
+        }
+      }
+      .toDF("src", "dst")
   }
 
   /** The star-contraction fixpoint as raw (child > root) edges — one row
@@ -483,7 +540,8 @@ object Dedup {
     * roots union, which would materialize `doc_id == cluster_id` rows just
     * to filter them straight back out. */
   def duplicateClusterEdges(pairs: DataFrame, maxIter: Int = 30,
-      broadcastMaxNodes: Long = 2000000L): (DataFrame, Int) = {
+      broadcastMaxNodes: Long = 2000000L,
+      localFinishMaxEdges: Long = LocalFinishMaxEdgesDefault): (DataFrame, Int) = {
     // lazy checkpoints: each round's edge set is materialized BY the
     // convergence probe's aggregate (one scheduler job per round), not by
     // a separate eager-checkpoint job — halves the tiny-job count that
@@ -617,17 +675,26 @@ object Dedup {
     // phases are the identity.)
     var iter = 0
     var converged = violations == 0L
+    var curEdges = nEdges
     while (!converged && iter < maxIter) {
-      // one lineage truncation per round, materialized by the probe's own
-      // aggregate job; the large-star subplan inside is referenced twice
-      // by small-star's nb union, but its exchanges are identical and
-      // shared (ReuseExchange), so only the cheap post-shuffle compute
-      // doubles — cheaper than an extra checkpoint job
-      edges = ckpt(phase(phase(edges, large = true), large = false))
-      iter += 1
-      val (v, nn, ne) = probe(edges)
-      converged = v == 0L
-      resizeLoop(nn, ne)
+      if (localFinishMaxEdges > 0 && curEdges <= localFinishMaxEdges) {
+        // single-task endgame: the remnant fits one worker — finish the
+        // contraction in one job instead of O(log remnant) more rounds
+        edges = ckpt(localFinish(edges))
+        converged = true
+      } else {
+        // one lineage truncation per round, materialized by the probe's own
+        // aggregate job; the large-star subplan inside is referenced twice
+        // by small-star's nb union, but its exchanges are identical and
+        // shared (ReuseExchange), so only the cheap post-shuffle compute
+        // doubles — cheaper than an extra checkpoint job
+        edges = ckpt(phase(phase(edges, large = true), large = false))
+        iter += 1
+        val (v, nn, ne) = probe(edges)
+        converged = v == 0L
+        curEdges = ne
+        resizeLoop(nn, ne)
+      }
     }
     if (!converged)
       throw new IllegalStateException(

@@ -29,7 +29,11 @@ class ClusterSoakSpec extends AnyFunSuite with SparkSuite {
   test("long chains: correct components, logarithmic round count") {
     val nChains = 4
     val len = 1024 // path of 1024 nodes; min-contraction + halving ⇒ O(log L)
-    val (df, rounds) = Dedup.duplicateClustersWithRounds(chainEdges(nChains, len))
+    // localFinishMaxEdges = 0: this test pins the LOOP's round bound, so
+    // the single-task endgame (which would resolve these few thousand
+    // edges in one job with zero rounds) is disabled
+    val (df, rounds) = Dedup.duplicateClustersWithRounds(
+      chainEdges(nChains, len), localFinishMaxEdges = 0L)
     val out = df.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length == nChains * len, "every chained node gets a cluster row")
     out.foreach { case (node, cluster) =>
@@ -40,8 +44,10 @@ class ClusterSoakSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("near-logarithmic growth: quadrupling the chain adds a few rounds, not 4x") {
-    val (_, r64) = Dedup.duplicateClustersWithRounds(chainEdges(1, 64))
-    val (_, r256) = Dedup.duplicateClustersWithRounds(chainEdges(1, 256))
+    val (_, r64) = Dedup.duplicateClustersWithRounds(
+      chainEdges(1, 64), localFinishMaxEdges = 0L)
+    val (_, r256) = Dedup.duplicateClustersWithRounds(
+      chainEdges(1, 256), localFinishMaxEdges = 0L)
     assert(r256 <= r64 + 4,
       s"4x chain cost ${r256 - r64} extra rounds over $r64 — not logarithmic")
   }
@@ -68,7 +74,7 @@ class ClusterSoakSpec extends AnyFunSuite with SparkSuite {
     // is still uncontracted. The corrected predicate also requires every
     // child to have exactly one parent, forcing another round here.
     val (df, rounds) = Dedup.duplicateClustersWithRounds(
-      Seq((5L, 1L), (5L, 2L)).toDF("doc_a", "doc_b"))
+      Seq((5L, 1L), (5L, 2L)).toDF("doc_a", "doc_b"), localFinishMaxEdges = 0L)
     val out = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rounds >= 1, "a multi-parent state must trigger at least one round")
     assert(out == Set((1L, 1L), (2L, 1L), (5L, 1L)),
@@ -101,6 +107,28 @@ class ClusterSoakSpec extends AnyFunSuite with SparkSuite {
     (0 until n).foreach { i =>
       assert(clusters(1000L + i) == 1000L,
         s"copy ${1000 + i} not in the planted cluster rooted at 1000")
+    }
+  }
+
+  test("single-task endgame ≡ loop fixpoint on chains, cliques and multi-parent states") {
+    // The default path resolves any remnant under LocalFinishMaxEdgesDefault
+    // in one union-find task; its output must be IDENTICAL (same member →
+    // component-min rows, zero loop rounds) to the pure-loop fixpoint on
+    // every adversarial topology this suite pins.
+    val graphs = Seq(
+      chainEdges(4, 257),                                   // long paths
+      Seq((5L, 1L), (5L, 2L)).toDF("doc_a", "doc_b"),       // multi-parent
+      (0 until 30).flatMap { c =>
+        val ids = (0 until 5).map(i => 900L + c * 5 + i)
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toDF("doc_a", "doc_b"))                             // cliques
+    graphs.foreach { g =>
+      val (viaLoop, _) = Dedup.duplicateClustersWithRounds(g, localFinishMaxEdges = 0L)
+      val (viaFinish, rounds) = Dedup.duplicateClustersWithRounds(g)
+      assert(rounds == 0, s"endgame should bypass all loop rounds, ran $rounds")
+      val a = viaLoop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = viaFinish.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, s"endgame fixpoint diverges from loop: ${a.diff(b)} vs ${b.diff(a)}")
     }
   }
 

@@ -175,10 +175,15 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
     }
 
     // q74: contraction rounds are the scale observable — shard-local
-    // clusters mean the 10x corpus must converge in the same O(log) rounds
-    val (_, r01) = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(spark, sf01))
+    // clusters mean the 10x corpus must converge in the same O(log) rounds.
+    // localFinishMaxEdges = 0 pins the LOOP's bound: the single-task
+    // endgame would otherwise zero the small side's rounds and make the
+    // comparison vacuous (endgame ≡ loop is ClusterSoakSpec's job).
+    val (_, r01) = Dedup.duplicateClusterEdges(
+      Dedup.simhashDupGraph(spark, sf01), localFinishMaxEdges = 0L)
     val t0 = System.nanoTime()
-    val (edges1, r1) = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(spark, soakDir))
+    val (edges1, r1) = Dedup.duplicateClusterEdges(
+      Dedup.simhashDupGraph(spark, soakDir), localFinishMaxEdges = 0L)
     val n1 = edges1.count()
     info(f"q74: sf0.1 rounds=$r01 -> sf1 rounds=$r1 (${(System.nanoTime() - t0) / 1e9}%.1fs, $n1 member edges)")
     assert(r1 <= r01 + 2,
