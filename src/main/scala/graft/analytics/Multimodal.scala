@@ -200,21 +200,34 @@ object Multimodal {
     * decode map (codec + digest initialized once per partition, payloads
     * never shuffle), emitting exactly the frame shape the banded pair
     * machinery consumes. NULL payload → NULL fingerprint (never pairs). */
-  def dhashMeta(s: SparkSession, d: String): DataFrame = {
+  def dhashMeta(s: SparkSession, d: String): DataFrame =
+    dhashMetaOf(pngMediaTable(s, d).toDF())
+
+  /** [[dhashMeta]] over an arbitrary (doc_id, payload) frame — the form
+    * the streaming image gate ([[graft.streaming.StreamingCorpus
+    * .startImageClusterGate]]) fingerprints arriving batches with, and
+    * the batch corpus path above. An undecodable payload keeps its exact
+    * hash (byte-identical re-posts still collapse) but carries no
+    * perceptual fingerprint — it can never NEAR-dup, the q74 null
+    * guard's image analogue. */
+  def dhashMetaOf(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
     import s.implicits._
-    pngMediaTable(s, d).mapPartitions { batch =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      batch.map { row =>
-        if (row.payload == null) DhashRow(row.doc_id, None, None)
-        else {
-          md.reset()
-          val hex = md.digest(row.payload).map("%02x".format(_)).mkString
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(row.payload))
-          DhashRow(row.doc_id, Some(hex), Some(dhash60(img)))
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { batch =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.map { row =>
+          if (row.payload == null) DhashRow(row.doc_id, None, None)
+          else {
+            md.reset()
+            val hex = md.digest(row.payload).map("%02x".format(_)).mkString
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(row.payload))
+            if (img == null) DhashRow(row.doc_id, Some(hex), None)
+            else DhashRow(row.doc_id, Some(hex), Some(dhash60(img)))
+          }
         }
-      }
-    }.toDF()
+      }.toDF()
   }
 
   /** Session-scoped memo of the decoded fingerprint table per corpus dir

@@ -512,6 +512,26 @@ object StreamingCorpus {
         .filter(col("h128").isNotNull)
         .select(col("doc_id"), col("h128"), col("simhash")),
       eager = false)
+    maintainClusterForestFromMeta(spark, meta, repPath, forestPath, batchId,
+      statsPath, maxHamming, nBuckets)
+  }
+
+  /** The fingerprint-agnostic core of [[maintainClusterForest]]: one batch
+    * step over an already-fingerprinted, in-batch-deduped, null-filtered
+    * (doc_id, h128, simhash) frame (caller checkpoints it). The text gate
+    * derives `meta` from text simhash, the image gate
+    * ([[maintainImageClusterForest]]) from dHash over payloads — the
+    * forest/rep state machine and its crash-replay ordering are identical. */
+  def maintainClusterForestFromMeta(
+      spark: SparkSession,
+      meta: org.apache.spark.sql.DataFrame,
+      repPath: String,
+      forestPath: String,
+      batchId: Long,
+      statsPath: Option[String] = None,
+      maxHamming: Int = 6,
+      nBuckets: Int = 32): Unit = {
+    import graft.analytics.Dedup
     val batchMin = meta.groupBy(col("h128"))
       .agg(min(col("doc_id")).as("bmin"), min(col("simhash")).as("simhash"))
     val repExists = BucketedMerge.hasData(spark, repPath)
@@ -595,6 +615,89 @@ object StreamingCorpus {
         .toDF("batch_id", "n_root_edges", "n_forest_updates")
         .write.mode("append").parquet(sp)
     }
+  }
+
+  /**
+   * Online image near-dup gate — the streaming counterpart of the q128 /
+   * q130 image family: arriving (doc_id, payload) batches are decoded and
+   * dHash-fingerprinted ONCE ([[graft.analytics.Multimodal.dhashMetaOf]]
+   * — payloads never enter state, never shuffle past the scan), then:
+   *
+   *  1. the batch's (doc_id, h128, simhash) rows upsert into the
+   *     incremental FINGERPRINT table at `fpPath` — content-derived and
+   *     keyed by doc_id, so re-delivery and crash replay are idempotent
+   *     by construction. Every fingerprint consumer reads this table;
+   *     [[graft.analytics.Dedup.hammingHistogramOf]] over it IS the q128
+   *     histogram of the corpus seen so far.
+   *  2. the same rows (minus null fingerprints: an absent payload never
+   *     pairs — q74's null guard) drive one
+   *     [[maintainClusterForestFromMeta]] step: the identical rep/forest
+   *     state machine, crash-replay ordering and touched-component cost
+   *     bound as the text cluster gate, so
+   *     [[clustersFromForest]] ≡ batch q130
+   *     ([[graft.analytics.Multimodal.imageDhashClusters]]' contraction)
+   *     over the corpus seen so far.
+   *
+   * Equivalence to batch q128 + q130 is asserted under out-of-order
+   * arrival, re-delivery and a simulated crash window in
+   * StreamingCorpusSpec.
+   */
+  def startImageClusterGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      fpPath: String,
+      repPath: String,
+      forestPath: String,
+      checkpointDir: String,
+      statsPath: Option[String] = None,
+      maxHamming: Int = 6,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        maintainImageClusterForest(spark, batch, fpPath, repPath, forestPath,
+          batchId, statsPath, maxHamming, nBuckets)
+      }
+      .start()
+  }
+
+  /** One batch step of [[startImageClusterGate]] — factored out so the
+    * spec can drive it directly (crash windows included). */
+  def maintainImageClusterForest(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      fpPath: String,
+      repPath: String,
+      forestPath: String,
+      batchId: Long,
+      statsPath: Option[String] = None,
+      maxHamming: Int = 6,
+      nBuckets: Int = 32): Unit = {
+    // one decode pass: dHash fingerprints, in-batch re-delivery collapsed
+    val metaAll = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      Merge.dedupLatest(
+        graft.analytics.Multimodal.dhashMetaOf(
+          batch.select(col("doc_id"), col("payload")))
+          .withColumn("_dump_seq", lit(batchId)),
+        Seq("doc_id"), "_dump_seq")
+        .select(col("doc_id"), col("h128"), col("simhash")),
+      eager = false)
+    // fingerprint ledger first: idempotent (content-derived, doc_id-keyed),
+    // so it is safe on either side of a crash window; null-fingerprint
+    // rows stay VISIBLE here (the q91 ledger discipline) even though they
+    // never enter the pair state
+    BucketedMerge.mergeInto(spark, fpPath,
+      metaAll.withColumn("_dump_seq", lit(batchId)),
+      Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+    maintainClusterForestFromMeta(spark,
+      metaAll.filter(col("h128").isNotNull),
+      repPath, forestPath, batchId, statsPath, maxHamming, nBuckets)
   }
 
   /**

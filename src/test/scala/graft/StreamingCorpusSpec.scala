@@ -1146,4 +1146,100 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     assert(byId(13L) == 0L, s"untrained-bucket doc must score 0, not vanish: $byId")
     weights.unpersist()
   }
+
+  test("image cluster gate: fingerprints + clusters equal batch q128/q130 under replay, out-of-order arrival and crash window") {
+    import graft.analytics.{Dedup, Multimodal}
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_simgclust").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val fpPath = s"$root/wh/img_fp"
+    val repPath = s"$root/wh/img_rep"
+    val forestPath = s"$root/wh/img_forest"
+    val statsPath = s"$root/wh/img_stats"
+    // deterministic renders; `tweak` flips one pixel OFF the dHash sample
+    // grid (w=33 samples x ∈ {0,3,6,..}, h=24 samples y ∈ {0,4,8,..}) —
+    // same perceptual fingerprint, different bytes: a true near-dup pair
+    def render(seed: Long, w: Int, h: Int, tweak: Boolean = false): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (seed * 131 + x * 31 + y * 7).toInt & 0xFFFFFF
+          img.setRGB(x, y, if (tweak && x == 1 && y == 1) v ^ 0x0F0F0F else v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = render(7L, 33, 24)
+    val tweaked = render(7L, 33, 24, tweak = true)
+    // wave 1: exact-dup group {10,11,12} on `base` bytes, near-dup 20
+    // (identical dHash, different md5), unique 30. wave 2 arrives OUT OF
+    // ORDER (doc 2 < every wave-1 id) with base's exact bytes — it must
+    // displace root 10 — plus an in-batch re-delivery, a unique, and a
+    // NULL payload (must never pair). wave 3: uniques + null (the
+    // batch-boundedness probe).
+    val w1 = Seq((10L, base), (11L, base), (12L, base), (20L, tweaked),
+      (30L, render(99L, 40, 30)))
+    val w2 = Seq((2L, base), (2L, base), (31L, render(55L, 20, 20)),
+      (32L, null: Array[Byte]))
+    val w3 = Seq((40L, render(77L, 28, 18)), (41L, null: Array[Byte]))
+    def dfOf(rows: Seq[(Long, Array[Byte])]) = rows.toDF("doc_id", "payload")
+    val schema = dfOf(w1).schema
+    def drain(): Unit = {
+      val q = StreamingCorpus.startImageClusterGate(spark,
+        landing.getAbsolutePath, schema, fpPath, repPath, forestPath,
+        s"$root/chk", Some(statsPath), nBuckets = 4)
+      q.awaitTermination()
+    }
+    def assertEqBatch(soFarRaw: Seq[(Long, Array[Byte])], tag: String): Unit = {
+      // the batch reference sees each doc once — re-delivered rows are the
+      // GATE's problem (it must collapse them), not extra batch multiplicity
+      val soFar = soFarRaw.distinctBy(_._1)
+      val meta = Multimodal.dhashMetaOf(dfOf(soFar)).localCheckpoint(true)
+      // q130: incremental forest components ≡ batch contraction
+      val streamedC = StreamingCorpus.clustersFromForest(
+        BucketedMerge.read(spark, forestPath).select(col("doc_id"), col("root")))
+      val batchC = Dedup.duplicateClusters(Dedup.simhashDupGraphFromMeta(meta))
+      assert(streamedC.exceptAll(batchC).isEmpty && batchC.exceptAll(streamedC).isEmpty,
+        s"$tag: incremental image clusters diverge from batch q130 contraction")
+      // q128: histogram over the incremental fingerprint table ≡ batch
+      val fp = BucketedMerge.read(spark, fpPath)
+        .select(col("doc_id"), col("h128"), col("simhash"))
+      val streamedH = Dedup.hammingHistogramOf(fp, 6)
+      val batchH = Dedup.hammingHistogramOf(meta, 6)
+      assert(streamedH.exceptAll(batchH).isEmpty && batchH.exceptAll(streamedH).isEmpty,
+        s"$tag: fingerprint-table histogram diverges from batch q128")
+      // ledger completeness: every doc exactly once, null payloads visible
+      assert(fp.count() == soFar.map(_._1).distinct.size.toLong,
+        s"$tag: fingerprint ledger must cover every arrived doc exactly once")
+    }
+    land(dfOf(w1), landing, "wave1"); drain(); assertEqBatch(w1, "wave1")
+    land(dfOf(w2), landing, "wave2"); drain(); assertEqBatch(w1 ++ w2, "wave2")
+    // crash window: the whole wave-2 step re-runs against merged state
+    // (covers the retry-after-partial-apply ordering: fp and forest
+    // merges are each idempotent on re-derived content)
+    StreamingCorpus.maintainImageClusterForest(spark, dfOf(w2), fpPath,
+      repPath, forestPath, 1L, Some(statsPath), nBuckets = 4)
+    assertEqBatch(w1 ++ w2, "wave2-replay")
+    // the displaced root: late doc 2 now roots base's exact group AND its
+    // near-dup (identical dHash ⇒ hamming-0 band edge)
+    val f2 = BucketedMerge.read(spark, forestPath)
+      .select(col("doc_id"), col("root")).as[(Long, Long)].collect().toMap
+    assert(f2(10L) == 2L && f2(11L) == 2L && f2(12L) == 2L && f2(20L) == 2L,
+      s"late-arriving lower id must displace the image group's root: $f2")
+    land(dfOf(w3), landing, "wave3"); drain(); assertEqBatch(w1 ++ w2 ++ w3, "wave3")
+    // batch-boundedness: an all-unique wave contracts nothing
+    val stats = spark.read.parquet(statsPath)
+      .orderBy(col("batch_id").desc).limit(1)
+      .select(col("n_root_edges"), col("n_forest_updates"))
+      .as[(Long, Long)].head()
+    assert(stats == ((0L, 0L)),
+      s"an all-unique image batch must not touch the forest (got $stats)")
+  }
 }
