@@ -251,6 +251,12 @@ object SparkEntry {
     // per-source length-distribution drift vs the reference source
     "q147_source_drift_chi2" -> ((s: SparkSession, d: String) =>
       TextStats.sourceDriftChi2(s, d)),
+    // URL-level dedup (canonicalize, one doc per canonical URL)
+    "q148_url_dedup" -> ((s: SparkSession, d: String) =>
+      Sampling.urlDedupStats(s, d)),
+    // domain blocklist + per-domain caps over the URL-dedup survivors
+    "q149_domain_caps" -> ((s: SparkSession, d: String) =>
+      Sampling.domainCapStats(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -283,6 +289,45 @@ object SparkEntry {
       Similarity.hardNegatives(s, d)))
 
   private val tokens = "regexp_split_to_array(trim(text), '\\s+')"
+
+  // Shared q148/q149 CTEs: raw planted URL -> canonical form -> per-URL
+  // keeper rank (the DuckDB replay of Sampling.urlRaw / urlCanonical /
+  // urlSurvivorsOf)
+  private val urlCte =
+    """WITH u AS (
+      | SELECT doc_id, source, n_chars,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
+      |  CASE WHEN doc_id % 3 = 0
+      |   THEN upper('www.' || coalesce(source, 'nosrc') || '.example.com')
+      |   ELSE 'www.' || coalesce(source, 'nosrc') || '.example.com' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+      |  '/p' || CAST(doc_id % 7 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=c9'
+      |   WHEN doc_id % 4 = 1 THEN '?ref=r' || CAST(doc_id % 3 AS VARCHAR)
+      |   ELSE '' END ||
+      |  CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS raw
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, source, n_chars,
+      |  regexp_replace(
+      |   replace(
+      |    regexp_replace(
+      |     regexp_replace(
+      |      regexp_replace(
+       |      regexp_replace(lower(raw), '#.*$', ''),
+      |      '\?utm_[a-z0-9_=&]*$', ''),
+      |     '^https?://', ''),
+      |    '^www\.', ''),
+      |   ':443/', '/'),
+      |  '/$', '') AS url
+      | FROM u),
+      |urn AS (
+      | SELECT doc_id, source, n_chars, url,
+      |  row_number() OVER (PARTITION BY url
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      | FROM c)
+      |""".stripMargin
 
   /** The full IVF pipeline as a reusable CTE chain ending at `r`
     * (query_id, neighbor_id, cosine, rn): md5-derived hyperplane cells
@@ -2271,6 +2316,44 @@ object SparkEntry {
         | round(CAST(sum(CAST(round((od - e) * (od - e) / e, 12)
         |   AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
         |FROM g2 GROUP BY source""".stripMargin,
+    // q148/q149: the planted-URL CTEs replay urlRaw + urlCanonical exactly
+    // (anchored single-match regexes both engines interpret identically;
+    // the port strip is a literal replace); keeper/cap lotteries are the
+    // q103 md5 key verbatim
+    "q148_url_dedup" ->
+      (urlCte +
+        """SELECT source, count(*) AS n_docs,
+          | CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+          | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_removed,
+          | CAST(coalesce(sum(CASE WHEN rn = 1 THEN n_chars END), 0) AS BIGINT) AS kept_chars,
+          | CAST(coalesce(sum(CASE WHEN rn = 1 THEN doc_id END), 0) AS BIGINT) AS kept_checksum
+          |FROM urn GROUP BY source""".stripMargin),
+    "q149_domain_caps" ->
+      (urlCte +
+        """, surv AS (SELECT doc_id, n_chars, url FROM urn WHERE rn = 1),
+          |sd AS (SELECT doc_id, n_chars, url,
+          |  regexp_extract(url, '^([^/?]+)', 1) AS domain FROM surv),
+          |bl AS (SELECT DISTINCT domain FROM sd
+          |  WHERE ('0x' || substr(md5(domain), 1, 15))::BIGINT % 7 = 0),
+          |fl AS (SELECT sd.doc_id, sd.n_chars, sd.domain,
+          |  (bl.domain IS NOT NULL) AS blocked
+          | FROM sd LEFT JOIN bl ON sd.domain = bl.domain),
+          |rk AS (SELECT doc_id, n_chars, domain,
+          |  row_number() OVER (PARTITION BY domain
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS krn
+          | FROM fl WHERE NOT blocked)
+          |SELECT domain, count(*) AS n_urls, false AS blocked,
+          | CAST(sum(CASE WHEN krn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          | CAST(sum(CASE WHEN krn > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+          | CAST(coalesce(sum(CASE WHEN krn <= 5 THEN n_chars END), 0) AS BIGINT) AS kept_chars,
+          | CAST(coalesce(sum(CASE WHEN krn <= 5 THEN doc_id END), 0) AS BIGINT) AS kept_checksum
+          |FROM rk GROUP BY domain
+          |UNION ALL
+          |SELECT domain, count(*) AS n_urls, true AS blocked,
+          | CAST(0 AS BIGINT) AS n_kept,
+          | CAST(count(*) AS BIGINT) AS n_dropped,
+          | CAST(0 AS BIGINT) AS kept_chars, CAST(0 AS BIGINT) AS kept_checksum
+          |FROM fl WHERE blocked GROUP BY domain""".stripMargin),
     // q140: dimensions re-derived from the generator formula (q43's oracle
     // discipline) — the funnel diverges if encode or decode lied
     "q140_image_filter_funnel" ->

@@ -190,4 +190,54 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(out.exceptAll(re).isEmpty && re.exceptAll(out).isEmpty,
       "repeat plan depends on input partitioning")
   }
+
+  test("q148/q149 URL funnel: marginals reconcile, cap rule is q103's verbatim") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val dedup = Sampling.urlDedupStatsOf(docs)
+    val caps = Sampling.domainCapStatsOf(docs, cap = 5, blockMod = 7)
+    // every document is accounted for: kept + removed = n_docs per source
+    val bad = dedup.filter(
+      col("n_docs") =!= col("n_dup_removed") +
+        (col("n_docs") - col("n_dup_removed"))).count()
+    assert(bad == 0)
+    // marginal reconciliation: q149's per-domain survivor count equals
+    // q148's per-source kept count through the source->domain mapping
+    // (domain = lower(source).example.com — 1:1 on this corpus)
+    val fromDedup = dedup.select(
+      concat(lower(coalesce(col("source"), lit("nosrc"))),
+        lit(".example.com")).as("domain"),
+      (col("n_docs") - col("n_dup_removed")).as("expected_urls"))
+    val joined = caps.join(fromDedup, Seq("domain"), "full")
+    val mismatched = joined.filter(
+      col("n_urls").isNull || col("expected_urls").isNull ||
+        col("n_urls") =!= col("expected_urls")).count()
+    assert(mismatched == 0,
+      "q149 per-domain survivors must equal q148 per-source kept docs")
+    // cap-rule parity BY RECOMPUTATION: q149's unblocked rows must equal
+    // sourceCapStatsOf (the oracle-proven q103 selection) run directly on
+    // the survivor set keyed by domain
+    val survivors = Sampling.urlSurvivorsOf(docs).filter(col("kept"))
+      .withColumn("domain", Sampling.urlDomain(col("url")))
+    val blockedDomains = caps.filter(col("blocked"))
+      .select(col("domain")).as[String].collect().toSet
+    val expected = Sampling.sourceCapStatsOf(
+      survivors.filter(!col("domain").isin(blockedDomains.toSeq: _*))
+        .select(col("doc_id"), col("domain").as("source"), col("n_chars")), 5)
+      .select(col("source").as("domain"), col("n_docs").as("n_urls"),
+        col("n_kept"), col("n_dropped"), col("kept_chars"), col("kept_checksum"))
+    val got = caps.filter(!col("blocked")).drop("blocked")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "q149 cap stats must be sourceCapStatsOf keyed by domain, verbatim")
+    // blocklist determinism + wholesale drop: blocked domains keep nothing
+    val blockedRows = caps.filter(col("blocked"))
+      .select("n_kept", "kept_chars", "kept_checksum")
+      .as[(Long, Long, Long)].collect()
+    assert(blockedRows.forall(_ == ((0L, 0L, 0L))))
+    // partitioning invariance (the q89 discipline)
+    val re = Sampling.domainCapStatsOf(docs.repartition(7), 5, 7)
+    assert(caps.exceptAll(re).isEmpty && re.exceptAll(caps).isEmpty,
+      "URL funnel depends on input partitioning")
+  }
 }
