@@ -1008,6 +1008,109 @@ object StreamingCorpus {
   }
 
   /**
+   * Online URL-dedup gate — the streaming counterpart of q148
+   * ([[Sampling.urlDedupStats]]): arriving documents canonicalize their
+   * URL ([[Sampling.urlRaw]] → [[Sampling.urlCanonical]], the same
+   * narrow column maps as batch) and the gate maintains, per canonical
+   * URL, which document is the lottery keeper.
+   *
+   * State (both pure idempotent merges — no pre-merge read, so ANY crash
+   * window or replay order re-merges identical or dominated rows):
+   *  - DOCS ledger (doc_id → source, n_chars, url): a pure function of
+   *    the document, idempotent overwrite;
+   *  - KEEPER table (url → (kmk, kd)): the q103/q148 lottery minimum
+   *    (md5(doc_id), doc_id) per URL. Keep-lowest is associative,
+   *    commutative and idempotent; the merge rank encodes it EXACTLY:
+   *    `_keep_rank = (translate(mk, hex, reversed-hex), -doc_id)` — the
+   *    per-digit hex complement reverses lexicographic order 1:1, so
+   *    keep-MAX rank is keep-MIN (md5, doc_id) with no precision caveat.
+   *    A late-arriving lower-lottery document retroactively displaces
+   *    the stored keeper (the source-cap gate's eviction semantics).
+   *
+   * Served output ([[urlLedger]]): per-source (n_docs, n_urls,
+   * n_dup_removed, kept_chars, kept_checksum) ≡ batch q148 on the same
+   * corpus (asserted under out-of-order arrival + replay + a crash
+   * window in StreamingCorpusSpec).
+   *
+   * 100 TB posture: state is one narrow row per doc + one per distinct
+   * URL (never text); each batch shuffles once per merge on bucket-
+   * pruned keys; serving joins docs⋈keepers on the URL hash.
+   */
+  def startUrlDedupGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      docsPath: String,
+      keeperPath: String,
+      checkpointDir: String,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        maintainUrlDedupState(spark, batch, docsPath, keeperPath, batchId,
+          nBuckets)
+      }
+      .start()
+  }
+
+  /** One batch step of [[startUrlDedupGate]] — factored out so the spec
+    * can replay a crashed attempt directly. */
+  def maintainUrlDedupState(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      docsPath: String,
+      keeperPath: String,
+      batchId: Long,
+      nBuckets: Int = 32): Unit = {
+    val b = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      Merge.dedupLatest(
+        batch.select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("_dump_seq", lit(batchId)),
+        Seq("doc_id"), "_dump_seq")
+        .withColumn("url",
+          Sampling.urlCanonical(Sampling.urlRaw(col("doc_id"), col("source"))))
+        .withColumn("mk", md5(col("doc_id").cast("string").cast("binary"))),
+      eager = false)
+    BucketedMerge.mergeInto(spark, docsPath,
+      b.select(col("doc_id"), col("source"), col("n_chars"), col("url"),
+        lit(batchId).as("_dump_seq")),
+      Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+    val bmin = b.groupBy(col("url"))
+      .agg(min(struct(col("mk"), col("doc_id").as("d"))).as("bk"))
+    BucketedMerge.mergeInto(spark, keeperPath,
+      bmin.select(col("url"), col("bk.mk").as("kmk"), col("bk.d").as("kd"),
+        struct(
+          translate(col("bk.mk"),
+            "0123456789abcdef", "fedcba9876543210").as("rm"),
+          (-col("bk.d")).as("rd")).as("_keep_rank")),
+      Seq("url"), nBuckets, seqCol = Some("_keep_rank"))
+  }
+
+  /** The served q148 ledger from the gate's state — column-equal to batch
+    * [[Sampling.urlDedupStats]] on the same corpus. */
+  def urlLedger(spark: SparkSession, docsPath: String,
+      keeperPath: String): org.apache.spark.sql.DataFrame =
+    BucketedMerge.read(spark, docsPath)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("url"))
+      .join(BucketedMerge.read(spark, keeperPath)
+        .select(col("url"), col("kd")), Seq("url"))
+      .withColumn("kept", col("doc_id") === col("kd"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_urls"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dup_removed"),
+        coalesce(sum(when(col("kept"), col("n_chars"))), lit(0L))
+          .as("kept_chars"),
+        coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L))
+          .as("kept_checksum"))
+
+  /**
    * Online decontamination gate: documents landing in `landingDir` are
    * scored against a FROZEN benchmark k-gram set (`benchGrams`, one `h`
    * column — e.g. [[TextStats.allGramHashesOf]] over the eval suite) and

@@ -1147,6 +1147,54 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     weights.unpersist()
   }
 
+  test("URL-dedup gate: served ledger equals batch q148 under replay, out-of-order arrival and keeper displacement") {
+    import graft.analytics.Sampling
+    import spark.implicits._
+    val root = TempDirs.tempDir("graft_surl").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val docsPath = s"$root/wh/url_docs"
+    val keeperPath = s"$root/wh/url_keeper"
+    // ids 3 and 10 share canonical 's0.example.com/p3' (same mod-7 slot,
+    // every raw variant normalizes away); md5('10') < md5('3'), so doc 10
+    // arriving LATE in wave 2 must displace wave-1 keeper 3. Hostile
+    // shapes ride along: NULL source (canonicalizes via 'nosrc'), NULL
+    // n_chars, and an in-batch re-delivery.
+    def doc(id: Long, src: String, n: java.lang.Long) = (id, src, n)
+    val w1 = Seq(doc(3L, "s0", 30L), doc(17L, "s0", 17L),
+      doc(5L, "s1", 50L), doc(9L, null, null))
+    val w2 = Seq(doc(10L, "s0", 10L), doc(10L, "s0", 10L),
+      doc(24L, "s1", 24L), doc(16L, null, 16L))
+    val w3 = Seq(doc(31L, "s2", 31L))
+    def dfOf(rows: Seq[(Long, String, java.lang.Long)]) =
+      rows.toDF("doc_id", "source", "n_chars")
+    val schema = dfOf(w1).schema
+    def drain(): Unit = {
+      val q = StreamingCorpus.startUrlDedupGate(spark, landing.getAbsolutePath,
+        schema, docsPath, keeperPath, s"$root/chk", nBuckets = 4)
+      q.awaitTermination()
+    }
+    def assertEqBatch(soFarRaw: Seq[(Long, String, java.lang.Long)], tag: String): Unit = {
+      val soFar = soFarRaw.distinctBy(_._1)
+      val streamed = StreamingCorpus.urlLedger(spark, docsPath, keeperPath)
+      val batch = Sampling.urlDedupStatsOf(dfOf(soFar))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        s"$tag: streamed URL ledger diverges from batch q148")
+    }
+    land(dfOf(w1), landing, "wave1"); drain(); assertEqBatch(w1, "wave1")
+    land(dfOf(w2), landing, "wave2"); drain(); assertEqBatch(w1 ++ w2, "wave2")
+    // crash window: replay the whole wave-2 step against merged state —
+    // both merges must be idempotent (dominated-or-identical rows only)
+    StreamingCorpus.maintainUrlDedupState(spark, dfOf(w2), docsPath,
+      keeperPath, 1L, nBuckets = 4)
+    assertEqBatch(w1 ++ w2, "wave2-replay")
+    // the displaced keeper: url of docs {3, 10} now keeps 10 (lower md5)
+    val keepers = BucketedMerge.read(spark, keeperPath)
+      .select(col("url"), col("kd")).as[(String, Long)].collect().toMap
+    assert(keepers("s0.example.com/p3") == 10L,
+      s"late-arriving lower-lottery doc must displace the keeper: $keepers")
+    land(dfOf(w3), landing, "wave3"); drain(); assertEqBatch(w1 ++ w2 ++ w3, "wave3")
+  }
+
   test("image cluster gate: fingerprints + clusters equal batch q128/q130 under replay, out-of-order arrival and crash window") {
     import graft.analytics.{Dedup, Multimodal}
     import spark.implicits._
