@@ -214,6 +214,24 @@ object Soak100 {
         Similarity.knnGraph(spark, soakDir, nplanes = 10).count())
       println(f"[q144] edges $k01 -> $k10, wall x${tk10 / tk01}%.1f on 100x data (nplanes 3 -> 10)")
       }
+      // URL funnel: the keeper window's group size is the per-URL dup
+      // multiplicity — constant per source shard — so 100x docs must cost
+      // ~linear wall; the cap plan's over-cap tail is the whole corpus
+      // here (worst case by construction, like the q103 soak line)
+      if (want("q148")) {
+      val (u01, tu01) = timed("q148 sf0.1")(
+        graft.analytics.Sampling.urlDedupStats(spark, sf01).count())
+      val (u10, tu10) = timed("q148 sf10")(
+        graft.analytics.Sampling.urlDedupStats(spark, soakDir).count())
+      println(f"[q148] rows $u01 -> $u10, wall x${tu10 / tu01}%.1f on 100x data")
+      }
+      if (want("q149")) {
+      val (c01, tc01) = timed("q149 sf0.1")(
+        graft.analytics.Sampling.domainCapStats(spark, sf01).count())
+      val (c10, tc10) = timed("q149 sf10")(
+        graft.analytics.Sampling.domainCapStats(spark, soakDir).count())
+      println(f"[q149] rows $c01 -> $c10, wall x${tc10 / tc01}%.1f on 100x data")
+      }
       // mutual-kNN clusters: the contraction must stay rounds-bounded as
       // the mutual-edge mass grows x100 (same nplanes scale rule as q144)
       if (want("q145")) {
