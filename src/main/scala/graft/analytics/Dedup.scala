@@ -482,11 +482,17 @@ object Dedup {
   }
 
   /** Default single-task endgame threshold for [[duplicateClusterEdges]]:
-    * an edge remnant of ≤250k (src, dst) longs is ~4 MB of payload — far
-    * under one executor task's working memory at any sane configuration,
-    * while the per-ROUND loop cost it replaces (plan composition + an
-    * 8-stage scheduler job) is ~0.3–0.5 s regardless of data volume. */
-  val LocalFinishMaxEdgesDefault: Long = 250000L
+    * an edge remnant of ≤2M (src, dst) longs is ~32 MB of payload and
+    * ~200 MB of transient union-find maps — comfortably one executor
+    * task's working memory — while the union-find itself is O(E·α):
+    * milliseconds of CPU against the ~0.3–0.5 s fixed per-ROUND loop
+    * cost (plan composition + an 8-stage scheduler job) it replaces,
+    * and a full loop round over the same edges shuffles them several
+    * times. Measured at sf0.1: the text dup graph's 1.13M initial
+    * candidate edges one-shot here instead of paying a loop round, and
+    * the remnant tiers of genuinely large graphs (sf10: 409k member
+    * edges after round 1) finish a round earlier. */
+  val LocalFinishMaxEdgesDefault: Long = 2000000L
 
   /**
    * Endgame for the star contraction: once the (still-unconverged) edge
