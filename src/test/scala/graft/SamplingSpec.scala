@@ -191,6 +191,43 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
       "repeat plan depends on input partitioning")
   }
 
+  test("urlCanonical: golden forms, idempotence, and variant collapse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // golden raw -> canonical pairs covering every normalizer rule
+    val golden = Seq(
+      ("https://WWW.Src0.Example.Com:443/p3", "src0.example.com/p3"),
+      ("http://www.src0.example.com/p3#sec", "src0.example.com/p3"),
+      ("https://www.src0.example.com/p3?utm_source=feed&utm_campaign=c9",
+        "src0.example.com/p3"),
+      ("http://www.src0.example.com/p3?ref=r1", "src0.example.com/p3?ref=r1"),
+      ("https://www.src0.example.com/p3/", "src0.example.com/p3"),
+      // www stripped only as a PREFIX; inner 'www.' untouched
+      ("http://www.www2.example.com/p0", "www2.example.com/p0"))
+    val out = golden.toDF("raw", "expected")
+      .withColumn("got", Sampling.urlCanonical(col("raw")))
+    val bad = out.filter(col("got") =!= col("expected"))
+      .select("raw", "got", "expected").collect()
+    assert(bad.isEmpty, s"canonical mismatches: ${bad.mkString("; ")}")
+    // idempotence: canonicalizing a canonical form is the identity —
+    // checked over every raw shape the generator emits (doc_id 0..1000
+    // spans all mod classes of 2/3/4/5/6/7/11)
+    val ids = spark.range(0, 1000)
+      .select(col("id").as("doc_id"), lit("s0").as("source"))
+    val once = ids.select(
+      Sampling.urlCanonical(Sampling.urlRaw(col("doc_id"), col("source"))).as("c1"))
+    val fixed = once.filter(Sampling.urlCanonical(col("c1")) =!= col("c1")).count()
+    assert(fixed == 0, "urlCanonical must be idempotent on its own output")
+    // variant collapse: 1000 raw URLs of one source land on the small
+    // closed set of canonical forms — 7 path slots, each bare or with a
+    // kept ?ref=r{0,1,2} query (optionally behind a kept inner slash):
+    // ≤ 7·(1 + 3 + 3) = 49. Scheme/case/port/utm/fragment/trailing-slash
+    // variants must all have collapsed.
+    val nCanon = once.distinct().count()
+    assert(nCanon <= 49 && nCanon >= 8,
+      s"expected collapse to <= 49 canonical URLs per source, got $nCanon")
+  }
+
   test("q148/q149 URL funnel: marginals reconcile, cap rule is q103's verbatim") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
