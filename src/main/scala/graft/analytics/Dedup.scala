@@ -1009,7 +1009,30 @@ object Dedup {
         lit(0).as("hamming"))
     val uniq = withRep.filter(col("h128").isNull || col("doc_id") === col("rep"))
       .select(col("doc_id"), col("simhash"))
-    bandPairs(uniq, maxHamming, wideJoin = true).unionByName(exactEdges)
+    // VALUE tier (the q114/q101 distinct-VALUE discipline applied to the
+    // cluster graph): reps with EQUAL fingerprints are Hamming-0 near-dups
+    // — one component by definition — so they collapse to the value
+    // minimum BEFORE banding and only distinct fingerprint VALUES enter
+    // the band join. simhash's short-document zero-bias makes value
+    // multiplicities quadratic in the candidate stream: the sf10 soak's
+    // banded stream fell 130.5M -> ~18M candidate rows (and the
+    // contraction's round-1 input with it) from this tier alone. NULL
+    // fingerprints keep the h128 guard's discipline: the window groups
+    // nulls, so vrep is guarded NULL and null-simhash rows flow to the
+    // band join, whose null keys never match.
+    val byVal = Window.partitionBy(col("simhash"))
+    val withVrep = uniq.withColumn("vrep",
+      when(col("simhash").isNotNull, min(col("doc_id")).over(byVal)))
+    val valueEdges = withVrep
+      .filter(col("vrep").isNotNull && col("doc_id") =!= col("vrep"))
+      .select(col("doc_id").as("doc_a"), col("vrep").as("doc_b"),
+        lit(0).as("hamming"))
+    val vuniq = withVrep
+      .filter(col("vrep").isNull || col("doc_id") === col("vrep"))
+      .select(col("doc_id"), col("simhash"))
+    bandPairs(vuniq, maxHamming, wideJoin = true)
+      .unionByName(valueEdges)
+      .unionByName(exactEdges)
   }
 
   /** SimHash near-dup candidate pairs: equal 15-bit band ⇒ candidate; then

@@ -92,12 +92,18 @@ object Soak100 {
       }
 
       if (want("q74")) {
+      // SPARK_GRAFT_LOCAL_FINISH overrides the endgame threshold (0 = pure
+      // loop) so a soak delta can be attributed to the endgame vs the host
+      val lfe = sys.env.get("SPARK_GRAFT_LOCAL_FINISH").map(_.toLong)
+        .getOrElse(Dedup.LocalFinishMaxEdgesDefault)
       val ((n01, r01), t01) = timed("q74 sf0.1") {
-        val (e, r) = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(spark, sf01))
+        val (e, r) = Dedup.duplicateClusterEdges(
+          Dedup.simhashDupGraph(spark, sf01), localFinishMaxEdges = lfe)
         (e.count(), r)
       }
       val ((n10, r10), t10) = timed("q74 sf10") {
-        val (e, r) = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(spark, soakDir))
+        val (e, r) = Dedup.duplicateClusterEdges(
+          Dedup.simhashDupGraph(spark, soakDir), localFinishMaxEdges = lfe)
         (e.count(), r)
       }
       println(f"[q74] edges $n01 -> $n10 (x${n10.toDouble / n01}%.0f), rounds $r01 -> $r10, wall x${t10 / t01}%.1f on 100x data")
