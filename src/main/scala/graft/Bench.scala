@@ -69,7 +69,12 @@ object Bench {
     // first consumer plans against it. Failures are reported but don't
     // poison the per-query loop — consumers then pay the fixpoint
     // themselves, exactly as without trust mode.
-    val fixpoints: Seq[(String, Double)] =
+    // A FAILED materialization must never record its time-to-fail as the
+    // fixpoint's timing (a fast failure — e.g. a missing image table —
+    // would permanently understate the min-merged minimum in
+    // BENCH_SELF.json), so failures record None: omitted from this
+    // window's line, and the merge below keeps the prior minimum intact.
+    val fixpoints: Seq[(String, Option[Double])] =
       if (sys.env.get("SPARK_GRAFT_BENCH_FIXPOINTS").contains("0")) Seq.empty
       else Seq[(String, () => Unit)](
         "shared_cluster_edges" -> (() =>
@@ -80,11 +85,13 @@ object Bench {
             .write.format("noop").mode("overwrite").save())
       ).map { case (name, run) =>
         val t0 = System.nanoTime()
-        try run()
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] fixpoint $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { run(); true }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] fixpoint $name failed: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     // One UNTIMED pass of the first selected query AFTER the fixpoints:
     // parquet footer caches and the first real scan's setup otherwise
@@ -113,7 +120,7 @@ object Bench {
     val sp = results.map { case (k, (_, d)) => "\"" + k + "\":" + f"$d%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    val fx = fixpoints.map { case (k, t) => "\"" + k + "\":" + f"$t%.3f" }
+    val fx = fixpoints.collect { case (k, Some(t)) => "\"" + k + "\":" + f"$t%.3f" }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"fixpoints":$fx,"queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
     println(line)
@@ -185,10 +192,18 @@ object Bench {
       val msp = merged.map { case (k, (_, d)) => "\"" + k + "\":" + f"$d%.3f" }
         .mkString("{", ",", "}")
       val mtotal = merged.map(_._2._1).sum
-      // fixpoint minima merge like query minima (same window semantics)
-      val mfx = fixpoints.map { case (k, t) =>
-        "\"" + k + "\":" + f"${math.min(t, oldFx.getOrElse(k, t))}%.3f"
-      }.mkString("{", ",", "}")
+      // fixpoint minima merge like query minima (same window semantics);
+      // a failed fixpoint (None) contributes nothing and the prior
+      // minimum — if any — carries forward unchanged
+      val mfx = fixpoints.flatMap { case (k, t) =>
+        (t, oldFx.get(k)) match {
+          case (Some(a), Some(b)) => Some(k -> math.min(a, b))
+          case (Some(a), None)    => Some(k -> a)
+          case (None, Some(b))    => Some(k -> b)
+          case (None, None)       => None
+        }
+      }.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
       val rec = s"""{"metric":"total","value":$mtotal,"unit":"sec","runs":$runs,"windows":${oldWindows + 1},"fixpoints":$mfx,"queries":$mq,"spread":$msp,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(path, (rec + "\n").getBytes("UTF-8"))
       catch { case e: Exception =>

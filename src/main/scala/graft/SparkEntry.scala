@@ -311,7 +311,7 @@ object SparkEntry {
       |c AS (
       | SELECT doc_id, source, n_chars,
       |  regexp_replace(
-      |   replace(
+      |   regexp_replace(
       |    regexp_replace(
       |     regexp_replace(
       |      regexp_replace(
@@ -319,7 +319,7 @@ object SparkEntry {
       |      '\?utm_[a-z0-9_=&]*$', ''),
       |     '^https?://', ''),
       |    '^www\.', ''),
-      |   ':443/', '/'),
+      |   '^([^/]+):443(/|$)', '\1\2'),
       |  '/$', '') AS url
       | FROM u),
       |urn AS (

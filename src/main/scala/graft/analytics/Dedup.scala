@@ -484,8 +484,12 @@ object Dedup {
   /** Default single-task endgame threshold for [[duplicateClusterEdges]]:
     * an edge remnant of ≤2M (src, dst) longs is ~32 MB of payload and
     * ~200 MB of transient union-find maps — comfortably one executor
-    * task's working memory — while the union-find itself is O(E·α):
-    * milliseconds of CPU against the ~0.3–0.5 s fixed per-ROUND loop
+    * task's working memory — while the union-find itself is effectively
+    * linear (min-value union with path compression but no union-by-rank
+    * — the component min IS the canonical label — so the worst-case
+    * bound is O(E log E) on adversarial edge orderings, not O(E·α);
+    * at the 2M-edge ceiling even the log-factor case is still
+    * milliseconds of CPU) against the ~0.3–0.5 s fixed per-ROUND loop
     * cost (plan composition + an 8-stage scheduler job) it replaces,
     * and a full loop round over the same edges shuffles them several
     * times. Measured at sf0.1: the text dup graph's 1.13M initial

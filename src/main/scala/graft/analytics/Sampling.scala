@@ -622,10 +622,16 @@ object Sampling {
    * TRACKING-ONLY query strings (`?utm_...`; a non-tracking query like
    * `?ref=` is content-addressing and stays), drop the default :443
    * port, drop the scheme and a leading `www.`, drop one trailing slash.
-   * Regex parity: patterns restricted to syntax Java regex and RE2
-   * interpret identically (no backreferences/lookaround; the port strip
-   * is a literal `replace`), so the DuckDB oracle reproduces every
-   * canonical form bit-for-bit.
+   * The `:443` strip is ANCHORED to the authority component (`^([^/]+)`)
+   * so a path or query that happens to contain `:443/` survives intact —
+   * an unanchored strip would corrupt `host/a:443/b` on real crawl input.
+   * (Since the scheme is dropped first, `http://x:443/` and
+   * `https://x:443/` both collapse to `x/` — intended: URL dedup wants
+   * the scheme-insensitive page identity.) Regex parity: patterns
+   * restricted to syntax Java regex and RE2 interpret identically (no
+   * lookaround; the single `$1`/`\1` group reference is the one
+   * replacement feature both engines share), so the DuckDB oracle
+   * reproduces every canonical form bit-for-bit.
    */
   def urlCanonical(u: Column): Column = {
     val lowered = lower(u)
@@ -633,7 +639,7 @@ object Sampling {
     val noUtm = regexp_replace(noFrag, "\\?utm_[a-z0-9_=&]*$", "")
     val noScheme = regexp_replace(noUtm, "^https?://", "")
     val noWww = regexp_replace(noScheme, "^www\\.", "")
-    val noPort = regexp_replace(noWww, ":443/", "/")
+    val noPort = regexp_replace(noWww, "^([^/]+):443(/|$)", "$1$2")
     regexp_replace(noPort, "/$", "")
   }
 

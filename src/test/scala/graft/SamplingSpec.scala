@@ -234,11 +234,13 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val dedup = Sampling.urlDedupStatsOf(docs)
     val caps = Sampling.domainCapStatsOf(docs, cap = 5, blockMod = 7)
-    // every document is accounted for: kept + removed = n_docs per source
+    // every document is accounted for: exactly one keeper per canonical
+    // URL means kept (= n_docs - n_dup_removed) must equal n_urls per
+    // source (URLs embed the source on this corpus, so no cross-source
+    // URL collisions can blur the per-source ledger)
     val bad = dedup.filter(
-      col("n_docs") =!= col("n_dup_removed") +
-        (col("n_docs") - col("n_dup_removed"))).count()
-    assert(bad == 0)
+      col("n_docs") - col("n_dup_removed") =!= col("n_urls")).count()
+    assert(bad == 0, "per-source kept count must equal distinct-URL count")
     // marginal reconciliation: q149's per-domain survivor count equals
     // q148's per-source kept count through the source->domain mapping
     // (domain = lower(source).example.com — 1:1 on this corpus)
