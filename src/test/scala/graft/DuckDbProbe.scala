@@ -23,6 +23,13 @@ import java.util.logging.Logger
  * stays golden-pinned (JdbcDialectGoldenSpec); the probe test records
  * that fact every run.
  *
+ * Probe log (standing per-round re-check, ordered in round 11):
+ *  - 2026-08-13 (r11), 2026-08-14 (r12): no mysql-capable jar.
+ *  - 2026-08-15 (r14): re-ran JdbcPsqlLiveSpec — duckdb_jdbc present,
+ *    `mysqlCapableJars` still empty (h2/hsqldb/mariadb/mysql absent from
+ *    ~/.cache/coursier, ~/.ivy2, ~/.m2). MySQL dialect remains
+ *    golden-pinned only; environment-blocked, not a coverage choice.
+ *
  * The loader and driver are cached in this object: DuckDB's JDBC driver
  * extracts and `System.load`s a native library once per classloader, and
  * a second loader in the same JVM would hit "already loaded in another
