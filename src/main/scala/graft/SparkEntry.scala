@@ -257,6 +257,13 @@ object SparkEntry {
     // domain blocklist + per-domain caps over the URL-dedup survivors
     "q149_domain_caps" -> ((s: SparkSession, d: String) =>
       Sampling.domainCapStats(s, d)),
+    // padded-batch waste: arrival-order vs length-bucketed batching
+    "q150_padding_waste" -> ((s: SparkSession, d: String) =>
+      Sampling.paddingWaste(s, d)),
+    // incoming-batch admission against the existing corpus (exact + banded
+    // near-dup gates) — the cross-snapshot member of the dedup family
+    "q151_incremental_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.incrementalDedup(s, d)),
     // MinHash estimator calibration over the full banded candidate set —
     // the dedup member of the approximation-honesty suite
     "q111_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
@@ -2317,9 +2324,9 @@ object SparkEntry {
         |   AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
         |FROM g2 GROUP BY source""".stripMargin,
     // q148/q149: the planted-URL CTEs replay urlRaw + urlCanonical exactly
-    // (anchored single-match regexes both engines interpret identically;
-    // the port strip is a literal replace); keeper/cap lotteries are the
-    // q103 md5 key verbatim
+    // (anchored single-match regexes both engines interpret identically,
+    // incl. the authority-anchored :443 strip with its $1/\1 group
+    // reference); keeper/cap lotteries are the q103 md5 key verbatim
     "q148_url_dedup" ->
       (urlCte +
         """SELECT source, count(*) AS n_docs,
@@ -2354,6 +2361,74 @@ object SparkEntry {
           | CAST(count(*) AS BIGINT) AS n_dropped,
           | CAST(0 AS BIGINT) AS kept_chars, CAST(0 AS BIGINT) AS kept_checksum
           |FROM fl WHERE blocked GROUP BY domain""".stripMargin),
+    // q150: both batching disciplines replayed with the same total orders
+    // (doc_id / length-then-id); NULL text is an empty sequence that still
+    // occupies a slot (coalesce to 0), and the all-empty language guards
+    // its waste ratio against 0/0 in both engines
+    "q150_padding_waste" ->
+      s"""WITH base AS (
+        | SELECT lang, doc_id, coalesce(len($tokens), 0) AS n_tokens
+        | FROM documents),
+        |a AS (SELECT lang, n_tokens,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM base),
+        |s AS (SELECT lang, n_tokens,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn
+        | FROM base),
+        |ab AS (SELECT lang, CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch_id,
+        |  count(*) AS c, max(n_tokens) AS mx, CAST(sum(n_tokens) AS BIGINT) AS st
+        | FROM a GROUP BY 1, 2),
+        |sb AS (SELECT lang, CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch_id,
+        |  count(*) AS c, max(n_tokens) AS mx, CAST(sum(n_tokens) AS BIGINT) AS st
+        | FROM s GROUP BY 1, 2),
+        |au AS (SELECT 'arrival' AS strategy, lang,
+        |  CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(sum(st) AS BIGINT) AS real_tokens,
+        |  CAST(sum(c * mx - st) AS BIGINT) AS padded_slots FROM ab GROUP BY lang),
+        |su AS (SELECT 'sorted' AS strategy, lang,
+        |  CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(sum(st) AS BIGINT) AS real_tokens,
+        |  CAST(sum(c * mx - st) AS BIGINT) AS padded_slots FROM sb GROUP BY lang),
+        |u AS (SELECT * FROM au UNION ALL SELECT * FROM su)
+        |SELECT strategy, lang, n_batches, n_docs, real_tokens, padded_slots,
+        | CASE WHEN real_tokens + padded_slots = 0 THEN 0.0
+        |  ELSE round(CAST(padded_slots AS DOUBLE) / (real_tokens + padded_slots), 6)
+        |  END AS waste_pct
+        |FROM u""".stripMargin,
+    // q151: the q34 fingerprint CTE + the q35/q74 band-and-Hamming
+    // predicate, replayed as incoming-vs-corpus admission; NULL
+    // hash/fingerprint rows admit (NULL never equi-joins in either engine)
+    "q151_incremental_dedup" ->
+      (simhashFpCte() +
+        s""",
+          |base AS (
+          | SELECT d.doc_id, d.source, md5(d.text) AS h128, fp.simhash,
+          |  (d.doc_id % 3 = 0) AS incoming
+          | FROM documents d JOIN fp ON fp.doc_id = d.doc_id),
+          |ch AS (SELECT DISTINCT h128 FROM base
+          | WHERE NOT incoming AND h128 IS NOT NULL),
+          |cfp AS (SELECT DISTINCT simhash FROM base
+          | WHERE NOT incoming AND simhash IS NOT NULL),
+          |ifp AS (SELECT DISTINCT simhash FROM base
+          | WHERE incoming AND simhash IS NOT NULL),
+          |nf AS (SELECT DISTINCT a.simhash FROM ifp a JOIN cfp b
+          | ON $simhashPairPredicate),
+          |inc AS (SELECT i.doc_id, i.source,
+          |  (e.h128 IS NOT NULL) AS is_exact,
+          |  (n.simhash IS NOT NULL) AS has_near
+          | FROM base i
+          | LEFT JOIN ch e ON i.h128 = e.h128
+          | LEFT JOIN nf n ON i.simhash = n.simhash
+          | WHERE i.incoming)
+          |SELECT source, count(*) AS n_incoming,
+          | CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+          |   AS n_exact_dup,
+          | CAST(sum(CASE WHEN NOT is_exact AND has_near THEN 1 ELSE 0 END)
+          |   AS BIGINT) AS n_near_dup,
+          | CAST(sum(CASE WHEN NOT is_exact AND NOT has_near THEN 1 ELSE 0 END)
+          |   AS BIGINT) AS n_admitted,
+          | CAST(sum(CASE WHEN NOT is_exact AND NOT has_near THEN doc_id
+          |   ELSE 0 END) AS BIGINT) AS admitted_checksum
+          |FROM inc GROUP BY source""".stripMargin),
     // q140: dimensions re-derived from the generator formula (q43's oracle
     // discipline) — the funnel diverges if encode or decode lied
     "q140_image_filter_funnel" ->

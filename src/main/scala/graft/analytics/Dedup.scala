@@ -1050,6 +1050,100 @@ object Dedup {
       maxHamming)
 
   /**
+   * q151: incremental (cross-snapshot) dedup — admit an INCOMING batch
+   * against an EXISTING corpus, the content-level gate every continuously
+   * refreshed training corpus runs on each new crawl dump (the LLM-dedup
+   * twin of the reference's incremental upsert semantics: new rows are
+   * admitted only where they don't collide with what's already loaded,
+   * cf. `/root/reference/src/importer.rs:363-390` — there the key is the
+   * PK, here it's the CONTENT). The planted split is deterministic:
+   * incoming = doc_id ≡ 0 (mod `mod`), existing = the rest.
+   *
+   * Precedence ladder per incoming document:
+   *  1. exact duplicate — its md5(text) exists in the corpus;
+   *  2. near duplicate — not exact, but its simhash fingerprint is
+   *     BANDED-near some corpus fingerprint (≥1 shared 15-bit band AND
+   *     Hamming ≤ `maxHamming` — the q35/q74 family predicate, so all
+   *     three dedup tiers share one near-dup definition);
+   *  3. admitted — neither; enters the corpus.
+   * NULL text ⇒ NULL hash and NULL fingerprint ⇒ never collides ⇒
+   * admitted (NULL keys never equi-join, in either engine).
+   *
+   * Emits the per-source admission ledger (counts + admitted checksum).
+   *
+   * 100 TB posture: text reduces to (h128, simhash) inside the scan and
+   * never shuffles. The exact gate is an equi-join of narrow rows on the
+   * 128-bit hash against the corpus DISTINCT-hash set. The near gate
+   * collapses BOTH sides to distinct fingerprint VALUES before banding
+   * (the pair-stream discipline: a fingerprint duplicated n× contributes
+   * one banded row, not n), and the band join is a LEFT SEMI — each
+   * incoming fingerprint row emits at most once per band no matter how
+   * many corpus fingerprints it matches, so no candidate-pair stream is
+   * ever materialized, let alone shuffled. Flags rejoin the incoming
+   * rows by value; the ledger is a map-side-combined per-source
+   * aggregate.
+   */
+  def incrementalDedup(s: SparkSession, d: String, maxHamming: Int = 6,
+      mod: Int = 3): DataFrame =
+    incrementalDedupOf(
+      documentsSpread(s, d).select(col("doc_id"), col("source"), col("text")),
+      maxHamming, mod)
+
+  /** [[incrementalDedup]] over an arbitrary (doc_id, source, text) frame. */
+  def incrementalDedupOf(docs: DataFrame, maxHamming: Int = 6,
+      mod: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.checkpointNoStats
+    // one narrow derivation feeds four consumers (corpus hash set, corpus
+    // fingerprint set, incoming fingerprint set, incoming ledger rows) —
+    // pin it or each consumer re-pays the scan + per-word hashing
+    val base = checkpointNoStats(
+      docs
+        .withColumn("h128", md5(col("text").cast("binary")))
+        .withColumn("simhash", simhashFromHashes(
+          transform(array_distinct(words(col("text"))), w => mdHash60(w))))
+        .select(col("doc_id"), col("source"), col("h128"), col("simhash"),
+          (col("doc_id") % mod === 0).as("incoming")),
+      eager = false)
+    val corpus = base.filter(!col("incoming"))
+    val incoming = base.filter(col("incoming"))
+    val corpusH = corpus.select(col("h128"))
+      .filter(col("h128").isNotNull).distinct()
+      .withColumn("exact_flag", lit(true))
+    def banded(df: DataFrame, simc: String, bidc: String, bkc: String) =
+      df.select(Seq(col("simhash").as(simc),
+        posexplode(array((0 until SimhashBands).map(k =>
+          shiftright(col("simhash"), k * SimhashBandBits)
+            .bitwiseAND(SimhashBandMask)): _*)).as(Seq(bidc, bkc))): _*)
+    val incFp = incoming.select(col("simhash"))
+      .filter(col("simhash").isNotNull).distinct()
+    val corpusFp = corpus.select(col("simhash"))
+      .filter(col("simhash").isNotNull).distinct()
+    val incB = banded(incFp, "sim_a", "band_id", "band_key")
+    val corB = banded(corpusFp, "sim_b", "cband_id", "cband_key")
+    val nearFp = incB.join(corB,
+        incB("band_id") === corB("cband_id") &&
+          incB("band_key") === corB("cband_key") &&
+          bit_count(incB("sim_a").bitwiseXOR(corB("sim_b"))) <= maxHamming,
+        "left_semi")
+      .select(col("sim_a").as("simhash")).distinct()
+      .withColumn("near_flag", lit(true))
+    incoming
+      .join(corpusH, Seq("h128"), "left")
+      .join(nearFp, Seq("simhash"), "left")
+      .withColumn("exact", coalesce(col("exact_flag"), lit(false)))
+      .withColumn("near", !col("exact") && coalesce(col("near_flag"), lit(false)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(col("exact"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("near"), 1L).otherwise(0L)).as("n_near_dup"),
+        sum(when(!col("exact") && !col("near"), 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(when(!col("exact") && !col("near"), col("doc_id")).otherwise(0L))
+          .as("admitted_checksum"))
+  }
+
+  /**
    * q114: Hamming-distance histogram of the near-dup pair surface — the
    * dial that sets the simhash threshold: per distance, how many banded
    * pairs exist and how many distinct documents they touch. A corpus

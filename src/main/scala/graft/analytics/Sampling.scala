@@ -123,6 +123,66 @@ object Sampling {
   }
 
   /**
+   * q150: padded-batch waste audit — the fine-tuning/inference twin of
+   * [[sequencePacking]] (which concatenates; here every sequence in a
+   * batch pads to the batch maximum, the standard collate_fn). For batch
+   * size `batch`, compares the two canonical batching disciplines over
+   * the same corpus: `arrival` (stable doc_id order — what a naive
+   * loader does) vs `sorted` (length-then-id order — length-bucketed
+   * batching), emitting per-language batch counts, real vs padded token
+   * slots, and the waste fraction. Sorting contiguous equal-size groups
+   * minimizes the sum of per-batch maxima, so the delta between the two
+   * rows IS the padding win length-bucketing buys — the number this
+   * audit exists to surface.
+   *
+   * Determinism: both orders are total (doc_id tiebreak), so batch
+   * membership — hence every output cell — is engine-reproducible.
+   * NULL/absent text counts as an EMPTY sequence that still occupies a
+   * batch slot (coalesce to 0 tokens): a real loader pads the row, it
+   * doesn't skip it.
+   *
+   * 100 TB posture: the window shuffles only (lang, doc_id, n_tokens) —
+   * three narrow columns, never text. Batching is inherently sequential
+   * within its stream, so the partition key is the batching domain: here
+   * the language, in a sharded pipeline (lang, shard) — each window sees
+   * one shard's rows, bounded by shard sizing, and the audit stays
+   * embarrassingly parallel across shards. Both strategies' aggregates
+   * are map-side partial over the batch rows.
+   */
+  def paddingWaste(s: SparkSession, d: String, batch: Int = 32): DataFrame =
+    paddingWasteOf(Tables.documents(s, d), batch)
+
+  /** [[paddingWaste]] over an arbitrary (lang, doc_id, text) frame. */
+  def paddingWasteOf(docs: DataFrame, batch: Int): DataFrame = {
+    val base = docs.select(col("lang"), col("doc_id"),
+      coalesce(size(split(trim(col("text")), "\\s+")), lit(0)).as("n_tokens"))
+    def strat(name: String, ord: Seq[Column]): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(ord: _*)
+      base.withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", ((col("rn") - 1) / batch).cast("long"))
+        .groupBy(col("lang"), col("batch_id"))
+        .agg(count(lit(1)).as("n_rows"), max(col("n_tokens")).as("mx"),
+          sum(col("n_tokens").cast("long")).as("real_t"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("n_rows")).cast("long").as("n_docs"),
+          sum(col("real_t")).cast("long").as("real_tokens"),
+          sum(col("n_rows") * col("mx") - col("real_t")).cast("long")
+            .as("padded_slots"))
+        .withColumn("strategy", lit(name))
+    }
+    strat("arrival", Seq(col("doc_id")))
+      .unionByName(strat("sorted", Seq(col("n_tokens"), col("doc_id"))))
+      .withColumn("waste_pct",
+        when(col("real_tokens") + col("padded_slots") === 0, lit(0.0))
+          .otherwise(round(col("padded_slots").cast("double") /
+            (col("real_tokens") + col("padded_slots")), 6)))
+      .select(col("strategy"), col("lang"), col("n_batches"), col("n_docs"),
+        col("real_tokens"), col("padded_slots"), col("waste_pct"))
+  }
+
+  /**
    * Stratified sample: a per-language `rate`-fraction sample keyed on the
    * md5 split bucket (same derivation as [[splitBucket]]) — deterministic,
    * engine-reproducible, and stable under corpus growth (a doc's

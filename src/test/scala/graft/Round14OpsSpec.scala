@@ -1,0 +1,131 @@
+package graft
+
+import graft.analytics.{Dedup, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 operators: padded-batch waste audit (q150) and incremental
+  * cross-snapshot dedup (q151). Value-exactness against DuckDB is the
+  * driver oracle's job; these pin the semantics on hand-computed
+  * fixtures the big corpus can't isolate. */
+class Round14OpsSpec extends AnyFunSuite with SparkSuite {
+
+  private val d = "/root/testdata/sf0.01"
+
+  test("q150: padding waste matches the hand-computed ledger, both strategies") {
+    import spark.implicits._
+    // doc_id order carries token counts [5,1,4,2,3]; batch=2.
+    // arrival batches (5,1)(4,2)(3): padded = 4+2+0 = 6, real 15
+    // sorted  batches (1,2)(3,4)(5): padded = 1+1+0 = 2, real 15
+    val docs = Seq(
+      (1L, "en", "a b c d e"), (2L, "en", "a"), (3L, "en", "a b c d"),
+      (4L, "en", "a b"), (5L, "en", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    val out = Sampling.paddingWasteOf(docs, batch = 2)
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val arr = out("arrival"); val srt = out("sorted")
+    assert((arr._3, arr._4, arr._5, arr._6) == ((3L, 5L, 15L, 6L)),
+      s"arrival ledger was $arr")
+    assert((srt._3, srt._4, srt._5, srt._6) == ((3L, 5L, 15L, 2L)),
+      s"sorted ledger was $srt")
+    assert(arr._7 == math.round(6.0 / 21 * 1e6) / 1e6.toDouble)
+    assert(srt._7 == math.round(2.0 / 17 * 1e6) / 1e6.toDouble)
+  }
+
+  test("q150: null text occupies a slot at zero tokens; all-empty lang has 0 waste") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "xx", null.asInstanceOf[String]), (2L, "xx", null.asInstanceOf[String]),
+      (3L, "en", "a b"), (4L, "en", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text")
+    val out = Sampling.paddingWasteOf(docs, batch = 2)
+    // xx: one batch of two empty rows -> 0 real, 0 padded, waste 0.0 (guarded)
+    val xx = out.filter(col("lang") === "xx" && col("strategy") === "arrival")
+      .select("n_batches", "n_docs", "real_tokens", "padded_slots", "waste_pct")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(xx == ((1L, 2L, 0L, 0L, 0.0)))
+    // en: null doc (0 tokens) shares a batch with the 2-token doc ->
+    // padded = 2*2 - 2 = 2
+    val en = out.filter(col("lang") === "en" && col("strategy") === "arrival")
+      .select("padded_slots").as[Long].head()
+    assert(en == 2L)
+  }
+
+  test("q150: invariants on the real corpus — marginals agree, sorting never pads more") {
+    import spark.implicits._
+    val out = Sampling.paddingWaste(spark, d).cache()
+    val byStrat = out.groupBy(col("strategy"))
+      .agg(sum(col("n_docs")).as("docs"), sum(col("real_tokens")).as("real"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byStrat("arrival") == byStrat("sorted"),
+      "both strategies must see the identical corpus")
+    // per-lang: contiguous equal-size grouping of the sorted order
+    // minimizes the sum of batch maxima -> sorted waste <= arrival waste
+    val worse = out.groupBy(col("lang"))
+      .pivot("strategy", Seq("arrival", "sorted"))
+      .sum("padded_slots")
+      .filter(col("sorted") > col("arrival")).count()
+    assert(worse == 0, "length-bucketed batching padded more than arrival order")
+    out.unpersist()
+  }
+
+  test("q151: planted exact / near / admitted incoming docs land in the right bins") {
+    import spark.implicits._
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
+    // same word SET, different order => identical simhash (hamming 0),
+    // different md5 => near-dup, deterministically
+    val reordered = "theta eta zeta epsilon delta gamma beta alpha"
+    val docs = Seq(
+      (1L, "s1", corpusText),                       // corpus
+      (2L, "s1", "one two three four five six"),    // corpus
+      (3L, "s1", corpusText),                       // incoming: exact dup of 1
+      (6L, "s1", reordered),                        // incoming: near dup of 1
+      (9L, "s1", "completely unrelated words that share nothing at all xyz"),
+      (12L, "s1", null.asInstanceOf[String]))       // incoming: null => admitted
+      .toDF("doc_id", "source", "text")
+    val row = Dedup.incrementalDedupOf(docs)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(row == (("s1", 4L, 1L, 1L, 2L, 21L)),
+      s"expected (s1, 4 incoming, 1 exact, 1 near, 2 admitted, 9+12 checksum); got $row")
+  }
+
+  test("q151: ledger partitions the incoming set on the real corpus") {
+    import spark.implicits._
+    val led = Dedup.incrementalDedup(spark, d).cache()
+    val bad = led.filter(
+      col("n_incoming") =!= col("n_exact_dup") + col("n_near_dup") + col("n_admitted"))
+      .count()
+    assert(bad == 0, "exact + near + admitted must partition n_incoming")
+    val totalIncoming = led.agg(sum(col("n_incoming"))).head().getLong(0)
+    val expected = graft.analytics.Tables.documents(spark, d)
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(totalIncoming == expected)
+    led.unpersist()
+  }
+
+  test("round-14 plans: equi-join shaped, no cartesian; q151 near gate is a semi-join") {
+    val sd = "/root/testdata/sf0.001"
+    Seq("q150_padding_waste", "q151_incremental_dedup").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sd)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q fell back to a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to a nested-loop join")
+    }
+    val p151 = SparkEntry.queries("q151_incremental_dedup")(spark, sd)
+      .queryExecution.executedPlan.toString
+    assert(p151.contains("LeftSemi"),
+      "the banded near gate must stay a semi-join (no pair stream)")
+  }
+
+  test("q151: an incoming batch against an empty corpus admits everything") {
+    import spark.implicits._
+    // all ids are multiples of 3 -> corpus side is empty
+    val docs = Seq((3L, "s", "a b c"), (6L, "s", "d e f"))
+      .toDF("doc_id", "source", "text")
+    val row = Dedup.incrementalDedupOf(docs)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(row == (("s", 2L, 0L, 0L, 2L, 9L)))
+  }
+}
