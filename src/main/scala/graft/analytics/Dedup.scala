@@ -1072,16 +1072,21 @@ object Dedup {
    * Emits the per-source admission ledger (counts + admitted checksum).
    *
    * 100 TB posture: text reduces to (h128, simhash) inside the scan and
-   * never shuffles. The exact gate is an equi-join of narrow rows on the
-   * 128-bit hash against the corpus DISTINCT-hash set. The near gate
-   * collapses BOTH sides to distinct fingerprint VALUES before banding
-   * (the pair-stream discipline: a fingerprint duplicated n× contributes
-   * one banded row, not n), and the band join is a LEFT SEMI — each
-   * incoming fingerprint row emits at most once per band no matter how
-   * many corpus fingerprints it matches, so no candidate-pair stream is
-   * ever materialized, let alone shuffled. Flags rejoin the incoming
-   * rows by value; the ledger is a map-side-combined per-source
-   * aggregate.
+   * never shuffles. The exact gate is ONE window over the 128-bit hash
+   * (group size = that text's copy count across both snapshots — bounded
+   * and skew-split by AQE, never corpus-sized; NULL hashes are guarded
+   * explicitly since the window, unlike a join, groups them). The near
+   * gate collapses BOTH sides to distinct fingerprint VALUES in one
+   * map-side-combined aggregate carrying per-side presence flags (the
+   * pair-stream discipline: a fingerprint duplicated n× contributes one
+   * banded row, not n), and the band join is a LEFT SEMI — each incoming
+   * fingerprint row emits at most once per band no matter how many
+   * corpus fingerprints it matches, so no candidate-pair stream is ever
+   * materialized, let alone shuffled. The near flags rejoin the
+   * incoming rows by fingerprint value; the ledger is a
+   * map-side-combined per-source aggregate. The base derivation feeds
+   * both gates through one reused spread-repartition exchange — no
+   * checkpoint barrier.
    */
   def incrementalDedup(s: SparkSession, d: String, maxHamming: Int = 6,
       mod: Int = 3): DataFrame =
@@ -1092,34 +1097,40 @@ object Dedup {
   /** [[incrementalDedup]] over an arbitrary (doc_id, source, text) frame. */
   def incrementalDedupOf(docs: DataFrame, maxHamming: Int = 6,
       mod: Int = 3): DataFrame = {
-    import org.apache.spark.sql.GraftBridge.checkpointNoStats
-    // one narrow derivation feeds four consumers (corpus hash set, corpus
-    // fingerprint set, incoming fingerprint set, incoming ledger rows) —
-    // pin it or each consumer re-pays the scan + per-word hashing
-    val base = checkpointNoStats(
-      docs
-        .withColumn("h128", md5(col("text").cast("binary")))
-        .withColumn("simhash", simhashFromHashes(
-          transform(array_distinct(words(col("text"))), w => mdHash60(w))))
-        .select(col("doc_id"), col("source"), col("h128"), col("simhash"),
-          (col("doc_id") % mod === 0).as("incoming")),
-      eager = false)
-    val corpus = base.filter(!col("incoming"))
-    val incoming = base.filter(col("incoming"))
-    val corpusH = corpus.select(col("h128"))
-      .filter(col("h128").isNotNull).distinct()
-      .withColumn("exact_flag", lit(true))
+    // one narrow derivation feeds both gates; the two plan branches share
+    // the spread-repartition exchange (ReuseExchange), so the text scan +
+    // per-word hashing run once — no checkpoint barrier needed
+    val base = docs
+      .withColumn("h128", md5(col("text").cast("binary")))
+      .withColumn("simhash", simhashFromHashes(
+        transform(array_distinct(words(col("text"))), w => mdHash60(w))))
+      .select(col("doc_id"), col("source"), col("h128"), col("simhash"),
+        (col("doc_id") % mod === 0).as("incoming"))
+    // exact gate: one window keyed by the content hash — a group holds
+    // every copy of one text across both snapshots; guarded for NULLs
+    // (the window groups NULL hashes, a join would drop them)
+    val wH = Window.partitionBy(col("h128"))
+    val incomingFlagged = base
+      .withColumn("corp_n",
+        sum(when(!col("incoming"), 1).otherwise(0)).over(wH))
+      .filter(col("incoming"))
+      .withColumn("exact", col("h128").isNotNull && col("corp_n") > 0)
+      .select(col("doc_id"), col("source"), col("simhash"), col("exact"))
+    // near gate: distinct fingerprint VALUES with per-side presence flags
+    // out of one map-side-combined aggregate, then the banded LEFT SEMI
+    val fpAgg = base.filter(col("simhash").isNotNull)
+      .groupBy(col("simhash"))
+      .agg(max(when(!col("incoming"), 1).otherwise(0)).as("in_corpus"),
+        max(when(col("incoming"), 1).otherwise(0)).as("in_incoming"))
     def banded(df: DataFrame, simc: String, bidc: String, bkc: String) =
       df.select(Seq(col("simhash").as(simc),
         posexplode(array((0 until SimhashBands).map(k =>
           shiftright(col("simhash"), k * SimhashBandBits)
             .bitwiseAND(SimhashBandMask)): _*)).as(Seq(bidc, bkc))): _*)
-    val incFp = incoming.select(col("simhash"))
-      .filter(col("simhash").isNotNull).distinct()
-    val corpusFp = corpus.select(col("simhash"))
-      .filter(col("simhash").isNotNull).distinct()
-    val incB = banded(incFp, "sim_a", "band_id", "band_key")
-    val corB = banded(corpusFp, "sim_b", "cband_id", "cband_key")
+    val incB = banded(fpAgg.filter(col("in_incoming") === 1)
+      .select(col("simhash")), "sim_a", "band_id", "band_key")
+    val corB = banded(fpAgg.filter(col("in_corpus") === 1)
+      .select(col("simhash")), "sim_b", "cband_id", "cband_key")
     val nearFp = incB.join(corB,
         incB("band_id") === corB("cband_id") &&
           incB("band_key") === corB("cband_key") &&
@@ -1127,10 +1138,8 @@ object Dedup {
         "left_semi")
       .select(col("sim_a").as("simhash")).distinct()
       .withColumn("near_flag", lit(true))
-    incoming
-      .join(corpusH, Seq("h128"), "left")
+    incomingFlagged
       .join(nearFp, Seq("simhash"), "left")
-      .withColumn("exact", coalesce(col("exact_flag"), lit(false)))
       .withColumn("near", !col("exact") && coalesce(col("near_flag"), lit(false)))
       .groupBy(col("source"))
       .agg(
