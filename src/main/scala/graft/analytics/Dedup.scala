@@ -1094,6 +1094,32 @@ object Dedup {
       documentsSpread(s, d).select(col("doc_id"), col("source"), col("text")),
       maxHamming, mod)
 
+  /** Distinct PROBE fingerprint values that are banded-near (≥1 shared
+    * 15-bit band AND Hamming ≤ `maxHamming` — the q35/q74 predicate) SOME
+    * corpus fingerprint value: the value-level SEMI form of [[bandProbe]].
+    * Inputs are single-column NULL-free `simhash` frames, already
+    * collapsed to distinct values (the pair-stream discipline); the LEFT
+    * SEMI means no candidate-pair stream exists even transiently, no
+    * matter how many corpus values a probe value matches. Shared by
+    * batch q151 ([[incrementalDedupOf]]) and the streaming admission gate
+    * ([[graft.streaming.StreamingCorpus.admitBatch]]). */
+  private[graft] def bandNearValues(probe: DataFrame, corpus: DataFrame,
+      maxHamming: Int): DataFrame = {
+    def banded(df: DataFrame, simc: String, bidc: String, bkc: String) =
+      df.select(Seq(col("simhash").as(simc),
+        posexplode(array((0 until SimhashBands).map(k =>
+          shiftright(col("simhash"), k * SimhashBandBits)
+            .bitwiseAND(SimhashBandMask)): _*)).as(Seq(bidc, bkc))): _*)
+    val incB = banded(probe, "sim_a", "band_id", "band_key")
+    val corB = banded(corpus, "sim_b", "cband_id", "cband_key")
+    incB.join(corB,
+        incB("band_id") === corB("cband_id") &&
+          incB("band_key") === corB("cband_key") &&
+          bit_count(incB("sim_a").bitwiseXOR(corB("sim_b"))) <= maxHamming,
+        "left_semi")
+      .select(col("sim_a").as("simhash")).distinct()
+  }
+
   /** [[incrementalDedup]] over an arbitrary (doc_id, source, text) frame. */
   def incrementalDedupOf(docs: DataFrame, maxHamming: Int = 6,
       mod: Int = 3): DataFrame = {
@@ -1122,21 +1148,10 @@ object Dedup {
       .groupBy(col("simhash"))
       .agg(max(when(!col("incoming"), 1).otherwise(0)).as("in_corpus"),
         max(when(col("incoming"), 1).otherwise(0)).as("in_incoming"))
-    def banded(df: DataFrame, simc: String, bidc: String, bkc: String) =
-      df.select(Seq(col("simhash").as(simc),
-        posexplode(array((0 until SimhashBands).map(k =>
-          shiftright(col("simhash"), k * SimhashBandBits)
-            .bitwiseAND(SimhashBandMask)): _*)).as(Seq(bidc, bkc))): _*)
-    val incB = banded(fpAgg.filter(col("in_incoming") === 1)
-      .select(col("simhash")), "sim_a", "band_id", "band_key")
-    val corB = banded(fpAgg.filter(col("in_corpus") === 1)
-      .select(col("simhash")), "sim_b", "cband_id", "cband_key")
-    val nearFp = incB.join(corB,
-        incB("band_id") === corB("cband_id") &&
-          incB("band_key") === corB("cband_key") &&
-          bit_count(incB("sim_a").bitwiseXOR(corB("sim_b"))) <= maxHamming,
-        "left_semi")
-      .select(col("sim_a").as("simhash")).distinct()
+    val nearFp = bandNearValues(
+        fpAgg.filter(col("in_incoming") === 1).select(col("simhash")),
+        fpAgg.filter(col("in_corpus") === 1).select(col("simhash")),
+        maxHamming)
       .withColumn("near_flag", lit(true))
     incomingFlagged
       .join(nearFp, Seq("simhash"), "left")

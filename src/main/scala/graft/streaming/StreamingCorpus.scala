@@ -1111,6 +1111,140 @@ object StreamingCorpus {
           .as("kept_checksum"))
 
   /**
+   * Online admission gate — the streaming counterpart of batch q151
+   * ([[graft.analytics.Dedup.incrementalDedup]]): documents landing in
+   * `landingDir` are gated against a PINNED existing-corpus index (built
+   * by [[buildAdmissionIndex]] from the current snapshot) and receive one
+   * of three verdicts: `exact` (content hash present in the index),
+   * `near` (not exact, but its simhash is banded-near some index
+   * fingerprint — ≥1 shared 15-bit band AND Hamming ≤ `maxHamming`, the
+   * q35/q74 predicate), or `admitted`. A verdict is a pure function of
+   * (document content, index) — independent of arrival order, batching
+   * and re-delivery — so the verdict ledger equals the batch q151 gate on
+   * the same snapshot split under ANY replay; StreamingCorpusSpec asserts
+   * ≡ batch under out-of-order arrival, in-batch re-delivery and a
+   * crash-window replay.
+   *
+   * 100 TB posture: per batch, text reduces to (h128, simhash) inside
+   * the scan and never enters state; the exact gate is an equi-join of
+   * the batch's narrow rows against the index on the 128-bit hash; the
+   * near gate collapses the batch to distinct fingerprint VALUES and
+   * probes the index's fingerprints through the banded LEFT SEMI
+   * ([[graft.analytics.Dedup.bandNearValues]] — no pair stream); verdict
+   * rows merge keyed by doc_id, so a re-delivered or crash-replayed
+   * batch overwrites itself with identical rows.
+   */
+  def startAdmissionGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      indexPath: String,
+      ledgerPath: String,
+      checkpointDir: String,
+      maxHamming: Int = 6,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        admitBatch(spark, batch, indexPath, ledgerPath, batchId, maxHamming,
+          nBuckets)
+      }
+      .start()
+  }
+
+  /** Build (or extend) the pinned corpus index for [[startAdmissionGate]]:
+    * one (h128, simhash) row per DISTINCT content hash of the existing
+    * snapshot (equal text ⇒ equal fingerprint, so the group min is the
+    * fingerprint; NULL-text rows carry no entry — they can never
+    * collide). Keyed by h128, so a rebuilt or extended snapshot merges
+    * idempotently. */
+  def buildAdmissionIndex(
+      spark: SparkSession,
+      corpus: org.apache.spark.sql.DataFrame,
+      indexPath: String,
+      nBuckets: Int = 32): Unit = {
+    import graft.analytics.Dedup
+    BucketedMerge.mergeInto(spark, indexPath,
+      Dedup.simhashMetaOf(corpus.select(col("doc_id"), col("text")))
+        .filter(col("h128").isNotNull)
+        .groupBy(col("h128"))
+        .agg(min(col("simhash")).as("simhash"))
+        .withColumn("_dump_seq", lit(0L)),
+      Seq("h128"), nBuckets, seqCol = Some("_dump_seq"))
+  }
+
+  /** One batch step of [[startAdmissionGate]] — factored out so the spec
+    * can replay a crashed attempt directly. */
+  def admitBatch(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      indexPath: String,
+      ledgerPath: String,
+      batchId: Long,
+      maxHamming: Int = 6,
+      nBuckets: Int = 32): Unit = {
+    import graft.analytics.Dedup
+    // one text pass: in-batch re-delivery collapsed, then content hash +
+    // fingerprint; both gate branches read the pinned narrow rows
+    val b = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      Merge.dedupLatest(
+        batch.select(col("doc_id"), col("source"), col("text"))
+          .withColumn("_dump_seq", lit(batchId)),
+        Seq("doc_id"), "_dump_seq")
+        .withColumn("h128", md5(col("text").cast("binary")))
+        .withColumn("simhash", Dedup.simhash(col("text")))
+        .select(col("doc_id"), col("source"), col("h128"), col("simhash")),
+      eager = false)
+    val index =
+      if (BucketedMerge.hasData(spark, indexPath))
+        BucketedMerge.read(spark, indexPath).select(col("h128"), col("simhash"))
+      else // empty index: everything admits
+        spark.range(0).select(col("id").cast("string").as("h128"),
+          col("id").as("simhash"))
+    val nearFp = Dedup.bandNearValues(
+        b.filter(col("simhash").isNotNull).select(col("simhash")).distinct(),
+        index.select(col("simhash")).filter(col("simhash").isNotNull).distinct(),
+        maxHamming)
+      .withColumn("near_flag", lit(true))
+    val verdicts = b
+      .join(index.select(col("h128")).withColumn("exact_flag", lit(true)),
+        Seq("h128"), "left")
+      .join(nearFp, Seq("simhash"), "left")
+      .withColumn("verdict",
+        when(coalesce(col("exact_flag"), lit(false)), "exact")
+          .when(coalesce(col("near_flag"), lit(false)), "near")
+          .otherwise("admitted"))
+      .select(col("doc_id"), col("source"), col("verdict"),
+        lit(batchId).as("_dump_seq"))
+    BucketedMerge.mergeInto(spark, ledgerPath, verdicts, Seq("doc_id"),
+      nBuckets, seqCol = Some("_dump_seq"))
+  }
+
+  /** The served q151 ledger from the gate's verdict table — column-equal
+    * to batch [[graft.analytics.Dedup.incrementalDedup]] when the index
+    * holds the batch query's existing-snapshot side and the stream
+    * delivered its incoming side. */
+  def admissionLedger(spark: SparkSession,
+      ledgerPath: String): org.apache.spark.sql.DataFrame =
+    BucketedMerge.read(spark, ledgerPath)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(col("verdict") === "exact", 1L).otherwise(0L))
+          .as("n_exact_dup"),
+        sum(when(col("verdict") === "near", 1L).otherwise(0L))
+          .as("n_near_dup"),
+        sum(when(col("verdict") === "admitted", 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(when(col("verdict") === "admitted", col("doc_id")).otherwise(0L))
+          .as("admitted_checksum"))
+
+  /**
    * Online decontamination gate: documents landing in `landingDir` are
    * scored against a FROZEN benchmark k-gram set (`benchGrams`, one `h`
    * column — e.g. [[TextStats.allGramHashesOf]] over the eval suite) and

@@ -1290,4 +1290,53 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     assert(stats == ((0L, 0L)),
       s"an all-unique image batch must not touch the forest (got $stats)")
   }
+
+  test("admission gate: verdict ledger equals batch q151 under out-of-order arrival, re-delivery and crash window") {
+    import graft.analytics.{Dedup, Tables}
+    import org.apache.spark.sql.functions._
+    val root = TempDirs.tempDir("graft_sadm").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val indexPath = s"$root/wh/adm_index"
+    val ledgerPath = s"$root/wh/adm_ledger"
+    val d = "/root/testdata/sf0.001"
+    // plant one guaranteed cross-split EXACT duplicate (the natural corpus
+    // may lack one at this sf): an incoming id (%3 == 0) carrying a corpus
+    // doc's text verbatim
+    val corpusText = Tables.documents(spark, d)
+      .filter(col("doc_id") % 3 =!= 0 && col("text").isNotNull)
+      .orderBy(col("doc_id")).select("text").head().getString(0)
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).select("doc_id", "source", "text")
+      .unionByName(Seq((900000000003L, "planted", corpusText))
+        .toDF("doc_id", "source", "text"))
+    StreamingCorpus.buildAdmissionIndex(spark,
+      docs.filter(col("doc_id") % 3 =!= 0), indexPath, nBuckets = 8)
+    val incoming = docs.filter(col("doc_id") % 3 === 0).cache()
+    // later ids land FIRST (out of order); wave 2 re-delivers some wave-1
+    // rows (verdicts are content-determined, so the merge must be a no-op)
+    val w1 = incoming.filter(col("doc_id") % 2 === 0)
+    val w2 = incoming.filter(col("doc_id") % 2 =!= 0)
+      .unionByName(w1.orderBy(col("doc_id")).limit(5))
+    def drain(): Unit = {
+      val q = StreamingCorpus.startAdmissionGate(spark, landing.getAbsolutePath,
+        incoming.schema, indexPath, ledgerPath, s"$root/chk", nBuckets = 8)
+      q.awaitTermination()
+    }
+    land(w2, landing, "wave2"); drain()
+    land(w1, landing, "wave1"); drain()
+    // crash window: replay the whole wave-2 step directly against the
+    // merged ledger — a retried batch must overwrite itself exactly
+    StreamingCorpus.admitBatch(spark, w2, indexPath, ledgerPath, 99L,
+      nBuckets = 8)
+    val streamed = StreamingCorpus.admissionLedger(spark, ledgerPath)
+    val batch = Dedup.incrementalDedupOf(docs)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed admission ledger diverges from batch q151")
+    // sanity: the gate actually exercised all three verdicts on this corpus
+    val verdicts = graft.ingest.BucketedMerge.read(spark, ledgerPath)
+      .select("verdict").distinct().collect().map(_.getString(0)).toSet
+    assert(verdicts == Set("exact", "near", "admitted"),
+      s"fixture must exercise every verdict, saw $verdicts")
+    incoming.unpersist()
+  }
 }
