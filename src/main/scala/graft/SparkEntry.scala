@@ -203,6 +203,9 @@ object SparkEntry {
     // audio-style per-frame RMS energy + zero crossings (VAD shape)
     "q131_audio_frame_energy" -> ((s: SparkSession, d: String) =>
       Multimodal.audioFrameFeatures(s, d)),
+    // VAD segmentation over the q131 frames (gaps-and-islands run lengths)
+    "q152_vad_segments" -> ((s: SparkSession, d: String) =>
+      Multimodal.vadSegments(s, d)),
     // content-defined chunking (gear-criterion boundaries) dup mass
     "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.cdcChunkDedup(s, d)),
@@ -444,6 +447,37 @@ object SparkEntry {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Shared simhash fingerprint derivation (see q34 comment). */
+  /** The q131/q152 audio-frame CTE chain ending at `fe` (doc_id,
+    * frame_idx, n_samples, rms_energy, n_zero_cross): payload bytes via
+    * hex, 256-byte frames, centered samples, exact-integer squared sums,
+    * 6-dp-rounded RMS — one definition so the two oracles cannot
+    * desynchronize. */
+  private val audioFrameCte: String =
+    """WITH hx AS (
+      | SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+      | FROM documents WHERE text IS NOT NULL),
+      |fr AS (
+      | SELECT doc_id, n, h,
+      |  CAST(unnest(range(0, greatest(CAST(ceil(n / 256.0) AS BIGINT), 1)))
+      |   AS BIGINT) AS frame_idx
+      | FROM hx),
+      |sm AS (
+      | SELECT doc_id, frame_idx,
+      |  list_transform(range(CAST(frame_idx*256 AS INTEGER),
+      |                       CAST(least(frame_idx*256 + 256, n) AS INTEGER)),
+      |    i -> ('0x' || substring(h, CAST(i*2+1 AS INTEGER), 2))::INTEGER - 128)
+      |   AS s
+      | FROM fr),
+      |fe AS (
+      | SELECT doc_id, frame_idx, CAST(len(s) AS BIGINT) AS n_samples,
+      |  CASE WHEN len(s) > 0 THEN
+      |   round(sqrt(CAST(list_sum(list_transform(s, x -> x*x)) AS DOUBLE)
+      |     / len(s)), 6) END AS rms_energy,
+      |  CAST(coalesce(len(list_filter(range(0, len(s)-1),
+      |    i -> (s[CAST(i+1 AS INTEGER)] < 0) <> (s[CAST(i+2 AS INTEGER)] < 0))),
+      |   0) AS BIGINT) AS n_zero_cross
+      | FROM sm)""".stripMargin
+
   private def simhashFpCte(prefix: String = "WITH") =
     s"""$prefix w AS (
        | SELECT doc_id, list_transform(list_distinct($tokens),
@@ -1978,29 +2012,40 @@ object SparkEntry {
     // q131: bytes via the q59 hex-decode discipline; integer-exact square
     // sums, double only at the final rounded sqrt
     "q131_audio_frame_energy" ->
-      """WITH hx AS (
-        | SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
-        | FROM documents WHERE text IS NOT NULL),
-        |fr AS (
-        | SELECT doc_id, n, h,
-        |  CAST(unnest(range(0, greatest(CAST(ceil(n / 256.0) AS BIGINT), 1)))
-        |   AS BIGINT) AS frame_idx
-        | FROM hx),
-        |sm AS (
-        | SELECT doc_id, frame_idx,
-        |  list_transform(range(CAST(frame_idx*256 AS INTEGER),
-        |                       CAST(least(frame_idx*256 + 256, n) AS INTEGER)),
-        |    i -> ('0x' || substring(h, CAST(i*2+1 AS INTEGER), 2))::INTEGER - 128)
-        |   AS s
-        | FROM fr)
-        |SELECT doc_id, frame_idx, CAST(len(s) AS BIGINT) AS n_samples,
-        | CASE WHEN len(s) > 0 THEN
-        |  round(sqrt(CAST(list_sum(list_transform(s, x -> x*x)) AS DOUBLE)
-        |    / len(s)), 6) END AS rms_energy,
-        | CAST(coalesce(len(list_filter(range(0, len(s)-1),
-        |   i -> (s[CAST(i+1 AS INTEGER)] < 0) <> (s[CAST(i+2 AS INTEGER)] < 0))),
-        |  0) AS BIGINT) AS n_zero_cross
-        |FROM sm""".stripMargin,
+      (audioFrameCte +
+        "\nSELECT doc_id, frame_idx, n_samples, rms_energy, n_zero_cross FROM fe"),
+    // q152: the q131 frame CTE + gaps-and-islands on the frame index; the
+    // speech flag compares the 6-dp-ROUNDED energy so both engines branch
+    // on the identical value
+    "q152_vad_segments" ->
+      (audioFrameCte +
+        """,
+          |fl AS (SELECT doc_id, frame_idx,
+          |  (rms_energy IS NOT NULL AND rms_energy >= 45.0) AS speech FROM fe),
+          |isl AS (SELECT doc_id, speech,
+          |  frame_idx - row_number() OVER (PARTITION BY doc_id, speech
+          |    ORDER BY frame_idx) AS grp
+          | FROM fl),
+          |seg AS (SELECT doc_id, speech, grp, count(*) AS seg_len
+          | FROM isl GROUP BY 1, 2, 3),
+          |pd AS (SELECT doc_id,
+          |  CAST(sum(seg_len) AS BIGINT) AS d_frames,
+          |  CAST(sum(CASE WHEN speech THEN seg_len ELSE 0 END) AS BIGINT)
+          |    AS d_speech_frames,
+          |  CAST(count(*) AS BIGINT) AS d_segments,
+          |  CAST(sum(CASE WHEN speech THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS d_speech_segments,
+          |  CAST(coalesce(max(CASE WHEN speech THEN seg_len END), 0) AS BIGINT)
+          |    AS d_max_run
+          | FROM seg GROUP BY doc_id)
+          |SELECT d.source, count(*) AS n_docs,
+          | CAST(sum(d_frames) AS BIGINT) AS n_frames,
+          | CAST(sum(d_speech_frames) AS BIGINT) AS n_speech_frames,
+          | CAST(sum(d_segments) AS BIGINT) AS n_segments,
+          | CAST(sum(d_speech_segments) AS BIGINT) AS n_speech_segments,
+          | CAST(max(d_max_run) AS BIGINT) AS max_speech_run
+          |FROM pd JOIN documents d ON d.doc_id = pd.doc_id
+          |GROUP BY d.source""".stripMargin),
     // q132: the same lag-window boundary bit + running-sum chunk id, then
     // chunk hashes grouped for the duplicate mass
     "q132_cdc_chunk_dedup" ->

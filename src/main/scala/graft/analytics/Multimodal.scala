@@ -335,6 +335,69 @@ object Multimodal {
         col("n_zero_cross"))
   }
 
+  /**
+   * q152: VAD-style segmentation over the q131 frame features — the
+   * run-length pass a speech pipeline runs right after frame scoring
+   * (and the reason q131 exists): a frame flags as "speech" when its
+   * rounded RMS energy reaches `threshold`, maximal runs of same-flag
+   * consecutive frames become segments (gaps-and-islands on the frame
+   * index), and the per-source ledger tallies frames, segments and the
+   * longest speech run — the numbers that drive silence trimming and
+   * chunk sizing for an audio training corpus.
+   *
+   * Determinism: the flag compares the 6-dp-ROUNDED q131 energy, so both
+   * engines branch on the identical value; island grouping is integer
+   * arithmetic on the frame index. Docs with a NULL payload carry no
+   * frames (q131's convention) and are absent from the ledger; an empty
+   * payload's single 0-sample frame has NULL energy ⇒ one silence
+   * segment.
+   *
+   * 100 TB posture: frame features are a per-partition flatMap (no
+   * shuffle carries a payload); the island window shuffles only
+   * (doc_id, frame_idx, speech, seg keys) — group size = one document's
+   * frame count, bounded by media length; everything after is map-side
+   * combined aggregation.
+   */
+  def vadSegments(s: SparkSession, d: String, frameBytes: Int = 256,
+      threshold: Double = 45.0): DataFrame =
+    vadSegmentsOf(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")), frameBytes, threshold)
+
+  /** [[vadSegments]] over an arbitrary (doc_id, source, text) frame. */
+  def vadSegmentsOf(docs: DataFrame, frameBytes: Int,
+      threshold: Double): DataFrame = {
+    val frames = audioFrameFeaturesOf(
+        docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
+        frameBytes)
+      .withColumn("speech",
+        col("rms_energy").isNotNull && col("rms_energy") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("speech")).orderBy(col("frame_idx"))
+    val perDoc = frames
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("speech"), col("grp"))
+      .agg(count(lit(1)).as("seg_len"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("seg_len")).as("d_frames"),
+        sum(when(col("speech"), col("seg_len")).otherwise(0L))
+          .as("d_speech_frames"),
+        count(lit(1)).as("d_segments"),
+        sum(when(col("speech"), 1L).otherwise(0L)).as("d_speech_segments"),
+        coalesce(max(when(col("speech"), col("seg_len"))), lit(0L))
+          .as("d_max_speech_run"))
+    perDoc
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("d_frames")).as("n_frames"),
+        sum(col("d_speech_frames")).as("n_speech_frames"),
+        sum(col("d_segments")).as("n_segments"),
+        sum(col("d_speech_segments")).as("n_speech_segments"),
+        max(col("d_max_speech_run")).as("max_speech_run"))
+  }
+
   /** Frame-sampling shape: deterministic "frames" (offset markers) per media
     * item — the explode pattern a video pipeline uses, minus the codec. */
   def frameSample(s: SparkSession, d: String, everyBytes: Int = 256): DataFrame =

@@ -106,7 +106,8 @@ class Round14OpsSpec extends AnyFunSuite with SparkSuite {
 
   test("round-14 plans: equi-join shaped, no cartesian; q151 near gate is a semi-join") {
     val sd = "/root/testdata/sf0.001"
-    Seq("q150_padding_waste", "q151_incremental_dedup").foreach { q =>
+    Seq("q150_padding_waste", "q151_incremental_dedup",
+        "q152_vad_segments").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sd)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q fell back to a cartesian")
@@ -117,6 +118,37 @@ class Round14OpsSpec extends AnyFunSuite with SparkSuite {
       .queryExecution.executedPlan.toString
     assert(p151.contains("LeftSemi"),
       "the banded near gate must stay a semi-join (no pair stream)")
+  }
+
+  test("q152: VAD segments match the constructed byte pattern; empty payload is one silence segment") {
+    import spark.implicits._
+    import graft.analytics.Multimodal
+    // 256 'a' bytes (rms 31 -> silence), 256 spaces (rms 96 -> speech),
+    // 256 'a' (silence): segments S/sp/S. Empty text: one 0-sample frame
+    // with NULL energy -> one silence segment. NULL text: no frames.
+    val t1 = "a" * 256 + " " * 256 + "a" * 256
+    val docs = Seq(
+      (1L, "s", t1), (2L, "s", null.asInstanceOf[String]), (3L, "s", ""))
+      .toDF("doc_id", "source", "text")
+    val row = Multimodal.vadSegmentsOf(docs, frameBytes = 256, threshold = 45.0)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    assert(row == (("s", 2L, 4L, 1L, 4L, 1L, 1L)),
+      s"expected (s, 2 docs, 4 frames, 1 speech, 4 segments, 1 speech seg, run 1); got $row")
+  }
+
+  test("q152: per-source frame mass reconciles with the q131 frame table") {
+    import spark.implicits._
+    import graft.analytics.{Multimodal, Tables}
+    val vad = Multimodal.vadSegments(spark, d)
+    val vadFrames = vad.agg(sum(col("n_frames"))).head().getLong(0)
+    val q131Frames = Multimodal.audioFrameFeatures(spark, d).count()
+    assert(vadFrames == q131Frames,
+      s"VAD ledger lost frames: $vadFrames vs $q131Frames")
+    val bad = vad.filter(col("n_speech_frames") > col("n_frames") ||
+      col("n_speech_segments") > col("n_segments") ||
+      (col("n_speech_segments") === 0 && col("max_speech_run") =!= 0) ||
+      col("max_speech_run") > col("n_speech_frames")).count()
+    assert(bad == 0, "segment marginals must be internally consistent")
   }
 
   test("q151: an incoming batch against an empty corpus admits everything") {
