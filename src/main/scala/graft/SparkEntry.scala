@@ -206,6 +206,12 @@ object SparkEntry {
     // VAD segmentation over the q131 frames (gaps-and-islands run lengths)
     "q152_vad_segments" -> ((s: SparkSession, d: String) =>
       Multimodal.vadSegments(s, d)),
+    // keep-the-best dedup policy over the q74 clusters (vs min-id baseline)
+    "q153_quality_keepers" -> ((s: SparkSession, d: String) =>
+      Dedup.qualityKeepers(s, d)),
+    // quality-first selection under a per-language token budget
+    "q154_budget_selection" -> ((s: SparkSession, d: String) =>
+      Sampling.budgetSelection(s, d)),
     // content-defined chunking (gear-criterion boundaries) dup mass
     "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.cdcChunkDedup(s, d)),
@@ -2046,6 +2052,59 @@ object SparkEntry {
           | CAST(max(d_max_run) AS BIGINT) AS max_speech_run
           |FROM pd JOIN documents d ON d.doc_id = pd.doc_id
           |GROUP BY d.source""".stripMargin),
+    // q153: the q74 recursive-component CTE + chars-desc keeper window;
+    // the min-id baseline's chars come from the member row where
+    // doc_id = cluster_id (the contraction's component minimum)
+    "q153_quality_keepers" ->
+      (dupClustersCte +
+        """,
+          |m AS (SELECT c.doc_id, c.cluster_id, d.source, d.n_chars
+          | FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+          |sz AS (SELECT cluster_id, count(*) AS csize FROM m GROUP BY 1),
+          |k AS (SELECT m.*, row_number() OVER (PARTITION BY cluster_id
+          |   ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn FROM m),
+          |rc AS (SELECT cluster_id, n_chars AS root_chars FROM m
+          | WHERE doc_id = cluster_id)
+          |SELECT k.source, count(*) AS n_clusters_led,
+          | CAST(sum(sz.csize) AS BIGINT) AS n_members,
+          | CAST(coalesce(sum(k.n_chars), 0) AS BIGINT) AS kept_chars,
+          | CAST(coalesce(sum(rc.root_chars), 0) AS BIGINT) AS minid_kept_chars,
+          | CAST(coalesce(sum(k.n_chars), 0) - coalesce(sum(rc.root_chars), 0)
+          |   AS BIGINT) AS chars_gain
+          |FROM k JOIN sz USING (cluster_id) JOIN rc USING (cluster_id)
+          |WHERE k.rn = 1 GROUP BY k.source""".stripMargin),
+    // q154: the q88 rule spellings replayed per doc (score = rules
+    // passed), then the greedy budget cut as a cumulative window in the
+    // same (score desc, md5 lottery, doc_id) total order as the engine
+    "q154_budget_selection" ->
+      s"""WITH t AS (
+        | SELECT doc_id, lang, $tokens AS ws FROM documents),
+        |f AS (
+        | SELECT doc_id, lang, coalesce(len(ws), 0) AS nw,
+        |  round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws), 6) AS mean_len,
+        |  round(CAST(len(list_filter(ws, w -> w IN ('the','a','of','to','and','in'))) AS DOUBLE) / len(ws), 6) AS stop_frac,
+        |  round(CAST(len(list_filter(ws, w -> regexp_matches(w, '^[a-z]+$$'))) AS DOUBLE) / len(ws), 6) AS alpha_frac
+        | FROM t),
+        |g AS (
+        | SELECT doc_id, lang, nw AS n_tokens,
+        |  CAST(4
+        |   - (CASE WHEN nw < 20 OR nw > 90 THEN 1 ELSE 0 END)
+        |   - (CASE WHEN mean_len < 4.0 OR mean_len > 5.0 THEN 1 ELSE 0 END)
+        |   - (CASE WHEN stop_frac < 0.02 THEN 1 ELSE 0 END)
+        |   - (CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS score
+        | FROM f),
+        |o AS (
+        | SELECT doc_id, lang, n_tokens, score,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY score DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        | FROM g)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN before < 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+        | CAST(sum(CASE WHEN before < 5000 THEN n_tokens ELSE 0 END) AS BIGINT) AS selected_tokens,
+        | CAST(min(CASE WHEN before < 5000 THEN score END) AS BIGINT) AS min_score_admitted,
+        | CAST(sum(CASE WHEN before < 5000 THEN doc_id ELSE 0 END) AS BIGINT) AS selected_checksum
+        |FROM o GROUP BY lang""".stripMargin,
     // q132: the same lag-window boundary bit + running-sum chunk id, then
     // chunk hashes grouped for the duplicate mass
     "q132_cdc_chunk_dedup" ->

@@ -762,6 +762,49 @@ object Dedup {
         .distinct())
   }
 
+  /**
+   * q153: quality-keeper selection over the duplicate clusters — the
+   * published refinement of q81's min-id dedup apply: when a near-dup
+   * cluster collapses to one document, keep its BEST member (the longest
+   * document — the RefinedWeb/FineWeb release practice) instead of the
+   * id-minimal one, and report per source how much content the quality
+   * policy retains over the min-id policy (`chars_gain`) — the number
+   * that justifies (or kills) the policy switch.
+   *
+   * Rides the session-shared q74 contraction fixpoint
+   * ([[sharedClusterEdges]]), so consumers batching several cluster
+   * queries pay the contraction once. The keeper window is keyed by
+   * cluster_id — group size = that cluster's member count, bounded by
+   * duplicate multiplicity, never corpus-sized — over three narrow
+   * columns; the min-id baseline needs NO second pass (the contraction's
+   * cluster_id IS the component minimum, so the baseline keeper's chars
+   * come from the member row where doc_id = cluster_id). Deterministic:
+   * chars-desc with NULLS LAST and doc_id tiebreak, spelled identically
+   * in both engines.
+   */
+  def qualityKeepers(s: SparkSession, d: String): DataFrame = {
+    val m = simhashClusters(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+    val wc = Window.partitionBy(col("cluster_id"))
+    val ranked = m
+      .withColumn("csize", count(lit(1)).over(wc))
+      .withColumn("rn", row_number().over(
+        wc.orderBy(col("n_chars").desc_nulls_last, col("doc_id"))))
+    val rootChars = m.filter(col("doc_id") === col("cluster_id"))
+      .select(col("cluster_id"), col("n_chars").as("root_chars"))
+    ranked.filter(col("rn") === 1)
+      .join(rootChars, Seq("cluster_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_clusters_led"),
+        sum(col("csize")).cast("long").as("n_members"),
+        coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("kept_chars"),
+        coalesce(sum(col("root_chars")), lit(0L)).cast("long")
+          .as("minid_kept_chars"))
+      .withColumn("chars_gain", col("kept_chars") - col("minid_kept_chars"))
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** SimHash geometry: 60-bit fingerprints in 4 bands of 15 bits. */

@@ -183,6 +183,62 @@ object Sampling {
   }
 
   /**
+   * q154: quality-first selection under a token budget — the
+   * FineWeb-Edu-style assembly step: within each language, admit
+   * documents in quality order (Gopher rules passed, 4 → 0, from
+   * [[TextStats.gopherDocFlags]]' exact q88 spellings) until the token
+   * budget fills, with the md5 id lottery (then doc_id) breaking ties so
+   * equal-quality admission is deterministic and engine-reproducible. A
+   * document is admitted iff the tokens BEFORE it in that order are
+   * under the budget (so the budget may overshoot by at most one
+   * document — the standard greedy cut). Emits the per-language ledger:
+   * selected counts/tokens, the lowest quality score admitted (the
+   * discovered threshold), and the selection checksum.
+   *
+   * 100 TB posture: scoring is one narrow map-side pass; the cumulative
+   * window shuffles (lang, doc_id, n_tokens, score) — four narrow
+   * columns — keyed by the selection domain (language here, (lang,
+   * shard) in a sharded pipeline, bounding each sort). At full corpus
+   * scale the same ledger comes from the q103 two-phase discipline:
+   * aggregate the per-(lang, score) token histogram first (tiny), derive
+   * each language's admission threshold from it, and only the boundary
+   * score tier enters a rank window.
+   */
+  def budgetSelection(s: SparkSession, d: String,
+      budgetTokens: Long = 5000): DataFrame =
+    budgetSelectionOf(Tables.documents(s, d), budgetTokens)
+
+  /** [[budgetSelection]] over an arbitrary (doc_id, lang, source, text)
+    * frame. */
+  def budgetSelectionOf(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val flags = TextStats.gopherDocFlags(
+      docs.select(col("doc_id"), col("source"), col("text")))
+    val scored = docs
+      .select(col("doc_id"), col("lang"),
+        coalesce(size(split(trim(col("text")), "\\s+")), lit(0)).as("n_tokens"))
+      .join(flags.select(col("doc_id"),
+        (lit(4) - col("f_words") - col("f_mean_len") - col("f_stop") -
+          col("f_alpha")).cast("long").as("score")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("score").desc,
+        md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    scored
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("selected", col("before") < budgetTokens)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("selected"), col("n_tokens")).otherwise(0L))
+          .cast("long").as("selected_tokens"),
+        min(when(col("selected"), col("score"))).as("min_score_admitted"),
+        sum(when(col("selected"), col("doc_id")).otherwise(0L))
+          .as("selected_checksum"))
+  }
+
+  /**
    * Stratified sample: a per-language `rate`-fraction sample keyed on the
    * md5 split bucket (same derivation as [[splitBucket]]) — deterministic,
    * engine-reproducible, and stable under corpus growth (a doc's

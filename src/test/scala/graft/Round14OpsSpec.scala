@@ -107,7 +107,8 @@ class Round14OpsSpec extends AnyFunSuite with SparkSuite {
   test("round-14 plans: equi-join shaped, no cartesian; q151 near gate is a semi-join") {
     val sd = "/root/testdata/sf0.001"
     Seq("q150_padding_waste", "q151_incremental_dedup",
-        "q152_vad_segments").foreach { q =>
+        "q152_vad_segments", "q153_quality_keepers",
+        "q154_budget_selection").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sd)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q fell back to a cartesian")
@@ -149,6 +150,51 @@ class Round14OpsSpec extends AnyFunSuite with SparkSuite {
       (col("n_speech_segments") === 0 && col("max_speech_run") =!= 0) ||
       col("max_speech_run") > col("n_speech_frames")).count()
     assert(bad == 0, "segment marginals must be internally consistent")
+  }
+
+  test("q153: quality keeper dominates the min-id baseline; marginals reconcile with q74") {
+    import spark.implicits._
+    import graft.analytics.Dedup
+    val led = Dedup.qualityKeepers(spark, d).cache()
+    // the keeper maximizes chars within its cluster, so per-source sums
+    // over the SAME led clusters can never lose to the min-id baseline
+    val regress = led.filter(col("kept_chars") < col("minid_kept_chars") ||
+      col("chars_gain") < 0).count()
+    assert(regress == 0, "quality keeper must dominate the min-id keeper")
+    val (nClusters, nMembers) = led
+      .agg(sum(col("n_clusters_led")), sum(col("n_members")))
+      .as[(Long, Long)].head()
+    val clusters = Dedup.simhashClusters(spark, d).cache()
+    assert(nClusters == clusters.select("cluster_id").distinct().count(),
+      "every cluster must have exactly one quality keeper")
+    assert(nMembers == clusters.count(),
+      "member mass must cover every clustered doc exactly once")
+    clusters.unpersist(); led.unpersist()
+  }
+
+  test("q154: uniform-quality corpus reduces the cut to the md5 lottery; budget is monotone") {
+    import spark.implicits._
+    import graft.analytics.Sampling
+    // all docs score 1 (fails words/mean-len/stopword, passes alpha) with
+    // 1 token each -> the budget cut is exactly `budget` lottery-lowest docs
+    val docs = (1L to 10L).map(i => (i, "xx", "s", "zzz"))
+      .toDF("doc_id", "lang", "source", "text")
+    val row = Sampling.budgetSelectionOf(docs, budgetTokens = 3)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    val expectIds = (1L to 10L)
+      .sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString)
+      .take(3)
+    assert(row == (("xx", 10L, 3L, 3L, 1L, expectIds.sum)),
+      s"expected the 3 lottery-lowest docs (${expectIds.mkString(",")}), got $row")
+    // monotone in the budget on the real corpus
+    val small = Sampling.budgetSelection(spark, d, budgetTokens = 500)
+      .select("lang", "n_selected").as[(String, Long)].collect().toMap
+    val large = Sampling.budgetSelection(spark, d, budgetTokens = 5000)
+      .select("lang", "n_selected").as[(String, Long)].collect().toMap
+    assert(small.keySet == large.keySet)
+    assert(small.forall { case (l, n) => n <= large(l) },
+      "a larger budget can never select fewer documents")
   }
 
   test("q151: an incoming batch against an empty corpus admits everything") {
