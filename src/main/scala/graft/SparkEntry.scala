@@ -212,6 +212,9 @@ object SparkEntry {
     // quality-first selection under a per-language token budget
     "q154_budget_selection" -> ((s: SparkSession, d: String) =>
       Sampling.budgetSelection(s, d)),
+    // audio delta-sign fingerprints banded into the q114/q128 histogram
+    "q155_audio_fp_histogram" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioFpHistogram(s, d)),
     // content-defined chunking (gear-criterion boundaries) dup mass
     "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.cdcChunkDedup(s, d)),
@@ -2105,6 +2108,51 @@ object SparkEntry {
         | CAST(min(CASE WHEN before < 5000 THEN score END) AS BIGINT) AS min_score_admitted,
         | CAST(sum(CASE WHEN before < 5000 THEN doc_id ELSE 0 END) AS BIGINT) AS selected_checksum
         |FROM o GROUP BY lang""".stripMargin,
+    // q155: 16-byte frames via the q131 hex-decode discipline, delta-sign
+    // fingerprint on the 6-dp-rounded energies, then the q114/q128 brute
+    // pair-join histogram tail over the fingerprints
+    "q155_audio_fp_histogram" ->
+      s"""WITH hx AS (
+        | SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+        | FROM documents WHERE text IS NOT NULL),
+        |fr AS (
+        | SELECT doc_id, n, h,
+        |  CAST(unnest(range(0, greatest(CAST(ceil(n / 16.0) AS BIGINT), 1)))
+        |   AS BIGINT) AS frame_idx
+        | FROM hx),
+        |sm AS (
+        | SELECT doc_id, frame_idx,
+        |  list_transform(range(CAST(frame_idx*16 AS INTEGER),
+        |                       CAST(least(frame_idx*16 + 16, n) AS INTEGER)),
+        |    i -> ('0x' || substring(h, CAST(i*2+1 AS INTEGER), 2))::INTEGER - 128)
+        |   AS s
+        | FROM fr),
+        |fe AS (
+        | SELECT doc_id, frame_idx,
+        |  CASE WHEN len(s) > 0 THEN
+        |   round(sqrt(CAST(list_sum(list_transform(s, x -> x*x)) AS DOUBLE)
+        |     / len(s)), 6) END AS rms_energy
+        | FROM sm),
+        |dl AS (
+        | SELECT doc_id, frame_idx, rms_energy,
+        |  lag(rms_energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        | FROM fe),
+        |fp AS (
+        | SELECT doc_id,
+        |  CAST(coalesce(sum(CASE WHEN frame_idx BETWEEN 1 AND 59
+        |    AND prev IS NOT NULL AND rms_energy IS NOT NULL
+        |    AND rms_energy > prev
+        |   THEN (1::BIGINT << CAST(frame_idx - 1 AS INTEGER)) ELSE 0 END), 0)
+        |   AS BIGINT) AS simhash
+        | FROM dl GROUP BY doc_id),
+        |hp AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        | WHERE $simhashPairPredicate)
+        |SELECT hamming, count(*) AS n_pairs,
+        | count(DISTINCT doc_a) AS n_docs_a, count(DISTINCT doc_b) AS n_docs_b
+        |FROM hp GROUP BY hamming""".stripMargin,
     // q132: the same lag-window boundary bit + running-sum chunk id, then
     // chunk hashes grouped for the duplicate mass
     "q132_cdc_chunk_dedup" ->

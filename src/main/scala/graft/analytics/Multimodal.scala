@@ -398,6 +398,58 @@ object Multimodal {
         max(col("d_max_speech_run")).as("max_speech_run"))
   }
 
+  /**
+   * q155: audio perceptual fingerprints + near-dup histogram — the
+   * audio member of the near-dup matrix (text simhash q114, image dHash
+   * q128): a 59-bit chromaprint-style delta-sign fingerprint (bit b set
+   * iff the 6-dp-rounded RMS energy RISES from frame b to frame b+1 over
+   * 16-byte frames — the energy-contour signature that survives volume
+   * scaling), banded through the IDENTICAL 4×15-bit machinery
+   * ([[graft.analytics.Dedup.hammingHistogramOf]]: distinct-VALUE
+   * collapse, in-join pair dedup, multiplicity algebra — no pair row
+   * ever shuffles). Two recordings of the same content share the
+   * contour, so they land at low Hamming distance.
+   *
+   * Determinism: both engines compare the same ROUNDED energies; frames
+   * past bit 58 don't contribute; a doc with one frame (or monotone
+   * non-rising contour) fingerprints as 0 — the short-media zero-bias
+   * the distinct-value collapse exists to absorb.
+   *
+   * 100 TB posture: frame features are a per-partition flatMap; the
+   * delta window and the fingerprint fold shuffle (doc_id, frame_idx,
+   * rms) narrow rows keyed by doc_id — group size = one media item's
+   * frame count — and the histogram tail is the q114/q128 stream-free
+   * shape.
+   */
+  def audioFingerprints(s: SparkSession, d: String,
+      frameBytes: Int = 16): DataFrame =
+    audioFingerprintsOf(Tables.documents(s, d), frameBytes)
+
+  /** [[audioFingerprints]] over an arbitrary (doc_id, text) frame. */
+  def audioFingerprintsOf(docsIn: DataFrame, frameBytes: Int): DataFrame = {
+    val docs = docsIn.select(col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      md5(col("text").cast("binary")).as("h128"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val fps = audioFrameFeaturesOf(
+        docs.select(col("doc_id"), col("payload")), frameBytes)
+      .withColumn("prev", lag(col("rms_energy"), 1).over(wl))
+      .groupBy(col("doc_id"))
+      .agg(coalesce(sum(when(
+          col("frame_idx").between(1, 59) && col("prev").isNotNull &&
+            col("rms_energy").isNotNull && col("rms_energy") > col("prev"),
+          expr("shiftleft(cast(1 as bigint), cast(frame_idx - 1 as int))"))
+          .otherwise(0L)), lit(0L)).as("simhash"))
+    docs.select(col("doc_id"), col("h128")).join(fps, Seq("doc_id"))
+  }
+
+  /** q155's served observable: the near-dup Hamming histogram over the
+    * audio fingerprints — q128's tail verbatim on the new modality. */
+  def audioFpHistogram(s: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame =
+    Dedup.hammingHistogramOf(audioFingerprints(s, d), maxHamming)
+
   /** Frame-sampling shape: deterministic "frames" (offset markers) per media
     * item — the explode pattern a video pipeline uses, minus the codec. */
   def frameSample(s: SparkSession, d: String, everyBytes: Int = 256): DataFrame =

@@ -108,7 +108,7 @@ class Round14OpsSpec extends AnyFunSuite with SparkSuite {
     val sd = "/root/testdata/sf0.001"
     Seq("q150_padding_waste", "q151_incremental_dedup",
         "q152_vad_segments", "q153_quality_keepers",
-        "q154_budget_selection").foreach { q =>
+        "q154_budget_selection", "q155_audio_fp_histogram").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sd)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q fell back to a cartesian")
@@ -195,6 +195,28 @@ class Round14OpsSpec extends AnyFunSuite with SparkSuite {
     assert(small.keySet == large.keySet)
     assert(small.forall { case (l, n) => n <= large(l) },
       "a larger budget can never select fewer documents")
+  }
+
+  test("q155: delta-sign fingerprint matches the constructed contour; same contour pairs at hamming 0") {
+    import spark.implicits._
+    import graft.analytics.Multimodal
+    // frames of 16 bytes: 'a'*16 (rms 31) -> ' '*16 (rms 96) -> 'a'*16 (31)
+    // deltas: rise (bit 0), fall (no bit) => fp = 1. Two different texts
+    // with the same contour must share the fingerprint (hamming 0).
+    val up = "a" * 16 + " " * 16 + "a" * 16
+    val up2 = "b" * 16 + "," * 16 + "b" * 16 // different bytes, same contour
+    val docs = Seq((1L, up), (2L, up2), (3L, "a" * 16))
+      .toDF("doc_id", "text")
+    val fps = Multimodal.audioFingerprintsOf(docs, frameBytes = 16)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(fps(1L) == 1L, s"expected rise-then-fall fp 1, got ${fps(1L)}")
+    assert(fps(2L) == 1L, "same energy contour must share the fingerprint")
+    assert(fps(3L) == 0L, "single-frame media fingerprints as 0")
+    // histogram invariants on the real corpus
+    val hist = Multimodal.audioFpHistogram(spark, d).cache()
+    assert(hist.filter(col("hamming") < 0 || col("hamming") > 6).count() == 0)
+    assert(hist.count() > 0, "sf0.01 must band at least one audio near-dup pair")
+    hist.unpersist()
   }
 
   test("q151: an incoming batch against an empty corpus admits everything") {
