@@ -425,8 +425,69 @@ object Multimodal {
       frameBytes: Int = 16): DataFrame =
     audioFingerprintsOf(Tables.documents(s, d), frameBytes)
 
-  /** [[audioFingerprints]] over an arbitrary (doc_id, text) frame. */
+  /** [[audioFingerprints]] over an arbitrary (doc_id, text) frame.
+    *
+    * ONE per-partition pass (the [[dhashMetaOf]] pattern): a media item's
+    * frames are consecutive bytes of one payload, so the content hash,
+    * the per-frame energies AND the delta-sign fold all come out of the
+    * scan task directly — no frame row ever exists, let alone shuffles
+    * (the declarative spelling shuffled ~frameCount rows per item into a
+    * lag window: 16× the q131 row count, measured 2.5 s vs ~0.5 s at
+    * sf0.1). Rounding parity: the fold rounds each RMS exactly as
+    * Spark's `round(_, 6)` (BigDecimal HALF_UP on the double), pinned by
+    * [[audioFingerprintsDeclarative]] equality in Round14OpsSpec. */
   def audioFingerprintsOf(docsIn: DataFrame, frameBytes: Int): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    docsIn.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+      .mapPartitions { batch =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.map { row =>
+          if (row.payload == null)
+            (row.doc_id, None: Option[String], None: Option[Long])
+          else {
+            md.reset()
+            val hex = md.digest(row.payload).map("%02x".format(_)).mkString
+            val b = row.payload
+            val nFrames = math.max((b.length + frameBytes - 1) / frameBytes, 1)
+            var fp = 0L
+            var prev = 0.0
+            var prevNull = true
+            var f = 0
+            while (f < nFrames) {
+              val start = f * frameBytes
+              val end = math.min(start + frameBytes, b.length)
+              val isNull = end == start
+              var rms = 0.0
+              if (!isNull) {
+                var sq = 0L
+                var i = start
+                while (i < end) {
+                  val s0 = (b(i) & 0xFF) - 128; sq += s0.toLong * s0; i += 1
+                }
+                rms = java.math.BigDecimal
+                  .valueOf(math.sqrt(sq.toDouble / (end - start)))
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              }
+              if (f >= 1 && f <= 59 && !prevNull && !isNull && rms > prev)
+                fp |= 1L << (f - 1)
+              prev = rms; prevNull = isNull
+              f += 1
+            }
+            (row.doc_id, Some(hex), Some(fp))
+          }
+        }
+      }.toDF("doc_id", "h128", "simhash")
+  }
+
+  /** Builtin-only spelling of [[audioFingerprintsOf]] (frames → lag
+    * window → bit fold) — value-identical, kept as the cross-check
+    * oracle for the single-pass fold (equality asserted in
+    * Round14OpsSpec), exactly the [[Dedup.simhashFromHashesDeclarative]]
+    * discipline. */
+  private[graft] def audioFingerprintsDeclarative(docsIn: DataFrame,
+      frameBytes: Int): DataFrame = {
     val docs = docsIn.select(col("doc_id"),
       col("text").cast("binary").as("payload"),
       md5(col("text").cast("binary")).as("h128"))

@@ -212,6 +212,15 @@ class Round14OpsSpec extends AnyFunSuite with SparkSuite {
     assert(fps(1L) == 1L, s"expected rise-then-fall fp 1, got ${fps(1L)}")
     assert(fps(2L) == 1L, "same energy contour must share the fingerprint")
     assert(fps(3L) == 0L, "single-frame media fingerprints as 0")
+    // the single-pass fold must equal the builtin-only spelling exactly
+    // (fingerprint rounding parity), on a real corpus
+    val corpus = graft.analytics.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val fold = Multimodal.audioFingerprintsOf(corpus, 16)
+    val decl = Multimodal.audioFingerprintsDeclarative(corpus, 16)
+    assert(fold.filter(col("h128").isNotNull).exceptAll(decl).isEmpty &&
+      decl.exceptAll(fold.filter(col("h128").isNotNull)).isEmpty,
+      "single-pass fold diverges from the declarative fingerprint spelling")
     // histogram invariants on the real corpus
     val hist = Multimodal.audioFpHistogram(spark, d).cache()
     assert(hist.filter(col("hamming") < 0 || col("hamming") > 6).count() == 0)
