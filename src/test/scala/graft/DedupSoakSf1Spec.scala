@@ -88,6 +88,22 @@ class DedupSoakSf1Spec extends AnyFunSuite with SparkSuite {
         Sampling.dedupApply(spark, d).count()
       }),
       "q84_shared_grams" -> (d => TextStats.sharedGramPairs(spark, d).count()),
+      // incremental admission (round 14): one PINNED fingerprint pass +
+      // h128 window + value-collapsed band LEFT SEMI — wall must track
+      // corpus size, never candidate-pair mass
+      "q151_incremental" -> (d => Dedup.incrementalDedup(spark, d).count()),
+      // quality keepers (round 14) ride the shared contraction; clear the
+      // memo so the soak times the fixpoint + keeper window, not a cache
+      "q153_quality_keepers" -> (d => {
+        Dedup.clearSharedClusterEdges()
+        Dedup.qualityKeepers(spark, d).count()
+      }),
+      // audio fingerprints (round 14): per-partition fold + the collapsed
+      // histogram; observable = total banded pair mass (monotone in the
+      // corpus where distinct-hamming row count is not)
+      "q155_audio_fp" -> (d => graft.analytics.Multimodal
+        .audioFpHistogram(spark, d)
+        .agg(sum(col("n_pairs"))).head().getLong(0)),
       // image near-dup: per-partition PNG encode+decode+dHash, then the
       // collapsed q114 histogram machinery over the 60-bit fingerprints
       "q128_image_dhash" -> (d => graft.analytics.Multimodal
