@@ -215,6 +215,9 @@ object SparkEntry {
     // audio delta-sign fingerprints banded into the q114/q128 histogram
     "q155_audio_fp_histogram" -> ((s: SparkSession, d: String) =>
       Multimodal.audioFpHistogram(s, d)),
+    // Moore-Lewis cross-entropy-difference selection vs the largest source
+    "q156_moore_lewis" -> ((s: SparkSession, d: String) =>
+      TextStats.mooreLewis(s, d)),
     // content-defined chunking (gear-criterion boundaries) dup mass
     "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.cdcChunkDedup(s, d)),
@@ -2153,6 +2156,78 @@ object SparkEntry {
         |SELECT hamming, count(*) AS n_pairs,
         | count(DISTINCT doc_a) AS n_docs_a, count(DISTINCT doc_b) AS n_docs_b
         |FROM hp GROUP BY hamming""".stripMargin,
+    // q156: q99's modeling conventions under TWO models from one combined
+    // count table (general count + in-domain count via the q147 largest-
+    // source pick); per-model top-K caps, add-one smoothing over each
+    // capped vocabulary, 6-dp decimal term sums; v = 0 guards to NULL
+    "q156_moore_lewis" ->
+      s"""WITH ws AS (SELECT doc_id, source, $tokens AS w FROM documents),
+        |dd AS (SELECT doc_id, source, w, coalesce(len(w), 0) AS nw FROM ws),
+        |st AS (SELECT source, count(*) AS n_docs FROM dd GROUP BY source),
+        |rf AS (SELECT source AS ref_source FROM (
+        |  SELECT source, row_number() OVER
+        |    (ORDER BY n_docs DESC, source ASC NULLS LAST) AS rn
+        |  FROM st) t WHERE rn = 1),
+        |fl AS (SELECT dd.doc_id, dd.w, dd.nw,
+        |  CASE WHEN dd.source IS NOT DISTINCT FROM rf.ref_source
+        |   THEN 1 ELSE 0 END AS is_tgt
+        | FROM dd CROSS JOIN rf),
+        |uc0 AS (SELECT w1, count(*) AS cu_g,
+        |  CAST(sum(is_tgt) AS BIGINT) AS cu_t
+        | FROM (SELECT is_tgt, unnest(w) AS w1 FROM fl) t GROUP BY w1),
+        |ucg AS (SELECT w1, cu_g FROM (
+        |  SELECT w1, cu_g, row_number() OVER (ORDER BY cu_g DESC, w1) AS rn
+        |  FROM uc0 WHERE cu_g > 0) t WHERE rn <= ${graft.analytics.TextStats.PerplexityVocabCap}),
+        |uct AS (SELECT w1, cu_t FROM (
+        |  SELECT w1, cu_t, row_number() OVER (ORDER BY cu_t DESC, w1) AS rn
+        |  FROM uc0 WHERE cu_t > 0) t WHERE rn <= ${graft.analytics.TextStats.PerplexityVocabCap}),
+        |bg0 AS (SELECT doc_id, is_tgt, w[CAST(i AS INT)] AS w1,
+        |  w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] AS b
+        | FROM (SELECT doc_id, is_tgt, w, unnest(range(1, nw)) AS i
+        |       FROM fl WHERE nw >= 2) t),
+        |bc0 AS (SELECT b, count(*) AS cb_g, CAST(sum(is_tgt) AS BIGINT) AS cb_t
+        | FROM bg0 GROUP BY b),
+        |bcg AS (SELECT b, cb_g FROM (
+        |  SELECT b, cb_g, row_number() OVER (ORDER BY cb_g DESC, b) AS rn
+        |  FROM bc0 WHERE cb_g > 0) t WHERE rn <= ${graft.analytics.TextStats.PerplexityVocabCap}),
+        |bct AS (SELECT b, cb_t FROM (
+        |  SELECT b, cb_t, row_number() OVER (ORDER BY cb_t DESC, b) AS rn
+        |  FROM bc0 WHERE cb_t > 0) t WHERE rn <= ${graft.analytics.TextStats.PerplexityVocabCap}),
+        |vg AS (SELECT count(*) AS v_g FROM ucg),
+        |vt AS (SELECT count(*) AS v_t FROM uct),
+        |tm AS (
+        | SELECT g.doc_id,
+        |  CAST(CASE WHEN vg.v_g > 0 THEN
+        |   round(-log10((coalesce(bcg.cb_g, 0) + 1.0) /
+        |     (coalesce(ucg.cu_g, 0) + vg.v_g)), 6) END
+        |   AS DECIMAL(18,6)) AS term_g,
+        |  CAST(CASE WHEN vt.v_t > 0 THEN
+        |   round(-log10((coalesce(bct.cb_t, 0) + 1.0) /
+        |     (coalesce(uct.cu_t, 0) + vt.v_t)), 6) END
+        |   AS DECIMAL(18,6)) AS term_t
+        | FROM bg0 g
+        | LEFT JOIN bcg USING (b) LEFT JOIN bct USING (b)
+        | LEFT JOIN ucg ON g.w1 = ucg.w1 LEFT JOIN uct ON g.w1 = uct.w1
+        | CROSS JOIN vg CROSS JOIN vt),
+        |sc AS (SELECT doc_id,
+        |  round(CAST(sum(term_g) AS DOUBLE) / count(*) -
+        |        CAST(sum(term_t) AS DOUBLE) / count(*), 6) AS score
+        | FROM tm GROUP BY doc_id),
+        |al AS (SELECT dd.doc_id, dd.source, dd.nw, sc.score
+        | FROM dd LEFT JOIN sc USING (doc_id))
+        |SELECT al.source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN score IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_scored,
+        | CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_selected,
+        | CAST(sum(CASE WHEN score > 0 THEN nw ELSE 0 END) AS BIGINT)
+        |   AS selected_tokens,
+        | CASE WHEN count(score) > 0 THEN
+        |   round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+        |     / count(score), 6) END AS avg_score,
+        | max(CASE WHEN al.source IS NOT DISTINCT FROM rf.ref_source
+        |   THEN 1 ELSE 0 END) = 1 AS is_ref
+        |FROM al CROSS JOIN rf GROUP BY al.source""".stripMargin,
     // q132: the same lag-window boundary bit + running-sum chunk id, then
     // chunk hashes grouped for the duplicate mass
     "q132_cdc_chunk_dedup" ->

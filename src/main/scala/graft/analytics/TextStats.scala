@@ -1701,6 +1701,127 @@ object TextStats {
   val PerplexityVocabCap = 65536
 
   /** [[perplexityBuckets]] over an arbitrary (doc_id, lang, text) frame. */
+  /**
+   * q156: Moore–Lewis cross-entropy-difference selection (Moore & Lewis
+   * 2010) — the third member of the data-selection triad (q123 DSIR =
+   * hashed importance weights, q154 = quality-budget greedy): score every
+   * document by mean bigram NLL under the GENERAL corpus model minus
+   * mean bigram NLL under the IN-DOMAIN model trained on the reference
+   * source (largest source, q147's deterministic pick), and select
+   * score > 0 — the classic threshold: the in-domain model finds the
+   * document strictly easier than the general one. Both models follow
+   * q99's exact conventions (vocabCap-bounded count tables, add-one
+   * smoothing over the capped vocabulary, -log10, 6-dp decimal term
+   * sums), so all three selectors share one modeling vocabulary.
+   *
+   * Documents with no bigrams (< 2 words, incl. NULL text) have NULL
+   * score and are never selected, but stay in the per-source tally.
+   *
+   * 100 TB posture: ONE token explode feeds a combined (gram, general
+   * count, in-domain count) aggregate — the in-domain flag is a
+   * broadcast-joined predicate, not a second scan — and each model's cap
+   * is the q99 two-stage partial top-K (64 hash sub-buckets, then a
+   * cap-bounded global stage), so all four count tables broadcast at
+   * ≤ cap rows regardless of vocabulary growth. Scoring is a second
+   * narrow pass over the per-bigram stream with four broadcast hash
+   * joins and a map-side-combined per-doc decimal sum; the ledger is a
+   * per-source aggregate. Nothing corpus-sized ever shuffles.
+   */
+  def mooreLewis(s: SparkSession, d: String,
+      vocabCap: Int = PerplexityVocabCap): DataFrame =
+    mooreLewisOf(documents(s, d), vocabCap)
+
+  /** [[mooreLewis]] over an arbitrary (doc_id, source, text) frame. */
+  def mooreLewisOf(docs: DataFrame, vocabCap: Int): DataFrame = {
+    val wsDocs = docs
+      .withColumn("w", words(col("text")))
+      .withColumn("nw", coalesce(size(col("w")), lit(0)))
+    // reference (in-domain) source: the q147 deterministic pick
+    val ref = wsDocs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("source").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("source").as("ref_source"))
+    val flagged = wsDocs.join(broadcast(ref))
+      .withColumn("is_tgt", (col("source") <=> col("ref_source")).cast("long"))
+    // q99's two-stage partial top-K, per MODEL (counts differ, so each
+    // model caps by its own count; the sub-bucket stage bounds every sort)
+    def capped(df: DataFrame, gram: String, cnt: String): DataFrame = {
+      val local = df.filter(col(cnt) > 0)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(pmod(xxhash64(col(gram)), lit(64L)))
+            .orderBy(col(cnt).desc, col(gram))))
+        .filter(col("rn") <= vocabCap)
+        .drop("rn")
+      local.withColumn("rn", row_number().over(
+          Window.orderBy(col(cnt).desc, col(gram))))
+        .filter(col("rn") <= vocabCap)
+        .drop("rn")
+    }
+    // ONE explode feeds both models' unigram counts
+    val uCounts = flagged
+      .select(col("is_tgt"), explode(col("w")).as("w1"))
+      .groupBy(col("w1"))
+      .agg(count(lit(1)).as("cu_g"), sum(col("is_tgt")).as("cu_t"))
+    val ucG = capped(uCounts.select(col("w1"), col("cu_g")), "w1", "cu_g")
+    val ucT = capped(uCounts.select(col("w1"), col("cu_t")), "w1", "cu_t")
+    // ... and one bigram explode feeds both models' bigram counts
+    def bigramsOf(df: DataFrame, extra: Seq[Column]): DataFrame = df
+      .filter(col("nw") >= 2)
+      .select(extra :+ explode(transform(
+        sequence(lit(1), col("nw") - 1),
+        i => concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1)))).as("b"): _*)
+    val bCounts = bigramsOf(flagged, Seq(col("is_tgt")))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cb_g"), sum(col("is_tgt")).as("cb_t"))
+    val bcG = capped(bCounts.select(col("b"), col("cb_g")), "b", "cb_g")
+    val bcT = capped(bCounts.select(col("b"), col("cb_t")), "b", "cb_t")
+    val vG = ucG.groupBy().agg(count(lit(1)).as("v_g"))
+    val vT = ucT.groupBy().agg(count(lit(1)).as("v_t"))
+    // scoring pass: per-bigram terms under both models, decimal-summed
+    val terms = bigramsOf(wsDocs, Seq(col("doc_id")))
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+      .join(broadcast(bcG), Seq("b"), "left")
+      .join(broadcast(bcT), Seq("b"), "left")
+      .join(broadcast(ucG), Seq("w1"), "left")
+      .join(broadcast(ucT), Seq("w1"), "left")
+      .join(broadcast(vG)).join(broadcast(vT))
+      // v = 0 (an empty model: e.g. the reference source holds only NULL
+      // texts on a hostile corpus) would divide by zero — guard to NULL,
+      // which nulls every doc's score through the null-skipping sum and
+      // selects nothing: the honest answer for a meaningless model
+      .withColumn("term_g",
+        when(col("v_g") > 0,
+          round(-log(10.0, (coalesce(col("cb_g"), lit(0L)) + 1.0) /
+            (coalesce(col("cu_g"), lit(0L)) + col("v_g"))), 6))
+          .cast("decimal(18,6)"))
+      .withColumn("term_t",
+        when(col("v_t") > 0,
+          round(-log(10.0, (coalesce(col("cb_t"), lit(0L)) + 1.0) /
+            (coalesce(col("cu_t"), lit(0L)) + col("v_t"))), 6))
+          .cast("decimal(18,6)"))
+    val scores = terms.groupBy(col("doc_id"))
+      .agg(round((sum(col("term_g")).cast("double") / count(lit(1))) -
+          (sum(col("term_t")).cast("double") / count(lit(1))), 6).as("score"))
+    wsDocs.select(col("doc_id"), col("source"), col("nw"))
+      .join(scores, Seq("doc_id"), "left")
+      .join(broadcast(ref))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("score") > 0, col("nw").cast("long")).otherwise(0L))
+          .as("selected_tokens"),
+        when(count(col("score")) > 0,
+          round(sum(col("score").cast("decimal(18,6)")).cast("double") /
+            count(col("score")), 6)).as("avg_score"),
+        max((col("source") <=> col("ref_source")).cast("int")).as("is_ref_i"))
+      .withColumn("is_ref", col("is_ref_i") === 1)
+      .drop("is_ref_i")
+  }
+
   def perplexityBucketsOf(docs: DataFrame,
       vocabCap: Int = PerplexityVocabCap): DataFrame = {
     val wsDocs = docs

@@ -115,6 +115,12 @@ class Round14OpsSpec extends AnyFunSuite with SparkSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$q degraded to a nested-loop join")
     }
+    // q156 joins two 1-row model-size frames without keys — a broadcast
+    // nested loop over one row is the intended shape (q147 precedent), so
+    // it only takes the cartesian check
+    val p156 = SparkEntry.queries("q156_moore_lewis")(spark, sd)
+      .queryExecution.executedPlan.toString
+    assert(!p156.contains("CartesianProduct"), "q156 fell back to a cartesian")
     val p151 = SparkEntry.queries("q151_incremental_dedup")(spark, sd)
       .queryExecution.executedPlan.toString
     assert(p151.contains("LeftSemi"),
@@ -226,6 +232,48 @@ class Round14OpsSpec extends AnyFunSuite with SparkSuite {
     assert(hist.filter(col("hamming") < 0 || col("hamming") > 6).count() == 0)
     assert(hist.count() > 0, "sf0.01 must band at least one audio near-dup pair")
     hist.unpersist()
+  }
+
+  test("q156: in-domain-looking docs select, out-of-domain docs do not; ref is the largest source") {
+    import spark.implicits._
+    import graft.analytics.TextStats
+    // target domain speaks vocabulary A; the general pool has one A-looking
+    // doc (must select: the in-domain model finds it easier) and two
+    // B-vocabulary docs (must not: the in-domain model only has the
+    // smoothing floor for them)
+    // strict separation by construction: an A-bigram has identical counts
+    // in both models but the GENERAL vocabulary is larger (V_g 10 > V_t 8)
+    // => every A-term is strictly positive; a B-bigram is repetitive
+    // (general model knows it well: term_g <= log10(17/7)) while the
+    // target only has its OOV floor log10(8) => strictly negative
+    val tgt = (1L to 6L).map(i =>
+      (i, "tgt",
+        "alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta"))
+    val genA = Seq((101L, "gen", "alpha beta gamma delta epsilon zeta"))
+    val genB = Seq((102L, "gen", "omega psi omega psi omega psi omega psi"),
+      (103L, "gen", "omega psi omega psi omega psi omega psi"))
+    val docs = (tgt ++ genA ++ genB).toDF("doc_id", "source", "text")
+    val out = TextStats.mooreLewisOf(docs, vocabCap = 65536)
+      .select("source", "n_docs", "n_scored", "n_selected", "is_ref")
+      .as[(String, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("tgt")._5 && !out("gen")._5, "largest source must be the reference")
+    assert(out("gen")._2 == 3 && out("gen")._3 == 3)
+    assert(out("gen")._4 == 1,
+      s"exactly the A-vocabulary doc must select from 'gen': ${out("gen")}")
+    // in-domain docs are by definition easier under their own model
+    assert(out("tgt")._4 == out("tgt")._2,
+      s"every reference-source doc must select: ${out("tgt")}")
+  }
+
+  test("q156: ledger invariants and a single reference on the real corpus") {
+    import spark.implicits._
+    import graft.analytics.TextStats
+    val led = TextStats.mooreLewis(spark, d).cache()
+    assert(led.filter(col("n_selected") > col("n_scored") ||
+      col("n_scored") > col("n_docs")).count() == 0)
+    assert(led.filter(col("is_ref")).count() == 1, "exactly one reference source")
+    led.unpersist()
   }
 
   test("q151: an incoming batch against an empty corpus admits everything") {
