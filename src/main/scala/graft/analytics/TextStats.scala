@@ -1732,7 +1732,25 @@ object TextStats {
     mooreLewisOf(documents(s, d), vocabCap)
 
   /** [[mooreLewis]] over an arbitrary (doc_id, source, text) frame. */
-  def mooreLewisOf(docs: DataFrame, vocabCap: Int): DataFrame = {
+  def mooreLewisOf(docs: DataFrame, vocabCap: Int): DataFrame =
+    mooreLewisLedgerOf(
+      mooreLewisScoreOf(docs, mooreLewisModelsOf(docs, vocabCap)))
+
+  /**
+   * The FROZEN q156 model bundle as one tagged narrow frame — four
+   * capped count tables (`ug`/`ut` unigrams, `bg`/`bt` bigrams; general
+   * vs in-domain) plus the `ref` row naming the reference source. Built
+   * once from the corpus snapshot; [[mooreLewisScoreOf]] and the
+   * streaming gate ([[graft.streaming.StreamingCorpus.startMooreLewisGate]])
+   * both score against it, so batch and stream share one model by
+   * construction. ≤ 4·cap + 1 rows regardless of corpus size.
+   */
+  def mooreLewisModels(s: SparkSession, d: String,
+      vocabCap: Int = PerplexityVocabCap): DataFrame =
+    mooreLewisModelsOf(documents(s, d), vocabCap)
+
+  /** [[mooreLewisModels]] over an arbitrary (doc_id, source, text) frame. */
+  def mooreLewisModelsOf(docs: DataFrame, vocabCap: Int): DataFrame = {
     val wsDocs = docs
       .withColumn("w", words(col("text")))
       .withColumn("nw", coalesce(size(col("w")), lit(0)))
@@ -1763,24 +1781,54 @@ object TextStats {
       .select(col("is_tgt"), explode(col("w")).as("w1"))
       .groupBy(col("w1"))
       .agg(count(lit(1)).as("cu_g"), sum(col("is_tgt")).as("cu_t"))
-    val ucG = capped(uCounts.select(col("w1"), col("cu_g")), "w1", "cu_g")
-    val ucT = capped(uCounts.select(col("w1"), col("cu_t")), "w1", "cu_t")
     // ... and one bigram explode feeds both models' bigram counts
-    def bigramsOf(df: DataFrame, extra: Seq[Column]): DataFrame = df
-      .filter(col("nw") >= 2)
-      .select(extra :+ explode(transform(
-        sequence(lit(1), col("nw") - 1),
-        i => concat(element_at(col("w"), i), lit(" "),
-          element_at(col("w"), i + 1)))).as("b"): _*)
-    val bCounts = bigramsOf(flagged, Seq(col("is_tgt")))
+    val bCounts = mlBigramsOf(flagged, Seq(col("is_tgt")))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("cb_g"), sum(col("is_tgt")).as("cb_t"))
-    val bcG = capped(bCounts.select(col("b"), col("cb_g")), "b", "cb_g")
-    val bcT = capped(bCounts.select(col("b"), col("cb_t")), "b", "cb_t")
+    capped(uCounts.select(col("w1"), col("cu_g")), "w1", "cu_g")
+      .select(lit("ug").as("kind"), col("w1").as("gram"), col("cu_g").as("cnt"))
+      .unionByName(capped(uCounts.select(col("w1"), col("cu_t")), "w1", "cu_t")
+        .select(lit("ut").as("kind"), col("w1").as("gram"), col("cu_t").as("cnt")))
+      .unionByName(capped(bCounts.select(col("b"), col("cb_g")), "b", "cb_g")
+        .select(lit("bg").as("kind"), col("b").as("gram"), col("cb_g").as("cnt")))
+      .unionByName(capped(bCounts.select(col("b"), col("cb_t")), "b", "cb_t")
+        .select(lit("bt").as("kind"), col("b").as("gram"), col("cb_t").as("cnt")))
+      .unionByName(ref.select(lit("ref").as("kind"),
+        col("ref_source").as("gram"), lit(0L).as("cnt")))
+  }
+
+  private def mlBigramsOf(df: DataFrame, extra: Seq[Column]): DataFrame = df
+    .filter(col("nw") >= 2)
+    .select(extra :+ explode(transform(
+      sequence(lit(1), col("nw") - 1),
+      i => concat(element_at(col("w"), i), lit(" "),
+        element_at(col("w"), i + 1)))).as("b"): _*)
+
+  /**
+   * Score (doc_id, source, text) rows against a FROZEN q156 model
+   * bundle: per-doc (doc_id, source, nw, score, is_ref). A score is a
+   * pure function of (document content, models) — arrival-order,
+   * batching and re-delivery independent, which is what makes the
+   * streaming gate's ledger ≡ batch under any replay.
+   */
+  def mooreLewisScoreOf(docs: DataFrame, models: DataFrame): DataFrame = {
+    val ucG = models.filter(col("kind") === "ug")
+      .select(col("gram").as("w1"), col("cnt").as("cu_g"))
+    val ucT = models.filter(col("kind") === "ut")
+      .select(col("gram").as("w1"), col("cnt").as("cu_t"))
+    val bcG = models.filter(col("kind") === "bg")
+      .select(col("gram").as("b"), col("cnt").as("cb_g"))
+    val bcT = models.filter(col("kind") === "bt")
+      .select(col("gram").as("b"), col("cnt").as("cb_t"))
+    val refF = models.filter(col("kind") === "ref")
+      .select(col("gram").as("ref_source"))
     val vG = ucG.groupBy().agg(count(lit(1)).as("v_g"))
     val vT = ucT.groupBy().agg(count(lit(1)).as("v_t"))
+    val wsDocs = docs
+      .withColumn("w", words(col("text")))
+      .withColumn("nw", coalesce(size(col("w")), lit(0)))
     // scoring pass: per-bigram terms under both models, decimal-summed
-    val terms = bigramsOf(wsDocs, Seq(col("doc_id")))
+    val terms = mlBigramsOf(wsDocs, Seq(col("doc_id")))
       .withColumn("w1", split(col("b"), " ").getItem(0))
       .join(broadcast(bcG), Seq("b"), "left")
       .join(broadcast(bcT), Seq("b"), "left")
@@ -1806,8 +1854,16 @@ object TextStats {
           (sum(col("term_t")).cast("double") / count(lit(1))), 6).as("score"))
     wsDocs.select(col("doc_id"), col("source"), col("nw"))
       .join(scores, Seq("doc_id"), "left")
-      .join(broadcast(ref))
-      .groupBy(col("source"))
+      .join(broadcast(refF))
+      .withColumn("is_ref", col("source") <=> col("ref_source"))
+      .select(col("doc_id"), col("source"), col("nw"), col("score"),
+        col("is_ref"))
+  }
+
+  /** The q156 per-source ledger over scored rows (shared by batch and
+    * the streaming gate's served view). */
+  def mooreLewisLedgerOf(scored: DataFrame): DataFrame =
+    scored.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("score").isNotNull, 1L).otherwise(0L)).as("n_scored"),
@@ -1817,10 +1873,9 @@ object TextStats {
         when(count(col("score")) > 0,
           round(sum(col("score").cast("decimal(18,6)")).cast("double") /
             count(col("score")), 6)).as("avg_score"),
-        max((col("source") <=> col("ref_source")).cast("int")).as("is_ref_i"))
+        max(col("is_ref").cast("int")).as("is_ref_i"))
       .withColumn("is_ref", col("is_ref_i") === 1)
       .drop("is_ref_i")
-  }
 
   def perplexityBucketsOf(docs: DataFrame,
       vocabCap: Int = PerplexityVocabCap): DataFrame = {

@@ -1111,6 +1111,68 @@ object StreamingCorpus {
           .as("kept_checksum"))
 
   /**
+   * Online Moore–Lewis gate — the streaming counterpart of q156:
+   * arriving documents score against a FROZEN model bundle (built once
+   * by [[graft.analytics.TextStats.mooreLewisModels]] from the corpus
+   * snapshot — the q123 DSIR-gate frozen-model discipline) and the
+   * per-doc score rows merge keyed by doc_id. A score is a pure function
+   * of (content, models), so the served ledger ([[mooreLewisLedger]])
+   * equals batch q156 over the same corpus under out-of-order arrival,
+   * re-delivery and crash-window replay; asserted in
+   * StreamingCorpusSpec.
+   *
+   * 100 TB posture: the model bundle is ≤ 4·cap + 1 rows and broadcasts;
+   * per batch, one bigram pass + four broadcast joins + a doc-keyed
+   * idempotent merge — per-batch work bounded by batch size.
+   */
+  def startMooreLewisGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      models: org.apache.spark.sql.DataFrame,
+      scoresPath: String,
+      checkpointDir: String,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        mooreLewisStep(spark, batch, models, scoresPath, batchId, nBuckets)
+      }
+      .start()
+  }
+
+  /** One batch step of [[startMooreLewisGate]] — factored out so the spec
+    * can replay a crashed attempt directly. */
+  def mooreLewisStep(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      models: org.apache.spark.sql.DataFrame,
+      scoresPath: String,
+      batchId: Long,
+      nBuckets: Int = 32): Unit = {
+    val scored = TextStats
+      .mooreLewisScoreOf(batch.dropDuplicates(Seq("doc_id")), models)
+      .withColumn("_dump_seq", lit(batchId))
+    BucketedMerge.mergeInto(spark, scoresPath, scored,
+      Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+  }
+
+  /** The served q156 ledger from the gate's score table — column-equal
+    * to batch [[graft.analytics.TextStats.mooreLewis]] when the models
+    * were frozen from the same corpus the stream delivered. */
+  def mooreLewisLedger(spark: SparkSession,
+      scoresPath: String): org.apache.spark.sql.DataFrame =
+    TextStats.mooreLewisLedgerOf(
+      BucketedMerge.read(spark, scoresPath)
+        .select(col("doc_id"), col("source"), col("nw"), col("score"),
+          col("is_ref")))
+
+  /**
    * Online admission gate — the streaming counterpart of batch q151
    * ([[graft.analytics.Dedup.incrementalDedup]]): documents landing in
    * `landingDir` are gated against a PINNED existing-corpus index (built

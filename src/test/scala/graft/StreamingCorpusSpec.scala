@@ -1339,4 +1339,36 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       s"fixture must exercise every verdict, saw $verdicts")
     incoming.unpersist()
   }
+
+  test("Moore-Lewis gate: served ledger equals batch q156 under out-of-order arrival, re-delivery and crash window") {
+    import graft.analytics.{Tables, TextStats}
+    import org.apache.spark.sql.functions._
+    val root = TempDirs.tempDir("graft_sml").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val scoresPath = s"$root/wh/ml_scores"
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "source", "text").cache()
+    // freeze the models from the snapshot, then stream the same corpus
+    val models = TextStats.mooreLewisModels(spark, d).cache()
+    models.count()
+    val w1 = docs.filter(col("doc_id") % 2 === 0)
+    val w2 = docs.filter(col("doc_id") % 2 =!= 0)
+      .unionByName(w1.orderBy(col("doc_id")).limit(4)) // re-delivery rides wave 2
+    def drain(): Unit = {
+      val q = StreamingCorpus.startMooreLewisGate(spark, landing.getAbsolutePath,
+        docs.schema, models, scoresPath, s"$root/chk", nBuckets = 8)
+      q.awaitTermination()
+    }
+    land(w2, landing, "wave2"); drain() // later ids land first
+    land(w1, landing, "wave1"); drain()
+    // crash window: replay wave 2 directly against the merged table
+    StreamingCorpus.mooreLewisStep(spark, w2, models, scoresPath, 99L,
+      nBuckets = 8)
+    val streamed = StreamingCorpus.mooreLewisLedger(spark, scoresPath)
+    val batch = TextStats.mooreLewis(spark, d)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed Moore-Lewis ledger diverges from batch q156")
+    models.unpersist(); docs.unpersist()
+  }
 }
