@@ -1731,10 +1731,19 @@ object TextStats {
       vocabCap: Int = PerplexityVocabCap): DataFrame =
     mooreLewisOf(documents(s, d), vocabCap)
 
-  /** [[mooreLewis]] over an arbitrary (doc_id, source, text) frame. */
+  /** [[mooreLewis]] over an arbitrary (doc_id, source, text) frame.
+    *
+    * The model bundle is PINNED before scoring: [[mooreLewisScoreOf]]
+    * filters it five ways (four count tables + the ref row), and without
+    * the pin each filter branch re-plans the whole union — re-running
+    * every capping window and both count scans per branch (measured:
+    * 3.35 s vs 2.5 s at sf0.1; the streaming gate caches the bundle for
+    * the same reason). ≤ 4·cap + 1 rows, so the pin is tiny. */
   def mooreLewisOf(docs: DataFrame, vocabCap: Int): DataFrame =
     mooreLewisLedgerOf(
-      mooreLewisScoreOf(docs, mooreLewisModelsOf(docs, vocabCap)))
+      mooreLewisScoreOf(docs,
+        org.apache.spark.sql.GraftBridge.checkpointNoStats(
+          mooreLewisModelsOf(docs, vocabCap), eager = false)))
 
   /**
    * The FROZEN q156 model bundle as one tagged narrow frame — four
