@@ -97,9 +97,36 @@ object Bench {
     // parquet footer caches and the first real scan's setup otherwise
     // land on whichever query runs first (round-9 brief #7). Runs after
     // the fixpoint timing so it can't absorb a shared-table cost.
+    // Pin lifecycle (round 15): every pass frees its transient checkpoint
+    // pins once its action returns — before this, a full battery accreted
+    // hundreds of dead localCheckpoint block sets in the one JVM and the
+    // cost landed on the late battery (r14: q70 13.2× / q71 6.4× over
+    // minima). SPARK_GRAFT_RELEASE_PINS=0 restores the old behavior for
+    // A/B attribution; SPARK_GRAFT_BENCH_DEBUG=1 reports per-query pin and
+    // storage counts on stderr.
+    val releasePins = !sys.env.get("SPARK_GRAFT_RELEASE_PINS").contains("0")
+    val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
     selected.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case scala.util.control.NonFatal(_) => () }
+      if (releasePins) org.apache.spark.sql.GraftBridge.releaseTransientPins()
+    }
+    var lastGcMs = 0L
+    def storageReport(tag: String): Unit = if (debug) {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      val mem = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, free) => max - free }.sum
+      // GC time delta since the previous report: a battery-position
+      // slowdown with flat storage but a GC spike here is heap-pressure
+      // attribution, not block accumulation
+      import scala.jdk.CollectionConverters._
+      val gcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+      val heapMb = (java.lang.Runtime.getRuntime.totalMemory() -
+        java.lang.Runtime.getRuntime.freeMemory()) / 1e6
+      System.err.println(f"[bench] $tag: persistentRdds=${rdds.size} " +
+        f"storageUsed=${mem / 1e6}%.0f MB gcDelta=${gcMs - lastGcMs} ms heap=$heapMb%.0f MB")
+      lastGcMs = gcMs
     }
     val results = selected
       .map { case (name, fn) =>
@@ -111,8 +138,11 @@ object Bench {
             anyFailed = true
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (releasePins) org.apache.spark.sql.GraftBridge.releaseTransientPins()
+        dt
       }
+      storageReport(name)
       name -> ((times.min, times.max - times.min))
     }
     val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + f"$mn%.3f" }
@@ -220,6 +250,16 @@ object Bench {
         System.err.println(s"[bench] could not write BENCH_LAST.json: ${e.getMessage}")
       }
     }
+    // The driver's per-round artifact keeps only a ~2000-char TAIL of this
+    // process's stdout, which repeatedly cut the full per-query map
+    // mid-JSON (BENCH_r12/r14 parsed:null). Emit a compact, self-contained
+    // summary as the LAST stdout line — total, fixpoints, query count, and
+    // the 20 slowest queries — so the tail always ends with parseable
+    // JSON. The full map stays above (and untruncated in BENCH_LAST.json).
+    val top20 = results.sortBy(-_._2._1).take(20)
+      .map { case (k, (mn, _)) => "\"" + k + "\":" + f"$mn%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"fixpoints":$fx,"top20":$top20,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,6 +24,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free this query's transient checkpoint pins — a 156-query drive
+      // in one JVM must not accrete dead localCheckpoint blocks
+      org.apache.spark.sql.GraftBridge.releaseTransientPins()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -698,9 +698,14 @@ object Dedup {
         // by small-star's nb union, but its exchanges are identical and
         // shared (ReuseExchange), so only the cheap post-shuffle compute
         // doubles — cheaper than an extra checkpoint job
+        val prevRound = edges
         edges = ckpt(phase(phase(edges, large = true), large = false))
         iter += 1
         val (v, nn, ne) = probe(edges)
+        // round N's blocks exist after the probe, so round N-1's
+        // checkpoint is dead — retire it NOW instead of letting the
+        // loop accrete one pinned edge set per round for the session
+        org.apache.spark.sql.GraftBridge.unpersistPin(prevRound)
         converged = v == 0L
         curEdges = ne
         resizeLoop(nn, ne)
@@ -745,7 +750,12 @@ object Dedup {
     val key = (s.sparkContext.applicationId,
       new java.io.File(d).getCanonicalPath, maxHamming)
     sharedEdgesCache.computeIfAbsent(key,
-      _ => duplicateClusterEdges(simhashDupGraph(s, d, maxHamming)))
+      // session scope: the fixpoint frame outlives any one query, so its
+      // checkpoints must not land in the caller's transient-pin batch
+      // (releaseTransientPins after the first consumer would free the
+      // shared frame under every later consumer)
+      _ => org.apache.spark.sql.GraftBridge.sessionPinned(
+        duplicateClusterEdges(simhashDupGraph(s, d, maxHamming))))
   }
 
   private[graft] def clearSharedClusterEdges(): Unit = sharedEdgesCache.clear()

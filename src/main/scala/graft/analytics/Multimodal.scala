@@ -242,8 +242,11 @@ object Multimodal {
   def dhashMetaShared(s: SparkSession, d: String): DataFrame = {
     val key = (s.sparkContext.applicationId, new java.io.File(d).getCanonicalPath)
     dhashMetaCache.computeIfAbsent(key,
-      _ => org.apache.spark.sql.GraftBridge.checkpointNoStats(
-        dhashMeta(s, d), eager = false))
+      // session scope: shared across q128/q130 — must survive the first
+      // consumer's releaseTransientPins
+      _ => org.apache.spark.sql.GraftBridge.sessionPinned(
+        org.apache.spark.sql.GraftBridge.checkpointNoStats(
+          dhashMeta(s, d), eager = false)))
   }
 
   private[graft] def clearDhashMetaCache(): Unit = dhashMetaCache.clear()
