@@ -155,7 +155,7 @@ object Sampling {
   /** [[paddingWaste]] over an arbitrary (lang, doc_id, text) frame. */
   def paddingWasteOf(docs: DataFrame, batch: Int): DataFrame = {
     val base = docs.select(col("lang"), col("doc_id"),
-      coalesce(size(split(trim(col("text")), "\\s+")), lit(0)).as("n_tokens"))
+      coalesce(TextStats.tokenCount(col("text")), lit(0)).as("n_tokens"))
     def strat(name: String, ord: Seq[Column]): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(ord: _*)
@@ -215,7 +215,7 @@ object Sampling {
       docs.select(col("doc_id"), col("source"), col("text")))
     val scored = docs
       .select(col("doc_id"), col("lang"),
-        coalesce(size(split(trim(col("text")), "\\s+")), lit(0)).as("n_tokens"))
+        coalesce(TextStats.tokenCount(col("text")), lit(0)).as("n_tokens"))
       .join(flags.select(col("doc_id"),
         (lit(4) - col("f_words") - col("f_mean_len") - col("f_stop") -
           col("f_alpha")).cast("long").as("score")), Seq("doc_id"))

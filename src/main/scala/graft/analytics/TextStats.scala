@@ -1096,16 +1096,25 @@ object TextStats {
 
   /** [[bpeEncode]] over an arbitrary (text) frame. */
   def bpeEncodeOf(docs: DataFrame, nMerges: Int, vocabCap: Int,
-      topK: Int): DataFrame = {
-    val merges = bpeFitMerges(docs, nMerges, vocabCap)
+      topK: Int): DataFrame =
     // every corpus word (len >= 1: the zero-length split artifact of
     // empty/whitespace text carries no symbols and is excluded on both
     // engines — Spark's sequence(1,0) would DESCEND where DuckDB's
     // range(1,1) is empty)
-    val wordFreq = docs
-      .select(explode(words(col("text"))).as("word"))
-      .filter(length(col("word")) >= 1)
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    bpeEncodeWordFreq(
+      docs.select(explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy(col("word")).agg(count(lit(1)).as("n")),
+      bpeFitMerges(docs, nMerges, vocabCap), topK)
+
+  /** The q100 encode tail over an arbitrary (word, n) frequency table and
+    * a FROZEN merge list — shared by the batch audit (merges fit on the
+    * same corpus) and the streaming gate ([[graft.streaming
+    * .StreamingCorpus.bpeEncodeLedger]], merges frozen from the corpus
+    * snapshot): each DISTINCT word is encoded once by the rank-ordered
+    * replace chain, then token counts roll up corpus-weighted. */
+  def bpeEncodeWordFreq(wordFreq: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)], topK: Int): DataFrame = {
     val delimited = array_join(
       transform(sequence(lit(1), length(col("word"))),
         i => concat(lit("\n"), col("word").substr(i, lit(1)), lit("\n"))),
@@ -1545,7 +1554,16 @@ object TextStats {
     cdcChunkDedupOf(documents(s, d), divisor)
 
   /** [[cdcChunkDedup]] over an arbitrary (doc_id, text) frame. */
-  def cdcChunkDedupOf(docs: DataFrame, divisor: Int): DataFrame = {
+  def cdcChunkDedupOf(docs: DataFrame, divisor: Int): DataFrame =
+    cdcChunkLedgerOf(cdcChunkOccurrencesOf(docs, divisor))
+
+  /** The per-document CDC chunk rows (doc_id, chunk_id, chunk_md5, nw) —
+    * a pure per-document function of the text (CDC boundaries are
+    * content-local), which is what makes the streaming gate's state
+    * arrival-order/replay independent: the batch audit counts these
+    * rows, the gate ([[graft.streaming.StreamingCorpus.startCdcChunkGate]])
+    * maintains exactly this table keyed (doc_id, chunk_id). */
+  def cdcChunkOccurrencesOf(docs: DataFrame, divisor: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val cum = byDoc.rowsBetween(Window.unboundedPreceding, -1)
     val wr = docs
@@ -1560,16 +1578,20 @@ object TextStats {
     withChunk
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(sort_array(collect_list(struct(col("pos"), col("word")))).as("pw"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("chunk_id"),
         md5(array_join(transform(col("pw"), p => p.getField("word")), " ")
           .cast("binary")).as("chunk_md5"),
         size(col("pw")).cast("long").as("nw"))
-      .groupBy(col("chunk_md5"))
-      .agg(count(lit(1)).as("n_copies"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        min(col("nw")).as("n_words"))
-      .filter(col("n_copies") >= 2)
   }
+
+  /** The q132 duplicate-chunk-mass ledger over a chunk-occurrence frame —
+    * shared by the batch audit and the gate's served table. */
+  def cdcChunkLedgerOf(occ: DataFrame): DataFrame = occ
+    .groupBy(col("chunk_md5"))
+    .agg(count(lit(1)).as("n_copies"),
+      countDistinct(col("doc_id")).as("n_docs"),
+      min(col("nw")).as("n_words"))
+    .filter(col("n_copies") >= 2)
 
   /**
    * q135: linear-counting distinct-vocabulary sketch + audit — the
@@ -1791,7 +1813,7 @@ object TextStats {
       .groupBy(col("w1"))
       .agg(count(lit(1)).as("cu_g"), sum(col("is_tgt")).as("cu_t"))
     // ... and one bigram explode feeds both models' bigram counts
-    val bCounts = mlBigramsOf(flagged, Seq(col("is_tgt")))
+    val bCounts = mlBigramsOf(flagged, Seq("is_tgt"))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("cb_g"), sum(col("is_tgt")).as("cb_t"))
     capped(uCounts.select(col("w1"), col("cu_g")), "w1", "cu_g")
@@ -1806,12 +1828,20 @@ object TextStats {
         col("ref_source").as("gram"), lit(0L).as("cnt")))
   }
 
-  private def mlBigramsOf(df: DataFrame, extra: Seq[Column]): DataFrame = df
+  /** Per-bigram stream: `b` = "w[i] w[i+1]" plus `w1` = w[i] carried
+    * STRUCTURALLY from the explode — scoring must never re-derive w1 by
+    * splitting `b` (correct only while words() tokens cannot contain a
+    * space; the DuckDB oracle carries w[i] directly, so both engines now
+    * derive it identically by construction). */
+  private def mlBigramsOf(df: DataFrame, extra: Seq[String]): DataFrame = df
     .filter(col("nw") >= 2)
-    .select(extra :+ explode(transform(
+    .select(extra.map(col) :+ explode(transform(
       sequence(lit(1), col("nw") - 1),
-      i => concat(element_at(col("w"), i), lit(" "),
-        element_at(col("w"), i + 1)))).as("b"): _*)
+      i => struct(element_at(col("w"), i).as("w1"),
+        concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1)).as("b")))).as("bg"): _*)
+    .select(extra.map(col) :+ col("bg.w1").as("w1") :+
+      col("bg.b").as("b"): _*)
 
   /**
    * Score (doc_id, source, text) rows against a FROZEN q156 model
@@ -1837,8 +1867,7 @@ object TextStats {
       .withColumn("w", words(col("text")))
       .withColumn("nw", coalesce(size(col("w")), lit(0)))
     // scoring pass: per-bigram terms under both models, decimal-summed
-    val terms = mlBigramsOf(wsDocs, Seq(col("doc_id")))
-      .withColumn("w1", split(col("b"), " ").getItem(0))
+    val terms = mlBigramsOf(wsDocs, Seq("doc_id"))
       .join(broadcast(bcG), Seq("b"), "left")
       .join(broadcast(bcT), Seq("b"), "left")
       .join(broadcast(ucG), Seq("w1"), "left")

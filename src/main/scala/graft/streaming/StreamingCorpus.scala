@@ -500,7 +500,7 @@ object StreamingCorpus {
       batchId: Long,
       statsPath: Option[String] = None,
       maxHamming: Int = 6,
-      nBuckets: Int = 32): Unit = {
+      nBuckets: Int = 32): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
     import graft.analytics.Dedup
     // one text pass: fingerprints, in-batch re-delivery collapsed; docs
     // with NULL text never pair (q74 semantics) and stay out of the state
@@ -530,7 +530,7 @@ object StreamingCorpus {
       batchId: Long,
       statsPath: Option[String] = None,
       maxHamming: Int = 6,
-      nBuckets: Int = 32): Unit = {
+      nBuckets: Int = 32): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
     import graft.analytics.Dedup
     val batchMin = meta.groupBy(col("h128"))
       .agg(min(col("doc_id")).as("bmin"), min(col("simhash")).as("simhash"))
@@ -678,7 +678,7 @@ object StreamingCorpus {
       batchId: Long,
       statsPath: Option[String] = None,
       maxHamming: Int = 6,
-      nBuckets: Int = 32): Unit = {
+      nBuckets: Int = 32): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
     // one decode pass: dHash fingerprints, in-batch re-delivery collapsed
     val metaAll = org.apache.spark.sql.GraftBridge.checkpointNoStats(
       Merge.dedupLatest(
@@ -769,7 +769,7 @@ object StreamingCorpus {
       docsPath: String,
       batchId: Long,
       spanWords: Int = 8,
-      nBuckets: Int = 32): Unit = {
+      nBuckets: Int = 32): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
     import graft.analytics.TextStats
     // one text pass; in-batch re-delivery collapses on (doc_id, pos)
     val occ = org.apache.spark.sql.GraftBridge.checkpointNoStats(
@@ -1066,7 +1066,7 @@ object StreamingCorpus {
       docsPath: String,
       keeperPath: String,
       batchId: Long,
-      nBuckets: Int = 32): Unit = {
+      nBuckets: Int = 32): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
     val b = org.apache.spark.sql.GraftBridge.checkpointNoStats(
       Merge.dedupLatest(
         batch.select(col("doc_id"), col("source"), col("n_chars"))
@@ -1154,7 +1154,7 @@ object StreamingCorpus {
       models: org.apache.spark.sql.DataFrame,
       scoresPath: String,
       batchId: Long,
-      nBuckets: Int = 32): Unit = {
+      nBuckets: Int = 32): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
     val scored = TextStats
       .mooreLewisScoreOf(batch.dropDuplicates(Seq("doc_id")), models)
       .withColumn("_dump_seq", lit(batchId))
@@ -1249,7 +1249,7 @@ object StreamingCorpus {
       ledgerPath: String,
       batchId: Long,
       maxHamming: Int = 6,
-      nBuckets: Int = 32): Unit = {
+      nBuckets: Int = 32): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
     import graft.analytics.Dedup
     // one text pass: in-batch re-delivery collapsed, then content hash +
     // fingerprint; both gate branches read the pinned narrow rows
@@ -1540,7 +1540,7 @@ object StreamingCorpus {
       width: Int = 1024,
       nBuckets: Int = 8,
       hhPath: Option[String] = None,
-      hhThreshold: Long = 0L): Unit = {
+      hhThreshold: Long = 0L): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
     require(hhPath.isEmpty || hhThreshold > 0L,
       "hhPath requires hhThreshold > 0 — a zero threshold admits the whole vocab")
     val arrivals = batch.dropDuplicates(Seq("doc_id"))
@@ -1596,6 +1596,166 @@ object StreamingCorpus {
   def cmsSketch(spark: SparkSession, deltasPath: String): org.apache.spark.sql.DataFrame =
     BucketedMerge.read(spark, deltasPath)
       .groupBy(col("i"), col("b")).agg(sum(col("c")).as("c"))
+
+  /**
+   * Online CDC chunk-dedup gate — the streaming counterpart of batch
+   * q132 ([[graft.analytics.TextStats.cdcChunkDedup]]): arriving
+   * documents chunk by the content-defined gear criterion and their
+   * chunk rows merge keyed (doc_id, chunk_id). A document's chunk rows
+   * are a PURE function of its text (CDC boundaries are content-local —
+   * that is the point of CDC), so the maintained table — and the served
+   * duplicate-mass ledger over it — equals batch q132 over the distinct
+   * ingested docs under out-of-order arrival, re-delivery and
+   * crash-window replay; asserted in StreamingCorpusSpec.
+   *
+   * 100 TB posture: per batch, one explode + one doc-keyed window pass
+   * over BATCH rows only (chunking never re-reads the corpus), then a
+   * (doc_id, chunk_id)-keyed idempotent merge — a re-delivered or
+   * crash-replayed batch overwrites itself with identical rows. The
+   * served ledger is a hash-keyed aggregate of the narrow chunk table.
+   */
+  def startCdcChunkGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      chunksPath: String,
+      checkpointDir: String,
+      divisor: Int = 16,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        maintainCdcChunkState(spark, batch, chunksPath, batchId, divisor,
+          nBuckets)
+      }
+      .start()
+  }
+
+  /** One batch step of [[startCdcChunkGate]] — factored out so the spec
+    * can replay a crashed attempt directly. */
+  def maintainCdcChunkState(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      chunksPath: String,
+      batchId: Long,
+      divisor: Int = 16,
+      nBuckets: Int = 32): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
+    import graft.analytics.TextStats
+    // one text pass; in-batch re-delivery collapses on (doc_id, chunk_id)
+    val occ = Merge.dedupLatest(
+      TextStats.cdcChunkOccurrencesOf(
+        batch.select(col("doc_id"), col("text")), divisor)
+        .withColumn("_dump_seq", lit(batchId)),
+      Seq("doc_id", "chunk_id"), "_dump_seq")
+    BucketedMerge.mergeInto(spark, chunksPath,
+      occ.select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
+        col("nw"), col("_dump_seq")),
+      Seq("doc_id", "chunk_id"), nBuckets, seqCol = Some("_dump_seq"))
+  }
+
+  /** The served q132 ledger over the gate's chunk table — ≡ batch
+    * [[graft.analytics.TextStats.cdcChunkDedup]] of the distinct
+    * ingested docs. */
+  def cdcChunkLedger(spark: SparkSession,
+      chunksPath: String): org.apache.spark.sql.DataFrame =
+    graft.analytics.TextStats.cdcChunkLedgerOf(
+      BucketedMerge.read(spark, chunksPath)
+        .select(col("doc_id"), col("chunk_md5"), col("nw")))
+
+  /**
+   * Online BPE corpus-encoding gate — the streaming counterpart of batch
+   * q100 ([[graft.analytics.TextStats.bpeEncode]]): arriving documents'
+   * words enter a word-frequency delta table against a FROZEN merge list
+   * (driver-fit once by [[graft.analytics.TextStats.bpeFitMerges]] from
+   * the corpus snapshot — the q123/q156 frozen-model discipline; a
+   * tokenizer refresh is a batch event), and the served ledger encodes
+   * the summed word table through the same rank-ordered replace chain as
+   * batch q100. Counts add, so replay safety follows the CMS gate's
+   * discipline verbatim: arrivals anti-join the seen-id table (earliest
+   * batch wins), and each batch's delta lands keyed (batch_id, word) —
+   * a crash-replayed attempt overwrites its own rows instead of adding.
+   *
+   * 100 TB posture: per batch, one token pass over NEW docs map-side
+   * combined into a batch-vocab-sized delta; the encode chain runs only
+   * in the served ledger, once per DISTINCT word of the accumulated
+   * vocab — the corpus is never re-scanned.
+   */
+  def startBpeEncodeGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      merges: Seq[(Int, String, String, String, Long)],
+      seenPath: String,
+      deltasPath: String,
+      checkpointDir: String,
+      nBuckets: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        maintainBpeWordState(spark, batch, batchId, seenPath, deltasPath,
+          nBuckets)
+      }
+      .start()
+  }
+
+  /** One batch step of [[startBpeEncodeGate]] — factored out so the spec
+    * can replay a crashed attempt (same batchId, partially-landed state)
+    * directly. The merge list plays no part in STATE maintenance (only
+    * the served ledger encodes), so the state stays valid across
+    * tokenizer refreshes. */
+  def maintainBpeWordState(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      batchId: Long,
+      seenPath: String,
+      deltasPath: String,
+      nBuckets: Int = 8): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
+    val arrivals = batch.dropDuplicates(Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val fresh = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      if (BucketedMerge.hasData(spark, seenPath))
+        arrivals.join(
+          BucketedMerge.read(spark, seenPath)
+            .filter(col("first_batch") < batchId).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      else arrivals,
+      eager = false)
+    BucketedMerge.mergeInto(spark, seenPath,
+      fresh.select(col("doc_id"), lit(batchId).as("first_batch"),
+        (-lit(batchId)).as("_keep_rank")),
+      Seq("doc_id"), nBuckets, seqCol = Some("_keep_rank"))
+    // the q100 word filter verbatim (len >= 1): empty-split artifacts
+    // carry no symbols and never enter the frequency table
+    val delta = fresh
+      .select(explode(graft.analytics.TextStats.words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    BucketedMerge.mergeInto(spark, deltasPath,
+      delta.select(lit(batchId).as("batch_id"), col("word"), col("n")),
+      Seq("batch_id", "word"), nBuckets)
+  }
+
+  /** The served q100 ledger: sum the word deltas, encode each distinct
+    * word through the frozen merges, roll up — column-equal to batch
+    * [[graft.analytics.TextStats.bpeEncode]] when the merges were fit on
+    * the corpus the stream delivered. */
+  def bpeEncodeLedger(spark: SparkSession, deltasPath: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      topK: Int = 40): org.apache.spark.sql.DataFrame =
+    graft.analytics.TextStats.bpeEncodeWordFreq(
+      BucketedMerge.read(spark, deltasPath)
+        .groupBy(col("word")).agg(sum(col("n")).as("n")),
+      merges, topK)
 
   /**
    * Online quality-classifier gate — the streaming counterpart of the

@@ -1371,4 +1371,111 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       "streamed Moore-Lewis ledger diverges from batch q156")
     models.unpersist(); docs.unpersist()
   }
+
+  test("CDC chunk gate equals batch q132 under out-of-order arrival, replay and a crash window") {
+    import spark.implicits._
+    import graft.analytics.TextStats
+    val root = TempDirs.tempDir("graft_scdc").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val chunksPath = s"$root/wh/cdc_chunks"
+    // divisor 4 => boundaries every ~4 words on these texts. Doc 20
+    // duplicates doc 10 exactly (all chunks shared); doc 30 is doc 10
+    // with a LEADING INSERTION (the CDC claim: downstream chunks
+    // re-synchronize, so some chunk hashes still collide with doc 10's).
+    // Wave 2 arrives OUT OF ORDER (lower ids), replays doc 20 verbatim,
+    // and carries the hostile shapes (null text, empty text).
+    val t10 = "a b c d e f g h i j k l m n o p"
+    val w1 = Seq((10L, t10), (20L, t10), (30L, "zz yy " + t10))
+    val w2 = Seq((2L, t10), (20L, t10), (32L, null: String), (33L, ""))
+    def dfOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val schema = dfOf(w1).schema
+    def drain(): Unit = {
+      val q = StreamingCorpus.startCdcChunkGate(spark, landing.getAbsolutePath,
+        schema, chunksPath, s"$root/chk", divisor = 4, nBuckets = 4)
+      q.awaitTermination()
+    }
+    def assertEqBatch(soFar: Seq[(Long, String)], tag: String): Unit = {
+      val streamed = StreamingCorpus.cdcChunkLedger(spark, chunksPath)
+      val batch = TextStats.cdcChunkDedupOf(dfOf(soFar.distinct), divisor = 4)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        s"$tag: streamed CDC ledger diverges from batch q132")
+    }
+    land(dfOf(w1), landing, "wave1"); drain(); assertEqBatch(w1, "wave1")
+    land(dfOf(w2), landing, "wave2"); drain(); assertEqBatch(w1 ++ w2, "wave2")
+    // the ledger is non-trivial: the three identical docs share every
+    // chunk, so some chunk reaches n_copies >= 3 across >= 3 docs
+    assert(StreamingCorpus.cdcChunkLedger(spark, chunksPath)
+      .filter(col("n_copies") >= 3 && col("n_docs") >= 3).count() > 0,
+      "planted whole-doc duplicates produced no shared chunk mass")
+    // CRASH WINDOW: a partially-merged batch re-runs with the same
+    // batchId — the (doc_id, chunk_id)-keyed merge must converge, not
+    // duplicate or interleave
+    val w3 = Seq((1L, "c d e f g h"))
+    StreamingCorpus.maintainCdcChunkState(spark, dfOf(w3), chunksPath, 7L,
+      divisor = 4, nBuckets = 4)
+    StreamingCorpus.maintainCdcChunkState(spark, dfOf(w3), chunksPath, 7L,
+      divisor = 4, nBuckets = 4)
+    assertEqBatch(w1 ++ w2 ++ w3, "crash-replayed wave3")
+  }
+
+  test("BPE encode gate equals batch q100 under out-of-order arrival, re-delivery and a crash window") {
+    import spark.implicits._
+    import graft.analytics.TextStats
+    import graft.ingest.BucketedMerge
+    val root = TempDirs.tempDir("graft_sbpe").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val seenPath = s"$root/wh/bpe_seen"
+    val deltasPath = s"$root/wh/bpe_deltas"
+    // wave 2 arrives OUT OF ORDER (lower ids), replays doc 11 verbatim,
+    // re-delivers doc 12's id with DIFFERENT text (first wins — the id is
+    // the identity), and carries null/empty text and a multibyte token
+    val w1 = Seq((10L, "low lower lowest low"), (11L, "new newer low"),
+      (12L, "čolö 😀 low"), (13L, null: String))
+    val w2 = Seq((2L, "newest lower lower new"),
+      (11L, "new newer low"),      // replay
+      (12L, "DIFFERENT text"),     // late re-delivery, must not count
+      (4L, ""))
+    def dfOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val schema = dfOf(w1).schema
+    // the corpus the stream will deliver (distinct ingested docs)
+    val corpus = dfOf(w1 ++ w2.filterNot(d => Seq(11L, 12L).contains(d._1)))
+    // freeze the tokenizer from the snapshot — the q123/q156 frozen-model
+    // discipline: batch q100 fits the same merges on the same corpus
+    val merges = TextStats.bpeFitMerges(corpus, nMerges = 4, vocabCap = 64)
+    def drain(): Unit = {
+      val q = StreamingCorpus.startBpeEncodeGate(spark, landing.getAbsolutePath,
+        schema, merges, seenPath, deltasPath, s"$root/chk", nBuckets = 4)
+      q.awaitTermination()
+    }
+    land(dfOf(w1), landing, "wave1"); drain()
+    land(dfOf(w2), landing, "wave2"); drain()
+    val streamed = StreamingCorpus.bpeEncodeLedger(spark, deltasPath, merges,
+      topK = 40)
+    val batch = TextStats.bpeEncodeOf(corpus, nMerges = 4, vocabCap = 64,
+      topK = 40)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed BPE ledger diverges from batch q100")
+    // CRASH WINDOW (the CMS discipline verbatim): attempt 1 of a new
+    // batch merges the SEEN table and dies before its delta lands —
+    // replay must still count the batch exactly once
+    val b3 = dfOf(Seq((3L, "low low newest"), (11L, "new newer low")))
+    BucketedMerge.mergeInto(spark, seenPath,
+      b3.dropDuplicates(Seq("doc_id")).select(col("doc_id"),
+        lit(9L).as("first_batch"), lit(-9L).as("_keep_rank")),
+      Seq("doc_id"), 4, seqCol = Some("_keep_rank"))
+    StreamingCorpus.maintainBpeWordState(spark, b3, 9L, seenPath, deltasPath,
+      nBuckets = 4)
+    StreamingCorpus.maintainBpeWordState(spark, b3, 9L, seenPath, deltasPath,
+      nBuckets = 4)
+    val corpus3 = corpus.unionByName(dfOf(Seq((3L, "low low newest"))))
+    val streamed3 = StreamingCorpus.bpeEncodeLedger(spark, deltasPath, merges,
+      topK = 40)
+    val batch3 = TextStats.bpeEncodeWordFreq(
+      corpus3.select(explode(TextStats.words(col("text"))).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy(col("word")).agg(count(lit(1)).as("n")),
+      merges, topK = 40)
+    assert(streamed3.exceptAll(batch3).isEmpty && batch3.exceptAll(streamed3).isEmpty,
+      "crash-replay double-counted or dropped a batch in the BPE word state")
+  }
 }
