@@ -67,7 +67,7 @@ def canon(df):
     return cols, rows, kinds
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -77,10 +77,20 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_ok = n_bad = n_rowsonly = 0
+    report = {}
+
+    def record(name, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"!! {name}: NO OUTPUT FILES")
+            record(name, rows_match=False, schema_match=False,
+                   hash_match=False, err="no output files")
             n_bad += 1
             continue
         # Spark side through pyarrow — the exact-Decimal reader.
@@ -90,6 +100,7 @@ def main(sf_dir, out_dir):
             n = spark_df.shape[0]
             status = "rows-only" if n > 0 else "ROWS-ONLY EMPTY (!)"
             print(f"-- {name}: {status} ({n} rows)")
+            record(name, rows_match=n > 0, spark_rows=n, err="no oracle sql")
             n_rowsonly += 1
             continue
         try:
@@ -98,15 +109,23 @@ def main(sf_dir, out_dir):
             b_cols, b_rows, b_kinds = canon(con.sql(oracle[name]).df())
         except Exception as e:
             print(f"!! {name}: ERROR {e}")
+            record(name, rows_match=False, schema_match=False,
+                   hash_match=False, err=str(e)[:300])
             n_bad += 1
             continue
         if a_cols != b_cols:
             print(f"!! {name}: COLUMN MISMATCH spark={a_cols} oracle={b_cols}")
+            record(name, rows_match=len(a_rows) == len(b_rows),
+                   schema_match=False, hash_match=False,
+                   spark_rows=len(a_rows), oracle_rows=len(b_rows))
             n_bad += 1
             continue
         if len(a_rows) != len(b_rows):
             print(f"!! {name}: SHAPE MISMATCH spark={len(a_rows)} "
                   f"oracle={len(b_rows)}")
+            record(name, rows_match=False, schema_match=True,
+                   hash_match=False,
+                   spark_rows=len(a_rows), oracle_rows=len(b_rows))
             n_bad += 1
             continue
         # Representation stability: a column that decodes as Decimal on one
@@ -122,9 +141,16 @@ def main(sf_dir, out_dir):
                       f"cols={unstable} "
                       f"(spark={[sorted(a_kinds[c]) for c in unstable]} "
                       f"oracle={[sorted(b_kinds[c]) for c in unstable]})")
+                record(name, rows_match=True, schema_match=True,
+                       hash_match=False,
+                       spark_rows=len(a_rows), oracle_rows=len(b_rows),
+                       err=f"representation-unstable cols={unstable}")
                 n_bad += 1
             else:
                 print(f"ok {name}: {len(a_rows)} rows")
+                record(name, rows_match=True, schema_match=True,
+                       hash_match=True,
+                       spark_rows=len(a_rows), oracle_rows=len(b_rows))
                 n_ok += 1
         else:
             bad = [i for i, (x, y) in enumerate(zip(a_rows, b_rows)) if x != y]
@@ -132,10 +158,21 @@ def main(sf_dir, out_dir):
             for i in bad[:3]:
                 print("   spark:", dict(zip(a_cols, a_rows[i])))
                 print("   oracle:", dict(zip(b_cols, b_rows[i])))
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(a_rows), oracle_rows=len(b_rows),
+                   err=f"value mismatch in {len(bad)} rows")
             n_bad += 1
     print(f"\n== {n_ok} ok, {n_bad} bad, {n_rowsonly} rows-only ==")
+    if json_out:
+        # Same per-query shape as the driver's CORRECTNESS_r{N}.json, so a
+        # hostile-fixture sweep is a diffable committed artifact
+        # (HOSTILE_r{N}.json) instead of prose.
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
