@@ -755,7 +755,43 @@ object Dedup {
       // (releaseTransientPins after the first consumer would free the
       // shared frame under every later consumer)
       _ => org.apache.spark.sql.GraftBridge.sessionPinned(
-        duplicateClusterEdges(simhashDupGraph(s, d, maxHamming))))
+        smallCorpusRegime(s, d) {
+          duplicateClusterEdges(simhashDupGraph(s, d, maxHamming))
+        }))
+  }
+
+  /**
+   * Extend [[duplicateClusterEdges]]'s small-regime AQE suspension to the
+   * GRAPH DERIVATION as well: profiled at sf0.1 (JobCount, round 15), the
+   * fixpoint's wall is ~14 AQE stage-materialization jobs + their
+   * per-stage codegen over a 5,000-doc corpus — scheduling, not compute
+   * (the contraction itself is rounds=0 + the single-task endgame). The
+   * regime is decided by a parquet-footer row count (milliseconds, no
+   * scan) against the same node bound the loop already uses: a corpus
+   * over ~2M docs — every production corpus — keeps AQE on for the whole
+   * derivation, where coalescing and skew handling matter. Conf flips are
+   * session-scoped for the derivation's duration (the documented
+   * [[duplicateClusterEdges]] caveat; callers multiplexing one session
+   * across threads should plan on a cloned newSession).
+   */
+  private def smallCorpusRegime[T](s: SparkSession, d: String)(body: => T): T = {
+    val nDocs =
+      try s.read.parquet(s"$d/documents.parquet").count()
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    if (nDocs > 2000000L) body
+    else {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val partsKey = "spark.sql.shuffle.partitions"
+      val aqeBefore = s.conf.get(aqeKey)
+      val partsBefore = s.conf.get(partsKey)
+      s.conf.set(aqeKey, "false")
+      s.conf.set(partsKey,
+        math.max(1L, math.min(partsBefore.toInt.toLong, nDocs / 250000L + 1L)).toString)
+      try body finally {
+        s.conf.set(aqeKey, aqeBefore)
+        s.conf.set(partsKey, partsBefore)
+      }
+    }
   }
 
   private[graft] def clearSharedClusterEdges(): Unit = sharedEdgesCache.clear()

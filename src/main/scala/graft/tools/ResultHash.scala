@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Canonical, order-independent hash of a query result — the in-JVM
+ * analogue of the driver's oracle compare (sorted column names, sorted
+ * canonical row strings, 6-dp numeric rounding with integral collapse).
+ * Used by the sf1 hash-pin suite (Sf1HashPinSpec): each pinned constant
+ * was produced by [[Sf1HashPin]] from a run whose Spark↔DuckDB parity at
+ * sf1 was separately confirmed through tools/compare_oracle.py, so the
+ * pin guards BOTH engines' agreed answer at 10× scale.
+ */
+object ResultHash {
+
+  private def canonCell(v: Any): String = v match {
+    case null => "NULL"
+    case d: Double if d.isNaN || d.isInfinite => d.toString
+    case d: Double => canonNum(BigDecimal(d))
+    case f: Float if f.isNaN || f.isInfinite => f.toString
+    case f: Float => canonNum(BigDecimal(f.toDouble))
+    case d: java.math.BigDecimal => canonNum(BigDecimal(d))
+    case d: BigDecimal => canonNum(d)
+    case b: Boolean => if (b) "true" else "false"
+    case s: Iterable[_] => s.map(canonCell).mkString("[", ",", "]")
+    case a: Array[_] => a.map(canonCell).mkString("[", ",", "]")
+    case s: scala.collection.Seq[_] => s.map(canonCell).mkString("[", ",", "]")
+    case other => other.toString
+  }
+
+  private def canonNum(d: BigDecimal): String = {
+    val r = d.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    if (r.isWhole) r.toBigInt.toString
+    else r.underlying.stripTrailingZeros.toPlainString
+  }
+
+  /** Sorted-columns / sorted-rows sha256 of `df`'s full result. */
+  def hashOf(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+      .map(r => (0 until r.length).map(i => canonCell(r.get(i))).mkString(""))
+      .sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(cols.mkString("").getBytes("UTF-8"))
+    rows.foreach(s => md.update(("" + s).getBytes("UTF-8")))
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  /** The sf1 pin set: the ~10 heaviest families by converged bench
+    * minima whose inputs exist in the 10× fixture (documents +
+    * embeddings) AND whose DuckDB oracle scales there. q127 (dedup
+    * agreement) is deliberately absent: its oracle's candidate CTE is an
+    * O(n²) non-equi cross join — hours at 50k docs (its Spark side is
+    * sf10-soaked instead); q138 takes its slot. Names must match
+    * SparkEntry.queries keys. */
+  val Sf1PinnedQueries: Seq[String] = Seq(
+    "q74_dup_clusters",
+    "q84_shared_gram_pairs",
+    "q99_perplexity_buckets",
+    "q101_cross_source_leakage",
+    "q123_dsir_resample",
+    "q129_paragraph_dedup",
+    "q138_bloom_decontamination",
+    "q148_url_dedup",
+    "q151_incremental_dedup",
+    "q156_moore_lewis")
+}
+
+/** One-time pin generator: prints `name -> hash` for the sf1 pin set
+  * over the 10× fixture. Run AFTER confirming Spark↔DuckDB parity on the
+  * same fixture (graft.Verify + tools/compare_oracle.py), then paste the
+  * constants into Sf1HashPinSpec. */
+object Sf1HashPin {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "target/soak_sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ResultHash.Sf1PinnedQueries.foreach { name =>
+      val t0 = System.nanoTime()
+      val h = ResultHash.hashOf(graft.SparkEntry.queries(name)(spark, dir))
+      org.apache.spark.sql.GraftBridge.releaseTransientPins()
+      println(f""""$name" -> "$h", // ${(System.nanoTime() - t0) / 1e9}%.1f s""")
+    }
+    spark.stop()
+  }
+}

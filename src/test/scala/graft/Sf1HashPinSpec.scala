@@ -1,0 +1,60 @@
+package graft
+
+import graft.tools.{ResultHash, SoakFixtures}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * sf1 (10×) oracle-hash pins for the heaviest query families — the
+ * round-13 gap: all 156 driver hashes are sf0.01, and the sf0.1/sf10
+ * soaks pin timings and row counts, NOT result values, so a
+ * scale-dependent collapse/overflow bug (the DuckDB
+ * null-skipping-aggregate class) had nowhere it would be caught.
+ *
+ * Each constant below was produced by `graft.tools.Sf1HashPin` over the
+ * shared 10× fixture ([[graft.tools.SoakFixtures]]) in a run whose
+ * Spark↔DuckDB parity ON THAT FIXTURE was first confirmed through
+ * `graft.Verify` + `tools/compare_oracle.py` (round-15 log) — so the pin
+ * freezes the two engines' AGREED answer at 10× scale, not just Spark's.
+ * The fixture itself is deterministic (shard-renamed sf0.1), so the
+ * hashes are stable across hosts and sessions.
+ *
+ * If a pin breaks: either the query's semantics changed deliberately
+ * (re-run Sf1HashPin + the compare gate on target/soak_sf1 and re-pin),
+ * or a scale-dependent bug just surfaced — exactly what this suite is
+ * for. Slow suite: ~1–2 min on a warm fixture.
+ */
+class Sf1HashPinSpec extends AnyFunSuite with SparkSuite {
+
+  // name -> sha256 of the sorted-canonical result (ResultHash.hashOf).
+  // All pins DuckDB-validated on target/soak_sf1 (9 ok, 0 bad — round-15
+  // log) EXCEPT q74, whose recursive-CTE oracle is O(n²) pairs and does
+  // not terminate at 50k docs: q74's pin is Spark-invariant-based (sf0.01
+  // oracle parity + the sf10 contraction soaks' structural asserts), and
+  // still freezes the 10× answer against regression.
+  private val pinned: Map[String, String] = Map(
+    "q74_dup_clusters" -> "613326d650411f9139b2a95ccd205eb9a0421c5d577e7793739ee505bd761935",
+    "q84_shared_gram_pairs" -> "174b1efd3553d741a3195da0f1afbde093d4316cac8e8a9eadc53962fe8661fd",
+    "q99_perplexity_buckets" -> "de20b87175b62bce6f3542f43d1742508cb5d77aac6b7bbfa57b6acee62cc571",
+    "q101_cross_source_leakage" -> "f91816b0c68742f2d50161fe4a78008001b63eaa54034417de0a22257b083a85",
+    "q123_dsir_resample" -> "f1f4360611cf355f36b367a13c4bef92520bc7095d27fcf0c1268b7f7b6c7edb",
+    "q129_paragraph_dedup" -> "74eb102efc1af486695e3a422d3689f0a452231c90c4b8e33946e8a8ef0d2452",
+    "q138_bloom_decontamination" -> "7a24c52ad24b9b04e3d254c2e7b896a7383e25a8e2a4f2f166242065e6be805e",
+    "q148_url_dedup" -> "8dea37c022d1d5c21bfae572256fdd8cc7b06c2b473267c192246cd5958ff864",
+    "q151_incremental_dedup" -> "495f296abffe750a2a7edf2322e47efe6683182f332c237daa4e3f8515e7a3e4",
+    "q156_moore_lewis" -> "a4400df4fe9a6c8769b20a40ebb054d5706091bdeac3913a6e7decd3fb56b5d4")
+
+  test("sf1 result hashes match the pinned Spark<->DuckDB agreed values") {
+    SoakFixtures.ensureSf1(spark)
+    graft.analytics.Dedup.clearSharedClusterEdges()
+    val bad = ResultHash.Sf1PinnedQueries.flatMap { name =>
+      val h = ResultHash.hashOf(SparkEntry.queries(name)(spark, SoakFixtures.Sf1Dir))
+      org.apache.spark.sql.GraftBridge.releaseTransientPins()
+      pinned.get(name) match {
+        case Some(exp) if exp == h => None
+        case Some(exp) => Some(s"$name: hash $h != pinned $exp")
+        case None => Some(s"$name: NO PIN (got $h)")
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+}
