@@ -785,8 +785,13 @@ object Dedup {
       val aqeBefore = s.conf.get(aqeKey)
       val partsBefore = s.conf.get(partsKey)
       s.conf.set(aqeKey, "false")
+      // floor 8: the derivation's post-shuffle stages (windows, band
+      // join, distinct) should still parallelize — the loop re-narrows
+      // itself per round via resizeLoop; only the stage-JOB count was
+      // the overhead being cut here
       s.conf.set(partsKey,
-        math.max(1L, math.min(partsBefore.toInt.toLong, nDocs / 250000L + 1L)).toString)
+        math.min(partsBefore.toInt.toLong,
+          math.max(8L, nDocs / 250000L + 1L)).toString)
       try body finally {
         s.conf.set(aqeKey, aqeBefore)
         s.conf.set(partsKey, partsBefore)

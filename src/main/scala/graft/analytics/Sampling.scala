@@ -374,12 +374,27 @@ object Sampling {
       .select(col("doc_id").as("bench_id"), wordSet(col("text")).as("wb"))
     // size prefilter: jaccard >= t implies |wd|/|wb| ∈ [t, 1/t], so pairs
     // outside that ratio can be discarded before the set intersection —
-    // output-identical, and it prunes most of the bounded cross product
+    // output-identical, and it prunes most of the bounded cross product.
+    // Round 15: the ratio window rides a LOG-BUCKET EQUI-KEY — two sizes
+    // within ratio 1/t have ⌊ln·/ln(1/t)⌋ buckets differing by ≤ 1, so
+    // each bench row lands in its bucket ± 1 (3 broadcast rows) and the
+    // join is a broadcast HASH join on bk instead of a nested-loop over
+    // every (doc, bench) pair evaluating the size predicate; the exact
+    // ratio check re-applies after the match, so the output is identical.
+    val invLog = math.log(1.0 / threshold)
+    def bucket(sz: Column): Column =
+      floor(log(sz.cast("double")) / invLog).cast("long")
+    val bench3 = bench
+      .withColumn("nb", size(col("wb")))
+      .withColumn("bk", explode(array(
+        bucket(col("nb")) - 1, bucket(col("nb")), bucket(col("nb")) + 1)))
     docs
       .select(col("doc_id"), col("source"), wordSet(col("text")).as("wd"))
-      .join(broadcast(bench),
-        size(col("wd")).cast("double") >= size(col("wb")) * threshold &&
-          size(col("wb")).cast("double") >= size(col("wd")) * threshold)
+      .withColumn("nd", size(col("wd")))
+      .withColumn("bk", bucket(col("nd")))
+      .join(broadcast(bench3), Seq("bk"))
+      .filter(col("nd").cast("double") >= col("nb") * threshold &&
+        col("nb").cast("double") >= col("nd") * threshold)
       .filter(col("doc_id") =!= col("bench_id"))
       .withColumn("jac",
         size(array_intersect(col("wd"), col("wb"))).cast("double") /

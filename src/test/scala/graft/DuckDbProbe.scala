@@ -29,6 +29,10 @@ import java.util.logging.Logger
  *    `mysqlCapableJars` still empty (h2/hsqldb/mariadb/mysql absent from
  *    ~/.cache/coursier, ~/.ivy2, ~/.m2). MySQL dialect remains
  *    golden-pinned only; environment-blocked, not a coverage choice.
+ *  - 2026-08-15 (r15): re-probed all three cache roots (find over
+ *    *.jar): zero h2/hsqldb/mariadb/mysql hits; duckdb_jdbc 1.0.0 is
+ *    still the only embeddable engine. Unchanged — MySQL branch stays
+ *    golden-pinned, Postgres branch live via DuckDB + Derby.
  *
  * The loader and driver are cached in this object: DuckDB's JDBC driver
  * extracts and `System.load`s a native library once per classloader, and

@@ -72,6 +72,18 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     r.foreach { case (_, _, nBench) => assert(nBench <= benchSize) }
   }
 
+  test("contamination plans as a broadcast HASH join on the size bucket, never a nested loop") {
+    // round 15: the ratio window rides a log-bucket equi-key (bench rows
+    // explode into bucket ± 1), so the size prefilter must never fall
+    // back to BroadcastNestedLoopJoin evaluating every (doc, bench) pair
+    val plan = Sampling.contamination(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"contamination regressed to a nested-loop join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast hash join on the bucket key:\n$plan")
+  }
+
   test("q80 chunking: coverage, overlap, and bounds invariants") {
     import spark.implicits._
     val chunks = Sampling.chunkDocuments(spark, d) // 128-token chunks, 32 overlap
