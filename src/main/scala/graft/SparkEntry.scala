@@ -218,6 +218,9 @@ object SparkEntry {
     // Moore-Lewis cross-entropy-difference selection vs the largest source
     "q156_moore_lewis" -> ((s: SparkSession, d: String) =>
       TextStats.mooreLewis(s, d)),
+    // DoReMi-lite multiplicative-weights domain mixture from bigram NLL
+    "q157_domain_reweight" -> ((s: SparkSession, d: String) =>
+      TextStats.domainReweight(s, d)),
     // content-defined chunking (gear-criterion boundaries) dup mass
     "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.cdcChunkDedup(s, d)),
@@ -2228,6 +2231,7 @@ object SparkEntry {
         | max(CASE WHEN al.source IS NOT DISTINCT FROM rf.ref_source
         |   THEN 1 ELSE 0 END) = 1 AS is_ref
         |FROM al CROSS JOIN rf GROUP BY al.source""".stripMargin,
+    "q157_domain_reweight" -> domainReweightSql(),
     // q132: the same lag-window boundary bit + running-sum chunk id, then
     // chunk hashes grouped for the duplicate mass
     "q132_cdc_chunk_dedup" ->
@@ -3107,6 +3111,68 @@ object SparkEntry {
     * MinHash pair recomputed from the joined fingerprints, and the
     * simhash_only cell recovered by the same subtraction the engine
     * performs against the (q114-equivalent) SimHash totals. */
+  /** q157 oracle: the q156 general-model CTEs (capped counts, add-one
+    * smoothing, -log10, 6-dp decimal terms) aggregated per SOURCE, then
+    * the multiplicative-weights rounds UNROLLED (the q97 BPE-train
+    * discipline): each round quantizes the unnormalized weight to
+    * DECIMAL(28,12) — absorbing cross-engine exp() ulp noise — sums the
+    * decimals exactly, and re-rounds the normalized weight to 6 dp,
+    * mirroring the Spark driver's BigDecimal arithmetic spelling. */
+  private def domainReweightSql(rounds: Int = 3, eta: Double = 1.0): String = {
+    val cap = graft.analytics.TextStats.PerplexityVocabCap
+    val iter = (1 to rounds).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""u$r AS (SELECT source, nll,
+         |  CAST(w * exp($eta * (nll - mn)) AS DECIMAL(28,12)) AS u
+         | FROM $prev CROSS JOIN mnk),
+         |w$r AS (SELECT source, nll,
+         |  round(CAST(u AS DOUBLE) /
+         |    CAST((SELECT sum(u) FROM u$r) AS DOUBLE), 6) AS w FROM u$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ws AS (SELECT doc_id, source, $tokens AS w FROM documents),
+      |dd AS (SELECT doc_id, source, w, coalesce(len(w), 0) AS nw FROM ws),
+      |uc0 AS (SELECT w1, count(*) AS cu_g
+      | FROM (SELECT unnest(w) AS w1 FROM dd) t GROUP BY w1),
+      |ucg AS (SELECT w1, cu_g FROM (
+      |  SELECT w1, cu_g, row_number() OVER (ORDER BY cu_g DESC, w1) AS rn
+      |  FROM uc0 WHERE cu_g > 0) t WHERE rn <= $cap),
+      |bg0 AS (SELECT source, w[CAST(i AS INT)] AS w1,
+      |  w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] AS b
+      | FROM (SELECT source, w, unnest(range(1, nw)) AS i
+      |       FROM dd WHERE nw >= 2) t),
+      |bc0 AS (SELECT b, count(*) AS cb_g FROM bg0 GROUP BY b),
+      |bcg AS (SELECT b, cb_g FROM (
+      |  SELECT b, cb_g, row_number() OVER (ORDER BY cb_g DESC, b) AS rn
+      |  FROM bc0 WHERE cb_g > 0) t WHERE rn <= $cap),
+      |vg AS (SELECT count(*) AS v_g FROM ucg),
+      |tm AS (
+      | SELECT g.source,
+      |  CAST(CASE WHEN vg.v_g > 0 THEN
+      |   round(-log10((coalesce(bcg.cb_g, 0) + 1.0) /
+      |     (coalesce(ucg.cu_g, 0) + vg.v_g)), 6) END
+      |   AS DECIMAL(18,6)) AS term_g
+      | FROM bg0 g
+      | LEFT JOIN bcg USING (b) LEFT JOIN ucg ON g.w1 = ucg.w1
+      | CROSS JOIN vg),
+      |nl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(CAST(sum(term_g) AS DOUBLE) / count(*), 6) AS nll
+      | FROM tm GROUP BY source),
+      |act AS (SELECT source, nll FROM nl WHERE nll IS NOT NULL),
+      |mnk AS (SELECT count(*) AS k, min(nll) AS mn FROM act),
+      |w0 AS (SELECT source, nll, round(1.0 / k, 6) AS w
+      | FROM act CROSS JOIN mnk),
+      |$iter,
+      |ct AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      | FROM documents GROUP BY source)
+      |SELECT ct.source, ct.n_docs, nl.n_bigrams, nl.nll,
+      | w$rounds.w AS weight
+      |FROM ct
+      |LEFT JOIN nl ON ct.source IS NOT DISTINCT FROM nl.source
+      |LEFT JOIN w$rounds ON ct.source IS NOT DISTINCT FROM w$rounds.source"""
+      .stripMargin
+  }
+
   private def dedupAgreementSql(numPerm: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, maxHamming: Int = 6): String = {
     // the `sh` CTE reuses simhashPairPredicate, which hardcodes Hamming

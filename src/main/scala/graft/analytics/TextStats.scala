@@ -1793,20 +1793,8 @@ object TextStats {
       .select(col("source").as("ref_source"))
     val flagged = wsDocs.join(broadcast(ref))
       .withColumn("is_tgt", (col("source") <=> col("ref_source")).cast("long"))
-    // q99's two-stage partial top-K, per MODEL (counts differ, so each
-    // model caps by its own count; the sub-bucket stage bounds every sort)
-    def capped(df: DataFrame, gram: String, cnt: String): DataFrame = {
-      val local = df.filter(col(cnt) > 0)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(pmod(xxhash64(col(gram)), lit(64L)))
-            .orderBy(col(cnt).desc, col(gram))))
-        .filter(col("rn") <= vocabCap)
-        .drop("rn")
-      local.withColumn("rn", row_number().over(
-          Window.orderBy(col(cnt).desc, col(gram))))
-        .filter(col("rn") <= vocabCap)
-        .drop("rn")
-    }
+    def capped(df: DataFrame, gram: String, cnt: String): DataFrame =
+      cappedTopK(df, gram, cnt, vocabCap)
     // ONE explode feeds both models' unigram counts
     val uCounts = flagged
       .select(col("is_tgt"), explode(col("w")).as("w1"))
@@ -1833,6 +1821,42 @@ object TextStats {
     * splitting `b` (correct only while words() tokens cannot contain a
     * space; the DuckDB oracle carries w[i] directly, so both engines now
     * derive it identically by construction). */
+  /** q99's two-stage partial top-K, per MODEL (counts differ, so each
+    * model caps by its own count; the 64-hash-sub-bucket stage bounds
+    * every sort — no one-task vocabulary sort at any corpus size).
+    * Shared by the q156 model builder and [[generalBigramModelOf]]. */
+  private def cappedTopK(df: DataFrame, gram: String, cnt: String,
+      vocabCap: Int): DataFrame = {
+    val local = df.filter(col(cnt) > 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(pmod(xxhash64(col(gram)), lit(64L)))
+          .orderBy(col(cnt).desc, col(gram))))
+      .filter(col("rn") <= vocabCap)
+      .drop("rn")
+    local.withColumn("rn", row_number().over(
+        Window.orderBy(col(cnt).desc, col(gram))))
+      .filter(col("rn") <= vocabCap)
+      .drop("rn")
+  }
+
+  /** The GENERAL-corpus half of the q156 bundle — capped `ug`/`bg` count
+    * tables only (no in-domain flag, no reference pick): the shared
+    * reference model for consumers that score against the whole corpus
+    * (q157 domain reweighting). Input must carry `w`/`nw` (words()
+    * array + its size). ≤ 2·cap rows regardless of corpus size. */
+  private def generalBigramModelOf(wsDocs: DataFrame,
+      vocabCap: Int): DataFrame = {
+    val uCounts = wsDocs
+      .select(explode(col("w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu_g"))
+    val bCounts = mlBigramsOf(wsDocs, Seq.empty)
+      .groupBy(col("b")).agg(count(lit(1)).as("cb_g"))
+    cappedTopK(uCounts, "w1", "cu_g", vocabCap)
+      .select(lit("ug").as("kind"), col("w1").as("gram"), col("cu_g").as("cnt"))
+      .unionByName(cappedTopK(bCounts, "b", "cb_g", vocabCap)
+        .select(lit("bg").as("kind"), col("b").as("gram"), col("cb_g").as("cnt")))
+  }
+
   private def mlBigramsOf(df: DataFrame, extra: Seq[String]): DataFrame = df
     .filter(col("nw") >= 2)
     .select(extra.map(col) :+ explode(transform(
@@ -1914,6 +1938,107 @@ object TextStats {
         max(col("is_ref").cast("int")).as("is_ref_i"))
       .withColumn("is_ref", col("is_ref_i") === 1)
       .drop("is_ref_i")
+
+  /**
+   * q157: DoReMi-lite domain reweighting (Xie et al. 2023, deterministic
+   * reduction) — the fourth member of the data-selection family (q123
+   * DSIR = importance weights, q154 = quality budget, q156 = Moore–Lewis
+   * threshold; this one sets the per-DOMAIN mixture): each source's
+   * difficulty is its token-weighted mean bigram NLL under the shared
+   * general corpus model (q99/q156 conventions — capped vocab, add-one
+   * smoothing, -log10, 6-dp decimal terms), and `rounds` steps of the
+   * multiplicative-weights update
+   * `w ← normalize(w · exp(eta · (nll − min nll)))` upweight the domains
+   * the reference model finds hardest — DoReMi's excess-loss signal with
+   * the trained proxy model replaced by the deterministic corpus bigram
+   * model, so both engines replay the whole computation bit-for-bit.
+   * Sources with no bigrams (all-NULL/short texts) keep NULL nll/weight
+   * and never enter the mixture; NULL source is its own domain.
+   *
+   * Cross-engine float discipline: nll is rounded to 6 dp FIRST; each
+   * round's unnormalized weight is quantized to DECIMAL(28,12) — a
+   * 1-ulp exp() divergence (~1e-16) sits far below that quantum, and
+   * the decimal SUM is exact and order-independent — then the
+   * normalized weight re-rounds to 6 dp. Identical spelling in the
+   * DuckDB oracle's unrolled round CTEs.
+   *
+   * 100 TB posture: ONE bigram stream over the corpus (q156's), two
+   * broadcast model joins, a per-source map-side-combined decimal
+   * aggregate; the mirror-descent loop runs DRIVER-side over ≤ |domains|
+   * rows (the bpeFitMerges / k-means-codebook model-fit discipline) and
+   * the output is |domains| rows.
+   */
+  def domainReweight(s: SparkSession, d: String,
+      vocabCap: Int = PerplexityVocabCap, rounds: Int = 3,
+      eta: Double = 1.0): DataFrame =
+    domainReweightOf(documents(s, d), vocabCap, rounds, eta)
+
+  /** [[domainReweight]] over an arbitrary (doc_id, source, text) frame. */
+  def domainReweightOf(docs: DataFrame, vocabCap: Int, rounds: Int,
+      eta: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val wsDocs = docs
+      .withColumn("w", words(col("text")))
+      .withColumn("nw", coalesce(size(col("w")), lit(0)))
+    // pinned for the same reason as the q156 bundle: the scoring pass
+    // filters it two ways + the vocab count — without the pin each
+    // branch re-plans both capping windows
+    val models = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      generalBigramModelOf(wsDocs, vocabCap), eager = false)
+    val ucG = models.filter(col("kind") === "ug")
+      .select(col("gram").as("w1"), col("cnt").as("cu_g"))
+    val bcG = models.filter(col("kind") === "bg")
+      .select(col("gram").as("b"), col("cnt").as("cb_g"))
+    val vG = ucG.groupBy().agg(count(lit(1)).as("v_g"))
+    val terms = mlBigramsOf(wsDocs, Seq("source"))
+      .join(broadcast(bcG), Seq("b"), "left")
+      .join(broadcast(ucG), Seq("w1"), "left")
+      .join(broadcast(vG))
+      .withColumn("term_g",
+        when(col("v_g") > 0,
+          round(-log(10.0, (coalesce(col("cb_g"), lit(0L)) + 1.0) /
+            (coalesce(col("cu_g"), lit(0L)) + col("v_g"))), 6))
+          .cast("decimal(18,6)"))
+    val perSource = terms.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term_g")).cast("double") / count(lit(1)), 6).as("nll"))
+    // driver-side mirror-descent over the |domains|-row difficulty table
+    val act = perSource.select(col("source"), col("nll"))
+      .filter(col("nll").isNotNull)
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.toString), r.getDouble(1)))
+      .sortBy(_._1) // deterministic driver iteration order (sums are exact anyway)
+    val weights: Seq[(Option[String], Double)] =
+      if (act.isEmpty) Seq.empty
+      else {
+        val mn = act.map(_._2).min
+        val k = act.length
+        var w: Seq[Double] = act.map(_ =>
+          BigDecimal(1.0 / k).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+        (1 to rounds).foreach { _ =>
+          val u = act.zip(w).map { case ((_, nll), wi) =>
+            BigDecimal(wi * math.exp(eta * (nll - mn)))
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          }
+          val sUm = u.sum // exact decimal sum — order-independent
+          w = u.map(ui =>
+            BigDecimal(ui.toDouble / sUm.toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        act.map(_._1).zip(w)
+      }
+    import spark.implicits._
+    val wDf = weights.map { case (src, wt) => (src.orNull, wt) }
+      .toDF("w_source", "weight")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val ps = perSource.withColumnRenamed("source", "ps_source")
+    counts
+      .join(ps, col("source") <=> col("ps_source"), "left")
+      .join(broadcast(wDf), col("source") <=> col("w_source"), "left")
+      .select(col("source"), col("n_docs"), col("n_bigrams"), col("nll"),
+        col("weight"))
+  }
 
   def perplexityBucketsOf(docs: DataFrame,
       vocabCap: Int = PerplexityVocabCap): DataFrame = {

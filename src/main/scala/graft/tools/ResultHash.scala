@@ -47,19 +47,21 @@ object ResultHash {
     md.digest().map(b => f"$b%02x").mkString
   }
 
-  /** The sf1 pin set: the ~10 heaviest families by converged bench
-    * minima whose inputs exist in the 10× fixture (documents +
-    * embeddings) AND whose DuckDB oracle scales there. q127 (dedup
-    * agreement) is deliberately absent: its oracle's candidate CTE is an
-    * O(n²) non-equi cross join — hours at 50k docs (its Spark side is
-    * sf10-soaked instead); q138 takes its slot. Names must match
-    * SparkEntry.queries keys. */
+  /** The sf1 pin set: the heaviest families by converged bench minima
+    * whose inputs exist in the 10× fixture (documents + embeddings).
+    * Nine are DuckDB-validated there; q74 and q127 carry
+    * Spark-invariant pins because their oracles' candidate CTEs are
+    * O(n²) non-equi pair scans that do not terminate at 50k docs (their
+    * sf0.01 parity + the sf10 soak invariants cover the initial value;
+    * the pin freezes the 10× answer against regression either way).
+    * Names must match SparkEntry.queries keys. */
   val Sf1PinnedQueries: Seq[String] = Seq(
     "q74_dup_clusters",
     "q84_shared_gram_pairs",
     "q99_perplexity_buckets",
     "q101_cross_source_leakage",
     "q123_dsir_resample",
+    "q127_dedup_agreement",
     "q129_paragraph_dedup",
     "q138_bloom_decontamination",
     "q148_url_dedup",

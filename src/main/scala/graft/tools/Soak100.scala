@@ -91,6 +91,28 @@ object Soak100 {
       println(f"[exact_groups] rows $ne01 -> $ne10 (x${ne10.toDouble / ne01}%.0f), wall x${te10 / te01}%.1f on 100x data")
       }
 
+      if (want("q157")) {
+      // domain reweighting: two corpus-linear count streams into capped
+      // broadcast models + one scoring stream; the mixture loop is
+      // |domains| rows on the driver — wall must track corpus size
+      val (nr01, tr01) = timed("q157 sf0.1")(
+        graft.analytics.TextStats.domainReweight(spark, sf01).count())
+      val (nr10, tr10) = timed("q157 sf10")(
+        graft.analytics.TextStats.domainReweight(spark, soakDir).count())
+      println(f"[q157] rows $nr01 -> $nr10, wall x${tr10 / tr01}%.1f on 100x data")
+      }
+
+      if (want("q66")) {
+      // contamination (round-15 bucket hash join): |bench| is capped at
+      // maxBench on both sides, so the observable is the corpus-linear
+      // scan+probe — wall must track corpus size, never corpus x bench
+      val (nc01, tc01) = timed("q66 sf0.1")(
+        graft.analytics.Sampling.contamination(spark, sf01).count())
+      val (nc10, tc10) = timed("q66 sf10")(
+        graft.analytics.Sampling.contamination(spark, soakDir).count())
+      println(f"[q66] rows $nc01 -> $nc10, wall x${tc10 / tc01}%.1f on 100x data")
+      }
+
       if (want("q74")) {
       // SPARK_GRAFT_LOCAL_FINISH overrides the endgame threshold (0 = pure
       // loop) so a soak delta can be attributed to the endgame vs the host

@@ -27,16 +27,18 @@ class Sf1HashPinSpec extends AnyFunSuite with SparkSuite {
 
   // name -> sha256 of the sorted-canonical result (ResultHash.hashOf).
   // All pins DuckDB-validated on target/soak_sf1 (9 ok, 0 bad — round-15
-  // log) EXCEPT q74, whose recursive-CTE oracle is O(n²) pairs and does
-  // not terminate at 50k docs: q74's pin is Spark-invariant-based (sf0.01
-  // oracle parity + the sf10 contraction soaks' structural asserts), and
-  // still freezes the 10× answer against regression.
+  // log) EXCEPT q74 and q127, whose oracles' candidate CTEs are O(n²)
+  // pair scans that do not terminate at 50k docs: those two pins are
+  // Spark-invariant-based (sf0.01 oracle parity + the sf10 soaks'
+  // structural asserts) and still freeze the 10× answer against
+  // regression.
   private val pinned: Map[String, String] = Map(
     "q74_dup_clusters" -> "613326d650411f9139b2a95ccd205eb9a0421c5d577e7793739ee505bd761935",
     "q84_shared_gram_pairs" -> "174b1efd3553d741a3195da0f1afbde093d4316cac8e8a9eadc53962fe8661fd",
     "q99_perplexity_buckets" -> "de20b87175b62bce6f3542f43d1742508cb5d77aac6b7bbfa57b6acee62cc571",
     "q101_cross_source_leakage" -> "f91816b0c68742f2d50161fe4a78008001b63eaa54034417de0a22257b083a85",
     "q123_dsir_resample" -> "f1f4360611cf355f36b367a13c4bef92520bc7095d27fcf0c1268b7f7b6c7edb",
+    "q127_dedup_agreement" -> "b0c3aadbfc21b954c8d5075aacec1de35e7d56d6c7b7715d5d754c4ee30e7350",
     "q129_paragraph_dedup" -> "74eb102efc1af486695e3a422d3689f0a452231c90c4b8e33946e8a8ef0d2452",
     "q138_bloom_decontamination" -> "7a24c52ad24b9b04e3d254c2e7b896a7383e25a8e2a4f2f166242065e6be805e",
     "q148_url_dedup" -> "8dea37c022d1d5c21bfae572256fdd8cc7b06c2b473267c192246cd5958ff864",
