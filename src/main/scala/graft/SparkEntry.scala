@@ -221,6 +221,12 @@ object SparkEntry {
     // DoReMi-lite multiplicative-weights domain mixture from bigram NLL
     "q157_domain_reweight" -> ((s: SparkSession, d: String) =>
       TextStats.domainReweight(s, d)),
+    // Broder containment pairs via prefix-filtered set-similarity join
+    "q158_containment_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPairs(s, d)),
+    // soft-dedup 1/cluster-size reweighting over the q74 clusters
+    "q159_soft_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.softDedupWeights(s, d)),
     // content-defined chunking (gear-criterion boundaries) dup mass
     "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.cdcChunkDedup(s, d)),
@@ -2232,6 +2238,78 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END) = 1 AS is_ref
         |FROM al CROSS JOIN rf GROUP BY al.source""".stripMargin,
     "q157_domain_reweight" -> domainReweightSql(),
+    // q158: the prefix-filter candidate join replayed relationally —
+    // q32's shingle + md5-hash spelling, identical rarest-first rank,
+    // integer thresholds on both engines
+    "q158_containment_pairs" ->
+      s"""WITH d AS (SELECT doc_id, $tokens AS ws FROM documents),
+        |n AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(0, greatest(len(ws)-3, 0)+1),
+        |   i -> concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]))) AS ngrams
+        | FROM d),
+        |toks AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(ngrams,
+        |  g -> ('0x' || substring(md5(g),1,8))::BIGINT
+        |        % ${analytics.Dedup.MinhashP}))) AS gh
+        | FROM n),
+        |szs AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+        |dfreq AS (SELECT gh, count(*) AS df FROM toks GROUP BY 1),
+        |pre AS (
+        | SELECT doc_id, gh FROM (
+        |  SELECT t.doc_id, t.gh,
+        |   row_number() OVER (PARTITION BY t.doc_id
+        |     ORDER BY f.df, t.gh) AS rk,
+        |   s.sz
+        |  FROM toks t JOIN dfreq f USING (gh) JOIN szs s USING (doc_id)) r
+        | WHERE rk <= (sz * 20) // 100 + 1),
+        |cand AS (
+        | SELECT DISTINCT least(p.doc_id, t.doc_id) AS doc_a,
+        |        greatest(p.doc_id, t.doc_id) AS doc_b
+        | FROM pre p JOIN toks t ON p.gh = t.gh AND p.doc_id <> t.doc_id),
+        |inter AS (
+        | SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        | FROM cand c
+        | JOIN toks ta ON ta.doc_id = c.doc_a
+        | JOIN toks tb ON tb.doc_id = c.doc_b AND tb.gh = ta.gh
+        | GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+        | CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+        | round(CAST(i.n_common AS DOUBLE) / least(sa.sz, sb.sz), 6)
+        |   AS containment,
+        | round(CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common), 6)
+        |   AS jaccard,
+        | (i.n_common * 3 < sa.sz + sb.sz) AS jaccard_missed
+        |FROM inter i
+        |JOIN szs sa ON sa.doc_id = i.doc_a
+        |JOIN szs sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common * 100 >= least(sa.sz, sb.sz) * 80""".stripMargin,
+    // q159: the q74 recursive-component CTE + the suite's decimal
+    // quantization for the 1/cluster-size weighted sums
+    "q159_soft_dedup" ->
+      (dupClustersCte +
+        s""",
+          |asg AS (
+          | SELECT d.doc_id, d.source, d.n_chars,
+          |  coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          | FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+          |cs AS (SELECT cluster_id, count(*) AS csize FROM asg GROUP BY 1),
+          |j AS (SELECT a.source, a.n_chars, c.csize
+          |      FROM asg a JOIN cs c USING (cluster_id))
+          |SELECT source, count(*) AS n_docs,
+          | CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |   AS n_clustered,
+          | round(CAST(sum(CAST(round(CAST(1 AS DOUBLE) / csize, 12)
+          |   AS DECIMAL(38,12))) AS DOUBLE), 6) AS eff_docs,
+          | CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars,
+          | round(coalesce(CAST(sum(CAST(round(
+          |   n_chars * (CAST(1 AS DOUBLE) / csize), 12)
+          |   AS DECIMAL(38,12))) AS DOUBLE), 0), 6) AS eff_chars,
+          | round(CAST(1 AS DOUBLE)
+          |   - round(CAST(sum(CAST(round(CAST(1 AS DOUBLE) / csize, 12)
+          |       AS DECIMAL(38,12))) AS DOUBLE), 6) / count(*), 6)
+          |   AS mass_removed
+          |FROM j GROUP BY source""".stripMargin),
     // q132: the same lag-window boundary bit + running-sum chunk id, then
     // chunk hashes grouped for the duplicate mass
     "q132_cdc_chunk_dedup" ->

@@ -379,6 +379,96 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ------------------------------------------------ containment near-dup
+
+  /**
+   * q158: containment near-dup pairs — the asymmetric member of the
+   * near-dup family. Jaccard (q32/q33/q75) divides by |A∪B|, so a short
+   * document wholly quoted inside a much longer one scores near zero and
+   * every symmetric gate misses it; Broder's containment
+   * C(A,B) = |A∩B| / min(|A|,|B|) over the word 3-gram SHINGLE sets (the
+   * original resemblance/containment formulation) scores that subset
+   * relationship 1.0. The output carries both measures plus
+   * `jaccard_missed` — the pairs only this operator can see
+   * (containment ≥ t but Jaccard < 0.5).
+   *
+   * Candidate generation is PREFIX FILTERING (the set-similarity-join
+   * primitive of the PPJoin / Vernica-Carey-Li MapReduce join family):
+   * order each document's distinct shingle hashes by ascending global
+   * document frequency (rarest first); if ≥ t·|A| of A's shingles appear
+   * in B, then A's first ⌊(1−t)·|A|⌋+1 rarest shingles cannot ALL be
+   * missing from B — so joining every document's rare-shingle prefix
+   * against the full inverted index catches EVERY qualifying pair with
+   * no pairwise scan and no signature approximation to verify against.
+   * Shingles (not unigrams) are load-bearing for the filter: a shared
+   * 3-gram is shared TEXT, so shingle document frequency tracks
+   * containment-dup mass while unigram df tracks vocabulary — measured
+   * on the sf0.1 fixture, the unigram spelling's prefixes prune nothing
+   * (99M join rows, 12.4M candidates ≈ all doc pairs) while the shingle
+   * spelling's prune 300× (308K join rows, 181K candidates).
+   *
+   * 100 TB shape: shingle df is one hash-keyed groupBy; the rarest-first
+   * rank is a per-document window (group size = that document's distinct
+   * shingle count, never corpus-sized); the candidate join is keyed by
+   * PREFIX shingle hashes — 8-byte longs, not text — with fan-out df,
+   * small by construction; candidate volume stays linear in
+   * containment-dup mass rather than quadratic in corpus size (a
+   * production corpus would additionally cap df for prefix eligibility;
+   * the rarest-first order already self-limits). Verification re-joins
+   * candidates to the inverted index keyed by (doc, hash). Every
+   * threshold is evaluated in INTEGER arithmetic (100·n ≥ pct·min,
+   * 3·n < szA+szB) so the gate cannot flap on a float boundary between
+   * engines. The md5-derived [[shingleHash]] keeps every stage
+   * bit-reproducible in the DuckDB oracle.
+   */
+  def containmentPairs(s: SparkSession, d: String, pct: Int = 80): DataFrame =
+    containmentPairsFor(documentsSpread(s, d), pct)
+
+  /** [[containmentPairs]] over an arbitrary (doc_id, text) frame — lets
+    * specs plant controlled subset documents and assert recall. */
+  def containmentPairsFor(docsDF: DataFrame, pct: Int): DataFrame = {
+    require(pct > 0 && pct < 100, s"containment pct must be in (0,100): $pct")
+    // the inverted index feeds SIX plan branches (sizes, df, prefix rank,
+    // candidate probe, both verification sides): pin the narrow
+    // (doc_id, hash) rows once so the corpus is shingled+md5'd once, not
+    // six times (the q151 pinned-base lesson; transient-pin lifecycle —
+    // Bench/Verify release after each pass)
+    val toks = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      docsDF.select(col("doc_id"),
+        explode(array_distinct(
+          transform(shingles(col("text")), g => shingleHash(g)))).as("gh")),
+      eager = false)
+    val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfreq = toks.groupBy("gh").agg(count(lit(1)).as("df"))
+    val prefix = toks.join(dfreq, "gh").join(szs, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))))
+      .filter(col("rk") <= expr(s"(sz * ${100 - pct}) DIV 100 + 1"))
+      .select(col("doc_id").as("pd"), col("gh"))
+    val cand = prefix
+      .join(toks.select(col("doc_id").as("td"), col("gh")), "gh")
+      .filter(col("pd") =!= col("td"))
+      .select(least(col("pd"), col("td")).as("doc_a"),
+        greatest(col("pd"), col("td")).as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("gh")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("gh")), Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(szs.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(szs.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .filter(col("n_common") * 100 >= least(col("sz_a"), col("sz_b")) * pct)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sz_a"), col("sz_b"),
+        round(col("n_common").cast("double") /
+          least(col("sz_a"), col("sz_b")), 6).as("containment"),
+        round(col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")), 6).as("jaccard"),
+        (col("n_common") * 3 < col("sz_a") + col("sz_b")).as("jaccard_missed"))
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /**
@@ -854,6 +944,48 @@ object Dedup {
         coalesce(sum(col("root_chars")), lit(0L)).cast("long")
           .as("minid_kept_chars"))
       .withColumn("chars_gain", col("kept_chars") - col("minid_kept_chars"))
+  }
+
+  /**
+   * q159: soft-dedup reweighting — the third duplicate POLICY next to
+   * hard deletion (q81 min-id) and best-member keeping (q153): keep
+   * every document but down-weight duplicated content by its commonness.
+   * A document in a near-dup cluster of size n trains with weight 1/n,
+   * so every cluster contributes exactly one document's worth of
+   * gradient mass while preserving the cluster's internal variation —
+   * the soft deduplication of He et al. 2024, which reports better loss
+   * than hard deletion at equal effective epochs. Per source: document
+   * and char totals, the effective (weighted) totals a trainer would
+   * see, and the fraction of the source's mass the reweighting removes —
+   * the number that sizes the policy against q81/q153 for that source.
+   *
+   * Rides the session-shared q74 contraction fixpoint
+   * ([[sharedClusterEdges]]); the only new work is a cluster-size count
+   * and one narrow-column aggregate keyed by source. Weighted sums are
+   * quantized per row to 12 dp and summed as DECIMAL(38,12) — exact,
+   * order- and partitioning-independent — then rounded to 6 dp (the
+   * suite's standard float-sum discipline, q147's spelling).
+   */
+  def softDedupWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val assigned = docs.join(simhashClusters(s, d), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val csize = assigned.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    assigned.join(csize, "cluster_id")
+      .withColumn("w",
+        round(lit(1.0) / col("csize"), 12).cast("decimal(38,12)"))
+      .withColumn("wc",
+        round(col("n_chars") * (lit(1.0) / col("csize")), 12)
+          .cast("decimal(38,12)"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1).otherwise(0)).cast("long").as("n_clustered"),
+        round(sum(col("w")).cast("double"), 6).as("eff_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("total_chars"),
+        round(coalesce(sum(col("wc")).cast("double"), lit(0.0)), 6).as("eff_chars"))
+      .withColumn("mass_removed",
+        round(lit(1.0) - col("eff_docs") / col("n_docs"), 6))
   }
 
   // ------------------------------------------------------------- simhash

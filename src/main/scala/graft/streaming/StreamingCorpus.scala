@@ -1287,6 +1287,137 @@ object StreamingCorpus {
       nBuckets, seqCol = Some("_dump_seq"))
   }
 
+  /**
+   * Online CONTAINMENT gate — the streaming twin of q158 and the
+   * asymmetric sibling of [[startAdmissionGate]]: arriving documents are
+   * probed against a FROZEN corpus shingle index, and a doc whose
+   * word-3-gram shingle set has Broder containment
+   * |A∩B| / min(|A|,|B|) ≥ pct/100 with ANY indexed document is flagged
+   * `contained` (a quote/subset of known content — the pairs the
+   * simhash-banded near gate structurally misses). Verdicts are pure
+   * functions of (content, pinned index), so the merged ledger equals
+   * the one-shot batch probe under out-of-order arrival, re-delivery
+   * and crash-window replay.
+   *
+   * 100 TB posture: the index holds narrow (corpus_id, gh, sz) longs
+   * bucketed by gh, so each batch's probe is one hash equi-join keyed by
+   * the arrival's shingle hashes — per-batch cost = Σ df over the
+   * batch's shingles, never corpus-sized; the (arrival, corpus_id)
+   * match-count groups are bounded by shared-shingle mass.
+   */
+  def startContainmentGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      indexPath: String,
+      ledgerPath: String,
+      checkpointDir: String,
+      pct: Int = 80,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        containmentStep(spark, batch, indexPath, ledgerPath, batchId, pct,
+          nBuckets)
+      }
+      .start()
+  }
+
+  /** Build (or idempotently extend) the frozen shingle index for
+    * [[startContainmentGate]]: one (corpus_id, gh, sz) row per distinct
+    * shingle hash of each corpus document, sz denormalized onto every
+    * row so the probe needs no second table. Keyed by (corpus_id, gh). */
+  def buildContainmentIndex(
+      spark: SparkSession,
+      corpus: org.apache.spark.sql.DataFrame,
+      indexPath: String,
+      nBuckets: Int = 32): Unit = {
+    import graft.analytics.Dedup
+    val toks = corpus.select(col("doc_id").as("corpus_id"),
+      explode(array_distinct(transform(Dedup.shingles(col("text")),
+        g => Dedup.shingleHash(g)))).as("gh"))
+    val szs = toks.groupBy("corpus_id").agg(count(lit(1)).as("sz"))
+    BucketedMerge.mergeInto(spark, indexPath,
+      toks.join(szs, "corpus_id").withColumn("_dump_seq", lit(0L)),
+      Seq("corpus_id", "gh"), nBuckets, seqCol = Some("_dump_seq"))
+  }
+
+  /** One batch step of [[startContainmentGate]] — factored out so the
+    * spec can replay a crashed attempt directly. */
+  def containmentStep(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      indexPath: String,
+      ledgerPath: String,
+      batchId: Long,
+      pct: Int = 80,
+      nBuckets: Int = 32): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
+    val index =
+      if (BucketedMerge.hasData(spark, indexPath))
+        BucketedMerge.read(spark, indexPath)
+          .select(col("corpus_id"), col("gh"), col("sz"))
+      else // empty index: everything admits
+        spark.range(0).select(col("id").as("corpus_id"), col("id").as("gh"),
+          col("id").as("sz"))
+    val b = Merge.dedupLatest(
+      batch.select(col("doc_id"), col("source"), col("text"))
+        .withColumn("_dump_seq", lit(batchId)),
+      Seq("doc_id"), "_dump_seq")
+    val verdicts = containmentVerdictsOf(b, index, pct)
+      .withColumn("_dump_seq", lit(batchId))
+    BucketedMerge.mergeInto(spark, ledgerPath, verdicts, Seq("doc_id"),
+      nBuckets, seqCol = Some("_dump_seq"))
+  }
+
+  /** The probe itself, shared by the gate and the spec's batch twin:
+    * per arrival (doc_id, source, text), verdict `contained` iff some
+    * indexed doc reaches the containment gate with it. Pure function of
+    * (arrivals, index) — the replay-safety root. */
+  def containmentVerdictsOf(
+      arrivals: org.apache.spark.sql.DataFrame,
+      index: org.apache.spark.sql.DataFrame,
+      pct: Int = 80): org.apache.spark.sql.DataFrame = {
+    import graft.analytics.Dedup
+    val arrToks = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      arrivals.select(col("doc_id"),
+        explode(array_distinct(transform(Dedup.shingles(col("text")),
+          g => Dedup.shingleHash(g)))).as("gh")),
+      eager = false)
+    val arrSz = arrToks.groupBy("doc_id").agg(count(lit(1)).as("sz_a"))
+    val hits = arrToks.join(index, "gh")
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_common"), max(col("sz")).as("sz_c"))
+      .join(arrSz, "doc_id")
+      .filter(col("n_common") * 100 >= least(col("sz_a"), col("sz_c")) * pct)
+      .select(col("doc_id")).distinct()
+      .withColumn("contained_flag", lit(true))
+    arrivals.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(coalesce(col("contained_flag"), lit(false)), "contained")
+          .otherwise("admitted"))
+      .select(col("doc_id"), col("source"), col("verdict"))
+  }
+
+  /** The served containment ledger from the gate's verdict table. */
+  def containmentLedger(spark: SparkSession,
+      ledgerPath: String): org.apache.spark.sql.DataFrame =
+    BucketedMerge.read(spark, ledgerPath)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(col("verdict") === "contained", 1L).otherwise(0L))
+          .as("n_contained"),
+        sum(when(col("verdict") === "admitted", 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(when(col("verdict") === "admitted", col("doc_id")).otherwise(0L))
+          .as("admitted_checksum"))
+
   /** The served q151 ledger from the gate's verdict table — column-equal
     * to batch [[graft.analytics.Dedup.incrementalDedup]] when the index
     * holds the batch query's existing-snapshot side and the stream

@@ -66,7 +66,9 @@ object ResultHash {
     "q138_bloom_decontamination",
     "q148_url_dedup",
     "q151_incremental_dedup",
-    "q156_moore_lewis")
+    "q156_moore_lewis",
+    "q158_containment_pairs",
+    "q159_soft_dedup")
 }
 
 /** One-time pin generator: prints `name -> hash` for the sf1 pin set

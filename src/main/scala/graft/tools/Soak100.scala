@@ -102,6 +102,29 @@ object Soak100 {
       println(f"[q157] rows $nr01 -> $nr10, wall x${tr10 / tr01}%.1f on 100x data")
       }
 
+      if (want("q158")) {
+      // containment pairs: prefix-filtered set-similarity join — df table,
+      // per-doc rank window and candidate probe are all linear in corpus /
+      // containment-dup mass; wall must track corpus size
+      val (np01, tp01) = timed("q158 sf0.1")(
+        Dedup.containmentPairs(spark, sf01).count())
+      val (np10, tp10) = timed("q158 sf10")(
+        Dedup.containmentPairs(spark, soakDir).count())
+      println(f"[q158] rows $np01 -> $np10, wall x${tp10 / tp01}%.1f on 100x data")
+      org.apache.spark.sql.GraftBridge.releaseTransientPins()
+      }
+
+      if (want("q159")) {
+      // soft-dedup weights: the q74 fixpoint (soaked separately) + one
+      // cluster-size count + one per-source aggregate; marginal work on
+      // top of the shared fixpoint must be corpus-linear
+      val (nw01, tw01) = timed("q159 sf0.1")(
+        Dedup.softDedupWeights(spark, sf01).count())
+      val (nw10, tw10) = timed("q159 sf10")(
+        Dedup.softDedupWeights(spark, soakDir).count())
+      println(f"[q159] rows $nw01 -> $nw10, wall x${tw10 / tw01}%.1f on 100x data")
+      }
+
       if (want("q66")) {
       // contamination (round-15 bucket hash join): |bench| is capped at
       // maxBench on both sides, so the observable is the corpus-linear

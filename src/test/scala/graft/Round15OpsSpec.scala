@@ -1,13 +1,13 @@
 package graft
 
-import graft.analytics.TextStats
+import graft.analytics.{Dedup, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-15 operator: DoReMi-lite domain reweighting (q157).
+/** Round-15 operators: DoReMi-lite domain reweighting (q157), containment
+  * near-dup pairs (q158), soft-dedup reweighting (q159).
   * Value-exactness against DuckDB is the driver oracle's job; these pin
-  * the mixture semantics on planted domains the big corpus can't
-  * isolate. */
+  * the semantics on planted examples the big corpus can't isolate. */
 class Round15OpsSpec extends AnyFunSuite with SparkSuite {
 
   /** Two domains over a shared vocabulary: `easy` repeats the corpus's
@@ -68,5 +68,85 @@ class Round15OpsSpec extends AnyFunSuite with SparkSuite {
       s"model joins must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"no cartesian product may appear:\n$plan")
+  }
+
+  /** Doc 2 is a quoted 4-word span of the 20-word doc 1: its 2 shingles
+    * all appear among doc 1's 18, so containment is 1.0 but Jaccard is
+    * 2/18 — far below every symmetric gate — and the pair must surface
+    * with jaccard_missed = true. Doc 3 shares nothing: no pair. */
+  test("q158: a quoted subset document is found at containment 1.0, tiny Jaccard") {
+    import spark.implicits._
+    val long = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, long),
+      (2L, "tok1 tok2 tok3 tok4"),
+      (3L, "zeta omega theta kappa")).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairsFor(docs, pct = 80)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Boolean)]
+      .collect()
+    assert(rows.length == 1, s"exactly the subset pair: ${rows.toSeq}")
+    val r = rows.head
+    assert(r._1 == 1L && r._2 == 2L)
+    assert(r._3 == 2L && r._4 == 18L && r._5 == 2L, s"shingle sets: $r")
+    assert(r._6 == 1.0, s"containment: $r")
+    assert(math.abs(r._7 - 2.0 / 18.0) < 1e-4, s"jaccard: $r")
+    assert(r._8, s"this is exactly the pair Jaccard misses: $r")
+  }
+
+  /** The prefix filter must not lose a pair whose shared shingles are the
+    * CORPUS-COMMON ones (worst case for rarest-first prefixes): B misses
+    * exactly A's rarest shingles, so the match is found only because A's
+    * prefix length ⌊(1−t)·|A|⌋+1 extends one past the misses. */
+  test("q158: prefix filter keeps a pair that overlaps only on common shingles") {
+    import spark.implicits._
+    // A = 'rare' + c1..c9: its 'rare c1 c2' shingle is unique (df=1, A's
+    // first prefix slot); every pure-c shingle appears in 6 docs. B drops
+    // 'rare': the overlap is the 7 common shingles, containment 7/7 = 1.
+    val fill = (1 to 4).map(i =>
+      (100L + i, (1 to 9).map(j => s"c$j").mkString(" ")))
+    val docs = (Seq(
+      (1L, "rare " + (1 to 9).map(j => s"c$j").mkString(" ")),
+      (2L, (1 to 9).map(j => s"c$j").mkString(" "))) ++ fill)
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairsFor(docs, pct = 80)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      s"the full-containment pair must survive the prefix filter: $pairs")
+  }
+
+  test("q158: plan is hash-join only — no cartesian, no broadcast nested loop") {
+    val plan = Dedup.containmentPairs(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$plan")
+  }
+
+  /** Planted cluster of 3 + a singleton in one source: weights 3·(1/3)
+    * and 1·1 — eff_docs 2.0 of 4, mass_removed 0.5. The near-dup trio is
+    * the same text, so the simhash graph must close it into one cluster. */
+  test("q159: soft-dedup weights sum to one per cluster; singleton keeps weight 1") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("softdedup").toString
+    Seq(
+      (1L, base, "en", "web", base.length.toLong),
+      (2L, base + " iota", "en", "web", base.length + 5L),
+      (3L, base + " kappa", "en", "web", base.length + 6L),
+      (4L, "utterly unrelated content nothing shared here at all", "en", "web", 52L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Dedup.clearSharedClusterEdges()
+    try {
+      val r = Dedup.softDedupWeights(spark, dir).collect()
+      assert(r.length == 1)
+      val row = r.head
+      assert(row.getAs[Long]("n_docs") == 4L)
+      assert(row.getAs[Long]("n_clustered") == 3L, s"trio clustered: $row")
+      assert(math.abs(row.getAs[Double]("eff_docs") - 2.0) < 1e-6, s"$row")
+      assert(math.abs(row.getAs[Double]("mass_removed") - 0.5) < 1e-6, s"$row")
+      val effChars = row.getAs[Double]("eff_chars")
+      val total = row.getAs[Long]("total_chars")
+      assert(effChars < total, s"duplicated chars must be down-weighted: $row")
+    } finally Dedup.clearSharedClusterEdges()
   }
 }

@@ -43,7 +43,13 @@ class Sf1HashPinSpec extends AnyFunSuite with SparkSuite {
     "q138_bloom_decontamination" -> "7a24c52ad24b9b04e3d254c2e7b896a7383e25a8e2a4f2f166242065e6be805e",
     "q148_url_dedup" -> "8dea37c022d1d5c21bfae572256fdd8cc7b06c2b473267c192246cd5958ff864",
     "q151_incremental_dedup" -> "495f296abffe750a2a7edf2322e47efe6683182f332c237daa4e3f8515e7a3e4",
-    "q156_moore_lewis" -> "a4400df4fe9a6c8769b20a40ebb054d5706091bdeac3913a6e7decd3fb56b5d4")
+    "q156_moore_lewis" -> "a4400df4fe9a6c8769b20a40ebb054d5706091bdeac3913a6e7decd3fb56b5d4",
+    // round-15 additions: q158 DuckDB-validated on target/soak_sf1
+    // (2560 pairs, 1 ok 0 bad); q159 Spark-invariant — its oracle is the
+    // q74 recursive-component CTE, O(n²) at 50k docs (same class as
+    // q74/q127 above)
+    "q158_containment_pairs" -> "a96facba0385b9397a5d1959a021f52043428dd94932480c12278bb0347d278a",
+    "q159_soft_dedup" -> "121d05c2df90809eb08cbbea17a1ad202c3a4264526fd3021a2fc760872e210f")
 
   test("sf1 result hashes match the pinned Spark<->DuckDB agreed values") {
     SoakFixtures.ensureSf1(spark)

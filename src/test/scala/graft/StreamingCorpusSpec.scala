@@ -1340,6 +1340,79 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     incoming.unpersist()
   }
 
+  test("containment gate: served ledger equals the q158 cross-pair batch twin under out-of-order arrival, re-delivery and crash window") {
+    import graft.analytics.{Dedup, Tables}
+    import org.apache.spark.sql.functions._
+    val root = TempDirs.tempDir("graft_scont").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val indexPath = s"$root/wh/cont_index"
+    val ledgerPath = s"$root/wh/cont_ledger"
+    val d = "/root/testdata/sf0.001"
+    // plant a guaranteed quoted-subset arrival: the first 12 words of a
+    // corpus-side document (containment 1.0 against it, tiny Jaccard)
+    val corpusText = Tables.documents(spark, d)
+      .filter(col("doc_id") % 3 =!= 0 && col("text").isNotNull)
+      .orderBy(col("doc_id")).select("text").head().getString(0)
+    val quoted = corpusText.split("\\s+").take(12).mkString(" ")
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).select("doc_id", "source", "text")
+      .unionByName(Seq((900000000003L, "planted", quoted))
+        .toDF("doc_id", "source", "text"))
+    StreamingCorpus.buildContainmentIndex(spark,
+      docs.filter(col("doc_id") % 3 =!= 0), indexPath, nBuckets = 8)
+    val incoming = docs.filter(col("doc_id") % 3 === 0).cache()
+    val w1 = incoming.filter(col("doc_id") % 2 === 0)
+    val w2 = incoming.filter(col("doc_id") % 2 =!= 0)
+      .unionByName(w1.orderBy(col("doc_id")).limit(5))
+    def drain(): Unit = {
+      val q = StreamingCorpus.startContainmentGate(spark,
+        landing.getAbsolutePath, incoming.schema, indexPath, ledgerPath,
+        s"$root/chk", nBuckets = 8)
+      q.awaitTermination()
+    }
+    land(w2, landing, "wave2"); drain()
+    land(w1, landing, "wave1"); drain()
+    // crash window: a retried batch must overwrite itself exactly
+    StreamingCorpus.containmentStep(spark, w2, indexPath, ledgerPath, 99L,
+      nBuckets = 8)
+    val streamed = StreamingCorpus.containmentLedger(spark, ledgerPath)
+    // independent batch twin: q158's prefix-filter SELF-join over the
+    // union, restricted to cross-split pairs — a different candidate
+    // spelling (self-join vs frozen-index probe) that must agree because
+    // both are lossless over the same containment definition
+    def isArr(c: org.apache.spark.sql.Column) = c % 3 === 0
+    val containedIds = Dedup.containmentPairsFor(docs, pct = 80)
+      .filter(isArr(col("doc_a")) =!= isArr(col("doc_b")))
+      .select(when(isArr(col("doc_a")), col("doc_a")).otherwise(col("doc_b"))
+        .as("doc_id"))
+      .distinct().withColumn("f", lit(true))
+    val batchTwin = incoming
+      .join(containedIds, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(coalesce(col("f"), lit(false)), "contained").otherwise("admitted"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(col("verdict") === "contained", 1L).otherwise(0L))
+          .as("n_contained"),
+        sum(when(col("verdict") === "admitted", 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(when(col("verdict") === "admitted", col("doc_id")).otherwise(0L))
+          .as("admitted_checksum"))
+    assert(streamed.exceptAll(batchTwin).isEmpty &&
+      batchTwin.exceptAll(streamed).isEmpty,
+      "streamed containment ledger diverges from the q158 cross-pair twin")
+    val planted = graft.ingest.BucketedMerge.read(spark, ledgerPath)
+      .filter(col("doc_id") === 900000000003L)
+      .select("verdict").head().getString(0)
+    assert(planted == "contained", s"the quoted subset must be flagged: $planted")
+    val verdicts = graft.ingest.BucketedMerge.read(spark, ledgerPath)
+      .select("verdict").distinct().collect().map(_.getString(0)).toSet
+    assert(verdicts == Set("contained", "admitted"),
+      s"fixture must exercise both verdicts, saw $verdicts")
+    incoming.unpersist()
+  }
+
   test("Moore-Lewis gate: served ledger equals batch q156 under out-of-order arrival, re-delivery and crash window") {
     import graft.analytics.{Tables, TextStats}
     import org.apache.spark.sql.functions._
