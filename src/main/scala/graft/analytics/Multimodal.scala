@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream is DISK-cached: every decode of an
+  // in-memory payload creates (and deletes) a temp file under
+  // java.io.tmpdir — pure overhead for ByteArrayInputStream sources, a
+  // per-image file-op tax on every executor at scale, and a host-disk
+  // sensitivity (round-15: q43 ran 3.6-10x its minimum in windows where
+  // /tmp was slow, with low pass-to-pass spread — a sustained IO cost,
+  // not a scheduler stall). Memory-cached streams remove the filesystem
+  // from the decode path entirely.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   // Option dims: a NULL-text document has no payload and decodes to a
   // (doc_id, NULL, NULL) ledger row — the same null-visibility discipline
