@@ -227,6 +227,9 @@ object SparkEntry {
     // soft-dedup 1/cluster-size reweighting over the q74 clusters
     "q159_soft_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.softDedupWeights(s, d)),
+    // longest verbatim shared token span per pair (memorization audit)
+    "q160_longest_shared_span" -> ((s: SparkSession, d: String) =>
+      TextStats.longestSharedSpans(s, d)),
     // content-defined chunking (gear-criterion boundaries) dup mass
     "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.cdcChunkDedup(s, d)),
@@ -1639,6 +1642,39 @@ object SparkEntry {
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
           |FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
           |GROUP BY doc_a, doc_b HAVING count(*) >= 3""".stripMargin),
+    // q160: q84's gram CTE kept positional (no distinct), diagonal
+    // gaps-and-islands runs, all-integer outputs
+    "q160_longest_shared_span" ->
+      (s"""WITH ws AS (SELECT doc_id, $tokens AS w FROM documents),
+        |gp AS (
+        | SELECT doc_id, CAST(t.i AS BIGINT) AS wpos,
+        |  CAST(('0x' || substring(md5(
+        |    array_to_string(w[CAST(t.i+1 AS INT):CAST(t.i+8 AS INT)], ' ')
+        |   ), 1, 15)) AS BIGINT) AS h
+        | FROM ws, UNNEST(range(0, greatest(len(w)-8, 0)+1)) t(i)),
+        |okh AS (
+        | SELECT h FROM (
+        |  SELECT h, count(DISTINCT doc_id) AS df FROM gp GROUP BY h) x
+        | WHERE df <= 128),
+        |cp AS (SELECT gp.doc_id, gp.wpos, gp.h FROM gp JOIN okh USING (h)),
+        |m AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.wpos AS pos_a, b.wpos AS pos_b
+        | FROM cp a JOIN cp b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |isl AS (
+        | SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a,
+        |  pos_a - row_number() OVER (
+        |   PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+        | FROM m),
+        |runs AS (
+        | SELECT doc_a, doc_b, diag, grp, count(*) AS run
+        | FROM isl GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        | CAST(max(run) + 7 AS BIGINT) AS longest_span,
+        | CAST(count(*) AS BIGINT) AS n_runs,
+        | CAST(sum(run) AS BIGINT) AS n_aligned_grams
+        |FROM runs GROUP BY doc_a, doc_b
+        |HAVING max(run) + 7 >= 12""".stripMargin),
     "q85_ngram_contamination" ->
       (allGramCte(8) +
         """,

@@ -448,6 +448,83 @@ object TextStats {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** POSITIONAL word k-gram hashes — [[allGramHashesOf]] keeping `wpos`
+    * and per-position multiplicity (no distinct): the match-matrix input
+    * for [[longestSharedSpansOf]]. Same posexplode + lead spelling (the
+    * HOF form re-splits text per element — see [[allGramHashesOf]]). */
+  def gramPositionsOf(docs: DataFrame, k: Int): DataFrame = {
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("wpos", "word")))
+      .withColumn("n_words", count(lit(1)).over(byDoc))
+      .withColumn("gram", concat_ws(" ",
+        col("word") +: (1 until k).map(j => lead(col("word"), j).over(ord)): _*))
+      .filter(col("wpos") < greatest(col("n_words") - k, lit(0)) + 1)
+      .select(col("doc_id"), col("wpos").cast("long").as("wpos"),
+        conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+  }
+
+  /**
+   * q160: longest verbatim shared token span per document pair — the
+   * MEMORIZATION-RISK audit on top of q84's total-recall gram surface
+   * (Lee et al. 2022 deduplicate at ≥ 50-token substrings; the Carlini
+   * memorization studies measure exactly "longest verbatim overlap").
+   * q84 says HOW MANY k-grams two documents share; this says HOW LONG
+   * the longest contiguous run is — the number that separates shared
+   * boilerplate phrases from a quoted page.
+   *
+   * A shared span of L ≥ k tokens is exactly a run of L−k+1 shared
+   * k-grams whose positions advance together in both documents, i.e.
+   * consecutive `pos_a` at constant diagonal `pos_a − pos_b` in the
+   * match matrix — so the longest span is k−1 + the longest
+   * gaps-and-islands run per (pair, diagonal), found with one window.
+   *
+   * 100 TB posture: the positional gram table is corpus-word-sized (the
+   * declared cost of exactness, same as q84); its join key is the
+   * uniform 60-bit hash with boilerplate grams dropped by the
+   * document-frequency cap BEFORE the join, so the match matrix is
+   * linear in verbatim-duplication mass, never all-pairs; the islands
+   * window partitions by (pair, diagonal) — group size bounded by span
+   * length. Every output column is INTEGER arithmetic: nothing can fork
+   * engines.
+   */
+  def longestSharedSpans(s: SparkSession, d: String, k: Int = 8,
+      dfCap: Int = 128, minSpan: Int = 12): DataFrame =
+    longestSharedSpansOf(documents(s, d), k, dfCap, minSpan)
+
+  /** [[longestSharedSpans]] over an arbitrary (doc_id, text) frame. */
+  def longestSharedSpansOf(docs: DataFrame, k: Int, dfCap: Int,
+      minSpan: Int): DataFrame = {
+    // the positional table feeds the df model and both join sides: pin
+    // the narrow (doc_id, wpos, h) rows once (the q151/q158 discipline)
+    val gp = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      gramPositionsOf(docs, k), eager = false)
+    val okH = gp.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("h"))
+    val cp = gp.join(okH, "h")
+    val a = cp.select(col("doc_id").as("doc_a"), col("h"), col("wpos").as("pos_a"))
+    val b = cp.select(col("doc_id").as("doc_b"), col("h"), col("wpos").as("pos_b"))
+    val m = a.join(b, "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    val runs = m
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        (max(col("run")) + lit(k - 1)).cast("long").as("longest_span"),
+        count(lit(1)).cast("long").as("n_runs"),
+        sum(col("run")).cast("long").as("n_aligned_grams"))
+      .filter(col("longest_span") >= minSpan)
+  }
+
   /**
    * N-gram-level contamination — the train/test overlap gate at k-gram
    * granularity (the GPT-3 report's 13-gram dedup, parameterized): for

@@ -68,7 +68,8 @@ object ResultHash {
     "q151_incremental_dedup",
     "q156_moore_lewis",
     "q158_containment_pairs",
-    "q159_soft_dedup")
+    "q159_soft_dedup",
+    "q160_longest_shared_span")
 }
 
 /** One-time pin generator: prints `name -> hash` for the sf1 pin set

@@ -125,6 +125,17 @@ object Soak100 {
       println(f"[q159] rows $nw01 -> $nw10, wall x${tw10 / tw01}%.1f on 100x data")
       }
 
+      if (want("q160")) {
+      // longest shared span: positional gram table + df-capped hash join
+      // + diagonal windows — all linear in corpus / verbatim-dup mass
+      val (ns01, ts01) = timed("q160 sf0.1")(
+        graft.analytics.TextStats.longestSharedSpans(spark, sf01).count())
+      val (ns10, ts10) = timed("q160 sf10")(
+        graft.analytics.TextStats.longestSharedSpans(spark, soakDir).count())
+      println(f"[q160] rows $ns01 -> $ns10, wall x${ts10 / ts01}%.1f on 100x data")
+      org.apache.spark.sql.GraftBridge.releaseTransientPins()
+      }
+
       if (want("q66")) {
       // contamination (round-15 bucket hash join): |bench| is capped at
       // maxBench on both sides, so the observable is the corpus-linear

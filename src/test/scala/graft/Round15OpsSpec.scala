@@ -121,6 +121,30 @@ class Round15OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$plan")
   }
 
+  /** Doc 2 embeds a verbatim 20-token span of doc 1 (a6..a25) between
+    * fresh prefix/suffix tokens: one diagonal run of 13 shared 8-grams,
+    * longest span exactly 20. Doc 3 shares two sub-8-token fragments
+    * with doc 1 — no shared 8-gram at all — so exactly one pair must
+    * survive the minSpan=12 gate. */
+  test("q160: a quoted 20-token span is measured exactly; short fragments are below the gate") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"a$i")
+    val doc1 = a.mkString(" ")
+    val doc2 = ((1 to 5).map(i => s"b$i") ++ a.slice(5, 25) ++
+      (1 to 5).map(i => s"c$i")).mkString(" ")
+    val doc3 = (a.take(8) ++ (1 to 10).map(i => s"z$i") ++
+      a.slice(19, 27)).mkString(" ")
+    val rows = TextStats.longestSharedSpansOf(
+      Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text"),
+      k = 8, dfCap = 128, minSpan = 12)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 1, s"exactly the quoted pair: ${rows.toSeq}")
+    val r = rows.head
+    assert(r._1 == 1L && r._2 == 2L)
+    assert(r._3 == 20L, s"longest span must be the exact quote length: $r")
+    assert(r._4 == 1L && r._5 == 13L, s"one run of 13 aligned 8-grams: $r")
+  }
+
   /** Planted cluster of 3 + a singleton in one source: weights 3·(1/3)
     * and 1·1 — eff_docs 2.0 of 4, mass_removed 0.5. The near-dup trio is
     * the same text, so the simhash graph must close it into one cluster. */

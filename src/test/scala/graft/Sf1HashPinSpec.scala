@@ -49,7 +49,9 @@ class Sf1HashPinSpec extends AnyFunSuite with SparkSuite {
     // q74 recursive-component CTE, O(n²) at 50k docs (same class as
     // q74/q127 above)
     "q158_containment_pairs" -> "a96facba0385b9397a5d1959a021f52043428dd94932480c12278bb0347d278a",
-    "q159_soft_dedup" -> "121d05c2df90809eb08cbbea17a1ad202c3a4264526fd3021a2fc760872e210f")
+    "q159_soft_dedup" -> "121d05c2df90809eb08cbbea17a1ad202c3a4264526fd3021a2fc760872e210f",
+    // q160 DuckDB-validated on target/soak_sf1 (2460 pairs, 1 ok 0 bad)
+    "q160_longest_shared_span" -> "855c48f94cea67f77d8f9399da507f10543bb5150ae0a07c9f22af51baea3792")
 
   test("sf1 result hashes match the pinned Spark<->DuckDB agreed values") {
     SoakFixtures.ensureSf1(spark)
