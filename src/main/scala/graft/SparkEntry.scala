@@ -230,6 +230,9 @@ object SparkEntry {
     // longest verbatim shared token span per pair (memorization audit)
     "q160_longest_shared_span" -> ((s: SparkSession, d: String) =>
       TextStats.longestSharedSpans(s, d)),
+    // k-anonymity / l-diversity release audit over user profiles
+    "q161_k_anonymity" -> ((s: SparkSession, d: String) =>
+      Relational.kAnonymityAudit(s, d)),
     // content-defined chunking (gear-criterion boundaries) dup mass
     "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.cdcChunkDedup(s, d)),
@@ -1675,6 +1678,36 @@ object SparkEntry {
         | CAST(sum(run) AS BIGINT) AS n_aligned_grams
         |FROM runs GROUP BY doc_a, doc_b
         |HAVING max(run) + 7 >= 12""".stripMargin),
+    // q161: profile + dominant-type window + class aggregate, all
+    // integer/string bands; ASC NULLS LAST explicit on both engines
+    "q161_k_anonymity" ->
+      """WITH ue AS (
+        | SELECT user_id, event_type, ts FROM events WHERE user_id IS NOT NULL),
+        |put AS (
+        | SELECT user_id, event_type, count(*) AS cnt FROM ue GROUP BY 1, 2),
+        |dom AS (
+        | SELECT user_id, event_type AS dominant_type FROM (
+        |  SELECT user_id, event_type,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY cnt DESC, event_type ASC NULLS LAST) AS rn
+        |  FROM put) x WHERE rn = 1),
+        |prof AS (
+        | SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
+        |  max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS sens
+        | FROM ue GROUP BY 1),
+        |p2 AS (
+        | SELECT p.user_id, d.dominant_type,
+        |  CASE WHEN n_events >= 64 THEN '>=64'
+        |       WHEN n_events >= 16 THEN '16-63'
+        |       WHEN n_events >= 4 THEN '4-15' ELSE '1-3' END AS activity_band,
+        |  hour(first_ts) // 6 AS hour_band, sens
+        | FROM prof p JOIN dom d USING (user_id))
+        |SELECT dominant_type, activity_band,
+        | CAST(hour_band AS BIGINT) AS hour_band,
+        | CAST(count(*) AS BIGINT) AS k_users,
+        | CAST(count(DISTINCT sens) AS BIGINT) AS l_sensitive,
+        | (count(*) < 5 OR count(DISTINCT sens) < 2) AS risky
+        |FROM p2 GROUP BY 1, 2, 3""".stripMargin,
     "q85_ngram_contamination" ->
       (allGramCte(8) +
         """,

@@ -270,6 +270,62 @@ object Relational {
         col("n_events"), col("value_sum"))
 
   /**
+   * q161: k-anonymity / l-diversity audit over behavioral user profiles
+   * (Sweeney 2002; Machanavajjhala et al. 2007) — the privacy-RISK
+   * counterpart of q82's PII redaction: even with identifiers stripped,
+   * a user whose QUASI-IDENTIFIER profile (dominant event type, activity
+   * band, first-active hour-of-day band) lands in an equivalence class
+   * of k < 5 users is re-identifiable by linkage, and a class whose
+   * sensitive attribute (here: whether the user ever emitted an `error`
+   * event) takes l < 2 distinct values leaks it even at safe k. One row
+   * per equivalence class with k, l and the release verdict — the table
+   * a data-release decision reads before events ship in a corpus.
+   *
+   * 100 TB shape: two user-keyed aggregates (the profile, and a
+   * dominant-type window over per-(user, type) counts — group size =
+   * |event types|, a constant) and one class-keyed aggregate; events
+   * never shuffle by anything wider than user_id. Bands are CASE /
+   * integer-division expressions and every output column is
+   * integer/string/boolean — nothing can fork engines. Deterministic
+   * dominant type: count desc, type asc NULLS LAST, spelled identically
+   * in both engines (Spark's asc defaults NULLS FIRST — the explicit
+   * NULLS LAST is load-bearing).
+   */
+  def kAnonymityAudit(s: SparkSession, d: String): DataFrame =
+    kAnonymityAuditOf(events(s, d))
+
+  /** [[kAnonymityAudit]] over an arbitrary (user_id, event_type, ts)
+    * frame — lets specs plant controlled equivalence classes. */
+  def kAnonymityAuditOf(ev: DataFrame): DataFrame = {
+    val ue = ev.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val perUserType = ue.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val dominant = perUserType
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("cnt").desc, col("event_type").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("dominant_type"))
+    val profile = ue.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("sens"))
+      .withColumn("activity_band",
+        when(col("n_events") >= 64, ">=64")
+          .when(col("n_events") >= 16, "16-63")
+          .when(col("n_events") >= 4, "4-15")
+          .otherwise("1-3"))
+      .withColumn("hour_band", expr("hour(first_ts) DIV 6").cast("long"))
+    profile.join(dominant, "user_id")
+      .groupBy(col("dominant_type"), col("activity_band"), col("hour_band"))
+      .agg(count(lit(1)).cast("long").as("k_users"),
+        countDistinct(col("sens")).cast("long").as("l_sensitive"))
+      .withColumn("risky",
+        col("k_users") < 5 || col("l_sensitive") < 2)
+  }
+
+  /**
    * The reference's core capability as a query: incremental upsert (op I-3).
    * Two synthetic "dumps" of orders (dump 2 re-ships every 10th order with a
    * changed price); the engine's Merge.dedupLatest picks last-writer-wins

@@ -145,6 +145,33 @@ class Round15OpsSpec extends AnyFunSuite with SparkSuite {
     assert(r._4 == 1L && r._5 == 13L, s"one run of 13 aligned 8-grams: $r")
   }
 
+  /** Five users share the (click-dominant, 4-15 events, hour-band 0)
+    * profile — two of them with an error event, so the class is k=5,
+    * l=2: releasable. A sixth error-dominant user is alone in its class
+    * (k=1): risky. The dominant-type tiebreak and both risk branches are
+    * pinned. */
+  test("q161: equivalence classes carry exact k and l; both risk branches fire") {
+    import spark.implicits._
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = (for {
+      u <- 1 to 5
+      e <- Seq.fill(4)("click") ++ Seq("view") ++
+        (if (u >= 4) Seq("error") else Seq.empty)
+    } yield (u.toLong, e, t(3, u))) ++
+      Seq((6L, "error", t(13, 0)), (6L, "error", t(13, 5)))
+    val out = graft.analytics.Relational.kAnonymityAuditOf(
+      rows.toDF("user_id", "event_type", "ts"))
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2, r._3) -> r).toMap
+    val safe = out(("click", "4-15", 0L))
+    assert(safe._4 == 5L && safe._5 == 2L && !safe._6,
+      s"the 5-user 2-value class is releasable: $safe")
+    val risky = out(("error", "1-3", 2L))
+    assert(risky._4 == 1L && risky._5 == 1L && risky._6,
+      s"the singleton class is re-identifiable: $risky")
+    assert(out.size == 2, s"exactly two classes: $out")
+  }
+
   /** Planted cluster of 3 + a singleton in one source: weights 3·(1/3)
     * and 1·1 — eff_docs 2.0 of 4, mass_removed 0.5. The near-dup trio is
     * the same text, so the simhash graph must close it into one cluster. */
