@@ -233,6 +233,9 @@ object SparkEntry {
     // k-anonymity / l-diversity release audit over user profiles
     "q161_k_anonymity" -> ((s: SparkSession, d: String) =>
       Relational.kAnonymityAudit(s, d)),
+    // Neyman variance-optimal stratified sampling allocation + draw
+    "q162_neyman_sample" -> ((s: SparkSession, d: String) =>
+      Sampling.neymanSample(s, d)),
     // content-defined chunking (gear-criterion boundaries) dup mass
     "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.cdcChunkDedup(s, d)),
@@ -1678,6 +1681,51 @@ object SparkEntry {
         | CAST(sum(run) AS BIGINT) AS n_aligned_grams
         |FROM runs GROUP BY doc_a, doc_b
         |HAVING max(run) + 7 >= 12""".stripMargin),
+    // q162: exact integer moments -> rounded stddev -> decimal-summed
+    // weight total -> floor allocation -> md5-lottery draw; the
+    // allocation join is null-safe (NULL source is its own stratum)
+    "q162_neyman_sample" ->
+      s"""WITH base AS (
+        | SELECT source, doc_id, coalesce(len($tokens), 0) AS x
+        | FROM documents),
+        |st AS (
+        | SELECT source, count(*) AS sn, CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(x*x) AS BIGINT) AS sx2
+        | FROM base GROUP BY 1),
+        |s2 AS (
+        | SELECT source, sn,
+        |  round(sqrt(greatest(CAST(sx2 AS DOUBLE)/sn
+        |    - (CAST(sx AS DOUBLE)/sn)*(CAST(sx AS DOUBLE)/sn), 0)), 6)
+        |   AS len_stddev
+        | FROM st),
+        |s3 AS (SELECT source, sn, len_stddev,
+        |  round(sn * len_stddev, 6) AS w FROM s2),
+        |tot AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
+        |  AS wtot FROM s3),
+        |al AS (
+        | SELECT source, len_stddev,
+        |  CASE WHEN (SELECT wtot FROM tot) > 0
+        |   THEN CAST(floor(500 * w / (SELECT wtot FROM tot)) AS BIGINT)
+        |   ELSE 0 END AS n_alloc
+        | FROM s3),
+        |rk AS (
+        | SELECT source, doc_id, x,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM base),
+        |fl AS (
+        | SELECT r.source, r.doc_id, r.x, r.rn, a.n_alloc, a.len_stddev
+        | FROM rk r JOIN al a ON r.source IS NOT DISTINCT FROM a.source)
+        |SELECT source, count(*) AS n_docs,
+        | max(len_stddev) AS len_stddev,
+        | CAST(max(n_alloc) AS BIGINT) AS n_alloc,
+        | CAST(sum(CASE WHEN rn <= n_alloc THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_selected,
+        | CAST(sum(CASE WHEN rn <= n_alloc THEN x ELSE 0 END) AS BIGINT)
+        |   AS selected_tokens,
+        | CAST(sum(CASE WHEN rn <= n_alloc THEN doc_id ELSE 0 END) AS BIGINT)
+        |   AS selected_checksum
+        |FROM fl GROUP BY source""".stripMargin,
     // q161: profile + dominant-type window + class aggregate, all
     // integer/string bands; ASC NULLS LAST explicit on both engines
     "q161_k_anonymity" ->

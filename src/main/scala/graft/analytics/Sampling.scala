@@ -152,6 +152,78 @@ object Sampling {
   def paddingWaste(s: SparkSession, d: String, batch: Int = 32): DataFrame =
     paddingWasteOf(Tables.documents(s, d), batch)
 
+  /**
+   * q162: Neyman-allocation stratified sampling (Neyman 1934) — the
+   * sampling-THEORY member of the assembly family: when drawing a fixed
+   * eval/calibration budget from a stratified corpus, the
+   * variance-optimal allocation draws from stratum h in proportion to
+   * N_h·S_h (stratum size × within-stratum length spread) — not
+   * uniformly (q64's splits), not capped (q103), not quality-first
+   * (q154): a high-variance stratum needs more probe mass for the same
+   * estimator error on any length-correlated metric. Per source: size,
+   * length stddev, the Neyman allocation of `budget`, and the
+   * md5-lottery winners' count/token/id checksums — the drawn set
+   * itself, engine-reproducible.
+   *
+   * Determinism discipline: S_h is the population stddev rounded to
+   * 6 dp from EXACT integer moment sums (Σx, Σx²); the weight N_h·S_h
+   * is re-rounded; the weight total is an exact DECIMAL(38,12) sum; the
+   * allocation floor(budget·w_h / total) divides two identically-derived
+   * doubles; the lottery is the suite's md5-of-id ordering with doc_id
+   * tiebreak — no stage can fork on summation order or ties. Floor
+   * allocation can undershoot the budget by < |strata| docs (the
+   * largest-remainder top-up is a policy choice left to the caller).
+   *
+   * 100 TB shape: one narrow moment aggregate per stratum, one
+   * |strata|-row broadcast allocation table, one per-stratum rank window
+   * for the lottery (at corpus scale the q103 two-phase histogram bounds
+   * the window to the winning key range). NULL source is its own
+   * stratum: the allocation join is null-safe on BOTH engines
+   * (`<=>` / IS NOT DISTINCT FROM).
+   */
+  def neymanSample(s: SparkSession, d: String, budget: Long = 500L): DataFrame =
+    neymanSampleOf(Tables.documents(s, d), budget)
+
+  /** [[neymanSample]] over an arbitrary (source, doc_id, text) frame. */
+  def neymanSampleOf(docs: DataFrame, budget: Long): DataFrame = {
+    val base = docs.select(col("source"), col("doc_id"),
+      coalesce(TextStats.tokenCount(col("text")), lit(0)).cast("long").as("x"))
+    val stats = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("sn"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      .withColumn("len_stddev", round(
+        sqrt(greatest(
+          col("sx2").cast("double") / col("sn") -
+            (col("sx").cast("double") / col("sn")) *
+            (col("sx").cast("double") / col("sn")),
+          lit(0.0))), 6))
+      .withColumn("w", round(col("sn") * col("len_stddev"), 6))
+    val total = stats.agg(
+      sum(col("w").cast("decimal(38,12)")).cast("double").as("wtot"))
+    val alloc = stats.crossJoin(broadcast(total))
+      .withColumn("n_alloc",
+        when(col("wtot") > 0,
+          floor(lit(budget) * col("w") / col("wtot")).cast("long"))
+          .otherwise(0L))
+      .select(col("source").as("asrc"), col("len_stddev"), col("n_alloc"))
+    val ranked = base.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("source")).orderBy(
+        md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))))
+    ranked.join(broadcast(alloc), col("source") <=> col("asrc"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("len_stddev")).as("len_stddev"),
+        max(col("n_alloc")).as("n_alloc"),
+        sum(when(col("rn") <= col("n_alloc"), 1).otherwise(0))
+          .cast("long").as("n_selected"),
+        sum(when(col("rn") <= col("n_alloc"), col("x")).otherwise(0L))
+          .cast("long").as("selected_tokens"),
+        sum(when(col("rn") <= col("n_alloc"), col("doc_id")).otherwise(0L))
+          .cast("long").as("selected_checksum"))
+  }
+
   /** [[paddingWaste]] over an arbitrary (lang, doc_id, text) frame. */
   def paddingWasteOf(docs: DataFrame, batch: Int): DataFrame = {
     val base = docs.select(col("lang"), col("doc_id"),

@@ -33,7 +33,9 @@ class PlanGateSpec extends AnyFunSuite with SparkSuite {
     "q123_dsir_resample" -> 1, "q133_mrl_recall" -> 3,
     "q137_bitext_margin" -> 3, "q142_ivf_bitext_margin" -> 3,
     "q143_bitext_routing_recall" -> 6, "q147_source_drift_chi2" -> 2,
-    "q156_moore_lewis" -> 3, "q157_domain_reweight" -> 1)
+    "q156_moore_lewis" -> 3, "q157_domain_reweight" -> 1,
+    // the 1-row decimal weight total broadcast into the allocation
+    "q162_neyman_sample" -> 1)
 
   test("no query plans a CartesianProduct; BNLJ only at audited 1-row-broadcast sites") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

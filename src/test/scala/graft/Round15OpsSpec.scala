@@ -172,6 +172,28 @@ class Round15OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out.size == 2, s"exactly two classes: $out")
   }
 
+  /** A zero-variance stratum earns NO allocation (Neyman weight N·S = 0)
+    * while the spread stratum takes the whole budget, capped by its own
+    * size at draw time; the stddev is pinned to the closed form. */
+  test("q162: allocation follows N·S — zero-variance stratum gets nothing") {
+    import spark.implicits._
+    val uniform = (1L to 10L).map(i => ("uniform", i, Seq.fill(5)("w").mkString(" ")))
+    val spread = (1L to 10L).map(i =>
+      ("spread", 100L + i, Seq.fill(i.toInt)("w").mkString(" ")))
+    val out = graft.analytics.Sampling.neymanSampleOf(
+      (uniform ++ spread).toDF("source", "doc_id", "text"), budget = 500L)
+      .as[(String, Long, Double, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val u = out("uniform"); val sp = out("spread")
+    assert(u._2 == 10L && u._3 == 0.0 && u._4 == 0L && u._5 == 0L && u._6 == 0L,
+      s"zero-variance stratum must draw nothing: $u")
+    // population stddev of 1..10 = sqrt(8.25) rounded to 6 dp
+    assert(math.abs(sp._3 - 2.872281) < 1e-9, s"closed-form stddev: $sp")
+    assert(sp._4 == 500L, s"the whole budget allocates to the spread stratum: $sp")
+    assert(sp._5 == 10L && sp._6 == 55L, s"draw capped by stratum size: $sp")
+    assert(sp._7 == (101L to 110L).sum, s"checksum is the full stratum: $sp")
+  }
+
   /** Planted cluster of 3 + a singleton in one source: weights 3·(1/3)
     * and 1·1 — eff_docs 2.0 of 4, mass_removed 0.5. The near-dup trio is
     * the same text, so the simhash graph must close it into one cluster. */
