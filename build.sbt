@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains end by printing one self-contained JSON summary
+// line; the driver parses the LAST line of captured stdout. sbt's trailing
+// "[success] Total time: ..." banner lands after the program's output and
+// defeats that parse — suppress it so the JSON line is genuinely last.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1682,8 +1682,9 @@ object SparkEntry {
         |FROM runs GROUP BY doc_a, doc_b
         |HAVING max(run) + 7 >= 12""".stripMargin),
     // q162: exact integer moments -> rounded stddev -> decimal-summed
-    // weight total -> floor allocation -> md5-lottery draw; the
-    // allocation join is null-safe (NULL source is its own stratum)
+    // weight total -> floor allocation capped at stratum size -> md5
+    // lottery draw; the allocation join is null-safe (NULL source is its
+    // own stratum); budget interpolated from Sampling.NeymanBudget
     "q162_neyman_sample" ->
       s"""WITH base AS (
         | SELECT source, doc_id, coalesce(len($tokens), 0) AS x
@@ -1705,7 +1706,8 @@ object SparkEntry {
         |al AS (
         | SELECT source, len_stddev,
         |  CASE WHEN (SELECT wtot FROM tot) > 0
-        |   THEN CAST(floor(500 * w / (SELECT wtot FROM tot)) AS BIGINT)
+        |   THEN least(CAST(floor(${analytics.Sampling.NeymanBudget} * w
+        |     / (SELECT wtot FROM tot)) AS BIGINT), sn)
         |   ELSE 0 END AS n_alloc
         | FROM s3),
         |rk AS (
@@ -2356,15 +2358,19 @@ object SparkEntry {
         |FROM al CROSS JOIN rf GROUP BY al.source""".stripMargin,
     "q157_domain_reweight" -> domainReweightSql(),
     // q158: the prefix-filter candidate join replayed relationally —
-    // q32's shingle + md5-hash spelling, identical rarest-first rank,
-    // integer thresholds on both engines
+    // q32's shingle + md5-hash spelling, identical eligible-only
+    // (df-capped) rarest-first rank, identical min-words filter, integer
+    // thresholds; pct / dfCap / shingle width interpolated from the
+    // Dedup constants so the engines cannot silently desync
     "q158_containment_pairs" ->
       s"""WITH d AS (SELECT doc_id, $tokens AS ws FROM documents),
         |n AS (
         | SELECT doc_id,
-        |  list_distinct(list_transform(range(0, greatest(len(ws)-3, 0)+1),
-        |   i -> concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]))) AS ngrams
-        | FROM d),
+        |  list_distinct(list_transform(
+        |   range(0, greatest(len(ws)-${analytics.Dedup.ContainmentShingleN}, 0)+1),
+        |   i -> concat_ws(' ', ${(1 to analytics.Dedup.ContainmentShingleN)
+                .map(k => s"ws[i+$k]").mkString(", ")}))) AS ngrams
+        | FROM d WHERE len(ws) >= ${analytics.Dedup.ContainmentShingleN}),
         |toks AS (
         | SELECT doc_id, unnest(list_distinct(list_transform(ngrams,
         |  g -> ('0x' || substring(md5(g),1,8))::BIGINT
@@ -2378,8 +2384,9 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY t.doc_id
         |     ORDER BY f.df, t.gh) AS rk,
         |   s.sz
-        |  FROM toks t JOIN dfreq f USING (gh) JOIN szs s USING (doc_id)) r
-        | WHERE rk <= (sz * 20) // 100 + 1),
+        |  FROM toks t JOIN dfreq f USING (gh) JOIN szs s USING (doc_id)
+        |  WHERE f.df <= ${analytics.Dedup.ContainmentDfCap}) r
+        | WHERE rk <= (sz * ${100 - analytics.Dedup.ContainmentPct}) // 100 + 1),
         |cand AS (
         | SELECT DISTINCT least(p.doc_id, t.doc_id) AS doc_a,
         |        greatest(p.doc_id, t.doc_id) AS doc_b
@@ -2400,7 +2407,8 @@ object SparkEntry {
         |FROM inter i
         |JOIN szs sa ON sa.doc_id = i.doc_a
         |JOIN szs sb ON sb.doc_id = i.doc_b
-        |WHERE i.n_common * 100 >= least(sa.sz, sb.sz) * 80""".stripMargin,
+        |WHERE i.n_common * 100
+        |  >= least(sa.sz, sb.sz) * ${analytics.Dedup.ContainmentPct}""".stripMargin,
     // q159: the q74 recursive-component CTE + the suite's decimal
     // quantization for the 1/cluster-size weighted sums
     "q159_soft_dedup" ->

@@ -410,47 +410,124 @@ object Dedup {
    * 100 TB shape: shingle df is one hash-keyed groupBy; the rarest-first
    * rank is a per-document window (group size = that document's distinct
    * shingle count, never corpus-sized); the candidate join is keyed by
-   * PREFIX shingle hashes — 8-byte longs, not text — with fan-out df,
-   * small by construction; candidate volume stays linear in
-   * containment-dup mass rather than quadratic in corpus size (a
-   * production corpus would additionally cap df for prefix eligibility;
-   * the rarest-first order already self-limits). Verification re-joins
-   * candidates to the inverted index keyed by (doc, hash). Every
-   * threshold is evaluated in INTEGER arithmetic (100·n ≥ pct·min,
-   * 3·n < szA+szB) so the gate cannot flap on a float boundary between
-   * engines. The md5-derived [[shingleHash]] keeps every stage
-   * bit-reproducible in the DuckDB oracle.
+   * PREFIX shingle hashes — 8-byte longs, not text — and prefix
+   * membership is DF-CAPPED: only shingles with df ≤ [[ContainmentDfCap]]
+   * may sit in a prefix (both engines rank eligible shingles only), so
+   * per-prefix-entry join fan-out is ≤ dfCap BY CONSTRUCTION and total
+   * candidate volume is ≤ Σ_docs prefix_len·dfCap — linear in corpus
+   * size with a hard constant, even on a hostile corpus where every
+   * document shares one corpus-frequent boilerplate shingle (the shape
+   * the uncapped spelling fans out quadratically on; planted and
+   * measured in Round16OpsSpec).
+   *
+   * The cap is a DECLARED SEMANTIC, not an approximation, and the
+   * pigeonhole argument is re-derived for it: a qualifying pair must
+   * share at least one NON-BOILERPLATE shingle (df ≤ cap). For a
+   * min-side document with ≥ prefix-length eligible shingles the
+   * standard bound applies verbatim (B misses at most sz−⌈t·sz⌉ of A's
+   * elements, hence of A's eligible elements, so the ⌊(1−t)·sz⌋+1
+   * rarest ELIGIBLE ones cannot all be missing); a document with fewer
+   * eligible shingles than that contributes its WHOLE eligible set as
+   * prefix (the eligible-only rank emits at most n_eligible rows), and
+   * the shared eligible shingle required by the semantics is then a
+   * prefix member by definition. Pairs whose ENTIRE overlap is
+   * over-cap shingles — both documents share only text that appears in
+   * more than dfCap documents — are excluded as boilerplate noise (the
+   * pair "A and B both carry the site footer" — the image analogue of
+   * the q74 null-payload guard). Over-cap shingles still count toward
+   * n_common in VERIFICATION: the cap decides candidacy, never the
+   * measured overlap of an admitted pair. Documents with fewer words
+   * than the shingle width ([[ContainmentShingleN]]) carry no full
+   * shingle and are excluded up front — without the filter their
+   * null-skipped partial shingles all collapse to the same degenerate
+   * key and pair every empty document with every other at containment
+   * 1.0 (quadratic semantic noise; same filter in the oracle SQL and
+   * the streaming gate's index + probe).
+   *
+   * Verification re-joins candidates to the inverted index keyed by
+   * (doc, hash). Every threshold is evaluated in INTEGER arithmetic
+   * (100·n ≥ pct·min, 3·n < szA+szB) so the gate cannot flap on a float
+   * boundary between engines. The md5-derived [[shingleHash]] keeps
+   * every stage bit-reproducible in the DuckDB oracle.
    */
-  def containmentPairs(s: SparkSession, d: String, pct: Int = 80): DataFrame =
-    containmentPairsFor(documentsSpread(s, d), pct)
+  def containmentPairs(s: SparkSession, d: String,
+      pct: Int = ContainmentPct, dfCap: Int = ContainmentDfCap): DataFrame =
+    containmentPairsFor(documentsSpread(s, d), pct, dfCap)
 
-  /** [[containmentPairs]] over an arbitrary (doc_id, text) frame — lets
-    * specs plant controlled subset documents and assert recall. */
-  def containmentPairsFor(docsDF: DataFrame, pct: Int): DataFrame = {
+  /** Default q158 containment threshold (%) — interpolated into the q158
+    * oracle SQL (SparkEntry) so the engines cannot silently desync. */
+  val ContainmentPct: Int = 80
+
+  /** Word-shingle width for containment: documents with fewer words carry
+    * no full shingle and are excluded from the operator, the oracle SQL
+    * and the streaming gate identically. */
+  val ContainmentShingleN: Int = 3
+
+  /** Prefix-eligibility df cap for [[containmentPairs]]: shingles
+    * appearing in more than this many documents are boilerplate — they
+    * never enter a candidate prefix (bounding join fan-out at dfCap per
+    * prefix entry) though they still count toward verification overlap.
+    * Far above any honest fixture's max df (25 at sf0.1/sf1) so the cap
+    * is output-neutral there; on a 100 TB corpus it is the knob that
+    * keeps candidate volume linear under boilerplate skew. Interpolated
+    * into the q158 oracle SQL. */
+  val ContainmentDfCap: Int = 1024
+
+  /** Candidate stage of [[containmentPairsFor]], exposed so the hostile
+    * spec can measure candidate volume directly: distinct (doc_a, doc_b)
+    * pairs sharing ≥1 prefix-eligible shingle with one side's prefix. */
+  def containmentCandidates(docsDF: DataFrame, pct: Int = ContainmentPct,
+      dfCap: Int = ContainmentDfCap): DataFrame =
+    containmentStages(docsDF, pct, dfCap)._2
+
+  /** Shared shingle base + df-capped candidate stage: (toks, candidates).
+    * toks is transient-pinned — it feeds six plan branches (sizes, df,
+    * prefix rank, candidate probe, both verification sides), so pinning
+    * shingles+md5's the corpus once, not six times (the q151 pinned-base
+    * lesson; Bench/Verify release after each pass). */
+  private def containmentStages(docsDF: DataFrame, pct: Int,
+      dfCap: Int): (DataFrame, DataFrame) = {
     require(pct > 0 && pct < 100, s"containment pct must be in (0,100): $pct")
-    // the inverted index feeds SIX plan branches (sizes, df, prefix rank,
-    // candidate probe, both verification sides): pin the narrow
-    // (doc_id, hash) rows once so the corpus is shingled+md5'd once, not
-    // six times (the q151 pinned-base lesson; transient-pin lifecycle —
-    // Bench/Verify release after each pass)
+    require(dfCap > 0, s"containment dfCap must be positive: $dfCap")
     val toks = org.apache.spark.sql.GraftBridge.checkpointNoStats(
-      docsDF.select(col("doc_id"),
-        explode(array_distinct(
-          transform(shingles(col("text")), g => shingleHash(g)))).as("gh")),
+      docsDF.select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= ContainmentShingleN)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            transform(ngramsFromWords(col("ws"), ContainmentShingleN),
+              g => shingleHash(g)))).as("gh")),
       eager = false)
     val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dfreq = toks.groupBy("gh").agg(count(lit(1)).as("df"))
+    // prefix membership is ELIGIBLE shingles only (df ≤ dfCap), ranked
+    // AFTER the filter: a document with fewer than prefix-length
+    // eligible shingles automatically contributes its whole eligible
+    // set (rk over the filtered rows never exceeds n_eligible) — the
+    // skipped-prefix case of the scaladoc's pigeonhole derivation
     val prefix = toks.join(dfreq, "gh").join(szs, "doc_id")
+      .filter(col("df") <= dfCap)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))))
       .filter(col("rk") <= expr(s"(sz * ${100 - pct}) DIV 100 + 1"))
       .select(col("doc_id").as("pd"), col("gh"))
+    // per-entry fan-out ≤ dfCap by construction: every prefix key is an
+    // eligible shingle, so its full inverted-index posting list (which
+    // the probe must see for losslessness) has at most dfCap rows
     val cand = prefix
       .join(toks.select(col("doc_id").as("td"), col("gh")), "gh")
       .filter(col("pd") =!= col("td"))
       .select(least(col("pd"), col("td")).as("doc_a"),
         greatest(col("pd"), col("td")).as("doc_b"))
       .distinct()
+    (toks, cand)
+  }
+
+  /** [[containmentPairs]] over an arbitrary (doc_id, text) frame — lets
+    * specs plant controlled subset documents and assert recall. */
+  def containmentPairsFor(docsDF: DataFrame, pct: Int,
+      dfCap: Int = ContainmentDfCap): DataFrame = {
+    val (toks, cand) = containmentStages(docsDF, pct, dfCap)
+    val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(toks.select(col("doc_id").as("doc_a"), col("gh")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("gh")), Seq("doc_b", "gh"))

@@ -28,8 +28,14 @@ object Multimodal {
   // sensitivity (round-15: q43 ran 3.6-10x its minimum in windows where
   // /tmp was slow, with low pass-to-pass spread — a sustained IO cost,
   // not a scheduler stall). Memory-cached streams remove the filesystem
-  // from the decode path entirely.
-  javax.imageio.ImageIO.setUseCache(false)
+  // from the decode path entirely. Set in each per-partition decoder
+  // init (not object static init): classloading timing is the wrong
+  // trigger for a JVM-global ImageIO mutation — on a real cluster the
+  // executor JVMs never classload this object's statics at a predictable
+  // point, and the per-partition init is where a real pipeline
+  // configures its codec anyway.
+  @inline private def initDecoder(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   // Option dims: a NULL-text document has no payload and decodes to a
@@ -93,7 +99,8 @@ object Multimodal {
   def decodeMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     pngMediaTable(s, d).mapPartitions { batch =>
-      // a real pipeline initializes its decoder once per partition here
+      // decoder init once per partition (memory-cached streams, see above)
+      initDecoder()
       batch.map { row =>
         if (row.payload == null) DecodedMeta(row.doc_id, None, None)
         else {
@@ -225,6 +232,7 @@ object Multimodal {
     import s.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions { batch =>
+        initDecoder()
         val md = java.security.MessageDigest.getInstance("MD5")
         batch.map { row =>
           if (row.payload == null) DhashRow(row.doc_id, None, None)

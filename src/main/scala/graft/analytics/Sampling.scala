@@ -44,7 +44,7 @@ object Sampling {
   def datasetSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("split", splitName(col("doc_id")))
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_tokens", TextStats.tokenCount(col("text")))
       .groupBy(col("split"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -90,7 +90,7 @@ object Sampling {
   def lengthBins(s: SparkSession, d: String,
       binTokens: Int = 16, maxBin: Int = 6): DataFrame =
     Tables.documents(s, d)
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_tokens", TextStats.tokenCount(col("text")))
       .withColumn("bin",
         least(ceil(col("n_tokens") / binTokens.toDouble), lit(maxBin)).cast("int"))
       .groupBy(col("bin"))
@@ -113,7 +113,7 @@ object Sampling {
       .partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     Tables.documents(s, d)
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_tokens", TextStats.tokenCount(col("text")))
       .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0)))
       .withColumn("pack_id", floor(col("before") / budget).cast("int"))
       .groupBy(col("lang"), col("pack_id"))
@@ -166,13 +166,19 @@ object Sampling {
    * itself, engine-reproducible.
    *
    * Determinism discipline: S_h is the population stddev rounded to
-   * 6 dp from EXACT integer moment sums (Σx, Σx²); the weight N_h·S_h
-   * is re-rounded; the weight total is an exact DECIMAL(38,12) sum; the
-   * allocation floor(budget·w_h / total) divides two identically-derived
-   * doubles; the lottery is the suite's md5-of-id ordering with doc_id
-   * tiebreak — no stage can fork on summation order or ties. Floor
-   * allocation can undershoot the budget by < |strata| docs (the
-   * largest-remainder top-up is a policy choice left to the caller).
+   * 6 dp from EXACT integer moment sums (Σx as BIGINT; Σx² accumulated
+   * as DECIMAL(38,0) so the Spark side cannot wrap 64-bit silently while
+   * the oracle's HUGEINT-summed CAST AS BIGINT raises — both engines
+   * stay exact or fail loudly together); the weight N_h·S_h is
+   * re-rounded; the weight total is an exact DECIMAL(38,12) sum; the
+   * allocation least(floor(budget·w_h / total), N_h) divides two
+   * identically-derived doubles and is capped at the stratum size (a
+   * high-variance stratum cannot be allocated more docs than it has —
+   * the drawn set realizes the emitted n_alloc exactly); the lottery is
+   * the suite's md5-of-id ordering with doc_id tiebreak — no stage can
+   * fork on summation order or ties. Floor allocation plus stratum
+   * exhaustion can undershoot the budget (the largest-remainder /
+   * re-allocation top-up is a policy choice left to the caller).
    *
    * 100 TB shape: one narrow moment aggregate per stratum, one
    * |strata|-row broadcast allocation table, one per-stratum rank window
@@ -181,7 +187,11 @@ object Sampling {
    * stratum: the allocation join is null-safe on BOTH engines
    * (`<=>` / IS NOT DISTINCT FROM).
    */
-  def neymanSample(s: SparkSession, d: String, budget: Long = 500L): DataFrame =
+  /** Default q162 eval budget — interpolated into the q162 oracle SQL
+    * (SparkEntry) so the two engines cannot silently desync on it. */
+  val NeymanBudget: Long = 500L
+
+  def neymanSample(s: SparkSession, d: String, budget: Long = NeymanBudget): DataFrame =
     neymanSampleOf(Tables.documents(s, d), budget)
 
   /** [[neymanSample]] over an arbitrary (source, doc_id, text) frame. */
@@ -191,7 +201,9 @@ object Sampling {
     val stats = base.groupBy(col("source"))
       .agg(count(lit(1)).as("sn"),
         sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sx2"))
+        // x*x fits a long (token counts are < 2^31); the SUM is where
+        // 64-bit wraps on an extreme corpus — accumulate decimal(38,0)
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sx2"))
       .withColumn("len_stddev", round(
         sqrt(greatest(
           col("sx2").cast("double") / col("sn") -
@@ -204,7 +216,8 @@ object Sampling {
     val alloc = stats.crossJoin(broadcast(total))
       .withColumn("n_alloc",
         when(col("wtot") > 0,
-          floor(lit(budget) * col("w") / col("wtot")).cast("long"))
+          least(floor(lit(budget) * col("w") / col("wtot")), col("sn"))
+            .cast("long"))
           .otherwise(0L))
       .select(col("source").as("asrc"), col("len_stddev"), col("n_alloc"))
     val ranked = base.withColumn("rn", row_number().over(
@@ -392,7 +405,7 @@ object Sampling {
   def temperatureMixtureOf(documents: DataFrame, budgetDocs: Long): DataFrame = {
     val docs = documents
       .select(col("lang"), col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        TextStats.tokenCount(col("text")).as("n_tokens"))
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     // group-cardinality rows; materialized once (eager local checkpoint) so
@@ -552,7 +565,7 @@ object Sampling {
     val kept = Tables.documents(s, d)
       .join(losers, Seq("doc_id"), "left_anti")
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_tokens", TextStats.tokenCount(col("text")))
       .filter(col("n_tokens").between(minTokens, maxTokens))
       .select(col("doc_id"), col("text"))
     chunkDocumentsOf(kept, chunkTokens, overlap)
@@ -600,7 +613,7 @@ object Sampling {
     docs
       .withColumn("shard", idBucket(col("doc_id"), nShards.toLong))
       .withColumn("ord", md5(col("doc_id").cast("string").cast("binary")))
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_tokens", TextStats.tokenCount(col("text")))
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -643,7 +656,7 @@ object Sampling {
     * frame. */
   def repeatFactorMixtureOf(docs: DataFrame): DataFrame = {
     val withTok = docs.select(col("doc_id"), col("lang"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
     val stats = withTok.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
     val budget = stats.agg(max(col("lang_tokens")).as("budget_tokens"))
@@ -764,7 +777,7 @@ object Sampling {
       budgetFrac: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perLang = Tables.documents(s, d)
-      .withColumn("n_toks", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_toks", TextStats.tokenCount(col("text")))
       .groupBy(col("lang"))
       .agg(coalesce(sum(col("n_toks").cast("long")), lit(0L)).as("n_tokens"))
     val ord = Window.orderBy(col("cap").asc, col("lang").asc_nulls_last)

@@ -1338,9 +1338,18 @@ object StreamingCorpus {
       indexPath: String,
       nBuckets: Int = 32): Unit = {
     import graft.analytics.Dedup
-    val toks = corpus.select(col("doc_id").as("corpus_id"),
-      explode(array_distinct(transform(Dedup.shingles(col("text")),
-        g => Dedup.shingleHash(g)))).as("gh"))
+    // same min-words filter as batch q158: a document with fewer words
+    // than the shingle width carries no full shingle — indexing its
+    // degenerate partial shingle would flag every short arrival
+    // 'contained' against it
+    val toks = corpus
+      .select(col("doc_id").as("corpus_id"),
+        split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= Dedup.ContainmentShingleN)
+      .select(col("corpus_id"),
+        explode(array_distinct(transform(
+          Dedup.ngramsFromWords(col("ws"), Dedup.ContainmentShingleN),
+          g => Dedup.shingleHash(g)))).as("gh"))
     val szs = toks.groupBy("corpus_id").agg(count(lit(1)).as("sz"))
     BucketedMerge.mergeInto(spark, indexPath,
       toks.join(szs, "corpus_id").withColumn("_dump_seq", lit(0L)),
@@ -1383,10 +1392,18 @@ object StreamingCorpus {
       index: org.apache.spark.sql.DataFrame,
       pct: Int = 80): org.apache.spark.sql.DataFrame = {
     import graft.analytics.Dedup
+    // min-words filter ≡ batch q158 and the index build: a short arrival
+    // has no full shingle, probes nothing, and is admitted below via the
+    // left join (its degenerate partial shingle previously matched any
+    // indexed empty document at containment 1.0)
     val arrToks = org.apache.spark.sql.GraftBridge.checkpointNoStats(
-      arrivals.select(col("doc_id"),
-        explode(array_distinct(transform(Dedup.shingles(col("text")),
-          g => Dedup.shingleHash(g)))).as("gh")),
+      arrivals
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= Dedup.ContainmentShingleN)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            Dedup.ngramsFromWords(col("ws"), Dedup.ContainmentShingleN),
+            g => Dedup.shingleHash(g)))).as("gh")),
       eager = false)
     val arrSz = arrToks.groupBy("doc_id").agg(count(lit(1)).as("sz_a"))
     val hits = arrToks.join(index, "gh")

@@ -173,8 +173,10 @@ class Round15OpsSpec extends AnyFunSuite with SparkSuite {
   }
 
   /** A zero-variance stratum earns NO allocation (Neyman weight N·S = 0)
-    * while the spread stratum takes the whole budget, capped by its own
-    * size at draw time; the stddev is pinned to the closed form. */
+    * while the spread stratum takes the whole budget, with the emitted
+    * n_alloc itself capped at the stratum size (the allocation is always
+    * feasible — the drawn set realizes it exactly); the stddev is pinned
+    * to the closed form. */
   test("q162: allocation follows N·S — zero-variance stratum gets nothing") {
     import spark.implicits._
     val uniform = (1L to 10L).map(i => ("uniform", i, Seq.fill(5)("w").mkString(" ")))
@@ -189,8 +191,8 @@ class Round15OpsSpec extends AnyFunSuite with SparkSuite {
       s"zero-variance stratum must draw nothing: $u")
     // population stddev of 1..10 = sqrt(8.25) rounded to 6 dp
     assert(math.abs(sp._3 - 2.872281) < 1e-9, s"closed-form stddev: $sp")
-    assert(sp._4 == 500L, s"the whole budget allocates to the spread stratum: $sp")
-    assert(sp._5 == 10L && sp._6 == 55L, s"draw capped by stratum size: $sp")
+    assert(sp._4 == 10L, s"allocation is capped at the stratum size: $sp")
+    assert(sp._5 == 10L && sp._6 == 55L, s"draw realizes n_alloc exactly: $sp")
     assert(sp._7 == (101L to 110L).sum, s"checksum is the full stratum: $sp")
   }
 
