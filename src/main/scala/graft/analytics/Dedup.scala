@@ -1043,9 +1043,19 @@ object Dedup {
    * order- and partitioning-independent — then rounded to 6 dp (the
    * suite's standard float-sum discipline, q147's spelling).
    */
-  def softDedupWeights(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
-    val assigned = docs.join(simhashClusters(s, d), Seq("doc_id"), "left")
+  def softDedupWeights(s: SparkSession, d: String): DataFrame =
+    softDedupWeightsOf(
+      documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+      simhashClusters(s, d))
+
+  /** [[softDedupWeights]] over arbitrary (doc_id, source, n_chars) docs
+    * and a (doc_id, cluster_id) assignment — the weights are a pure
+    * function of (docs, clusters), so the streaming soft-dedup gate
+    * serves THIS function over its maintained docs state + cluster
+    * forest and is ≡ batch by construction (only component MEMBERSHIP
+    * enters the output — cluster labels cancel inside csize). */
+  def softDedupWeightsOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val assigned = docs.join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
     val csize = assigned.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
     assigned.join(csize, "cluster_id")

@@ -2079,6 +2079,19 @@ object TextStats {
     val perSource = terms.groupBy(col("source"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("term_g")).cast("double") / count(lit(1)), 6).as("nll"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    domainMixtureOf(perSource, counts, rounds, eta)
+  }
+
+  /** Driver-side mirror-descent + output assembly over a
+    * (source, n_bigrams, nll) difficulty table and a (source, n_docs)
+    * count table — ≤ |domains| rows each. Shared by batch q157 and the
+    * streaming domain-reweight gate (which rebuilds the same two tables
+    * from its per-doc score state), so the MW loop cannot fork between
+    * the two paths. */
+  private[graft] def domainMixtureOf(perSource: DataFrame, counts: DataFrame,
+      rounds: Int, eta: Double): DataFrame = {
+    val spark = perSource.sparkSession
     // driver-side mirror-descent over the |domains|-row difficulty table
     val act = perSource.select(col("source"), col("nll"))
       .filter(col("nll").isNotNull)
@@ -2108,13 +2121,86 @@ object TextStats {
     import spark.implicits._
     val wDf = weights.map { case (src, wt) => (src.orNull, wt) }
       .toDF("w_source", "weight")
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val ps = perSource.withColumnRenamed("source", "ps_source")
     counts
       .join(ps, col("source") <=> col("ps_source"), "left")
       .join(broadcast(wDf), col("source") <=> col("w_source"), "left")
       .select(col("source"), col("n_docs"), col("n_bigrams"), col("nll"),
         col("weight"))
+  }
+
+  /** The frozen general-corpus bigram model for the streaming
+    * domain-reweight gate — q157's model built once from a corpus
+    * snapshot (the q123/q156 frozen-model discipline: scores against a
+    * frozen model are pure functions of content, hence replay-safe). */
+  def domainModels(s: SparkSession, d: String,
+      vocabCap: Int = PerplexityVocabCap): DataFrame =
+    domainModelsOf(documents(s, d), vocabCap)
+
+  /** [[domainModels]] over an arbitrary (doc_id, source, text) frame. */
+  def domainModelsOf(docs: DataFrame,
+      vocabCap: Int = PerplexityVocabCap): DataFrame =
+    generalBigramModelOf(
+      docs.withColumn("w", words(col("text")))
+        .withColumn("nw", coalesce(size(col("w")), lit(0))),
+      vocabCap)
+
+  /**
+   * Per-document q157 difficulty scores against a FROZEN model bundle:
+   * (doc_id, source, n_bigrams, term_sum) with term_sum an exact
+   * DECIMAL sum of the doc's 6-dp bigram NLL terms. A score row is a
+   * pure function of (document content, models) — arrival-order,
+   * batching and re-delivery independent — and the per-source
+   * difficulty table is recoverable EXACTLY from the per-doc rows
+   * (decimal addition is associative: Σ_source term_g ≡
+   * Σ_docs Σ_doc term_g), which is what lets the streaming gate merge
+   * doc-keyed score rows and still serve batch q157's numbers
+   * bit-for-bit ([[domainReweightFromScores]]).
+   */
+  def domainScoreOf(docs: DataFrame, models: DataFrame): DataFrame = {
+    val wsDocs = docs
+      .withColumn("w", words(col("text")))
+      .withColumn("nw", coalesce(size(col("w")), lit(0)))
+    val ucG = models.filter(col("kind") === "ug")
+      .select(col("gram").as("w1"), col("cnt").as("cu_g"))
+    val bcG = models.filter(col("kind") === "bg")
+      .select(col("gram").as("b"), col("cnt").as("cb_g"))
+    val vG = ucG.groupBy().agg(count(lit(1)).as("v_g"))
+    val perDoc = mlBigramsOf(wsDocs, Seq("doc_id"))
+      .join(broadcast(bcG), Seq("b"), "left")
+      .join(broadcast(ucG), Seq("w1"), "left")
+      .join(broadcast(vG))
+      .withColumn("term_g",
+        when(col("v_g") > 0,
+          round(-log(10.0, (coalesce(col("cb_g"), lit(0L)) + 1.0) /
+            (coalesce(col("cu_g"), lit(0L)) + col("v_g"))), 6))
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("term_g")).cast("decimal(38,6)").as("term_sum"))
+    wsDocs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("term_sum"))
+  }
+
+  /** Rebuild q157's output from merged per-doc score rows
+    * ([[domainScoreOf]]): the per-source difficulty table falls out of
+    * exact decimal sums, and the SAME [[domainMixtureOf]] driver loop
+    * runs over it — column-equal to batch [[domainReweight]] when the
+    * scores' model was frozen from the corpus the rows cover. */
+  def domainReweightFromScores(scored: DataFrame, rounds: Int = 3,
+      eta: Double = 1.0): DataFrame = {
+    val perSource = scored.groupBy(col("source"))
+      .agg(
+        when(sum(col("n_bigrams")) > 0, sum(col("n_bigrams")))
+          .as("n_bigrams"),
+        when(sum(col("n_bigrams")) > 0,
+          round(sum(col("term_sum")).cast("double") /
+            sum(col("n_bigrams")), 6)).as("nll"))
+    val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    domainMixtureOf(perSource, counts, rounds, eta)
   }
 
   def perplexityBucketsOf(docs: DataFrame,

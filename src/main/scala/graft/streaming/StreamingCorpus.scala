@@ -1173,6 +1173,161 @@ object StreamingCorpus {
           col("is_ref")))
 
   /**
+   * Online domain-reweighting gate — the streaming counterpart of q157
+   * (DoReMi-lite): arriving documents score against a FROZEN general
+   * bigram model ([[graft.analytics.TextStats.domainModels]], built once
+   * from the corpus snapshot — the q123/q156 frozen-model discipline),
+   * and the per-doc (n_bigrams, exact-decimal term_sum) rows merge keyed
+   * by doc_id. The served ledger ([[domainReweightLedger]]) rebuilds the
+   * per-source difficulty table from exact decimal sums and re-runs the
+   * SAME driver-side mirror-descent loop over the |domains|-row table —
+   * column-equal to batch q157 under out-of-order arrival, re-delivery
+   * and crash-window replay (asserted in StreamingCorpusSpec).
+   *
+   * 100 TB posture: the model is ≤ 2·cap+1 broadcast rows; per batch,
+   * one bigram pass + three broadcast joins + a doc-keyed idempotent
+   * merge — per-batch work bounded by batch size; the MW loop stays
+   * driver-side over ≤ |domains| rows at serve time.
+   */
+  def startDomainReweightGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      models: org.apache.spark.sql.DataFrame,
+      scoresPath: String,
+      checkpointDir: String,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        domainReweightStep(spark, batch, models, scoresPath, batchId, nBuckets)
+      }
+      .start()
+  }
+
+  /** One batch step of [[startDomainReweightGate]] — factored out so the
+    * spec can replay a crashed attempt directly. */
+  def domainReweightStep(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      models: org.apache.spark.sql.DataFrame,
+      scoresPath: String,
+      batchId: Long,
+      nBuckets: Int = 32): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
+    val scored = TextStats.domainScoreOf(
+      batch.select(col("doc_id"), col("source"), col("text"))
+        .dropDuplicates(Seq("doc_id")), models)
+      .withColumn("_dump_seq", lit(batchId))
+    BucketedMerge.mergeInto(spark, scoresPath, scored,
+      Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+  }
+
+  /** The served q157 table from the gate's score state — column-equal to
+    * batch [[graft.analytics.TextStats.domainReweight]] when the model
+    * was frozen from the same corpus the stream delivered. */
+  def domainReweightLedger(spark: SparkSession, scoresPath: String,
+      rounds: Int = 3, eta: Double = 1.0): org.apache.spark.sql.DataFrame =
+    TextStats.domainReweightFromScores(
+      BucketedMerge.read(spark, scoresPath)
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          col("term_sum")),
+      rounds, eta)
+
+  /**
+   * Online soft-dedup reweighting gate — the streaming counterpart of
+   * q159: per batch, (1) the incremental cluster forest absorbs the
+   * arrivals ([[maintainClusterForest]] — the q74 gate's state machine,
+   * batch-bounded and crash-replay-safe) and (2) the narrow
+   * (doc_id, source, n_chars) rows merge keyed by doc_id. The q159
+   * weights are a PURE FUNCTION of (docs state, cluster components):
+   * [[softDedupLedger]] serves batch
+   * [[graft.analytics.Dedup.softDedupWeightsOf]] over the maintained
+   * state, so the ledger equals batch q159 over the delivered corpus
+   * under out-of-order arrival, re-delivery and crash-window replay —
+   * cluster labels cancel inside the 1/cluster-size weights (only
+   * component membership enters the output), so even root displacement
+   * by a late-arriving lower id cannot move a number.
+   *
+   * 100 TB posture: inherits the cluster gate's batch-bounded cost (the
+   * only text pass is the arrival fingerprinting); the docs state is
+   * three narrow columns; the served aggregate shuffles (source,
+   * cluster_id, n_chars) only.
+   */
+  def startSoftDedupGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      repPath: String,
+      forestPath: String,
+      docsPath: String,
+      checkpointDir: String,
+      maxHamming: Int = 6,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        softDedupStep(spark, batch, repPath, forestPath, docsPath, batchId,
+          maxHamming, nBuckets)
+      }
+      .start()
+  }
+
+  /** One batch step of [[startSoftDedupGate]] — factored out so the spec
+    * can replay a crashed attempt directly. Docs-state merge first, then
+    * the forest: both are idempotent under replay (doc-keyed upsert /
+    * the cluster gate's crash-safe ordering), so a crash between the two
+    * re-runs to the same state. */
+  def softDedupStep(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      repPath: String,
+      forestPath: String,
+      docsPath: String,
+      batchId: Long,
+      maxHamming: Int = 6,
+      nBuckets: Int = 32): Unit = {
+    val b = Merge.dedupLatest(
+      batch.select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+        .withColumn("_dump_seq", lit(batchId)),
+      Seq("doc_id"), "_dump_seq")
+    org.apache.spark.sql.GraftBridge.releasingPins {
+      BucketedMerge.mergeInto(spark, docsPath,
+        b.select(col("doc_id"), col("source"), col("n_chars"),
+          lit(batchId).as("_dump_seq")),
+        Seq("doc_id"), nBuckets, seqCol = Some("_dump_seq"))
+    }
+    maintainClusterForest(spark, b.select(col("doc_id"), col("text")),
+      repPath, forestPath, batchId, None, maxHamming, nBuckets)
+  }
+
+  /** The served q159 ledger from the gate's state — column-equal to
+    * batch [[graft.analytics.Dedup.softDedupWeights]] over the same
+    * delivered corpus. */
+  def softDedupLedger(spark: SparkSession, docsPath: String,
+      forestPath: String): org.apache.spark.sql.DataFrame = {
+    val clusters =
+      if (BucketedMerge.hasData(spark, forestPath))
+        clustersFromForest(BucketedMerge.read(spark, forestPath)
+          .select(col("doc_id"), col("root")))
+      else
+        spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
+    graft.analytics.Dedup.softDedupWeightsOf(
+      BucketedMerge.read(spark, docsPath)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      clusters)
+  }
+
+  /**
    * Online admission gate — the streaming counterpart of batch q151
    * ([[graft.analytics.Dedup.incrementalDedup]]): documents landing in
    * `landingDir` are gated against a PINNED existing-corpus index (built

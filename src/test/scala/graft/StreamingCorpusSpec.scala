@@ -1551,4 +1551,100 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     assert(streamed3.exceptAll(batch3).isEmpty && batch3.exceptAll(streamed3).isEmpty,
       "crash-replay double-counted or dropped a batch in the BPE word state")
   }
+
+  test("domain-reweight gate: served table equals batch q157 under out-of-order arrival, re-delivery and crash window") {
+    import graft.analytics.{Tables, TextStats}
+    import org.apache.spark.sql.functions._
+    val root = TempDirs.tempDir("graft_sdrw").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val scoresPath = s"$root/wh/drw_scores"
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "source", "text").cache()
+    // freeze the general model from the snapshot, then stream the corpus
+    val models = TextStats.domainModels(spark, d).cache()
+    models.count()
+    val w1 = docs.filter(col("doc_id") % 2 === 0)
+    val w2 = docs.filter(col("doc_id") % 2 =!= 0)
+      .unionByName(w1.orderBy(col("doc_id")).limit(4)) // re-delivery rides wave 2
+    def drain(): Unit = {
+      val q = StreamingCorpus.startDomainReweightGate(spark,
+        landing.getAbsolutePath, docs.schema, models, scoresPath,
+        s"$root/chk", nBuckets = 8)
+      q.awaitTermination()
+    }
+    land(w2, landing, "wave2"); drain() // later ids land first
+    land(w1, landing, "wave1"); drain()
+    // crash window: replay wave 2 directly against the merged table
+    StreamingCorpus.domainReweightStep(spark, w2, models, scoresPath, 99L,
+      nBuckets = 8)
+    val streamed = StreamingCorpus.domainReweightLedger(spark, scoresPath)
+    val batch = TextStats.domainReweight(spark, d)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed domain-reweight table diverges from batch q157")
+    models.unpersist(); docs.unpersist()
+  }
+
+  test("soft-dedup gate: served ledger equals batch q159 under out-of-order arrival, re-delivery, crash window and root displacement") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = TempDirs.tempDir("graft_ssoft").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val repPath = s"$root/wh/soft_rep"
+    val forestPath = s"$root/wh/soft_forest"
+    val docsPath = s"$root/wh/soft_docs"
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    def variant(v: Int) = (0 until 30)
+      .map(i => if (i % 11 == v % 11) s"x${v}_$i" else s"w$i").mkString(" ")
+    // wave 1: exact trio on `base` + a near-dup + uniques, two sources.
+    // wave 2 arrives OUT OF ORDER: doc 2 (lower than every wave-1 id)
+    // carries base's exact text and DISPLACES root 10 — the 1/csize
+    // weights must not move (labels cancel; membership is unchanged
+    // modulo the new member). NULL text rides along (never clusters).
+    val w1 = Seq(
+      (10L, "web", 100L, base), (11L, "web", 110L, base),
+      (12L, "lab", 120L, base), (20L, "web", 90L, variant(1)),
+      (30L, "lab", 52L, "nothing like it at all"))
+    val w2 = Seq(
+      (2L, "web", 95L, base), (2L, "web", 95L, base), // in-batch re-delivery
+      (31L, "web", 40L, "also entirely different text"),
+      (32L, "lab", 0L, null: String))
+    def dfOf(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("doc_id", "source", "n_chars", "text")
+    val schema = dfOf(w1).schema
+    def drain(): Unit = {
+      val q = StreamingCorpus.startSoftDedupGate(spark, landing.getAbsolutePath,
+        schema, repPath, forestPath, docsPath, s"$root/chk", nBuckets = 4)
+      q.awaitTermination()
+    }
+    def assertEqBatch(soFar: Seq[(Long, String, Long, String)], tag: String): Unit = {
+      val streamed = StreamingCorpus.softDedupLedger(spark, docsPath, forestPath)
+      val delivered = dfOf(soFar).dropDuplicates(Seq("doc_id")) // re-delivery is one doc
+      val batch = graft.analytics.Dedup.softDedupWeightsOf(
+        delivered.select(col("doc_id"), col("source"), col("n_chars")),
+        graft.analytics.Dedup.duplicateClusters(
+          graft.analytics.Dedup.simhashDupGraphOf(
+            delivered.select(col("doc_id"), col("text")))))
+      // collected compare: exceptAll over these two plans trips a Spark
+      // attribute-binding bug (both sides rebind the shared contraction
+      // subtree); sorted-row equality is the same assertion
+      val s = streamed.collect().map(_.toString).sorted.toSeq
+      val b = batch.collect().map(_.toString).sorted.toSeq
+      assert(s == b,
+        s"$tag: streamed soft-dedup ledger diverges from batch q159 " +
+          s"(streamed=$s batch=$b)")
+    }
+    land(dfOf(w1), landing, "wave1"); drain(); assertEqBatch(w1, "wave1")
+    land(dfOf(w2), landing, "wave2"); drain(); assertEqBatch(w1 ++ w2, "wave2")
+    // crash window: replay wave 2 directly against the merged state
+    StreamingCorpus.softDedupStep(spark, dfOf(w2), repPath, forestPath,
+      docsPath, 99L, nBuckets = 4)
+    assertEqBatch(w1 ++ w2, "crash-replay")
+    // the displaced root is visible in the forest but invisible in the
+    // ledger: weights depend on membership only
+    val f = BucketedMerge.read(spark, forestPath)
+      .select(col("doc_id"), col("root")).as[(Long, Long)].collect().toMap
+    assert(f(10L) == 2L && f(11L) == 2L && f(12L) == 2L,
+      "late lower id must displace the exact group root")
+  }
 }
