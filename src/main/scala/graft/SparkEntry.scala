@@ -1649,19 +1649,21 @@ object SparkEntry {
           |FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
           |GROUP BY doc_a, doc_b HAVING count(*) >= 3""".stripMargin),
     // q160: q84's gram CTE kept positional (no distinct), diagonal
-    // gaps-and-islands runs, all-integer outputs
+    // gaps-and-islands runs, all-integer outputs; k / dfCap / minSpan
+    // interpolated from the TextStats constants so the engines cannot
+    // silently desync
     "q160_longest_shared_span" ->
       (s"""WITH ws AS (SELECT doc_id, $tokens AS w FROM documents),
         |gp AS (
         | SELECT doc_id, CAST(t.i AS BIGINT) AS wpos,
         |  CAST(('0x' || substring(md5(
-        |    array_to_string(w[CAST(t.i+1 AS INT):CAST(t.i+8 AS INT)], ' ')
+        |    array_to_string(w[CAST(t.i+1 AS INT):CAST(t.i+${analytics.TextStats.SpanGramK} AS INT)], ' ')
         |   ), 1, 15)) AS BIGINT) AS h
-        | FROM ws, UNNEST(range(0, greatest(len(w)-8, 0)+1)) t(i)),
+        | FROM ws, UNNEST(range(0, greatest(len(w)-${analytics.TextStats.SpanGramK}, 0)+1)) t(i)),
         |okh AS (
         | SELECT h FROM (
         |  SELECT h, count(DISTINCT doc_id) AS df FROM gp GROUP BY h) x
-        | WHERE df <= 128),
+        | WHERE df <= ${analytics.TextStats.SpanDfCap}),
         |cp AS (SELECT gp.doc_id, gp.wpos, gp.h FROM gp JOIN okh USING (h)),
         |m AS (
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1676,11 +1678,12 @@ object SparkEntry {
         | SELECT doc_a, doc_b, diag, grp, count(*) AS run
         | FROM isl GROUP BY 1, 2, 3, 4)
         |SELECT doc_a, doc_b,
-        | CAST(max(run) + 7 AS BIGINT) AS longest_span,
+        | CAST(max(run) + ${analytics.TextStats.SpanGramK - 1} AS BIGINT) AS longest_span,
         | CAST(count(*) AS BIGINT) AS n_runs,
         | CAST(sum(run) AS BIGINT) AS n_aligned_grams
         |FROM runs GROUP BY doc_a, doc_b
-        |HAVING max(run) + 7 >= 12""".stripMargin),
+        |HAVING max(run) + ${analytics.TextStats.SpanGramK - 1}
+        |  >= ${analytics.TextStats.SpanMinLen}""".stripMargin),
     // q162: exact integer moments -> rounded stddev -> decimal-summed
     // weight total -> floor allocation capped at stratum size -> md5
     // lottery draw; the allocation join is null-safe (NULL source is its

@@ -490,8 +490,14 @@ object TextStats {
    * length. Every output column is INTEGER arithmetic: nothing can fork
    * engines.
    */
-  def longestSharedSpans(s: SparkSession, d: String, k: Int = 8,
-      dfCap: Int = 128, minSpan: Int = 12): DataFrame =
+  /** q160 defaults — interpolated into the q160 oracle SQL (SparkEntry)
+    * so the engines cannot silently desync on them. */
+  val SpanGramK: Int = 8
+  val SpanDfCap: Int = 128
+  val SpanMinLen: Int = 12
+
+  def longestSharedSpans(s: SparkSession, d: String, k: Int = SpanGramK,
+      dfCap: Int = SpanDfCap, minSpan: Int = SpanMinLen): DataFrame =
     longestSharedSpansOf(documents(s, d), k, dfCap, minSpan)
 
   /** [[longestSharedSpans]] over an arbitrary (doc_id, text) frame. */
