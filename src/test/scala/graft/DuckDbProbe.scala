@@ -33,6 +33,9 @@ import java.util.logging.Logger
  *    *.jar): zero h2/hsqldb/mariadb/mysql hits; duckdb_jdbc 1.0.0 is
  *    still the only embeddable engine. Unchanged — MySQL branch stays
  *    golden-pinned, Postgres branch live via DuckDB + Derby.
+ *  - 2026-08-16 (r16): same find over ~/.cache/coursier/v1, ~/.ivy2,
+ *    ~/.m2 — zero mysql-capable jars; duckdb_jdbc 1.0.0 unchanged.
+ *    MySQL dialect remains golden-pinned; environment-blocked.
  *
  * The loader and driver are cached in this object: DuckDB's JDBC driver
  * extracts and `System.load`s a native library once per classloader, and
