@@ -14,8 +14,11 @@ run / fork := true
 // The bench/verify mains end by printing one self-contained JSON summary
 // line; the driver parses the LAST line of captured stdout. sbt's trailing
 // "[success] Total time: ..." banner lands after the program's output and
-// defeats that parse — suppress it so the JSON line is genuinely last.
+// defeats that parse — suppress it so the JSON line is genuinely last, and
+// pass forked-process stdout through raw (no "[info] " logger prefix).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

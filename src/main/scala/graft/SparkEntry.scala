@@ -236,6 +236,18 @@ object SparkEntry {
     // Neyman variance-optimal stratified sampling allocation + draw
     "q162_neyman_sample" -> ((s: SparkSession, d: String) =>
       Sampling.neymanSample(s, d)),
+    // data-constrained effective-dataset audit (decay-valued repeats)
+    "q163_effective_data" -> ((s: SparkSession, d: String) =>
+      Dedup.effectiveData(s, d)),
+    // embedding-space benchmark contamination (paraphrase leakage)
+    "q164_semantic_contamination" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticContamination(s, d)),
+    // composed IVF routing + ADC scoring — the production FAISS recipe
+    "q165_ivf_adc_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfAdcTopK(s, d)),
+    // per-query recall of the composed IVF-ADC path vs exact L2 truth
+    "q166_ivf_adc_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfAdcRecallStats(s, d)),
     // content-defined chunking (gear-criterion boundaries) dup mass
     "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.cdcChunkDedup(s, d)),
@@ -2438,6 +2450,74 @@ object SparkEntry {
           |       AS DECIMAL(38,12))) AS DOUBLE), 6) / count(*), 6)
           |   AS mass_removed
           |FROM j GROUP BY source""".stripMargin),
+    // q163: the q74 recursive-component CTE + cluster-global doc_id rank,
+    // dyadic power(0.5, rk-1) valued per row (exact in both engines'
+    // doubles), DECIMAL(38,12) quantized sums, share from the two
+    // already-rounded outputs
+    "q163_effective_data" ->
+      (dupClustersCte +
+        s""",
+          |asg AS (
+          | SELECT d.doc_id, d.source, d.n_chars,
+          |  coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          | FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+          |rkd AS (
+          | SELECT source, n_chars,
+          |  row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rk
+          | FROM asg),
+          |vals AS (
+          | SELECT source, rk,
+          |  CAST(round(power(0.5, rk - 1), 12) AS DECIMAL(38,12)) AS v,
+          |  CAST(round(n_chars * power(0.5, rk - 1), 12)
+          |    AS DECIMAL(38,12)) AS vc
+          | FROM rkd),
+          |agg AS (
+          | SELECT source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_repeat_docs,
+          |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS eff_docs_hard,
+          |  round(CAST(sum(v) AS DOUBLE), 6) AS eff_docs_decay,
+          |  round(coalesce(CAST(sum(vc) AS DOUBLE), 0), 6)
+          |    AS eff_chars_decay
+          | FROM vals GROUP BY source)
+          |SELECT source, n_docs, n_repeat_docs, eff_docs_hard,
+          | eff_docs_decay, eff_chars_decay,
+          | round((eff_docs_decay - eff_docs_hard) / eff_docs_decay, 6)
+          |   AS repeat_value_share
+          |FROM agg""".stripMargin),
+    // q164: stride-bounded bench CROSS the non-bench corpus (the q137
+    // cross-join spelling the oracle can afford at sf0.01), top-1 max
+    // rounded before the decimal-summed mean; stride + threshold
+    // interpolated from the Similarity constants
+    "q164_semantic_contamination" ->
+      s"""WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        | FROM embeddings),
+        |b AS (SELECT vec_id AS bench_id, v AS bv, label FROM e
+        |      WHERE vec_id % ${analytics.Similarity.SemanticBenchStride} = 0),
+        |c AS (SELECT v AS cv FROM e
+        |      WHERE vec_id % ${analytics.Similarity.SemanticBenchStride} <> 0
+        |        AND v IS NOT NULL),
+        |sc AS (
+        | SELECT b.bench_id, ${cosListSql("b.bv", "c.cv")} AS cosine
+        | FROM b CROSS JOIN c WHERE b.bv IS NOT NULL),
+        |t1 AS (
+        | SELECT bench_id, round(max(cosine), 6) AS top_cos
+        | FROM sc WHERE cosine IS NOT NULL GROUP BY 1),
+        |j AS (
+        | SELECT b.bench_id, b.label, t.top_cos
+        | FROM b LEFT JOIN t1 t USING (bench_id))
+        |SELECT label, count(*) AS n_bench,
+        | CAST(count(top_cos) AS BIGINT) AS n_scored,
+        | CAST(sum(CASE WHEN top_cos >=
+        |   ${analytics.Similarity.SemanticContaminationThreshold}
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        | CASE WHEN count(top_cos) > 0 THEN
+        |  round(CAST(sum(CAST(top_cos AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(top_cos), 6) END AS avg_top_cos,
+        | max(top_cos) AS max_top_cos
+        |FROM j GROUP BY label""".stripMargin,
     // q132: the same lag-window boundary bit + running-sum chunk id, then
     // chunk hashes grouped for the duplicate mass
     "q132_cdc_chunk_dedup" ->
@@ -3076,6 +3156,44 @@ object SparkEntry {
           | round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
           |FROM (SELECT DISTINCT query_id FROM adcr) q
           |LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin),
+    // q165: pqCte's codes + the ivfCte routing replayed over the same
+    // base — candidates restricted to probed cells BEFORE the ADC sum
+    "q165_ivf_adc_topk" ->
+      (ivfAdcCte +
+        """
+          |SELECT query_id, neighbor_id, adc_dist, rn FROM (
+          | SELECT query_id, neighbor_id, adc_dist,
+          |  row_number() OVER (PARTITION BY query_id
+          |    ORDER BY adc_dist ASC, neighbor_id) AS rn
+          | FROM iasc) t WHERE rn <= 5""".stripMargin),
+    // q166: q165's ranking intersected with the exact-L2 ranking — the
+    // q107 tail over the composed path
+    "q166_ivf_adc_recall" ->
+      (ivfAdcCte +
+        """,
+          |adcr AS (SELECT query_id, neighbor_id FROM (
+          | SELECT query_id, neighbor_id,
+          |  row_number() OVER (PARTITION BY query_id
+          |    ORDER BY adc_dist ASC, neighbor_id) AS rn
+          | FROM iasc) t WHERE rn <= 5),
+          |vv AS (SELECT vec_id, e FROM v WHERE e IS NOT NULL),
+          |exq AS (SELECT vec_id AS query_id, e AS qe FROM vv WHERE vec_id % 100 = 0),
+          |exs AS (SELECT exq.query_id, c.vec_id AS neighbor_id,
+          |  round(coalesce(list_sum(list_transform(range(1, least(len(c.e), len(exq.qe))+1),
+          |    i -> (c.e[i]-exq.qe[i])*(c.e[i]-exq.qe[i]))), 0), 12) AS d2
+          | FROM vv c CROSS JOIN exq WHERE c.vec_id <> exq.query_id),
+          |exr AS (SELECT query_id, neighbor_id FROM (
+          | SELECT query_id, neighbor_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id) AS rn
+          | FROM exs) t WHERE rn <= 5),
+          |hits AS (SELECT a.query_id, count(*) AS h
+          | FROM adcr a JOIN exr e
+          |   ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+          | GROUP BY a.query_id)
+          |SELECT q.query_id, CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+          | round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
+          |FROM (SELECT DISTINCT query_id FROM adcr) q
+          |LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin),
     // cosine over the common prefix (the engine computes dot and both
     // norms over min(len)); zero-magnitude division -> NULL on both sides
     "q108_embedding_isotropy" ->
@@ -3553,6 +3671,61 @@ object SparkEntry {
        |${step("pa0", "pc1", "pb1", "ps1", "pa1")},
        |${step("pa1", "pc2", "pb2", "ps2", "pa2")}""".stripMargin
   }
+
+  /** q165/q166 shared oracle base: pqCte's trained codes + closing
+    * codebook + query distance tables, with the ivfCte hyperplane-cell
+    * routing replayed over the same `v` base, and the ADC candidate set
+    * restricted to each query's probed cells (the engine's join order). */
+  private def ivfAdcCte: String =
+    pqCte(4, 4) +
+      """,
+        |pqc AS (SELECT vec_id, sub, se, code FROM pa2 WHERE se IS NOT NULL),
+        |pb3 AS (SELECT sub, code AS c_code, list(mean_v ORDER BY dim) AS c0 FROM (
+        |  SELECT sub, code, dim, CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+        |  FROM (SELECT sub, code, unnest(range(1, len(se)+1)) AS dim, unnest(se) AS x FROM pqc) t
+        |  GROUP BY sub, code, dim) tt GROUP BY sub, code),
+        |icell AS (
+        | SELECT vec_id, e,
+        |  CAST(list_sum(list_transform(range(0,3), p ->
+        |   CASE WHEN list_sum(list_transform(range(1, len(e)+1),
+        |     i -> e[i] * (((('0x' || substring(md5(CAST(p AS VARCHAR) || '_' ||
+        |            CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 1000000)/1000000.0) - 0.5)))
+        |     >= 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS cell
+        | FROM v),
+        |icent AS (
+        | SELECT cell, dim,
+        |  CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(x) AS mean_v
+        | FROM (
+        |   SELECT cell, unnest(range(1, len(e)+1)) AS dim, unnest(e) AS x
+        |   FROM icell) t
+        | GROUP BY cell, dim),
+        |ica AS (SELECT cell, list(mean_v ORDER BY dim) AS c0 FROM icent GROUP BY cell),
+        |iq AS (SELECT vec_id AS query_id, e AS qe FROM icell WHERE vec_id % 100 = 0),
+        |irouted AS (
+        | SELECT query_id, cell,
+        |  list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*c0[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, len(c0)+1), i -> c0[i]*c0[i])))) AS c_cos
+        | FROM iq CROSS JOIN ica),
+        |iprobes AS (
+        | SELECT query_id, cell FROM (
+        |  SELECT query_id, cell,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS pr
+        |  FROM irouted) t WHERE pr <= 4),
+        |pqq AS (SELECT vec_id AS query_id, sub, se FROM pqc WHERE vec_id % 100 = 0),
+        |dtab AS (SELECT q.query_id, q.sub, b.c_code AS code,
+        |  round(coalesce(list_sum(list_transform(range(1, least(len(q.se), len(b.c0))+1),
+        |    i -> (q.se[i]-b.c0[i])*(q.se[i]-b.c0[i]))), 0), 12) AS qd
+        | FROM pqq q JOIN pb3 b ON q.sub = b.sub),
+        |iasc AS (SELECT d.query_id, c.vec_id AS neighbor_id,
+        |  round(CAST(sum(CAST(qd AS DECIMAL(28,15))) AS DOUBLE), 6) AS adc_dist
+        | FROM pqc c
+        | JOIN icell nc ON nc.vec_id = c.vec_id
+        | JOIN iprobes p ON p.cell = nc.cell
+        | JOIN dtab d ON d.query_id = p.query_id
+        |   AND d.sub = c.sub AND d.code = c.code
+        | WHERE d.query_id <> c.vec_id
+        | GROUP BY d.query_id, c.vec_id)""".stripMargin
 
   private def kmeansCte: String =
     """WITH v AS (

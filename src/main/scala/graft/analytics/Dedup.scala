@@ -1075,6 +1075,67 @@ object Dedup {
         round(lit(1.0) - col("eff_docs") / col("n_docs"), 6))
   }
 
+  /**
+   * q163: data-constrained effective-dataset audit (Muennighoff et al.
+   * 2023, "Scaling Data-Constrained Language Models", deterministic
+   * reduction) — the scaling-law member of the duplicate-POLICY family
+   * (q81 hard-delete keeps copy 1 at value 1 and drops the rest; q159
+   * soft-dedup values every copy at 1/n; this one prices the i-th copy
+   * of repeated content at the paper's exponentially decaying return
+   * δ^(i−1), here with δ = 1/2 — dyadic, so both engines compute the
+   * power EXACTLY in binary floating point before the 12-dp quantize).
+   * Copies are ranked doc_id-ascending within each near-dup cluster
+   * (the session-shared q74 fixpoint), so the value assignment is
+   * deterministic and engine-reproducible. Per source: document count,
+   * repeat count, the hard-dedup keeper count, and the decay-valued
+   * effective docs/chars a data-constrained trainer would budget with —
+   * plus the share of effective value contributed by repeats (the
+   * number that says whether keeping duplicates buys anything at all).
+   *
+   * Determinism discipline: per-row values are round(…,12) and summed
+   * as DECIMAL(38,12) (exact, order/partitioning-independent — q159's
+   * spelling), outputs re-rounded to 6 dp; the share divides two
+   * already-rounded outputs so neither engine can fork on an
+   * intermediate.
+   *
+   * 100 TB shape: rides the shared contraction fixpoint; the only new
+   * work is one per-cluster rank window over narrow (doc_id, source,
+   * n_chars, cluster_id) rows — group size = cluster size, never
+   * corpus-sized — and one per-source aggregate.
+   */
+  def effectiveData(s: SparkSession, d: String): DataFrame =
+    effectiveDataOf(
+      documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+      simhashClusters(s, d))
+
+  /** [[effectiveData]] over arbitrary docs + (doc_id, cluster_id)
+    * assignment (the [[softDedupWeightsOf]] sharing shape). */
+  def effectiveDataOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val assigned = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val ranked = assigned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))))
+      .withColumn("v",
+        round(pow(lit(0.5), col("rk") - 1), 12).cast("decimal(38,12)"))
+      .withColumn("vc",
+        round(col("n_chars") * pow(lit(0.5), col("rk") - 1), 12)
+          .cast("decimal(38,12)"))
+    ranked.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rk") > 1, 1).otherwise(0)).cast("long")
+          .as("n_repeat_docs"),
+        sum(when(col("rk") === 1, 1).otherwise(0)).cast("long")
+          .as("eff_docs_hard"),
+        round(sum(col("v")).cast("double"), 6).as("eff_docs_decay"),
+        round(coalesce(sum(col("vc")).cast("double"), lit(0.0)), 6)
+          .as("eff_chars_decay"))
+      .withColumn("repeat_value_share",
+        round((col("eff_docs_decay") - col("eff_docs_hard")) /
+          col("eff_docs_decay"), 6))
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** SimHash geometry: 60-bit fingerprints in 4 bands of 15 bits. */

@@ -57,6 +57,64 @@ object Similarity {
   def bruteForceTopK(s: SparkSession, d: String, k: Int = 5, stride: Long = 100): DataFrame =
     topKOf(embeddings(s, d), k, stride)
 
+  /** q164 defaults — interpolated into the q164 oracle SQL (SparkEntry)
+    * so the engines cannot silently desync on them. */
+  val SemanticBenchStride: Long = 20L
+  val SemanticContaminationThreshold: Double = 0.3
+
+  /**
+   * q164: SEMANTIC benchmark-contamination audit — the embedding-space
+   * member of the decontamination family (q66/q85 n-gram overlap, q138
+   * Bloom prefilter, q141 surgical spans): verbatim-overlap gates miss
+   * paraphrased or translated benchmark leakage, so this one flags each
+   * benchmark item whose nearest NON-benchmark corpus neighbor is
+   * suspiciously close in embedding space (the contamination mode
+   * documented for paraphrased eval sets — embedding similarity search
+   * is the standard detector). Bench membership is the q137 stride
+   * convention (vec_id ≡ 0 mod stride). Per label: bench size, scored
+   * count, contaminated count (top-1 cosine ≥ threshold) and the 6-dp
+   * disciplined mean/max top-1 cosine.
+   *
+   * Determinism: top-1 keeps only the max cosine VALUE (no id
+   * tie-break needed), rounded to 6 dp before the decimal-summed mean;
+   * NULL/zero-norm embeddings score NULL (the q87 cosine guard) and
+   * surface as unscored bench rows, never as cosine-0 matches.
+   *
+   * 100 TB shape: the bench set is stride-bounded and BROADCAST; the
+   * corpus is scanned once, scored map-side inside codegen, and only
+   * (bench_id, partial max) rows shuffle — no corpus pair stream, no
+   * index. The per-label rollup is |labels| rows.
+   */
+  def semanticContamination(s: SparkSession, d: String,
+      stride: Long = SemanticBenchStride,
+      threshold: Double = SemanticContaminationThreshold): DataFrame = {
+    val e = embeddings(s, d)
+    val bench = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"),
+        col("label"))
+    val corpus = e
+      .filter(col("vec_id") % stride =!= 0 && col("embedding").isNotNull)
+      .select(col("embedding").as("c_emb"))
+    val top1 = corpus
+      .join(broadcast(bench.filter(col("b_emb").isNotNull)
+        .select(col("bench_id"), col("b_emb"))))
+      .withColumn("cosine", cosineNative(col("b_emb"), col("c_emb")))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("bench_id"))
+      .agg(round(max(col("cosine")), 6).as("top_cos"))
+    bench.join(top1, Seq("bench_id"), "left")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_bench"),
+        count(col("top_cos")).as("n_scored"),
+        sum(when(col("top_cos") >= threshold, 1).otherwise(0)).cast("long")
+          .as("n_contaminated"),
+        when(count(col("top_cos")) > 0,
+          round(sum(col("top_cos").cast("decimal(18,6)")).cast("double") /
+            count(col("top_cos")), 6)).as("avg_top_cos"),
+        max(col("top_cos")).as("max_top_cos"))
+  }
+
   /** The brute-force scoring core over an arbitrary (vec_id, embedding)
     * frame — shared by [[bruteForceTopK]] and the q133 truncation tiers. */
   private def topKOf(emb: DataFrame, k: Int, stride: Long): DataFrame = {
@@ -893,6 +951,118 @@ object Similarity {
     // left join from the query list: a zero-overlap query must report
     // recall 0, not vanish from the audit
     adc.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / topk, 6).as("recall"))
+  }
+
+  /**
+   * q165: IVF-ADC top-k search — the FULL FAISS IVFPQ serving recipe in
+   * one plan, composing the two halves the engine already audits
+   * separately: IVF routing (q37/q110's hyperplane cells + centroid
+   * probe) prunes the candidate set to `nprobe` cells, and ADC (q106's
+   * distance-table lookup join) scores ONLY those cells' PQ codes. This
+   * is the spelling a production retriever actually runs at 100 TB:
+   * per-query cost = (nprobe/ncells)·corpus code rows, the corpus
+   * exists as m code bytes per vector, and no full-precision vector is
+   * touched after indexing.
+   *
+   * 100 TB shape: centroids are 2^nplanes broadcast rows; the probe
+   * table (|Q|·nprobe rows) and the distance table (|Q|·m·k rows)
+   * broadcast; candidate restriction is a hash equi-join on `cell`,
+   * scoring a map-side equi-join on (query, sub, code); per-query
+   * partial sums collapse map-side and the bounded-heap top-k keeps the
+   * shuffle at k rows per partition — no corpus sort, no pair stream
+   * beyond the probed-cell candidates.
+   *
+   * Approximate by exactly the two documented trades (a neighbor in an
+   * unprobed cell; PQ quantization error) — [[ivfAdcRecallStats]]
+   * (q166) prices their composition per query; probing ALL cells
+   * recovers plain ADC bit-for-bit (the exactness envelope pinned in
+   * PqSpec's q165 sibling test).
+   */
+  def ivfAdcTopK(s: SparkSession, d: String, m: Int = 4, k: Int = 4,
+      iters: Int = 2, topk: Int = 5, stride: Long = 100,
+      nprobe: Int = 4, nplanes: Int = 3): DataFrame =
+    ivfAdcTopKOf(embeddings(s, d), m, k, iters, topk, stride, nprobe, nplanes)
+
+  /** [[ivfAdcTopK]] over an arbitrary (vec_id, embedding) frame. */
+  def ivfAdcTopKOf(emb: DataFrame, m: Int, k: Int, iters: Int,
+      topk: Int, stride: Long, nprobe: Int, nplanes: Int): DataFrame = {
+    val dim = embeddingDim(emb)
+    // IVF side: cells + centroids over the full frame (NULL embeddings
+    // land in cell 0 but carry no codes, so they can never score)
+    val celled = emb.withColumn("cell", lshBucketCol(col("embedding"), nplanes, dim))
+    val cents = centroids(celled)
+    val queries = celled.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val routed = queries.join(broadcast(cents))
+      .withColumn("c_cos", cosineNative(col("q_emb"), col("centroid")))
+    val probes = routed.withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("c_cos").desc, col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    // ADC side: q106's pinned code frame + closing codebook + distance
+    // table, restricted to the probed cells before any scoring work
+    val codes = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      pqModel(emb, m, k, iters).filter(col("se").isNotNull)
+        .select(col("vec_id"), col("sub"), col("se"), col("code")),
+      eager = false)
+    val codebook = pqCentroids(codes)
+    val qsub = codes.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("sub"), col("se"))
+    val dtab = qsub.join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("c_code").as("code"),
+        round(squaredL2Native(col("se"), col("centroid")), 12).as("qd"))
+    val cellOf = celled.select(col("vec_id").as("neighbor_id"), col("cell"))
+    val scored = codes
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+      .join(cellOf, Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(dtab), Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("qd").cast("decimal(28,15)")).cast("double"), 6)
+        .as("adc_dist"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopK.topK(topk)(
+        -col("adc_dist"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        round(-col("s.score"), 6).as("adc_dist"), (col("idx") + 1).as("rn"))
+  }
+
+  /**
+   * q166: recall@k of the composed IVF-ADC search against the exact L2
+   * ground truth — the q107/q110/q122 approximation-honesty discipline
+   * applied to the COMPOSITION: routing loss × quantization loss is not
+   * the product of the two audited separately (a PQ-misranked neighbor
+   * can hide routing luck and vice versa), so the production spelling
+   * gets its own per-query audit.
+   */
+  def ivfAdcRecallStats(s: SparkSession, d: String, m: Int = 4, k: Int = 4,
+      iters: Int = 2, topk: Int = 5, stride: Long = 100,
+      nprobe: Int = 4, nplanes: Int = 3): DataFrame = {
+    val emb = embeddings(s, d)
+    val approx = ivfAdcTopKOf(emb, m, k, iters, topk, stride, nprobe, nplanes)
+      .select(col("query_id"), col("neighbor_id"))
+    val live = emb.filter(col("embedding").isNotNull)
+    val queries = live.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exact = live
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", round(squaredL2Native(col("q_emb"), col("c_emb")), 12))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopK.topK(topk)(
+        -col("d2"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    approx.select(col("query_id")).distinct()
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("h"), lit(0L)).as("n_hits"),

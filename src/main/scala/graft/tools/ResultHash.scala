@@ -69,7 +69,19 @@ object ResultHash {
     "q156_moore_lewis",
     "q158_containment_pairs",
     "q159_soft_dedup",
-    "q160_longest_shared_span")
+    "q160_longest_shared_span",
+    // round-16 tier: every remaining >1 s driver query gets a 10× value
+    // pin. q126/q162 DuckDB-validated on target/soak_sf1 (2 ok, 0 bad —
+    // round-16 log); q106/q107/q144/q145 are Spark-invariant pins: their
+    // oracles' exact ground-truth CTEs are O(n²) cross joins over 20k
+    // vectors that do not terminate at sf1 (the q74/q127 class)
+    "q106_pq_adc_topk",
+    "q107_pq_recall",
+    "q126_cms_heavy_hitters",
+    "q144_knn_graph",
+    "q145_knn_cluster_purity",
+    "q157_domain_reweight",
+    "q162_neyman_sample")
 }
 
 /** One-time pin generator: prints `name -> hash` for the sf1 pin set

@@ -35,7 +35,14 @@ class PlanGateSpec extends AnyFunSuite with SparkSuite {
     "q143_bitext_routing_recall" -> 6, "q147_source_drift_chi2" -> 2,
     "q156_moore_lewis" -> 3, "q157_domain_reweight" -> 1,
     // the 1-row decimal weight total broadcast into the allocation
-    "q162_neyman_sample" -> 1)
+    "q162_neyman_sample" -> 1,
+    // the stride-bounded broadcast bench set scored against the corpus
+    // scan (the q36/q120 keyless-broadcast shape)
+    "q164_semantic_contamination" -> 1,
+    // the 2^nplanes-row centroid table broadcast into query routing
+    // (q37's shape); q166 adds the exact side's broadcast query set and
+    // ground-truth pass (the q107/q110 precedent)
+    "q165_ivf_adc_topk" -> 1, "q166_ivf_adc_recall" -> 3)
 
   test("no query plans a CartesianProduct; BNLJ only at audited 1-row-broadcast sites") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

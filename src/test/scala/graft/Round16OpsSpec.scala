@@ -96,4 +96,81 @@ class Round16OpsSpec extends AnyFunSuite with SparkSuite {
     assert(capped == uncapped, "dfCap must not touch honest-corpus output")
     assert(capped.nonEmpty, "the sf0.001 fixture has containment pairs")
   }
+
+  /** Cluster {1,2,3} straddles two sources; copy i is valued 0.5^(i-1)
+    * by cluster-global doc_id rank. web holds copies 1+2 (1.0+0.5), lab
+    * copy 3 (0.25) plus a singleton (1.0) — every output cell is the
+    * closed form. */
+  test("q163: decay-valued effective data prices the i-th copy at 0.5^(i-1)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web", 100L), (2L, "web", 50L),
+      (3L, "lab", 80L), (4L, "lab", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val out = graft.analytics.Dedup.effectiveDataOf(docs, clusters)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val web = out("web"); val lab = out("lab")
+    assert(web.getAs[Long]("n_docs") == 2 && web.getAs[Long]("n_repeat_docs") == 1)
+    assert(web.getAs[Long]("eff_docs_hard") == 1)
+    assert(math.abs(web.getAs[Double]("eff_docs_decay") - 1.5) < 1e-9)
+    assert(math.abs(web.getAs[Double]("eff_chars_decay") - (100.0 + 25.0)) < 1e-9)
+    assert(math.abs(web.getAs[Double]("repeat_value_share") - 0.333333) < 1e-6)
+    assert(lab.getAs[Long]("eff_docs_hard") == 1, s"only the singleton is a keeper: $lab")
+    assert(math.abs(lab.getAs[Double]("eff_docs_decay") - 1.25) < 1e-9)
+    assert(math.abs(lab.getAs[Double]("eff_chars_decay") - (20.0 + 10.0)) < 1e-9)
+    assert(math.abs(lab.getAs[Double]("repeat_value_share") - 0.2) < 1e-9)
+  }
+
+  /** Bench item 0 is planted verbatim in the corpus (top-1 cosine 1.0 ->
+    * contaminated); bench 20 is orthogonal to every corpus vector
+    * (top-1 0.0 below threshold); bench 40 has a NULL embedding and
+    * must surface as unscored, never as a cosine-0 match. */
+  test("q164: semantic contamination flags the planted paraphrase-space leak only") {
+    import spark.implicits._
+    val dir = tempDir("graft_semcon").toString
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    Seq(
+      (0L, Some(v(1, 0, 0, 0)), Some(7L)),   // bench: planted leak
+      (20L, Some(v(0, 0, 0, 1)), Some(7L)),  // bench: clean
+      (40L, Option.empty[Array[Float]], Some(7L)), // bench: unscorable
+      (1L, Some(v(1, 0, 0, 0)), Some(7L)),   // corpus: the leak source
+      (2L, Some(v(0, 1, 0, 0)), Some(7L)),
+      (3L, Some(v(0, 0, 1, 0)), Some(7L)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.analytics.Similarity.semanticContamination(spark, dir)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_bench") == 3 && r.getAs[Long]("n_scored") == 2,
+      s"NULL-embedding bench row is unscored: $r")
+    assert(r.getAs[Long]("n_contaminated") == 1, s"only the planted leak: $r")
+    assert(r.getAs[Double]("max_top_cos") == 1.0, s"verbatim leak scores 1.0: $r")
+  }
+
+  /** Exactness envelope of the composed path: probing EVERY cell turns
+    * IVF-ADC into plain ADC — outputs must match bit-for-bit (the PqSpec
+    * m=1/k=n discipline applied to the routing half). The recall audit
+    * stays in [0,1] and covers every ADC query. */
+  test("q165/q166: probing all cells recovers plain ADC; recall audit is total and bounded") {
+    import graft.analytics.{Similarity, Tables}
+    val d = "/root/testdata/sf0.001"
+    val allCells = Similarity.ivfAdcTopKOf(Tables.embeddings(spark, d),
+      m = 4, k = 4, iters = 2, topk = 5, stride = 100,
+      nprobe = 8, nplanes = 3).collect().map(_.toString).sorted.toSeq
+    org.apache.spark.sql.GraftBridge.releaseTransientPins()
+    val plain = Similarity.pqAdcTopK(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    org.apache.spark.sql.GraftBridge.releaseTransientPins()
+    assert(allCells == plain,
+      "nprobe = 2^nplanes must collapse the routing to a no-op")
+    val rec = Similarity.ivfAdcRecallStats(spark, d).collect()
+    org.apache.spark.sql.GraftBridge.releaseTransientPins()
+    assert(rec.nonEmpty)
+    assert(rec.forall { r =>
+      val x = r.getAs[Double]("recall"); x >= 0.0 && x <= 1.0
+    }, s"recall must be a fraction: ${rec.toSeq}")
+  }
 }
