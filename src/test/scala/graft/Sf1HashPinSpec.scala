@@ -51,7 +51,20 @@ class Sf1HashPinSpec extends AnyFunSuite with SparkSuite {
     "q158_containment_pairs" -> "a96facba0385b9397a5d1959a021f52043428dd94932480c12278bb0347d278a",
     "q159_soft_dedup" -> "121d05c2df90809eb08cbbea17a1ad202c3a4264526fd3021a2fc760872e210f",
     // q160 DuckDB-validated on target/soak_sf1 (2460 pairs, 1 ok 0 bad)
-    "q160_longest_shared_span" -> "855c48f94cea67f77d8f9399da507f10543bb5150ae0a07c9f22af51baea3792")
+    "q160_longest_shared_span" -> "855c48f94cea67f77d8f9399da507f10543bb5150ae0a07c9f22af51baea3792",
+    // round-16 tier (every remaining >1 s driver query): q126/q157/q162
+    // DuckDB-validated on target/soak_sf1 (3 ok, 0 bad — round-16 log);
+    // q106/q107/q144/q145 Spark-invariant — their oracles' exact
+    // ground-truth CTEs are O(n²) cross joins over 20k vectors that do
+    // not terminate at sf1 (the q74/q127 class; their sf0.01 parity +
+    // the PqSpec/Round16 exactness envelopes cover the initial value)
+    "q106_pq_adc_topk" -> "5db7ba959433d0fff4efae1a26719a5e6e5e59594fede6968f86f87eccdf9301",
+    "q107_pq_recall" -> "d056df101c12d7a64e3480e66ff65932e74fe998dae7607d529d2ea70308dde2",
+    "q126_cms_heavy_hitters" -> "9de58acf0754d139a28546e0f66e157a3c1ec479a6c8ab7aa2f250bc69423c1a",
+    "q144_knn_graph" -> "861d5bc5d39a906c4ff309974b8728d548bde688a72c8438c7a76cc6a3ad3ddd",
+    "q145_knn_cluster_purity" -> "d81395ce6c633ebc53fb715c4cad7f547909412bedcf5c75d596a75bcb3564bb",
+    "q157_domain_reweight" -> "78aab01fa164e05a60884d621208bbcfe9ccd87e48c988fa61961f12e2185f2b",
+    "q162_neyman_sample" -> "ecfdd0c02c1116e86d6f6e9e646496c1471d4d90c12b57a03860bfb3d6ab7d6a")
 
   test("sf1 result hashes match the pinned Spark<->DuckDB agreed values") {
     SoakFixtures.ensureSf1(spark)
