@@ -1310,22 +1310,37 @@ object StreamingCorpus {
       repPath, forestPath, batchId, None, maxHamming, nBuckets)
   }
 
+  /** The maintained (doc_id, cluster_id) view of the gate's forest —
+    * empty-typed when no forest exists yet. */
+  private def servedClustersView(spark: SparkSession,
+      forestPath: String): org.apache.spark.sql.DataFrame =
+    if (BucketedMerge.hasData(spark, forestPath))
+      clustersFromForest(BucketedMerge.read(spark, forestPath)
+        .select(col("doc_id"), col("root")))
+    else
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
+
   /** The served q159 ledger from the gate's state — column-equal to
     * batch [[graft.analytics.Dedup.softDedupWeights]] over the same
     * delivered corpus. */
   def softDedupLedger(spark: SparkSession, docsPath: String,
-      forestPath: String): org.apache.spark.sql.DataFrame = {
-    val clusters =
-      if (BucketedMerge.hasData(spark, forestPath))
-        clustersFromForest(BucketedMerge.read(spark, forestPath)
-          .select(col("doc_id"), col("root")))
-      else
-        spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
+      forestPath: String): org.apache.spark.sql.DataFrame =
     graft.analytics.Dedup.softDedupWeightsOf(
       BucketedMerge.read(spark, docsPath)
         .select(col("doc_id"), col("source"), col("n_chars")),
-      clusters)
-  }
+      servedClustersView(spark, forestPath))
+
+  /** The served q163 effective-data audit from the SAME gate state —
+    * q163 is the same pure-function family as q159 (docs state ×
+    * cluster components; the decay rank is deterministic within a
+    * component), so the one soft-dedup gate serves both ledgers and
+    * both are ≡ batch under any replay. */
+  def effectiveDataLedger(spark: SparkSession, docsPath: String,
+      forestPath: String): org.apache.spark.sql.DataFrame =
+    graft.analytics.Dedup.effectiveDataOf(
+      BucketedMerge.read(spark, docsPath)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      servedClustersView(spark, forestPath))
 
   /**
    * Online admission gate — the streaming counterpart of batch q151

@@ -1633,6 +1633,18 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       assert(s == b,
         s"$tag: streamed soft-dedup ledger diverges from batch q159 " +
           s"(streamed=$s batch=$b)")
+      // the same gate state serves the q163 decay audit
+      val se = StreamingCorpus.effectiveDataLedger(spark, docsPath, forestPath)
+        .collect().map(_.toString).sorted.toSeq
+      val be = graft.analytics.Dedup.effectiveDataOf(
+        delivered.select(col("doc_id"), col("source"), col("n_chars")),
+        graft.analytics.Dedup.duplicateClusters(
+          graft.analytics.Dedup.simhashDupGraphOf(
+            delivered.select(col("doc_id"), col("text")))))
+        .collect().map(_.toString).sorted.toSeq
+      assert(se == be,
+        s"$tag: streamed effective-data ledger diverges from batch q163 " +
+          s"(streamed=$se batch=$be)")
     }
     land(dfOf(w1), landing, "wave1"); drain(); assertEqBatch(w1, "wave1")
     land(dfOf(w2), landing, "wave2"); drain(); assertEqBatch(w1 ++ w2, "wave2")
