@@ -245,6 +245,9 @@ object SparkEntry {
     // composed IVF routing + ADC scoring — the production FAISS recipe
     "q165_ivf_adc_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfAdcTopK(s, d)),
+    // q85 contamination flags crossed with the q64 split (release audit)
+    "q167_contaminated_split" -> ((s: SparkSession, d: String) =>
+      TextStats.contaminatedSplitAudit(s, d)),
     // per-query recall of the composed IVF-ADC path vs exact L2 truth
     "q166_ivf_adc_recall" -> ((s: SparkSession, d: String) =>
       Similarity.ivfAdcRecallStats(s, d)),
@@ -1786,6 +1789,39 @@ object SparkEntry {
           |SELECT doc_id, n_grams, n_hit,
           | round(CAST(n_hit AS DOUBLE) / n_grams, 6) AS hit_ratio
           |FROM x WHERE round(CAST(n_hit AS DOUBLE) / n_grams, 6) >= 0.5""".stripMargin),
+    // q167: q85's bench/flag CTEs verbatim + q64's split CASE, rolled up
+    // per split (the release-leakage table)
+    "q167_contaminated_split" ->
+      (allGramCte(8) +
+        s""",
+          |bench AS (SELECT DISTINCT h FROM fp WHERE doc_id % 97 = 0 AND doc_id < 97000),
+          |x AS (
+          | SELECT f.doc_id, count(*) AS n_grams,
+          |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          | FROM fp f LEFT JOIN bench b ON f.h = b.h
+          | WHERE f.doc_id % 97 <> 0
+          | GROUP BY f.doc_id),
+          |fl AS (SELECT doc_id FROM x
+          | WHERE round(CAST(n_hit AS DOUBLE) / n_grams, 6) >= 0.5),
+          |dd AS (
+          | SELECT doc_id,
+          |  CASE
+          |   WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 80 THEN 'train'
+          |   WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 90 THEN 'val'
+          |   ELSE 'test' END AS split,
+          |  CAST(len($tokens) AS INTEGER) AS n_tokens
+          | FROM documents WHERE doc_id % 97 <> 0),
+          |j AS (
+          | SELECT dd.split, dd.n_tokens,
+          |  CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS flag
+          | FROM dd LEFT JOIN fl USING (doc_id))
+          |SELECT split, count(*) AS n_docs,
+          | CAST(sum(flag) AS BIGINT) AS n_contaminated,
+          | CAST(coalesce(sum(CASE WHEN flag = 1 THEN n_tokens END), 0)
+          |   AS BIGINT) AS contaminated_tokens,
+          | round(CAST(sum(flag) AS DOUBLE) / count(*), 6)
+          |   AS contamination_rate
+          |FROM j GROUP BY split""".stripMargin),
     // the whole assembly replayed: cluster losers (q81's recursive CTE) →
     // exact-dedup window among the remainder → quality band → chunk
     // generation (q80 shape) → q64's split label → per-split accounting

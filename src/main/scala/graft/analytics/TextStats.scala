@@ -564,6 +564,42 @@ object TextStats {
   }
 
   /**
+   * q167: contamination-aware split audit — the release table of the C4
+   * documentation audit (Dodge et al. 2021) crossed with the engine's
+   * own split assignment: q85's exact benchmark-overlap flags joined
+   * onto q64's deterministic train/val/test label, per split. The two
+   * numbers a release gate reads: contaminated docs landing in TEST are
+   * direct evaluation leakage; contaminated docs landing in TRAIN are
+   * memorization risk — and because both the flag and the split are
+   * pure deterministic functions of content/id, the table is
+   * reproducible on both engines bit-for-bit.
+   *
+   * 100 TB shape: q85's machinery unchanged (eval-capped broadcast gram
+   * set, corpus grams never shuffle before the per-doc rollup); the
+   * flagged-doc set joins the narrow (doc_id, split, n_tokens) stream
+   * on doc_id; the output is 3 rows.
+   */
+  def contaminatedSplitAudit(s: SparkSession, d: String, k: Int = 8,
+      benchStride: Long = 97, maxBench: Long = 1000,
+      flagThreshold: Double = 0.5): DataFrame = {
+    val flagged = ngramContamination(s, d, k, benchStride, maxBench,
+      flagThreshold).select(col("doc_id"), lit(1).as("flag"))
+    documents(s, d)
+      .filter(col("doc_id") % benchStride =!= 0)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("split", Sampling.splitName(col("doc_id")))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("flag")), lit(0)).cast("long").as("n_contaminated"),
+        coalesce(sum(when(col("flag") === 1, col("n_tokens"))), lit(0))
+          .cast("long").as("contaminated_tokens"))
+      .withColumn("contamination_rate",
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6))
+  }
+
+  /**
    * q138: Bloom-prefiltered decontamination rollup — per-source counts of
    * documents whose k-gram overlap with the benchmark set reaches
    * `flagThreshold` (the removal verdict a decontamination pass acts on;

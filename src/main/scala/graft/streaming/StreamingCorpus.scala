@@ -1239,6 +1239,114 @@ object StreamingCorpus {
       rounds, eta)
 
   /**
+   * Online semantic-contamination gate — the streaming counterpart of
+   * q164: the benchmark set is FROZEN from the corpus snapshot
+   * ([[buildSemanticBench]] — the q123/q156 frozen-model discipline),
+   * and each batch scores its non-bench arrivals against the broadcast
+   * bench, merging ONE row per bench item keyed by bench_id with the
+   * running-max cosine (seqCol = the raw cosine: max is associative,
+   * commutative and idempotent, so the state is arrival-order,
+   * re-delivery and crash-replay independent BY ALGEBRA — no batchId
+   * bookkeeping exists at all, the q135 distinct-sketch discipline for
+   * a max instead of a set union). The served ledger
+   * ([[semanticContaminationLedger]]) left-joins the frozen bench onto
+   * the state and rebuilds q164's per-label table — column-equal to
+   * batch under any replay; asserted in StreamingCorpusSpec.
+   *
+   * 100 TB posture: the bench is stride-bounded and broadcast; per
+   * batch one map-side scoring pass and a ≤ |bench| row merge; state
+   * is ≤ |bench| rows forever.
+   */
+  def startSemanticContaminationGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      bench: org.apache.spark.sql.DataFrame,
+      statePath: String,
+      checkpointDir: String,
+      stride: Long = graft.analytics.Similarity.SemanticBenchStride,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        semanticContaminationStep(spark, batch, bench, statePath, stride,
+          nBuckets)
+      }
+      .start()
+  }
+
+  /** The frozen bench bundle for [[startSemanticContaminationGate]]:
+    * (bench_id, label, b_emb) rows by the q137/q164 stride convention. */
+  def buildSemanticBench(corpus: org.apache.spark.sql.DataFrame,
+      stride: Long = graft.analytics.Similarity.SemanticBenchStride)
+      : org.apache.spark.sql.DataFrame =
+    corpus.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("bench_id"), col("label"),
+        col("embedding").as("b_emb"))
+
+  /** One batch step of [[startSemanticContaminationGate]] — factored out
+    * so the spec can replay a crashed attempt directly. */
+  def semanticContaminationStep(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
+      statePath: String,
+      stride: Long = graft.analytics.Similarity.SemanticBenchStride,
+      nBuckets: Int = 32): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
+    val arrivals = batch.select(col("vec_id"), col("embedding"))
+      .dropDuplicates(Seq("vec_id"))
+      .filter(pmod(col("vec_id"), lit(stride)) =!= 0 &&
+        col("embedding").isNotNull)
+    val scored = arrivals
+      .join(broadcast(bench.filter(col("b_emb").isNotNull)
+        .select(col("bench_id"), col("b_emb"))))
+      .withColumn("cosine",
+        graft.analytics.Similarity.cosineNative(col("b_emb"), col("embedding")))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("bench_id"))
+      .agg(max(col("cosine")).as("top_raw"))
+    BucketedMerge.mergeInto(spark, statePath, scored,
+      Seq("bench_id"), nBuckets, seqCol = Some("top_raw"))
+  }
+
+  /** The served q164 table from the gate's running-max state —
+    * column-equal to batch
+    * [[graft.analytics.Similarity.semanticContamination]] when the bench
+    * was frozen from the corpus the stream delivered. */
+  def semanticContaminationLedger(
+      spark: SparkSession,
+      bench: org.apache.spark.sql.DataFrame,
+      statePath: String,
+      threshold: Double =
+        graft.analytics.Similarity.SemanticContaminationThreshold)
+      : org.apache.spark.sql.DataFrame = {
+    val state =
+      if (BucketedMerge.hasData(spark, statePath))
+        BucketedMerge.read(spark, statePath)
+          .select(col("bench_id"), round(col("top_raw"), 6).as("top_cos"))
+      else
+        spark.range(0).select(col("id").as("bench_id"),
+          col("id").cast("double").as("top_cos"))
+    bench.select(col("bench_id"), col("label"))
+      .join(state, Seq("bench_id"), "left")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_bench"),
+        count(col("top_cos")).as("n_scored"),
+        sum(when(col("top_cos") >= threshold, 1).otherwise(0)).cast("long")
+          .as("n_contaminated"),
+        when(count(col("top_cos")) > 0,
+          round(sum(col("top_cos").cast("decimal(18,6)")).cast("double") /
+            count(col("top_cos")), 6)).as("avg_top_cos"),
+        max(col("top_cos")).as("max_top_cos"))
+  }
+
+  /**
    * Online soft-dedup reweighting gate — the streaming counterpart of
    * q159: per batch, (1) the incremental cluster forest absorbs the
    * arrivals ([[maintainClusterForest]] — the q74 gate's state machine,

@@ -1659,4 +1659,38 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     assert(f(10L) == 2L && f(11L) == 2L && f(12L) == 2L,
       "late lower id must displace the exact group root")
   }
+
+  test("semantic-contamination gate: served table equals batch q164 under out-of-order arrival, re-delivery and crash window") {
+    import graft.analytics.{Similarity, Tables}
+    import org.apache.spark.sql.functions._
+    val root = TempDirs.tempDir("graft_ssemcon").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val statePath = s"$root/wh/semcon_state"
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding", "label").cache()
+    val bench = StreamingCorpus.buildSemanticBench(emb).cache()
+    bench.count()
+    val w1 = emb.filter(col("vec_id") % 2 === 0)
+    val w2 = emb.filter(col("vec_id") % 2 =!= 0)
+      .unionByName(w1.orderBy(col("vec_id")).limit(4)) // re-delivery rides wave 2
+    def drain(): Unit = {
+      val q = StreamingCorpus.startSemanticContaminationGate(spark,
+        landing.getAbsolutePath, emb.schema, bench, statePath,
+        s"$root/chk", nBuckets = 8)
+      q.awaitTermination()
+    }
+    land(w2, landing, "wave2"); drain() // later ids land first
+    land(w1, landing, "wave1"); drain()
+    // crash window: replay wave 2 directly against the merged state —
+    // the running max must not move
+    StreamingCorpus.semanticContaminationStep(spark, w2, bench, statePath,
+      nBuckets = 8)
+    val streamed = StreamingCorpus.semanticContaminationLedger(spark, bench,
+      statePath)
+    val batch = Similarity.semanticContamination(spark, d)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed semantic-contamination table diverges from batch q164")
+    bench.unpersist(); emb.unpersist()
+  }
 }
