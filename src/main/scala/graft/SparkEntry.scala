@@ -248,6 +248,9 @@ object SparkEntry {
     // q85 contamination flags crossed with the q64 split (release audit)
     "q167_contaminated_split" -> ((s: SparkSession, d: String) =>
       TextStats.contaminatedSplitAudit(s, d)),
+    // winnow-vs-exhaustive recall per overlap band (sampling honesty)
+    "q168_winnow_recall" -> ((s: SparkSession, d: String) =>
+      TextStats.winnowRecallStats(s, d)),
     // per-query recall of the composed IVF-ADC path vs exact L2 truth
     "q166_ivf_adc_recall" -> ((s: SparkSession, d: String) =>
       Similarity.ivfAdcRecallStats(s, d)),
@@ -1593,6 +1596,39 @@ object SparkEntry {
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
           |FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
           |GROUP BY doc_a, doc_b HAVING count(*) >= 2""".stripMargin),
+    // q168: the q79 winnow pairs + the exhaustive shared-6-gram ground
+    // truth (the theorem's w+k-1 granularity) banded by overlap
+    "q168_winnow_recall" ->
+      (winnowFpCte +
+        """,
+          |fpk AS (SELECT doc_id, fp FROM fp
+          |  QUALIFY count(*) OVER (PARTITION BY fp) <= 128),
+          |wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          | FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          | GROUP BY 1, 2 HAVING count(*) >= 2),
+          |g6 AS (SELECT doc_id, list_transform(range(0, greatest(len(w)-6,0)+1),
+          |  i -> array_to_string(w[CAST(i+1 AS INT):CAST(i+6 AS INT)], ' ')) AS grams
+          | FROM ws),
+          |f6 AS (SELECT DISTINCT doc_id,
+          |  CAST(('0x' || substring(md5(g2), 1, 15)) AS BIGINT) AS h
+          | FROM (SELECT doc_id, unnest(grams) AS g2 FROM g6) t
+          | WHERE g2 IS NOT NULL),
+          |f6k AS (SELECT doc_id, h FROM f6
+          |  QUALIFY count(*) OVER (PARTITION BY h) <= 128),
+          |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  count(*) AS n_shared
+          | FROM f6k a JOIN f6k b ON a.h = b.h AND a.doc_id < b.doc_id
+          | GROUP BY 1, 2 HAVING count(*) >= 1),
+          |jj AS (SELECT tp.n_shared,
+          |  CASE WHEN wp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+          | FROM tp LEFT JOIN wp
+          |   ON tp.doc_a = wp.doc_a AND tp.doc_b = wp.doc_b)
+          |SELECT CASE WHEN n_shared >= 5 THEN '5+'
+          |  WHEN n_shared >= 2 THEN '2-4' ELSE '1' END AS band,
+          | count(*) AS n_true_pairs,
+          | CAST(sum(hit) AS BIGINT) AS n_caught,
+          | round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+          |FROM jj GROUP BY 1""".stripMargin),
     // chunk boundaries/hashes are pure integer+md5 arithmetic; slices clamp
     // identically (Spark slice length vs DuckDB [a:b] both truncate at end)
     "q80_chunking" ->

@@ -350,6 +350,44 @@ object TextStats {
   }
 
   /**
+   * q168: winnowing recall audit — the approximation-honesty discipline
+   * (q107/q110/q111/q122/q166) applied to the fingerprint family.
+   * Winnowing's theorem (Schleimer/Wilkerson/Aiken) guarantees any
+   * shared run of ≥ w+k−1 words contributes ≥1 shared fingerprint; the
+   * PRACTICAL operating point (the q79 pair gate: ≥ minShared shared
+   * fingerprints, selection-frequency df cap) trades some of that
+   * recall for candidate volume. This audit prices the trade: the
+   * exhaustive shared-(w+k−1)-gram pairs (q84's machinery at the
+   * theorem's granularity, ≥1 shared gram) are the ground truth, and
+   * each overlap band reports how many the winnow gate catches —
+   * low-overlap pairs (1 shared gram ≈ one short shared run) are
+   * exactly where sampling loses evidence, and the table shows it
+   * instead of asserting it.
+   *
+   * 100 TB posture: both sides are the already-audited linear
+   * shuffle-equi-join shapes (uniform 60-bit keys, df-capped hot keys,
+   * map-side pair counts); the audit join is pair-keyed on the TRUE
+   * pair set, which the ground truth already bounds.
+   */
+  def winnowRecallStats(s: SparkSession, d: String, k: Int = 3, w: Int = 4,
+      minShared: Int = 2, dfCap: Int = 128): DataFrame = {
+    val truth = sharedGramPairsOf(documents(s, d), k + w - 1, 1, dfCap)
+    val caught = winnowPairs(s, d, k, w, minShared, dfCap)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+    truth.join(caught, Seq("doc_a", "doc_b"), "left")
+      .withColumn("band",
+        when(col("n_shared") >= 5, "5+")
+          .when(col("n_shared") >= 2, "2-4")
+          .otherwise("1"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_caught"))
+      .withColumn("recall",
+        round(col("n_caught").cast("double") / col("n_true_pairs"), 6))
+  }
+
+  /**
    * Hot-key guard for the pair self-joins: drop join keys whose document
    * frequency exceeds `dfCap` BEFORE the join. A boilerplate gram ("click
    * here to accept the terms of …") present in d documents would emit
