@@ -251,6 +251,9 @@ object SparkEntry {
     // winnow-vs-exhaustive recall per overlap band (sampling honesty)
     "q168_winnow_recall" -> ((s: SparkSession, d: String) =>
       TextStats.winnowRecallStats(s, d)),
+    // transitive-chaining overreach of the q74 components, per size band
+    "q169_cluster_chain_audit" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterChainAudit(s, d)),
     // per-query recall of the composed IVF-ADC path vs exact L2 truth
     "q166_ivf_adc_recall" -> ((s: SparkSession, d: String) =>
       Similarity.ivfAdcRecallStats(s, d)),
@@ -2496,6 +2499,44 @@ object SparkEntry {
         |JOIN szs sb ON sb.doc_id = i.doc_b
         |WHERE i.n_common * 100
         |  >= least(sa.sz, sb.sz) * ${analytics.Dedup.ContainmentPct}""".stripMargin,
+    // q169: the q74 recursive-component CTE + within-cluster pairwise
+    // re-test against the shared q35/q74 direct predicate
+    "q169_cluster_chain_audit" ->
+      (dupClustersCte +
+        s""",
+          |mm AS (
+          | SELECT c.doc_id, c.cluster_id, f.simhash, md5(d.text) AS th
+          | FROM clusters c
+          | JOIN fp f ON f.doc_id = c.doc_id
+          | JOIN documents d ON d.doc_id = c.doc_id),
+          |cs AS (SELECT cluster_id, count(*) AS csize FROM mm GROUP BY 1),
+          |m2 AS (SELECT mm.*, cs.csize FROM mm JOIN cs USING (cluster_id)
+          | WHERE cs.csize BETWEEN 2 AND 64),
+          |ppx AS (
+          | SELECT a.cluster_id, a.csize,
+          |  CASE WHEN (a.th IS NOT NULL AND a.th = b.th)
+          |   OR ((((a.simhash >> 0) & 32767) = ((b.simhash >> 0) & 32767)
+          |     OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
+          |     OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+          |     OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))
+          |    AND bit_count(xor(a.simhash, b.simhash)) <= 6)
+          |  THEN 1 ELSE 0 END AS direct
+          | FROM m2 a JOIN m2 b
+          |   ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id),
+          |pc AS (
+          | SELECT cluster_id, csize, count(*) AS tot,
+          |  CAST(sum(direct) AS BIGINT) AS dir,
+          |  round(CAST(sum(direct) AS DOUBLE) / count(*), 6) AS density
+          | FROM ppx GROUP BY 1, 2)
+          |SELECT CASE WHEN csize >= 5 THEN '5+'
+          |  WHEN csize >= 3 THEN '3-4' ELSE '2' END AS band,
+          | count(*) AS n_clusters,
+          | CAST(sum(CASE WHEN density < 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |   AS n_chained,
+          | round(CAST(sum(CAST(density AS DECIMAL(18,6))) AS DOUBLE)
+          |   / count(*), 6) AS avg_density,
+          | min(density) AS min_density
+          |FROM pc GROUP BY 1""".stripMargin),
     // q159: the q74 recursive-component CTE + the suite's decimal
     // quantization for the 1/cluster-size weighted sums
     "q159_soft_dedup" ->

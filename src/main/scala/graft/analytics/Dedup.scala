@@ -1136,6 +1136,65 @@ object Dedup {
           col("eff_docs_decay"), 6))
   }
 
+  /**
+   * q169: duplicate-cluster chaining audit — connected components are
+   * the standard dedup clustering (q74), and their documented overreach
+   * is TRANSITIVE CHAINING: A≈B and B≈C force {A,B,C} into one cluster
+   * even when A and C share nothing (the agglomerative-dedup caveat in
+   * every suffix-array/MinHash dedup writeup). This audit prices that
+   * overreach per cluster-size band: within each cluster (size-capped —
+   * per-cluster pairwise work is the declared cost, bounded by
+   * sizeCap²), every member pair is re-tested against the DIRECT
+   * near-dup predicate (exact h128 equality OR the q35/q74 band-share +
+   * Hamming gate), density = direct pairs / all pairs, and a cluster
+   * with density < 1 is chained — it contains member pairs no direct
+   * evidence connects. High chained fractions in a band say q81's
+   * hard-delete is erasing non-duplicate documents there, and q159's
+   * soft weights are the safer policy.
+   *
+   * 100 TB shape: rides the session-shared contraction fixpoint and the
+   * narrow fingerprint table; the pairwise stage is per-cluster-bounded
+   * (≤ sizeCap² rows per cluster, clusters over sizeCap are excluded
+   * from the pairwise pass by construction); the rollup is 3 rows.
+   */
+  def clusterChainAudit(s: SparkSession, d: String, sizeCap: Int = 64,
+      maxHamming: Int = 6): DataFrame = {
+    val meta = simhashMetaOf(documents(s, d).select(col("doc_id"), col("text")))
+    val mm = simhashClusters(s, d).join(meta, Seq("doc_id"))
+    val cs = mm.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    val m2 = mm.join(cs, "cluster_id").filter(col("csize").between(2, sizeCap))
+    val a = m2.select(col("cluster_id"), col("csize"),
+      col("doc_id").as("ida"), col("h128").as("ha"), col("simhash").as("sa"))
+    val b = m2.select(col("cluster_id"), col("doc_id").as("idb"),
+      col("h128").as("hb"), col("simhash").as("sb"))
+    def bandOf(k: Int, c: Column) =
+      shiftright(c, k * SimhashBandBits).bitwiseAND(SimhashBandMask)
+    val shareBand = (0 until SimhashBands)
+      .map(k => bandOf(k, col("sa")) === bandOf(k, col("sb")))
+      .reduce(_ || _)
+    val pp = a.join(b, Seq("cluster_id"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("direct",
+        when((col("ha").isNotNull && col("ha") === col("hb")) ||
+          (shareBand &&
+            bit_count(col("sa").bitwiseXOR(col("sb"))) <= maxHamming), 1)
+          .otherwise(0))
+    val pc = pp.groupBy(col("cluster_id"), col("csize"))
+      .agg(count(lit(1)).as("tot"), sum(col("direct")).as("dir"))
+      .withColumn("density", round(col("dir").cast("double") / col("tot"), 6))
+    pc.withColumn("band",
+        when(col("csize") >= 5, "5+")
+          .when(col("csize") >= 3, "3-4").otherwise("2"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("density") < 1, 1).otherwise(0)).cast("long")
+          .as("n_chained"),
+        round(sum(col("density").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_density"),
+        min(col("density")).as("min_density"))
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** SimHash geometry: 60-bit fingerprints in 4 bands of 15 bits. */
