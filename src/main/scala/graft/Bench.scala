@@ -18,6 +18,31 @@ import org.apache.spark.sql.SparkSession
  * so the artifact self-documents jitter: a large spread on an unchanged
  * query is host noise, not a regression.
  *
+ * Passes run SWEEP-MAJOR (round 17): pass 1 of every query, then pass 2 of
+ * every query, then pass 3 — not three back-to-back passes per query. The
+ * r14/r16 driver windows both showed the SAME consecutive sorted-order
+ * trio (q71/q72/q73) inflated 2–7× over committed minima while the rest of
+ * the battery read clean: with query-major passes, one host stall of ~30 s
+ * covers ALL N back-to-back passes of whichever consecutive cluster it
+ * lands on, and min-of-N records the stall as if it were the plan.
+ * Sweep-major spaces a query's passes one full battery apart (~35 s each
+ * at sf0.1), so a stall must persist across two full sweeps (~70 s+) to
+ * poison a min — and if it does, the per-sweep totals and per-query GC
+ * deltas emitted in the JSON tail attribute it. Codegen cache is raised
+ * from the 100-entry default so sweeps 2..N reuse sweep 1's generated
+ * classes instead of recompiling the whole battery each sweep.
+ * SPARK_GRAFT_BENCH_ORDER=query restores the legacy ordering for A/B
+ * attribution.
+ *
+ * Attribution instrumentation (round 17, for the driver's independent
+ * window): the tail summary carries, aligned with `top20`'s key order,
+ * `top20_spread` (max−min per query), `top20_gc_ms` (JVM GC-time delta
+ * during the query's SLOWEST pass — a large value means heap pressure,
+ * ~0 means the wall went elsewhere: host stall), and `top20_at` (battery
+ * wall-clock offset of that slowest pass — inflated queries sharing one
+ * wall window is the stall signature), plus per-sweep totals and GC
+ * totals and the peak measured heap.
+ *
  * Bench TRUST mode (always on; disable with SPARK_GRAFT_BENCH_FIXPOINTS=0):
  * the two session-shared materialized tables — the simhash contraction
  * fixpoint ([[graft.analytics.Dedup.sharedClusterEdges]], ridden by
@@ -50,6 +75,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: a full 169-query sweep generates far
+      // more classes than that, and sweep-major passes would recompile
+      // the whole battery every sweep without this
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var anyFailed = false
@@ -140,6 +169,11 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () }
       if (releasePins) org.apache.spark.sql.GraftBridge.releaseTransientPins()
     }
+    def gcMsNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     var lastGcMs = 0L
     def storageReport(tag: String): Unit = if (debug) {
       val rdds = spark.sparkContext.getPersistentRDDs
@@ -148,32 +182,66 @@ object Bench {
       // GC time delta since the previous report: a battery-position
       // slowdown with flat storage but a GC spike here is heap-pressure
       // attribution, not block accumulation
-      import scala.jdk.CollectionConverters._
-      val gcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum
+      val gcMs = gcMsNow()
       val heapMb = (java.lang.Runtime.getRuntime.totalMemory() -
         java.lang.Runtime.getRuntime.freeMemory()) / 1e6
       System.err.println(f"[bench] $tag: persistentRdds=${rdds.size} " +
         f"storageUsed=${mem / 1e6}%.0f MB gcDelta=${gcMs - lastGcMs} ms heap=$heapMb%.0f MB")
       lastGcMs = gcMs
     }
-    val results = selected
-      .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            anyFailed = true
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (releasePins) org.apache.spark.sql.GraftBridge.releaseTransientPins()
-        dt
+    // One pass = one fully-materialized noop write, stamped with its
+    // battery wall offset and the JVM GC-time delta it incurred.
+    final case class Pass(t: Double, at: Double, gcMs: Long)
+    val batteryT0 = System.nanoTime()
+    var heapMbMax = 0.0
+    def onePass(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Pass = {
+      val at = (System.nanoTime() - batteryT0) / 1e9
+      val g0 = gcMsNow()
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          anyFailed = true
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      storageReport(name)
-      name -> ((times.min, times.max - times.min))
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (releasePins) org.apache.spark.sql.GraftBridge.releaseTransientPins()
+      heapMbMax = math.max(heapMbMax, (java.lang.Runtime.getRuntime.totalMemory() -
+        java.lang.Runtime.getRuntime.freeMemory()) / 1e6)
+      Pass(dt, at, gcMsNow() - g0)
     }
+    val sweepMajor = !sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("query")
+    val passesByName: Map[String, Seq[Pass]] =
+      if (sweepMajor) {
+        val acc = scala.collection.mutable.Map.empty[String, Vector[Pass]]
+        (1 to runs).foreach { r =>
+          selected.foreach { case (name, fn) =>
+            acc(name) = acc.getOrElse(name, Vector.empty) :+ onePass(name, fn)
+            storageReport(s"$name sweep$r")
+          }
+        }
+        acc.toMap
+      } else {
+        selected.map { case (name, fn) =>
+          val ps = (1 to runs).map(_ => onePass(name, fn))
+          storageReport(name)
+          name -> (ps: Seq[Pass])
+        }.toMap
+      }
+    // per-sweep battery totals + GC totals: a host stall shows up as ONE
+    // inflated sweep with flat GC; heap pressure shows up as GC growth
+    val sweepTotals = (0 until runs).map(i =>
+      selected.map { case (n, _) => passesByName(n)(i).t }.sum)
+    val sweepGcMs = (0 until runs).map(i =>
+      selected.map { case (n, _) => passesByName(n)(i).gcMs }.sum)
+    val results = selected.map { case (name, _) =>
+      val ps = passesByName(name)
+      name -> ((ps.map(_.t).min, ps.map(_.t).max - ps.map(_.t).min))
+    }
+    // attribution companions for the slowest pass of each query
+    val slowPass: Map[String, Pass] =
+      selected.map { case (n, _) => n -> passesByName(n).maxBy(_.t) }.toMap
     val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + f"$mn%.3f" }
       .mkString("{", ",", "}")
     val sp = results.map { case (k, (_, d)) => "\"" + k + "\":" + f"$d%.3f" }
@@ -181,7 +249,10 @@ object Bench {
     val total = results.map(_._2._1).sum
     val fx = fixpoints.collect { case (k, Some(t)) => "\"" + k + "\":" + f"$t%.3f" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"fixpoints":$fx,"queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
+    val order = if (sweepMajor) "sweep" else "query"
+    val sweepsJson = sweepTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val sweepsGcJson = sweepGcMs.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"order":"$order","sweep_totals":$sweepsJson,"gc_ms_sweeps":$sweepsGcJson,"heap_mb_max":${heapMbMax.round},"fixpoints":$fx,"queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
     println(line)
     // Self-defense against single-pass driver artifacts: co-locate the
     // min-of-N line (with per-query spread) where the round artifacts live,
@@ -285,10 +356,26 @@ object Bench {
     // summary as the LAST stdout line — total, fixpoints, query count, and
     // the 20 slowest queries — so the tail always ends with parseable
     // JSON. The full map stays above (and untruncated in BENCH_LAST.json).
-    val top20 = results.sortBy(-_._2._1).take(20)
-      .map { case (k, (mn, _)) => "\"" + k + "\":" + f"$mn%.3f" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"fixpoints":$fx,"top20":$top20,"sf":"$sfDir"}""")
+    // The aligned arrays attribute an inflated top-20 entry IN the
+    // artifact: spread ≈ min (all passes slow) + gc ≈ 0 → sustained host
+    // contention; gc large → heap pressure; several inflated queries with
+    // `at` offsets inside one wall window → a single host stall.
+    def tailLine(n: Int): String = {
+      val top = results.sortBy(-_._2._1).take(n)
+      val topQ = top.map { case (k, (mn, _)) => "\"" + k + "\":" + f"$mn%.3f" }
+        .mkString("{", ",", "}")
+      val topSp = top.map { case (_, (_, d)) => f"$d%.3f" }
+        .mkString("[", ",", "]")
+      val topGc = top.map { case (k, _) => slowPass(k).gcMs }
+        .mkString("[", ",", "]")
+      val topAt = top.map { case (k, _) => f"${slowPass(k).at}%.1f" }
+        .mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"order":"$order","n_queries":${results.size},"fixpoints":$fx,"sweep_totals":$sweepsJson,"gc_ms_sweeps":$sweepsGcJson,"heap_mb_max":${heapMbMax.round},"top$n":$topQ,"top${n}_spread":$topSp,"top${n}_gc_ms":$topGc,"top${n}_at":$topAt,"sf":"$sfDir"}"""
+    }
+    // the driver keeps a ~2000-char stdout tail: the last line must fit
+    // complete or the artifact reverts to parsed:null
+    val tl20 = tailLine(20)
+    println(if (tl20.length <= 1900) tl20 else tailLine(12))
     spark.stop()
   }
 }

@@ -83,6 +83,9 @@ object Multimodal {
     Tables.documentsSpread(s, d).select(col("doc_id"), col("n_chars"))
       .as[(Long, Option[Long])] // n_chars NULL for a NULL-text doc
       .mapPartitions { batch =>
+        initDecoder() // ImageIO.write consults the same JVM-global cache
+                      // toggle as read — a direct consumer of this table
+                      // must not re-acquire disk-cached streams
         batch.map {
           case (id, Some(nChars)) =>
             val (w, h) = imageDims(nChars)

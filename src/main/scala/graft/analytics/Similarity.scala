@@ -997,13 +997,6 @@ object Similarity {
     val cents = centroids(celled)
     val queries = celled.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val routed = queries.join(broadcast(cents))
-      .withColumn("c_cos", cosineNative(col("q_emb"), col("centroid")))
-    val probes = routed.withColumn("pr", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("c_cos").desc, col("cell"))))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("cell"))
     // ADC side: q106's pinned code frame + closing codebook + distance
     // table, restricted to the probed cells before any scoring work
     val codes = org.apache.spark.sql.GraftBridge.checkpointNoStats(
@@ -1013,10 +1006,47 @@ object Similarity {
     val codebook = pqCentroids(codes)
     val qsub = codes.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("sub"), col("se"))
+    ivfAdcServeOf(
+      codes.select(col("vec_id"), col("sub"), col("code")),
+      celled.select(col("vec_id"), col("cell")),
+      queries, qsub, codebook, cents, topk, nprobe)
+  }
+
+  /**
+   * The SERVING half of q165, factored over explicit index state — what
+   * a production retriever runs per query batch once the index exists:
+   * route each query to its `nprobe` best cells against the (frozen)
+   * routing centroids, broadcast its m·k ADC distance table, score only
+   * the probed cells' code rows, bounded-heap top-k. Batch
+   * [[ivfAdcTopKOf]] is train + THIS; the streaming composed gate
+   * ([[graft.streaming.StreamingCorpus.startIvfAdcIndex]]) maintains
+   * (codes, cells, queries) incrementally against a frozen
+   * [[IvfAdcIndexModel]] and serves THIS over its state — so gate ≡
+   * batch is equality of inputs, not a parallel re-implementation.
+   *
+   * Inputs: `codes` (vec_id, sub, code) — the PQ-compressed corpus;
+   * `cells` (vec_id, cell) — the IVF assignment; `queries`
+   * (query_id, q_emb) and `qsub` (query_id, sub, se) — the query set's
+   * raw vectors and subvectors (queries stay full-precision in ADC —
+   * only the corpus is compressed); `codebook`/`cents` — the trained
+   * model. A NULL-embedding query row may appear in `queries` (it routes
+   * but has no `qsub` rows) and contributes no output, matching the
+   * trained batch spelling.
+   */
+  def ivfAdcServeOf(codes: DataFrame, cells: DataFrame, queries: DataFrame,
+      qsub: DataFrame, codebook: DataFrame, cents: DataFrame,
+      topk: Int, nprobe: Int): DataFrame = {
+    val routed = queries.join(broadcast(cents))
+      .withColumn("c_cos", cosineNative(col("q_emb"), col("centroid")))
+    val probes = routed.withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("c_cos").desc, col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cell"))
     val dtab = qsub.join(broadcast(codebook), Seq("sub"))
       .select(col("query_id"), col("sub"), col("c_code").as("code"),
         round(squaredL2Native(col("se"), col("centroid")), 12).as("qd"))
-    val cellOf = celled.select(col("vec_id").as("neighbor_id"), col("cell"))
+    val cellOf = cells.select(col("vec_id").as("neighbor_id"), col("cell"))
     val scored = codes
       .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
       .join(cellOf, Seq("neighbor_id"))
@@ -1032,6 +1062,61 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
       .select(col("query_id"), col("s.id").as("neighbor_id"),
         round(-col("s.score"), 6).as("adc_dist"), (col("idx") + 1).as("rn"))
+  }
+
+  /**
+   * The frozen model bundle for the online composed IVF-ADC gate —
+   * everything [[ivfAdcServeOf]] and incremental indexing need, trained
+   * once from a corpus snapshot (the q123/q156/startPqIndex frozen-model
+   * discipline; retraining is a batch event that rebuilds the index).
+   *
+   * `assignCodebook` is the codebook the FINAL [[pqModel]] assignment
+   * scored against (the centroids after iters−1 Lloyd rounds):
+   * [[pqEncode]] against it reproduces a training vector's
+   * training-final code EXACTLY, which is what makes the incrementally
+   * maintained code table equal batch q165's — encoding against the
+   * closing `adcCodebook` would re-assign boundary vectors.
+   * `adcCodebook` is the closing centroid update (what distance tables
+   * are built from, the textbook ADC convention); `cents` the IVF
+   * routing centroids over the snapshot; `dsub`/`dim` the frozen
+   * slicing/plane geometry (a codebook ships with its slicing).
+   */
+  final case class IvfAdcIndexModel(
+      assignCodebook: DataFrame, adcCodebook: DataFrame, cents: DataFrame,
+      m: Int, dsub: Int, nplanes: Int, dim: Int)
+
+  /** Train an [[IvfAdcIndexModel]] from a corpus snapshot. */
+  def ivfAdcFreeze(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
+      nplanes: Int = 3): IvfAdcIndexModel = {
+    val dim = embeddingDim(emb)
+    val celled = emb.withColumn("cell",
+      lshBucketCol(col("embedding"), nplanes, dim))
+    val widthRow = emb.agg(max(size(col("embedding")))).head()
+    val maxDim = if (widthRow.isNullAt(0)) 0 else widthRow.getInt(0)
+    val dsub = math.max((maxDim + m - 1) / m, 1)
+    IvfAdcIndexModel(
+      pqAssignCodebook(emb, m, k, iters, dsub),
+      pqCodebook(emb, m, k, iters),
+      centroids(celled), m, dsub, nplanes, dim)
+  }
+
+  /** The codebook [[pqModel]]'s FINAL assignment pass scored against —
+    * iters−1 Lloyd rounds from the deterministic init, then the centroid
+    * update. Encoding the training corpus against it with [[pqEncode]]
+    * reproduces the training-final codes bit-for-bit (same argmin, same
+    * sentinel tie-break). */
+  private def pqAssignCodebook(emb: DataFrame, m: Int, k: Int, iters: Int,
+      dsub: Int): DataFrame = {
+    val slices = array((0 until m).map(i =>
+      slice(col("embedding"), i * dsub + 1, dsub)): _*)
+    val sv = emb.select(col("vec_id"), posexplode(slices).as(Seq("sub", "se")))
+      .withColumn("sub", col("sub").cast("long"))
+    var assigned = sv.withColumn("code", pmod(col("vec_id"), lit(k.toLong)))
+    (1 until iters).foreach { _ =>
+      assigned = pqAssign(assigned.drop("code"), pqCentroids(assigned))
+        .drop("dist_raw")
+    }
+    pqCentroids(assigned)
   }
 
   /**

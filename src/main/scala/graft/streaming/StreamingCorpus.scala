@@ -244,6 +244,131 @@ object StreamingCorpus {
   }
 
   /**
+   * Online composed IVF-ADC serving gate — the streaming counterpart of
+   * q165, composing the two frozen-model index maintainers this file
+   * already proves out separately ([[startPqIndex]]'s code table;
+   * [[startCellIndex]]'s cell assignment — here by the frozen
+   * hyperplanes, a PURE function of the vector): each arriving embedding
+   * is (1) PQ-encoded against the frozen ASSIGNMENT codebook
+   * ([[graft.analytics.Similarity.IvfAdcIndexModel]] — encoding against
+   * it reproduces training-final codes exactly), (2) cell-assigned by
+   * the frozen planes, and (3) kept raw iff stride-eligible (queries
+   * stay full-precision in ADC; the corpus exists only as code bytes).
+   * All three states are pure functions of (vector, frozen model), so
+   * they equal the batch index of the delivered corpus under any arrival
+   * order, re-delivery or crash-window replay; the served ledger
+   * ([[ivfAdcLedger]]) then runs the BATCH serving function
+   * ([[graft.analytics.Similarity.ivfAdcServeOf]] — the same code path
+   * q165 executes) over the maintained state, so gate ≡ batch is
+   * equality of inputs, not a parallel re-implementation
+   * (StreamingCorpusSpec asserts ≡ batch q165 output on the snapshot
+   * corpus).
+   *
+   * 100 TB posture: per micro-batch the arrivals score against m·k
+   * broadcast assignment centroids and merge into only their affected
+   * buckets; the query state grows at 1/stride of the corpus; serving
+   * cost is q165's — bounded by routed cell mass, never corpus-sized.
+   */
+  def startIvfAdcIndex(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      model: Similarity.IvfAdcIndexModel,
+      codesPath: String,
+      cellsPath: String,
+      queriesPath: String,
+      checkpointDir: String,
+      stride: Long = 100,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        ivfAdcStep(spark, batch, model, codesPath, cellsPath, queriesPath,
+          batchId, stride, nBuckets)
+      }
+      .start()
+  }
+
+  /** One batch step of [[startIvfAdcIndex]] — factored out so the spec
+    * can replay a crashed attempt directly. Each of the three merges is
+    * key-idempotent and the rows are pure functions of (vector, frozen
+    * model), so a crash between merges re-runs to the same state. */
+  def ivfAdcStep(
+      spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      model: Similarity.IvfAdcIndexModel,
+      codesPath: String,
+      cellsPath: String,
+      queriesPath: String,
+      batchId: Long,
+      stride: Long = 100,
+      nBuckets: Int = 32): Unit = org.apache.spark.sql.GraftBridge.releasingPins {
+    val codes = Similarity.pqEncode(batch, model.assignCodebook,
+        model.m, model.dsub)
+      .withColumn("_dump_seq", lit(batchId))
+    BucketedMerge.mergeInto(spark, codesPath, codes,
+      Seq("vec_id", "sub"), nBuckets, seqCol = Some("_dump_seq"))
+    val cells = batch.select(col("vec_id"),
+        Similarity.lshBucketCol(col("embedding"), model.nplanes, model.dim)
+          .as("cell"))
+      .withColumn("_dump_seq", lit(batchId))
+    BucketedMerge.mergeInto(spark, cellsPath, cells,
+      Seq("vec_id"), nBuckets, seqCol = Some("_dump_seq"))
+    val qs = batch
+      .filter(pmod(col("vec_id"), lit(stride)) === 0 &&
+        col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("_dump_seq", lit(batchId))
+    BucketedMerge.mergeInto(spark, queriesPath, qs,
+      Seq("vec_id"), nBuckets, seqCol = Some("_dump_seq"))
+  }
+
+  /** The served q165 table from the gate's state — the batch serving
+    * function over the maintained (codes, cells, queries) index, so it
+    * is column-equal to batch [[graft.analytics.Similarity.ivfAdcTopK]]
+    * when the model was frozen from the corpus the stream delivered.
+    * Empty-typed before the first non-empty merge (the
+    * [[semanticContaminationLedger]] guard). */
+  def ivfAdcLedger(
+      spark: SparkSession,
+      codesPath: String,
+      cellsPath: String,
+      queriesPath: String,
+      model: Similarity.IvfAdcIndexModel,
+      topk: Int = 5,
+      nprobe: Int = 4): org.apache.spark.sql.DataFrame = {
+    val codes =
+      if (BucketedMerge.hasData(spark, codesPath))
+        BucketedMerge.read(spark, codesPath)
+          .select(col("vec_id"), col("sub"), col("code"))
+      else spark.range(0).select(col("id").as("vec_id"),
+        col("id").as("sub"), col("id").as("code"))
+    val cells =
+      if (BucketedMerge.hasData(spark, cellsPath))
+        BucketedMerge.read(spark, cellsPath)
+          .select(col("vec_id"), col("cell"))
+      else spark.range(0).select(col("id").as("vec_id"), col("id").as("cell"))
+    val queries =
+      if (BucketedMerge.hasData(spark, queriesPath))
+        BucketedMerge.read(spark, queriesPath)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      else spark.range(0).select(col("id").as("query_id"),
+        lit(null).cast("array<float>").as("q_emb"))
+    val slices = array((0 until model.m).map(i =>
+      slice(col("q_emb"), i * model.dsub + 1, model.dsub)): _*)
+    val qsub = queries
+      .select(col("query_id"), posexplode(slices).as(Seq("sub", "se")))
+      .withColumn("sub", col("sub").cast("long"))
+    Similarity.ivfAdcServeOf(codes, cells, queries, qsub,
+      model.adcCodebook, model.cents, topk, nprobe)
+  }
+
+  /**
    * Online SEMANTIC dedup gate — the streaming counterpart of q87
    * (SemDeDup), completing the streaming dedup family (exact + simhash in
    * [[start]], n-gram contamination below, semantic here): arriving
@@ -1229,14 +1354,24 @@ object StreamingCorpus {
 
   /** The served q157 table from the gate's score state — column-equal to
     * batch [[graft.analytics.TextStats.domainReweight]] when the model
-    * was frozen from the same corpus the stream delivered. */
+    * was frozen from the same corpus the stream delivered. Guarded like
+    * [[semanticContaminationLedger]]: before the first non-empty merge
+    * (or after an all-empty first batch, which writes bookkeeping but no
+    * parquet footers) the state dir has no readable data — serve the
+    * empty typed table instead of throwing schema inference at it. */
   def domainReweightLedger(spark: SparkSession, scoresPath: String,
-      rounds: Int = 3, eta: Double = 1.0): org.apache.spark.sql.DataFrame =
-    TextStats.domainReweightFromScores(
-      BucketedMerge.read(spark, scoresPath)
-        .select(col("doc_id"), col("source"), col("n_bigrams"),
-          col("term_sum")),
-      rounds, eta)
+      rounds: Int = 3, eta: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    val scored =
+      if (BucketedMerge.hasData(spark, scoresPath))
+        BucketedMerge.read(spark, scoresPath)
+          .select(col("doc_id"), col("source"), col("n_bigrams"),
+            col("term_sum"))
+      else
+        spark.range(0).select(col("id").as("doc_id"),
+          lit("").as("source"), col("id").as("n_bigrams"),
+          lit(null).cast("decimal(38,6)").as("term_sum"))
+    TextStats.domainReweightFromScores(scored, rounds, eta)
+  }
 
   /**
    * Online semantic-contamination gate — the streaming counterpart of
@@ -1428,14 +1563,27 @@ object StreamingCorpus {
     else
       spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
 
+  /** The maintained (doc_id, source, n_chars) docs state — empty-typed
+    * when no merge has landed data yet (the [[servedClustersView]] /
+    * [[semanticContaminationLedger]] guard: an all-empty first batch
+    * writes bookkeeping but no parquet footers, and serving must not
+    * throw schema inference at that). */
+  private def servedDocsView(spark: SparkSession,
+      docsPath: String): org.apache.spark.sql.DataFrame =
+    if (BucketedMerge.hasData(spark, docsPath))
+      BucketedMerge.read(spark, docsPath)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    else
+      spark.range(0).select(col("id").as("doc_id"), lit("").as("source"),
+        col("id").as("n_chars"))
+
   /** The served q159 ledger from the gate's state — column-equal to
     * batch [[graft.analytics.Dedup.softDedupWeights]] over the same
     * delivered corpus. */
   def softDedupLedger(spark: SparkSession, docsPath: String,
       forestPath: String): org.apache.spark.sql.DataFrame =
     graft.analytics.Dedup.softDedupWeightsOf(
-      BucketedMerge.read(spark, docsPath)
-        .select(col("doc_id"), col("source"), col("n_chars")),
+      servedDocsView(spark, docsPath),
       servedClustersView(spark, forestPath))
 
   /** The served q163 effective-data audit from the SAME gate state —
@@ -1446,8 +1594,7 @@ object StreamingCorpus {
   def effectiveDataLedger(spark: SparkSession, docsPath: String,
       forestPath: String): org.apache.spark.sql.DataFrame =
     graft.analytics.Dedup.effectiveDataOf(
-      BucketedMerge.read(spark, docsPath)
-        .select(col("doc_id"), col("source"), col("n_chars")),
+      servedDocsView(spark, docsPath),
       servedClustersView(spark, forestPath))
 
   /**

@@ -1693,4 +1693,58 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       "streamed semantic-contamination table diverges from batch q164")
     bench.unpersist(); emb.unpersist()
   }
+
+  test("streamed composed IVF-ADC gate serves batch q165 under out-of-order + replay + crash window") {
+    val root = TempDirs.tempDir("graft_sivfadc").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val codesPath = s"$root/wh/ivfadc_codes"
+    val cellsPath = s"$root/wh/ivfadc_cells"
+    val queriesPath = s"$root/wh/ivfadc_queries"
+
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // frozen bundle trained from the snapshot the stream will deliver —
+    // the discipline under which the ledger must equal batch q165 EXACTLY
+    // (assignment codebook reproduces training-final codes; closing
+    // codebook prices the distance tables; cents route)
+    val m0 = Similarity.ivfAdcFreeze(all, m = 4, k = 4, iters = 2, nplanes = 3)
+    val model = m0.copy(
+      assignCodebook = m0.assignCodebook.cache(),
+      adcCodebook = m0.adcCodebook.cache(),
+      cents = m0.cents.cache())
+    model.assignCodebook.count(); model.adcCodebook.count(); model.cents.count()
+
+    // before anything lands: the ledger serves the empty typed table,
+    // not a schema-inference error
+    assert(StreamingCorpus.ivfAdcLedger(spark, codesPath, cellsPath,
+      queriesPath, model).count() == 0L)
+
+    val wave1 = all.filter(col("vec_id") < 250)
+    val wave2 = all.filter(col("vec_id") >= 250)
+    def drain(): Unit = {
+      val q = StreamingCorpus.startIvfAdcIndex(spark, landing.getAbsolutePath,
+        all.schema, model, codesPath, cellsPath, queriesPath,
+        s"$root/chk", stride = 100, nBuckets = 8)
+      q.awaitTermination()
+    }
+    // out-of-order: the later id range lands first; then a full replay
+    // of wave1 (re-delivery)
+    land(wave2, landing, "wave2"); drain()
+    land(wave1, landing, "wave1"); drain()
+    land(wave1, landing, "wave1_replay"); drain()
+    // crash window: re-run a drained batch's step directly against the
+    // merged state — every merge is key-idempotent, state must not move
+    StreamingCorpus.ivfAdcStep(spark, wave2, model, codesPath, cellsPath,
+      queriesPath, batchId = 0, stride = 100, nBuckets = 8)
+
+    val served = StreamingCorpus.ivfAdcLedger(spark, codesPath, cellsPath,
+      queriesPath, model, topk = 5, nprobe = 4)
+    val batch = Similarity.ivfAdcTopKOf(all, m = 4, k = 4, iters = 2,
+      topk = 5, stride = 100, nprobe = 4, nplanes = 3)
+    assert(served.count() > 0, "composed gate served an empty ranking")
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty,
+      "streamed composed IVF-ADC ranking diverges from batch q165")
+    model.assignCodebook.unpersist()
+    model.adcCodebook.unpersist()
+    model.cents.unpersist()
+  }
 }
