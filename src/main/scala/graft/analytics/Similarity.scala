@@ -987,9 +987,13 @@ object Similarity {
       nprobe: Int = 4, nplanes: Int = 3): DataFrame =
     ivfAdcTopKOf(embeddings(s, d), m, k, iters, topk, stride, nprobe, nplanes)
 
-  /** [[ivfAdcTopK]] over an arbitrary (vec_id, embedding) frame. */
+  /** [[ivfAdcTopK]] over an arbitrary (vec_id, embedding) frame.
+    * `trainSampleMod` is the shared FAISS-convention scale knob (see
+    * [[pqModel]]): at 100x the codebook trains on the deterministic
+    * 1/mod sample and only the closing assignment touches every vector. */
   def ivfAdcTopKOf(emb: DataFrame, m: Int, k: Int, iters: Int,
-      topk: Int, stride: Long, nprobe: Int, nplanes: Int): DataFrame = {
+      topk: Int, stride: Long, nprobe: Int, nplanes: Int,
+      trainSampleMod: Int = 1): DataFrame = {
     val dim = embeddingDim(emb)
     // IVF side: cells + centroids over the full frame (NULL embeddings
     // land in cell 0 but carry no codes, so they can never score)
@@ -1000,7 +1004,7 @@ object Similarity {
     // ADC side: q106's pinned code frame + closing codebook + distance
     // table, restricted to the probed cells before any scoring work
     val codes = org.apache.spark.sql.GraftBridge.checkpointNoStats(
-      pqModel(emb, m, k, iters).filter(col("se").isNotNull)
+      pqModel(emb, m, k, iters, trainSampleMod).filter(col("se").isNotNull)
         .select(col("vec_id"), col("sub"), col("se"), col("code")),
       eager = false)
     val codebook = pqCentroids(codes)
@@ -1129,9 +1133,10 @@ object Similarity {
    */
   def ivfAdcRecallStats(s: SparkSession, d: String, m: Int = 4, k: Int = 4,
       iters: Int = 2, topk: Int = 5, stride: Long = 100,
-      nprobe: Int = 4, nplanes: Int = 3): DataFrame = {
+      nprobe: Int = 4, nplanes: Int = 3, trainSampleMod: Int = 1): DataFrame = {
     val emb = embeddings(s, d)
-    val approx = ivfAdcTopKOf(emb, m, k, iters, topk, stride, nprobe, nplanes)
+    val approx = ivfAdcTopKOf(emb, m, k, iters, topk, stride, nprobe, nplanes,
+      trainSampleMod)
       .select(col("query_id"), col("neighbor_id"))
     val live = emb.filter(col("embedding").isNotNull)
     val queries = live.filter(pmod(col("vec_id"), lit(stride)) === 0)

@@ -81,7 +81,21 @@ object ResultHash {
     "q144_knn_graph",
     "q145_knn_cluster_purity",
     "q157_domain_reweight",
-    "q162_neyman_sample")
+    "q162_neyman_sample",
+    // round-17 tier: the q163–q169 audit members. q164–q168
+    // DuckDB-validated on target/soak_sf1 (round-17 log — including
+    // q106/q107/q144/q145 above, whose "O(n²) non-terminating" oracle
+    // claim from round 16 did NOT reproduce: all four terminate in
+    // 2.5–70 s at sf1, so their pins are now cross-engine too);
+    // q163/q169 are Spark-invariant — their oracles ride the q74
+    // recursive-component CTE (the genuinely non-terminating class)
+    "q163_effective_data",
+    "q164_semantic_contamination",
+    "q165_ivf_adc_topk",
+    "q166_ivf_adc_recall",
+    "q167_contaminated_split",
+    "q168_winnow_recall",
+    "q169_cluster_chain_audit")
 }
 
 /** One-time pin generator: prints `name -> hash` for the sf1 pin set

@@ -303,6 +303,44 @@ object Soak100 {
         Similarity.knnClusterPurity(spark, soakDir, nplanes = 10).count())
       println(f"[q145] clusters $c01 -> $c10, wall x${tc10 / tc01}%.1f on 100x data (nplanes 3 -> 10)")
       }
+      // round-17: the composed IVF-ADC serving path. |Q| fixed via stride
+      // (per-query serving cost is the observable), codebook
+      // sample-trained at 100x (q106's FAISS discipline), nplanes 3 -> 10
+      // keeps per-cell density flat so the routed candidate mass — and the
+      // wall — must track nprobe/ncells of the corpus, never the corpus
+      if (want("q165")) {
+      val (a01, ta01) = timed("q165 sf0.1")(
+        Similarity.ivfAdcTopKOf(Tables.embeddings(spark, sf01),
+          4, 4, 2, 5, 100L, 4, 3).count())
+      val (a10, ta10) = timed("q165 sf10")(
+        Similarity.ivfAdcTopKOf(Tables.embeddings(spark, soakDir),
+          4, 4, 2, 5, 10000L, 4, 10, trainSampleMod = 40).count())
+      println(f"[q165] rows $a01 -> $a10, wall x${ta10 / ta01}%.1f on 100x data (|Q| fixed, nplanes 3 -> 10)")
+      org.apache.spark.sql.GraftBridge.releaseTransientPins()
+      }
+      // composed recall audit: the exact tier is |Q| x corpus brute force
+      // (the declared honest ground-truth cost, q107's class) with |Q|
+      // fixed — wall must track the corpus linearly
+      if (want("q166")) {
+      val (r01, tr01) = timed("q166 sf0.1")(
+        Similarity.ivfAdcRecallStats(spark, sf01).count())
+      val (r10, tr10) = timed("q166 sf10")(
+        Similarity.ivfAdcRecallStats(spark, soakDir, stride = 10000L,
+          nplanes = 10, trainSampleMod = 40).count())
+      println(f"[q166] rows $r01 -> $r10, wall x${tr10 / tr01}%.1f on 100x data (|Q| fixed, nplanes 3 -> 10)")
+      org.apache.spark.sql.GraftBridge.releaseTransientPins()
+      }
+      // winnowing recall audit: truth (exhaustive shared 6-grams) and
+      // winnow pairs are both df-capped linear hash equi-joins — the
+      // token-renamed fixture keeps within-shard gram structure, so pair
+      // mass and wall must scale ~linearly
+      if (want("q168")) {
+      val (w01, tw01) = timed("q168 sf0.1")(
+        TextStats.winnowRecallStats(spark, sf01).count())
+      val (w10, tw10) = timed("q168 sf10")(
+        TextStats.winnowRecallStats(spark, soakDir).count())
+      println(f"[q168] bands $w01 -> $w10, wall x${tw10 / tw01}%.1f on 100x data")
+      }
     }
     spark.stop()
   }

@@ -36,6 +36,9 @@ import java.util.logging.Logger
  *  - 2026-08-16 (r16): same find over ~/.cache/coursier/v1, ~/.ivy2,
  *    ~/.m2 — zero mysql-capable jars; duckdb_jdbc 1.0.0 unchanged.
  *    MySQL dialect remains golden-pinned; environment-blocked.
+ *  - 2026-08-16 (r17): re-ran the find over all three cache roots —
+ *    zero h2/hsqldb/mariadb/mysql jars; duckdb_jdbc 1.0.0 still the
+ *    only embeddable engine. Unchanged; environment-blocked.
  *
  * The loader and driver are cached in this object: DuckDB's JDBC driver
  * extracts and `System.load`s a native library once per classloader, and
