@@ -1585,6 +1585,20 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     models.unpersist(); docs.unpersist()
   }
 
+  test("serving ledgers before any data: empty typed tables, not schema-inference errors") {
+    val root = TempDirs.tempDir("graft_sempty").toFile
+    // no gate has ever run against these paths — each ledger must serve
+    // its empty typed table (the r17 ADVICE guard: an all-empty first
+    // batch writes bookkeeping but no parquet footers, and serving then
+    // threw schema inference at the dir)
+    assert(StreamingCorpus.domainReweightLedger(spark,
+      s"$root/no_scores").count() == 0L)
+    assert(StreamingCorpus.softDedupLedger(spark,
+      s"$root/no_docs", s"$root/no_forest").count() == 0L)
+    assert(StreamingCorpus.effectiveDataLedger(spark,
+      s"$root/no_docs2", s"$root/no_forest2").count() == 0L)
+  }
+
   test("soft-dedup gate: served ledger equals batch q159 under out-of-order arrival, re-delivery, crash window and root displacement") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
