@@ -257,6 +257,12 @@ object SparkEntry {
     // per-query recall of the composed IVF-ADC path vs exact L2 truth
     "q166_ivf_adc_recall" -> ((s: SparkSession, d: String) =>
       Similarity.ivfAdcRecallStats(s, d)),
+    // int8-dequantized retrieval recall vs float exact truth (q77 audit)
+    "q170_int8_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.int8RecallStats(s, d)),
+    // SemDeDup cell-blocking recall per cosine band (q87 audit)
+    "q171_semdedup_blocking_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticBlockingRecall(s, d)),
     // content-defined chunking (gear-criterion boundaries) dup mass
     "q132_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextStats.cdcChunkDedup(s, d)),
@@ -3307,6 +3313,74 @@ object SparkEntry {
           | round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
           |FROM (SELECT DISTINCT query_id FROM adcr) q
           |LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin),
+    // q170: the q77 codebook + mid-rise reconstruction rebuilt into
+    // vectors, ranked with the q36 machinery on both representations —
+    // identical dequantization arithmetic, rank ties to lowest id
+    "q170_int8_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+        |  CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS dim,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x
+        | FROM embeddings),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim),
+        |qz AS (SELECT vec_id, dim, mn, mx,
+        |  CASE WHEN mx = mn THEN 0
+        |   ELSE CAST(least(255, floor((x - mn) / (mx - mn) * 256.0)) AS BIGINT)
+        |  END AS code
+        | FROM e JOIN st USING (dim)),
+        |dq AS (SELECT vec_id,
+        |  list(CASE WHEN mx = mn THEN mn
+        |   ELSE mn + (code + 0.5) * ((mx - mn) / 256.0) END ORDER BY dim) AS e
+        | FROM qz GROUP BY vec_id),
+        |aq AS (SELECT vec_id AS query_id, e AS qe FROM dq WHERE vec_id % 100 = 0),
+        |asc_ AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |  ${cosListSql("qe", "c.e")} AS cosine
+        | FROM aq CROSS JOIN dq c WHERE c.vec_id <> query_id),
+        |ar AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM asc_ WHERE cosine IS NOT NULL) t WHERE rn <= 5),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |xq AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+        |xs AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |  ${cosListSql("qe", "c.e")} AS cosine
+        | FROM xq CROSS JOIN v c WHERE c.vec_id <> query_id),
+        |xr AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM xs WHERE cosine IS NOT NULL) t WHERE rn <= 5),
+        |hits AS (SELECT a.query_id, count(*) AS h
+        | FROM ar a JOIN xr x
+        |   ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+        | GROUP BY a.query_id)
+        |SELECT q.query_id, CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+        | round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM xr) q
+        |LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin,
+    // q171: the q87 cell assignment (kmeansCte's a2) + strided-probe
+    // exact pair truth, banded by the 12-dp rounded cosine
+    "q171_semdedup_blocking_recall" ->
+      (kmeansCte +
+        s""",
+          |vv AS (SELECT vec_id, e FROM v WHERE e IS NOT NULL),
+          |pr AS (SELECT vec_id AS p_id, e AS pe FROM vv WHERE vec_id % 50 = 0),
+          |ts AS (SELECT p_id, c.vec_id AS c_id,
+          |  round(${cosListSql("pe", "c.e")}, 12) AS cos
+          | FROM pr CROSS JOIN vv c WHERE c.vec_id <> p_id),
+          |tp AS (SELECT DISTINCT least(p_id, c_id) AS vec_a,
+          |  greatest(p_id, c_id) AS vec_b, cos
+          | FROM ts WHERE cos >= 0.35),
+          |tc AS (SELECT tp.cos, ca.cell AS cell_a, cb.cell AS cell_b
+          | FROM tp JOIN a2 ca ON tp.vec_a = ca.vec_id
+          |  JOIN a2 cb ON tp.vec_b = cb.vec_id),
+          |bd AS (SELECT
+          |  CASE WHEN cos >= 0.9 THEN '0.9+'
+          |   WHEN cos >= 0.6 THEN '0.6-0.9' ELSE 't-0.6' END AS band,
+          |  CASE WHEN cell_a = cell_b THEN 1 ELSE 0 END AS same_cell
+          | FROM tc)
+          |SELECT band, count(*) AS n_true_pairs,
+          | CAST(sum(same_cell) AS BIGINT) AS n_same_cell,
+          | round(CAST(sum(same_cell) AS DOUBLE) / count(*), 6) AS recall
+          |FROM bd GROUP BY band""".stripMargin),
     // cosine over the common prefix (the engine computes dot and both
     // norms over min(len)); zero-magnitude division -> NULL on both sides
     "q108_embedding_isotropy" ->

@@ -57,4 +57,38 @@ object Quantization {
         round(sum(col("e9")).cast("double"), 6).as("sum_abs_err"),
         round(max(col("e9")).cast("double"), 6).as("max_abs_err"))
   }
+
+  /**
+   * The corpus as a serving tier would hold it after q77's int8
+   * compression: each vector rebuilt from its codes through the SAME
+   * per-dim codebook and mid-rise dequantization (`mn + (code + 0.5) ·
+   * step`; a degenerate dim with `mx == mn` reconstructs exactly).
+   * (vec_id, embedding: array<double>) — NULL-embedding rows carry no
+   * exploded values and drop out, exactly as they drop from every
+   * ranking. Feeds [[graft.analytics.Similarity.int8RecallStats]]
+   * (q170), which prices what retrieval loses to this representation.
+   *
+   * Shape: one explode + one broadcast codebook join + one vec_id-keyed
+   * rebuild aggregate — corpus-linear, no pair surface.
+   */
+  def dequantizedInt8(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("xf").cast("double").as("x"))
+    val codebook = e.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    e.join(broadcast(codebook), "dim")
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 256.0))))
+      .withColumn("xq",
+        when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("mn") +
+            (col("code") + 0.5) * ((col("mx") - col("mn")) / 256.0)))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("xq")))).as("pairs"))
+      .select(col("vec_id"),
+        transform(col("pairs"), p => p.getField("xq")).as("embedding"))
+  }
 }

@@ -161,6 +161,102 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /**
+   * q170: int8-quantization retrieval honesty audit — recall@k of cosine
+   * top-k over the DEQUANTIZED int8 corpus
+   * ([[Quantization.dequantizedInt8]] — q77's per-dim codebook and
+   * mid-rise reconstruction, i.e. exactly what a serving tier that
+   * shipped the 4×-smaller codes would rank with) against the float
+   * exact ground truth. Completes the approximation-honesty matrix:
+   * PQ has q107, IVF q110, MRL truncation q133, the composed IVF-ADC
+   * path q166 — int8 (q77) was the one audited representation without a
+   * retrieval-loss number next to its storage win.
+   *
+   * Both rankings share the deterministic conventions (identical
+   * dequantization arithmetic on both engines, sequential-order cosine,
+   * id tie-breaks, NULL cosines excluded), so the intersection — and the
+   * hash-checked recall — is engine-independent. 100 TB shape: the
+   * rebuild is corpus-linear ([[Quantization.dequantizedInt8]]); both
+   * rankings are the brute-force pattern (stride-bounded broadcast
+   * queries, map-side scoring, bounded-heap top-k) — the ground-truth
+   * tier is the declared audit cost, q107's standing.
+   */
+  def int8RecallStats(s: SparkSession, d: String, k: Int = 5,
+      stride: Long = 100): DataFrame = {
+    val exact = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      bruteForceTopK(s, d, k, stride)
+        .select(col("query_id"), col("neighbor_id")),
+      eager = false)
+    val exactQ = exact.select(col("query_id")).distinct()
+    val dq = Quantization.dequantizedInt8(embeddings(s, d))
+    val hits = topKOf(dq, k, stride)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    exactQ.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
+  }
+
+  /**
+   * q171: SemDeDup cell-blocking recall audit — the sampling-honesty
+   * discipline (q168's shape) applied to q87's blocking structure.
+   * SemDeDup only compares vectors sharing a k-means cell, so a
+   * duplicate pair split across cells is invisible to it — the
+   * documented blocking loss every blocked-dedup writeup concedes. This
+   * audit prices it: ground truth = every pair involving a strided
+   * probe vector with cosine ≥ threshold (the q107 "sample the query
+   * set" convention applied to pair endpoints — per-probe cost is one
+   * broadcast scan, never all-pairs); caught = the pair co-resides in a
+   * q87 cell. Banded by the true cosine, because a blocked-apart 0.95
+   * pair is a real dedup miss while a blocked 0.4 pair is noise — the
+   * table shows WHERE the loss lives instead of asserting it's fine.
+   *
+   * 100 TB shape: probes broadcast (stride-bounded); truth scoring is
+   * map-side against the corpus scan; cell assignments join back by
+   * vec_id equi-keys; the rollup is ≤ 3 rows.
+   */
+  def semanticBlockingRecall(s: SparkSession, d: String, k: Int = 8,
+      iters: Int = 2, threshold: Double = 0.35,
+      stride: Long = 50): DataFrame = {
+    val emb = embeddings(s, d)
+    val cells = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      trainedCells(emb, k, iters, 1).select(col("vec_id"), col("cell")),
+      eager = false)
+    val live = emb.filter(col("embedding").isNotNull)
+    val probes = live.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    val truth = live
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .join(broadcast(probes))
+      .filter(col("p_id") =!= col("c_id"))
+      // rounded compare key, the q87/q83 convention: a 1-ulp cosine
+      // divergence cannot flip the threshold or the band
+      .withColumn("cos", round(cosineNative(col("p_emb"), col("c_emb")), 12))
+      .filter(col("cos") >= threshold)
+      // probe↔probe pairs appear once per direction with the IDENTICAL
+      // rounded cosine (multiplication commutes elementwise, sums run in
+      // the same order) — canonicalize and collapse
+      .select(least(col("p_id"), col("c_id")).as("vec_a"),
+        greatest(col("p_id"), col("c_id")).as("vec_b"), col("cos"))
+      .dropDuplicates(Seq("vec_a", "vec_b"))
+    truth
+      .join(cells.select(col("vec_id").as("vec_a"), col("cell").as("cell_a")), Seq("vec_a"))
+      .join(cells.select(col("vec_id").as("vec_b"), col("cell").as("cell_b")), Seq("vec_b"))
+      .withColumn("band",
+        when(col("cos") >= 0.9, "0.9+")
+          .when(col("cos") >= 0.6, "0.6-0.9")
+          .otherwise("t-0.6"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        sum(when(col("cell_a") === col("cell_b"), 1).otherwise(0)).cast("long")
+          .as("n_same_cell"))
+      .withColumn("recall",
+        round(col("n_same_cell").cast("double") / col("n_true_pairs"), 6))
+  }
+
   /** Per-query top-k via the bounded-heap aggregate: partial k-heaps build
     * map-side, only k rows per partition per query shuffle — vs a window
     * sort of EVERY scored row. Output identical to the window form

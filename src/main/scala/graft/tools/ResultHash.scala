@@ -95,7 +95,12 @@ object ResultHash {
     "q166_ivf_adc_recall",
     "q167_contaminated_split",
     "q168_winnow_recall",
-    "q169_cluster_chain_audit")
+    "q169_cluster_chain_audit",
+    // round-17 second wave: the two new honesty audits, both
+    // DuckDB-validated on target/soak_sf1 (per-query fresh-process
+    // compare — round-17 log)
+    "q170_int8_recall",
+    "q171_semdedup_blocking_recall")
 }
 
 /** One-time pin generator: prints `name -> hash` for the sf1 pin set
@@ -105,6 +110,9 @@ object ResultHash {
 object Sf1HashPin {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "target/soak_sf1"
+    // optional: restrict to named queries (re-pin a new member without
+    // re-running the whole ~20 min battery)
+    val only = args.drop(1).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -113,7 +121,9 @@ object Sf1HashPin {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    ResultHash.Sf1PinnedQueries.foreach { name =>
+    ResultHash.Sf1PinnedQueries
+      .filter(n => only.isEmpty || only(n))
+      .foreach { name =>
       val t0 = System.nanoTime()
       val h = ResultHash.hashOf(graft.SparkEntry.queries(name)(spark, dir))
       org.apache.spark.sql.GraftBridge.releaseTransientPins()

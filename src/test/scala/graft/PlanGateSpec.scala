@@ -42,7 +42,11 @@ class PlanGateSpec extends AnyFunSuite with SparkSuite {
     // the 2^nplanes-row centroid table broadcast into query routing
     // (q37's shape); q166 adds the exact side's broadcast query set and
     // ground-truth pass (the q107/q110 precedent)
-    "q165_ivf_adc_topk" -> 1, "q166_ivf_adc_recall" -> 3)
+    "q165_ivf_adc_topk" -> 1, "q166_ivf_adc_recall" -> 3,
+    // round-17 audits: each runs the q36/q107 stride-bounded
+    // broadcast-query brute-force pattern once (the exact tier reuses
+    // the SAME broadcast exchange on q170; q171's kmeans stays equi-keyed)
+    "q170_int8_recall" -> 1, "q171_semdedup_blocking_recall" -> 1)
 
   test("no query plans a CartesianProduct; BNLJ only at audited 1-row-broadcast sites") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -80,7 +80,11 @@ class Sf1HashPinSpec extends AnyFunSuite with SparkSuite {
     "q166_ivf_adc_recall" -> "a297e8e3962a3d1a45365c2895e57cbda0b6c82aa9406f672782798fb2b85d41",
     "q167_contaminated_split" -> "48bd205414e10fabf7a5feed6f5c8dab87d2821b2caa3f75ae721c4324c33f54",
     "q168_winnow_recall" -> "0303037a060d91f6ea7dbd39fb10bc436eb147e8e8cf51520a52fe17b2680500",
-    "q169_cluster_chain_audit" -> "bc851bbaf73779fce05bacb501e36e164f8029cf7d8ba24ae26a1083db0b1631")
+    "q169_cluster_chain_audit" -> "bc851bbaf73779fce05bacb501e36e164f8029cf7d8ba24ae26a1083db0b1631",
+    // round-17 second wave: both DuckDB-validated on target/soak_sf1
+    // (per-query fresh-process compare, 1 ok 0 bad each — round-17 log)
+    "q170_int8_recall" -> "2aa6793144b4a61c52067ffc1d7050ae1527cbc9ceec1f8b9cd4603841a949dd",
+    "q171_semdedup_blocking_recall" -> "06a00aa7fbebd8a2c9cab0554d9b1b014d5f2f0df221ab3f06452524af8541a0")
 
   test("sf1 result hashes match the pinned Spark<->DuckDB agreed values") {
     SoakFixtures.ensureSf1(spark)
