@@ -71,12 +71,31 @@ object Quantization {
    * Shape: one explode + one broadcast codebook join + one vec_id-keyed
    * rebuild aggregate — corpus-linear, no pair surface.
    */
-  def dequantizedInt8(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def dequantizedInt8(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dequantizedInt8Of(emb, int8Codebook(emb))
+
+  /** The per-dim (mn, mx) int8 codebook — q77's model, exposed for
+    * freezing into the streaming index ([[graft.streaming.StreamingCorpus]]
+    * `startInt8Index`): codebook refresh is a batch training event, like
+    * the k-means centroids and the PQ codebooks. */
+  def int8Codebook(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select((col("pos") + 1).as("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** [[dequantizedInt8]] against an explicit (FROZEN) codebook — encode +
+    * reconstruct is a pure function of (vector, codebook), so the
+    * incrementally maintained table equals the batch rebuild of the same
+    * corpus under any arrival order or replay. A dim beyond the frozen
+    * codebook's width reconstructs as NULL-joined rows dropped by the
+    * inner join — a wider-than-model vector truncates to the model's
+    * dims, the PQ slicing convention. */
+  def dequantizedInt8Of(emb: org.apache.spark.sql.DataFrame,
+      codebook: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val e = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
       .select(col("vec_id"), (col("pos") + 1).as("dim"), col("xf").cast("double").as("x"))
-    val codebook = e.groupBy(col("dim"))
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
     e.join(broadcast(codebook), "dim")
       .withColumn("code",
         when(col("mx") === col("mn"), lit(0L))

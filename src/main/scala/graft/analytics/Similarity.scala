@@ -188,7 +188,12 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id")),
       eager = false)
     val exactQ = exact.select(col("query_id")).distinct()
-    val dq = Quantization.dequantizedInt8(embeddings(s, d))
+    // pin the rebuild: the corpus and query sides of the int8 ranking
+    // both derive from it, and without the checkpoint the explode +
+    // codebook join + re-aggregate run once per side (q165's code-frame
+    // discipline)
+    val dq = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      Quantization.dequantizedInt8(embeddings(s, d)), eager = false)
     val hits = topKOf(dq, k, stride)
       .select(col("query_id"), col("neighbor_id"))
       .join(exact, Seq("query_id", "neighbor_id"))
@@ -256,6 +261,13 @@ object Similarity {
       .withColumn("recall",
         round(col("n_same_cell").cast("double") / col("n_true_pairs"), 6))
   }
+
+  /** The int8 serving ranking over an explicit dequantized table — the
+    * q170 approximate side factored over state so the streaming int8
+    * index ([[graft.streaming.StreamingCorpus.startInt8Index]]) serves
+    * the SAME code path batch q170 ranks with. */
+  def int8TopKOf(dq: DataFrame, k: Int = 5, stride: Long = 100): DataFrame =
+    topKOf(dq, k, stride)
 
   /** Per-query top-k via the bounded-heap aggregate: partial k-heaps build
     * map-side, only k rows per partition per query shuffle — vs a window

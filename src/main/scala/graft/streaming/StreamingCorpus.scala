@@ -328,6 +328,66 @@ object StreamingCorpus {
       Seq("vec_id"), nBuckets, seqCol = Some("_dump_seq"))
   }
 
+  /**
+   * Incremental int8 serving index — the streaming counterpart of
+   * q170's approximate tier: arriving embeddings are encoded AND
+   * reconstructed against a FROZEN per-dim (mn, mx) codebook
+   * ([[graft.analytics.Quantization.int8Codebook]] over the bootstrap
+   * snapshot — codebook refresh is a batch training event, the
+   * startPqIndex discipline) and merged into the bucketed dequantized
+   * table keyed vec_id. Encode+reconstruct is a pure function of
+   * (vector, codebook), so the table equals the batch rebuild of the
+   * same corpus under any arrival order or replay, and
+   * [[int8TopKLedger]] — the SAME ranking code path batch q170 uses
+   * ([[graft.analytics.Similarity.int8TopKOf]]) — serves ≡ batch
+   * (StreamingCorpusSpec, out-of-order + re-delivery + crash window).
+   *
+   * 100 TB posture: per micro-batch one explode + one ≤ dim-row
+   * broadcast join + a vec_id-keyed idempotent merge; the index is
+   * never rescored.
+   */
+  def startInt8Index(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      codebook: org.apache.spark.sql.DataFrame,
+      dqPath: String,
+      checkpointDir: String,
+      nBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        org.apache.spark.sql.GraftBridge.releasingPins {
+          val dq = graft.analytics.Quantization
+            .dequantizedInt8Of(batch, codebook)
+            .withColumn("_dump_seq", lit(batchId))
+          BucketedMerge.mergeInto(spark, dqPath, dq,
+            Seq("vec_id"), nBuckets, seqCol = Some("_dump_seq"))
+        }
+      }
+      .start()
+  }
+
+  /** The served int8 top-k ranking over the maintained dequantized
+    * index — column-equal to batch q170's approximate tier when the
+    * codebook was frozen from the corpus the stream delivered.
+    * Empty-typed before the first non-empty merge. */
+  def int8TopKLedger(spark: SparkSession, dqPath: String,
+      k: Int = 5, stride: Long = 100): org.apache.spark.sql.DataFrame = {
+    val dq =
+      if (BucketedMerge.hasData(spark, dqPath))
+        BucketedMerge.read(spark, dqPath)
+          .select(col("vec_id"), col("embedding"))
+      else spark.range(0).select(col("id").as("vec_id"),
+        lit(null).cast("array<double>").as("embedding"))
+    Similarity.int8TopKOf(dq, k, stride)
+  }
+
   /** The served q165 table from the gate's state — the batch serving
     * function over the maintained (codes, cells, queries) index, so it
     * is column-equal to batch [[graft.analytics.Similarity.ivfAdcTopK]]

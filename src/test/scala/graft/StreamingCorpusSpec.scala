@@ -1761,4 +1761,41 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
     model.adcCodebook.unpersist()
     model.cents.unpersist()
   }
+
+  test("streamed int8 index against a frozen codebook serves the batch q170 ranking") {
+    import graft.analytics.Quantization
+    val root = TempDirs.tempDir("graft_sint8").toFile
+    val landing = new File(root, "landing"); landing.mkdirs()
+    val dqPath = s"$root/wh/int8dq"
+
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Quantization.int8Codebook(all).cache()
+    cb.count()
+
+    // empty-state guard: the ledger serves the empty typed ranking
+    assert(StreamingCorpus.int8TopKLedger(spark, dqPath).count() == 0L)
+
+    val wave1 = all.filter(col("vec_id") < 250)
+    val wave2 = all.filter(col("vec_id") >= 250)
+    def drain(): Unit = {
+      val q = StreamingCorpus.startInt8Index(spark, landing.getAbsolutePath,
+        all.schema, cb, dqPath, s"$root/chk", nBuckets = 8)
+      q.awaitTermination()
+    }
+    // out-of-order + a full wave replay
+    land(wave2, landing, "wave2"); drain()
+    land(wave1, landing, "wave1"); drain()
+    land(wave1, landing, "wave1_replay"); drain()
+
+    val served = StreamingCorpus.int8TopKLedger(spark, dqPath,
+      k = 5, stride = 100)
+    // the batch comparator: q170's approximate tier over the same
+    // corpus with the codebook frozen from that snapshot
+    val batch = Similarity.int8TopKOf(
+      Quantization.dequantizedInt8Of(all, cb), k = 5, stride = 100)
+    assert(served.count() > 0, "int8 gate served an empty ranking")
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty,
+      "streamed int8 ranking diverges from the batch q170 tier")
+    cb.unpersist()
+  }
 }
