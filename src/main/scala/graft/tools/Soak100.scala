@@ -341,6 +341,29 @@ object Soak100 {
         TextStats.winnowRecallStats(spark, soakDir).count())
       println(f"[q168] bands $w01 -> $w10, wall x${tw10 / tw01}%.1f on 100x data")
       }
+      // int8 retrieval recall: rebuild is corpus-linear, both rankings
+      // the brute-force pattern with |Q| fixed via stride — the audit's
+      // exact tier is the declared cost, wall must track the corpus
+      if (want("q170")) {
+      val (i01, ti01) = timed("q170 sf0.1")(
+        Similarity.int8RecallStats(spark, sf01).count())
+      val (i10, ti10) = timed("q170 sf10")(
+        Similarity.int8RecallStats(spark, soakDir, stride = 10000L).count())
+      println(f"[q170] rows $i01 -> $i10, wall x${ti10 / ti01}%.1f on 100x data (|Q| fixed)")
+      org.apache.spark.sql.GraftBridge.releaseTransientPins()
+      }
+      // SemDeDup blocking recall: probe set fixed via stride, truth
+      // scoring map-side against the corpus scan, cells equi-joined —
+      // per-probe cost flat as the corpus grows
+      if (want("q171")) {
+      val (s01, ts01) = timed("q171 sf0.1")(
+        Similarity.semanticBlockingRecall(spark, sf01).count())
+      val (s10, ts10) = timed("q171 sf10")(
+        Similarity.semanticBlockingRecall(spark, soakDir,
+          stride = 5000L).count())
+      println(f"[q171] bands $s01 -> $s10, wall x${ts10 / ts01}%.1f on 100x data (|Q| fixed)")
+      org.apache.spark.sql.GraftBridge.releaseTransientPins()
+      }
     }
     spark.stop()
   }
