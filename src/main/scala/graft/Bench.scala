@@ -373,9 +373,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"order":"$order","n_queries":${results.size},"fixpoints":$fx,"sweep_totals":$sweepsJson,"gc_ms_sweeps":$sweepsGcJson,"heap_mb_max":${heapMbMax.round},"top$n":$topQ,"top${n}_spread":$topSp,"top${n}_gc_ms":$topGc,"top${n}_at":$topAt,"sf":"$sfDir"}"""
     }
     // the driver keeps a ~2000-char stdout tail: the last line must fit
-    // complete or the artifact reverts to parsed:null
-    val tl20 = tailLine(20)
-    println(if (tl20.length <= 1900) tl20 else tailLine(12))
+    // complete or the artifact reverts to parsed:null. Shrink n until it
+    // fits (long query names / wide sweep arrays can blow any single
+    // fallback); n=0 is fixed fields only (~300 chars) so the chain
+    // always terminates under the cap.
+    println(Iterator(20, 12, 8, 5, 3, 1, 0)
+      .map(tailLine).find(_.length <= 1900).get)
     spark.stop()
   }
 }

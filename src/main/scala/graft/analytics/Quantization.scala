@@ -99,8 +99,15 @@ object Quantization {
     e.join(broadcast(codebook), "dim")
       .withColumn("code",
         when(col("mx") === col("mn"), lit(0L))
-          .otherwise(least(lit(255L),
-            floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 256.0))))
+          // clamp BOTH sides: under a FROZEN codebook an arriving value
+          // below a dim's mn would otherwise floor to a NEGATIVE code —
+          // unrepresentable as uint8 — so the maintained serving table
+          // would no longer correspond to shippable codes. The high side
+          // was already clamped; batch callers are unaffected (their
+          // codebook spans the data, codes already >= 0), so q77/q170
+          // results and the DuckDB pins are unchanged.
+          .otherwise(greatest(lit(0L), least(lit(255L),
+            floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 256.0)))))
       .withColumn("xq",
         when(col("mx") === col("mn"), col("mn"))
           .otherwise(col("mn") +

@@ -87,8 +87,9 @@ object ResultHash {
     // q106/q107/q144/q145 above, whose "O(n²) non-terminating" oracle
     // claim from round 16 did NOT reproduce: all four terminate in
     // 2.5–70 s at sf1, so their pins are now cross-engine too);
-    // q163/q169 are Spark-invariant — their oracles ride the q74
-    // recursive-component CTE (the genuinely non-terminating class)
+    // q163/q169 ride the q74 recursive-component CTE — as of round 18
+    // the WHOLE family (q74/q127/q145/q159/q163/q169) is 50k-validated
+    // through tools/iterative_cc_oracle.py (see Sf1HashPinSpec)
     "q163_effective_data",
     "q164_semantic_contamination",
     "q165_ivf_adc_topk",

@@ -77,8 +77,33 @@ class Round17OpsSpec extends AnyFunSuite with SparkSuite {
     assert(nTrue == 10, s"two probes x five same-direction partners: $out")
     assert(nSame == 10 && recall == 1.0,
       s"equal-direction pairs must be co-assigned, got $out")
-    // orthogonal directions (cos 0) never enter the truth set
-    assert(!out.contains("t-0.6") ||
-      out("t-0.6")._1 >= out("t-0.6")._2)
+    // orthogonal directions (cos 0) never enter the truth set: the 0.9+
+    // band holds ALL truth pairs, so every other band is truth-empty
+    assert(out.values.map(_._1).sum == 10,
+      s"truth pairs outside the 0.9+ band: $out")
+  }
+
+  test("frozen-codebook dequantization clamps BOTH sides to shippable uint8 codes") {
+    import spark.implicits._
+    // codebook frozen from a [0, 1] snapshot (mn=0, mx=1 on both dims)
+    val snapshot = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cb = Quantization.int8Codebook(snapshot)
+    // an arrival OUTSIDE the frozen range on both sides: below mn must
+    // clamp to code 0 (not floor to a negative, unshippable code), above
+    // mx to code 255 — so the maintained table reconstructs exactly the
+    // code-0 / code-255 mid-rise midpoints
+    val arrival = Seq((3L, Seq(-5f, 7f))).toDF("vec_id", "embedding")
+    val got = Quantization.dequantizedInt8Of(arrival, cb)
+      .select(col("embedding")).as[Seq[Double]].head()
+    val step = 1.0 / 256.0
+    assert(math.abs(got.head - 0.5 * step) < 1e-12,
+      s"below-mn arrival must reconstruct as the code-0 midpoint: $got")
+    assert(math.abs(got(1) - 255.5 * step) < 1e-12,
+      s"above-mx arrival must reconstruct as the code-255 midpoint: $got")
+    // in-range batch path unchanged: snapshot reconstructs within range
+    val batch = Quantization.dequantizedInt8Of(snapshot, cb)
+      .select(col("embedding")).as[Seq[Double]].collect()
+    assert(batch.flatten.forall(x => x >= 0.0 && x <= 1.0))
   }
 }

@@ -26,16 +26,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class Sf1HashPinSpec extends AnyFunSuite with SparkSuite {
 
   // name -> sha256 of the sorted-canonical result (ResultHash.hashOf).
-  // All pins DuckDB-validated on target/soak_sf1 (9 ok, 0 bad — round-15
-  // log) EXCEPT the recursive-CTE family (q74/q127/q159/q163/q169, and
-  // q145), whose oracles do not terminate at 50k docs. Round 17 closed
-  // the remaining gap on those: EVERY member was cross-engine validated
-  // on a 5,000-doc slice of the sf1 fixture (10× the driver gate's
-  // scale; the CTE takes ~20 min per query there and provably does NOT
-  // finish at 10k in the same budget) — so every pin in this file now
-  // carries cross-engine evidence at ≥5k docs, with the sf1 constants
-  // Spark-invariant only where the oracle's own complexity is the
-  // ceiling.
+  // As of round 18, EVERY pin in this file is DuckDB-validated at the
+  // FULL sf1 fixture (50k docs / 20k vectors). The former ceiling — the
+  // recursive-CTE family (q74/q127/q145/q159/q163/q169, whose oracles'
+  // transitive-closure `reach` spelling stops terminating around 10k
+  // docs; round 17 could only cross-validate a 5,000-doc slice at
+  // ~20 min/query) — was lifted by tools/iterative_cc_oracle.py: the
+  // SAME oracle SQL with only the reach/clusters block re-spelled as
+  // iterative min-label propagation (+ pointer jumping) over a temp
+  // edge table, and the OR-of-band nested-loop pair stages re-spelled
+  // as UNION-ALL band hash equi-joins — mathematically identical, and
+  // the driver-faithful compare (compare_oracle.canon, both parquet
+  // bridges) is unchanged. Round-18 run, one fresh process per query:
+  // q74 3.0s / q159 2.7s / q163 2.9s / q169 3.9s / q127 10.5s /
+  // q145 75s (and unpinned q130 11.7s), each 1 ok 0 bad at 50k.
   private val pinned: Map[String, String] = Map(
     "q74_dup_clusters" -> "613326d650411f9139b2a95ccd205eb9a0421c5d577e7793739ee505bd761935",
     "q84_shared_gram_pairs" -> "174b1efd3553d741a3195da0f1afbde093d4316cac8e8a9eadc53962fe8661fd",
@@ -49,9 +53,8 @@ class Sf1HashPinSpec extends AnyFunSuite with SparkSuite {
     "q151_incremental_dedup" -> "495f296abffe750a2a7edf2322e47efe6683182f332c237daa4e3f8515e7a3e4",
     "q156_moore_lewis" -> "a4400df4fe9a6c8769b20a40ebb054d5706091bdeac3913a6e7decd3fb56b5d4",
     // round-15 additions: q158 DuckDB-validated on target/soak_sf1
-    // (2560 pairs, 1 ok 0 bad); q159 Spark-invariant — its oracle is the
-    // q74 recursive-component CTE, O(n²) at 50k docs (same class as
-    // q74/q127 above)
+    // (2560 pairs, 1 ok 0 bad); q159 rides the q74 recursive-component
+    // CTE — 50k-validated round 18 via the iterative re-spelling
     "q158_containment_pairs" -> "a96facba0385b9397a5d1959a021f52043428dd94932480c12278bb0347d278a",
     "q159_soft_dedup" -> "121d05c2df90809eb08cbbea17a1ad202c3a4264526fd3021a2fc760872e210f",
     // q160 DuckDB-validated on target/soak_sf1 (2460 pairs, 1 ok 0 bad)
@@ -63,9 +66,9 @@ class Sf1HashPinSpec extends AnyFunSuite with SparkSuite {
     // round 17 re-probed all four — q106 2.5 s, q107 7.1 s, q144 66 s in
     // DuckDB at sf1 — and the driver-faithful compare_oracle gate then
     // CONFIRMED these pinned values cross-engine (round-17 log), closing
-    // the round-17 ADVICE item without moving a constant. q145 is the one
-    // genuine member of the non-terminating class (its oracle times out
-    // at 20 min) and stays Spark-invariant.
+    // the round-17 ADVICE item without moving a constant. q145's oracle
+    // (the last genuinely non-terminating one) was 50k-validated round
+    // 18 via the iterative re-spelling (75 s, 1 ok 0 bad).
     "q106_pq_adc_topk" -> "5db7ba959433d0fff4efae1a26719a5e6e5e59594fede6968f86f87eccdf9301",
     "q107_pq_recall" -> "d056df101c12d7a64e3480e66ff65932e74fe998dae7607d529d2ea70308dde2",
     "q126_cms_heavy_hitters" -> "9de58acf0754d139a28546e0f66e157a3c1ec479a6c8ab7aa2f250bc69423c1a",
@@ -75,14 +78,10 @@ class Sf1HashPinSpec extends AnyFunSuite with SparkSuite {
     "q162_neyman_sample" -> "ecfdd0c02c1116e86d6f6e9e646496c1471d4d90c12b57a03860bfb3d6ab7d6a",
     // round-17 tier: the q163–q169 audit members. q164/q165/q166/q167/
     // q168 DuckDB-validated on target/soak_sf1 through the
-    // driver-faithful compare (round-17 log); q163/q169 Spark-invariant
-    // AT SF1 (their oracles ride the q74 recursive-component CTE — the
-    // genuinely non-terminating class: probed 20 min at 10k docs
-    // without finishing), but the WHOLE CTE family (q74/q159/q163/q169)
-    // was down-scale cross-validated this round on a 5,000-doc slice of
-    // the sf1 fixture — 10× the driver gate's scale — each 1 ok, 0 bad
-    // (the oracle takes ~20 min per query there; that is the honest
-    // ceiling of cross-engine validation for this class)
+    // driver-faithful compare (round-17 log); q163/q169 ride the q74
+    // recursive-component CTE and were 50k-validated round 18 via the
+    // iterative re-spelling (2.9 s / 3.9 s, 1 ok 0 bad each — the 5k
+    // slice ceiling is history)
     "q163_effective_data" -> "f70f6f8f53fd441cc37d704a9c71121dc3ecc90b7057e7821f2b3c5f91e7e2c3",
     "q164_semantic_contamination" -> "2d5afb442b99a69dd01f1983600681d38b06bbaf104585710c908d8c979b6c28",
     "q165_ivf_adc_topk" -> "4bbd9d74f4530c334979666d44c7ba4ecac64cd570113a6289c9ca8552ff78dd",
