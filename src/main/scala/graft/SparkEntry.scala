@@ -215,6 +215,10 @@ object SparkEntry {
     // audio delta-sign fingerprints banded into the q114/q128 histogram
     "q155_audio_fp_histogram" -> ((s: SparkSession, d: String) =>
       Multimodal.audioFpHistogram(s, d)),
+    // audio near-dup clusters: q155 fingerprints through the q74
+    // contraction — the q130 image precedent on the audio modality
+    "q172_audio_fp_clusters" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioFpClusters(s, d)),
     // Moore-Lewis cross-entropy-difference selection vs the largest source
     "q156_moore_lewis" -> ((s: SparkSession, d: String) =>
       TextStats.mooreLewis(s, d)),
@@ -563,6 +567,45 @@ object SparkEntry {
   /** q74's oracle: the q35 pair graph, closed into connected components by
     * a recursive CTE (component id = min reachable doc_id — the same
     * fixpoint the Spark label propagation converges to). */
+  /** The q155/q172 audio fingerprint chain: 16-byte frames via the q131
+    * hex-decode discipline, delta-sign fingerprint on the 6-dp-rounded
+    * RMS energies — ends at `fp(doc_id, simhash)`. One source so the
+    * histogram and cluster oracles cannot desynchronize. */
+  private def audioFpCte(prefix: String = "WITH"): String =
+    s"""$prefix hx AS (
+      | SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+      | FROM documents WHERE text IS NOT NULL),
+      |fr AS (
+      | SELECT doc_id, n, h,
+      |  CAST(unnest(range(0, greatest(CAST(ceil(n / 16.0) AS BIGINT), 1)))
+      |   AS BIGINT) AS frame_idx
+      | FROM hx),
+      |sm AS (
+      | SELECT doc_id, frame_idx,
+      |  list_transform(range(CAST(frame_idx*16 AS INTEGER),
+      |                       CAST(least(frame_idx*16 + 16, n) AS INTEGER)),
+      |    i -> ('0x' || substring(h, CAST(i*2+1 AS INTEGER), 2))::INTEGER - 128)
+      |   AS s
+      | FROM fr),
+      |fe AS (
+      | SELECT doc_id, frame_idx,
+      |  CASE WHEN len(s) > 0 THEN
+      |   round(sqrt(CAST(list_sum(list_transform(s, x -> x*x)) AS DOUBLE)
+      |     / len(s)), 6) END AS rms_energy
+      | FROM sm),
+      |dl AS (
+      | SELECT doc_id, frame_idx, rms_energy,
+      |  lag(rms_energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+      | FROM fe),
+      |fp AS (
+      | SELECT doc_id,
+      |  CAST(coalesce(sum(CASE WHEN frame_idx BETWEEN 1 AND 59
+      |    AND prev IS NOT NULL AND rms_energy IS NOT NULL
+      |    AND rms_energy > prev
+      |   THEN (1::BIGINT << CAST(frame_idx - 1 AS INTEGER)) ELSE 0 END), 0)
+      |   AS BIGINT) AS simhash
+      | FROM dl GROUP BY doc_id)""".stripMargin
+
   private def dupClustersCte: String =
     simhashFpCte("WITH RECURSIVE") +
       s""",
@@ -2335,51 +2378,39 @@ object SparkEntry {
         | CAST(min(CASE WHEN before < 5000 THEN score END) AS BIGINT) AS min_score_admitted,
         | CAST(sum(CASE WHEN before < 5000 THEN doc_id ELSE 0 END) AS BIGINT) AS selected_checksum
         |FROM o GROUP BY lang""".stripMargin,
-    // q155: 16-byte frames via the q131 hex-decode discipline, delta-sign
-    // fingerprint on the 6-dp-rounded energies, then the q114/q128 brute
-    // pair-join histogram tail over the fingerprints
+    // q155: the shared audio fingerprint CTE ([[audioFpCte]]), then the
+    // q114/q128 brute pair-join histogram tail over the fingerprints
     "q155_audio_fp_histogram" ->
-      s"""WITH hx AS (
-        | SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
-        | FROM documents WHERE text IS NOT NULL),
-        |fr AS (
-        | SELECT doc_id, n, h,
-        |  CAST(unnest(range(0, greatest(CAST(ceil(n / 16.0) AS BIGINT), 1)))
-        |   AS BIGINT) AS frame_idx
-        | FROM hx),
-        |sm AS (
-        | SELECT doc_id, frame_idx,
-        |  list_transform(range(CAST(frame_idx*16 AS INTEGER),
-        |                       CAST(least(frame_idx*16 + 16, n) AS INTEGER)),
-        |    i -> ('0x' || substring(h, CAST(i*2+1 AS INTEGER), 2))::INTEGER - 128)
-        |   AS s
-        | FROM fr),
-        |fe AS (
-        | SELECT doc_id, frame_idx,
-        |  CASE WHEN len(s) > 0 THEN
-        |   round(sqrt(CAST(list_sum(list_transform(s, x -> x*x)) AS DOUBLE)
-        |     / len(s)), 6) END AS rms_energy
-        | FROM sm),
-        |dl AS (
-        | SELECT doc_id, frame_idx, rms_energy,
-        |  lag(rms_energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
-        | FROM fe),
-        |fp AS (
-        | SELECT doc_id,
-        |  CAST(coalesce(sum(CASE WHEN frame_idx BETWEEN 1 AND 59
-        |    AND prev IS NOT NULL AND rms_energy IS NOT NULL
-        |    AND rms_energy > prev
-        |   THEN (1::BIGINT << CAST(frame_idx - 1 AS INTEGER)) ELSE 0 END), 0)
-        |   AS BIGINT) AS simhash
-        | FROM dl GROUP BY doc_id),
-        |hp AS (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        | WHERE $simhashPairPredicate)
-        |SELECT hamming, count(*) AS n_pairs,
-        | count(DISTINCT doc_a) AS n_docs_a, count(DISTINCT doc_b) AS n_docs_b
-        |FROM hp GROUP BY hamming""".stripMargin,
+      (audioFpCte() +
+        s""",
+          |hp AS (
+          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          | WHERE $simhashPairPredicate)
+          |SELECT hamming, count(*) AS n_pairs,
+          | count(DISTINCT doc_a) AS n_docs_a, count(DISTINCT doc_b) AS n_docs_b
+          |FROM hp GROUP BY hamming""".stripMargin),
+    // q172: the same fingerprint CTE contracted by the q74 reach/clusters
+    // chain (the q130 image-cluster oracle's exact shape on the audio
+    // modality); exact-payload dups have equal fingerprints, so the
+    // pairs-only component graph equals the engine's h128-collapsed one
+    "q172_audio_fp_clusters" ->
+      (audioFpCte("WITH RECURSIVE") +
+        s""",
+          |p AS (
+          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          | FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          | WHERE $simhashPairPredicate),
+          |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+          |reach AS (
+          | SELECT src AS node, src AS lbl FROM (SELECT DISTINCT src FROM e) t
+          | UNION
+          | SELECT e.src AS node, r.lbl FROM e JOIN reach r ON r.node = e.dst),
+          |clusters AS (
+          | SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+          |SELECT doc_id, cluster_id FROM clusters""".stripMargin),
     // q156: q99's modeling conventions under TWO models from one combined
     // count table (general count + in-domain count via the q147 largest-
     // source pick); per-model top-K caps, add-one smoothing over each

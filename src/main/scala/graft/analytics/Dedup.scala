@@ -994,25 +994,37 @@ object Dedup {
    * queries pay the contraction once. The keeper window is keyed by
    * cluster_id — group size = that cluster's member count, bounded by
    * duplicate multiplicity, never corpus-sized — over three narrow
-   * columns; the min-id baseline needs NO second pass (the contraction's
-   * cluster_id IS the component minimum, so the baseline keeper's chars
-   * come from the member row where doc_id = cluster_id). Deterministic:
-   * chars-desc with NULLS LAST and doc_id tiebreak, spelled identically
-   * in both engines.
+   * columns; the min-id baseline rides the SAME window partition (the
+   * `first` by doc_id in the same exchange — no second join), so the
+   * whole query is label-INVARIANT: only component membership enters
+   * the output, which is what lets the streaming quality-keeper ledger
+   * serve this exact function over the maintained cluster forest (where
+   * a late-arriving lower id may displace a root) and still equal batch.
+   * Deterministic: chars-desc with NULLS LAST and doc_id tiebreak,
+   * spelled identically in both engines.
    */
-  def qualityKeepers(s: SparkSession, d: String): DataFrame = {
-    val m = simhashClusters(s, d)
-      .join(documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
-        Seq("doc_id"))
+  def qualityKeepers(s: SparkSession, d: String): DataFrame =
+    qualityKeepersOf(
+      documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+      simhashClusters(s, d))
+
+  /** [[qualityKeepers]] over arbitrary (doc_id, source, n_chars) docs +
+    * (doc_id, cluster_id) assignment — the [[softDedupWeightsOf]]
+    * sharing shape. Membership-only semantics: the min-id baseline is
+    * the component's doc_id-minimal MEMBER (identically the batch
+    * contraction's root label, but never read off the label itself). */
+  def qualityKeepersOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val m = clusters.join(docs, Seq("doc_id"))
     val wc = Window.partitionBy(col("cluster_id"))
     val ranked = m
       .withColumn("csize", count(lit(1)).over(wc))
+      // frame start of the doc_id-ordered window = the min-id member —
+      // the q81 baseline keeper — without a second pass over the table
+      .withColumn("root_chars",
+        first(col("n_chars")).over(wc.orderBy(col("doc_id"))))
       .withColumn("rn", row_number().over(
         wc.orderBy(col("n_chars").desc_nulls_last, col("doc_id"))))
-    val rootChars = m.filter(col("doc_id") === col("cluster_id"))
-      .select(col("cluster_id"), col("n_chars").as("root_chars"))
     ranked.filter(col("rn") === 1)
-      .join(rootChars, Seq("cluster_id"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_clusters_led"),

@@ -535,6 +535,25 @@ object Multimodal {
       maxHamming: Int = 6): DataFrame =
     Dedup.hammingHistogramOf(audioFingerprints(s, d), maxHamming)
 
+  /**
+   * q172: audio perceptual near-dup clusters — the q130 image precedent
+   * on the q155 fingerprints, closing the modality matrix's last cluster
+   * cell (text q74 / image q130 / audio here): exact-payload duplicates
+   * collapse by content hash before banding
+   * ([[Dedup.simhashDupGraphFromMeta]]), the banded Hamming pair graph
+   * contracts to (doc_id, cluster_id) by the same O(log)-round star
+   * contraction. An audio-corpus release dedups on exactly this table.
+   *
+   * 100 TB posture: inherits the fingerprint scan's single
+   * per-partition pass (no frame row ever exists) and the contraction's
+   * rounds-bounded cost — only (doc_id, h128, simhash) rows ever
+   * shuffle; payloads never move.
+   */
+  def audioFpClusters(s: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.simhashDupGraphFromMeta(audioFingerprints(s, d), maxHamming))
+
   /** Frame-sampling shape: deterministic "frames" (offset markers) per media
     * item — the explode pattern a video pipeline uses, minus the codec. */
   def frameSample(s: SparkSession, d: String, everyBytes: Int = 256): DataFrame =

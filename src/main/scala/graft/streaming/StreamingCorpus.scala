@@ -1657,6 +1657,21 @@ object StreamingCorpus {
       servedDocsView(spark, docsPath),
       servedClustersView(spark, forestPath))
 
+  /** The served q153 quality-keeper policy from the SAME gate state —
+    * the third duplicate policy the one soft-dedup gate can price
+    * online (1/n weights = q159, decay-valued repeats = q163, best-
+    * member keeping = this). [[graft.analytics.Dedup.qualityKeepersOf]]
+    * is membership-only — the min-id baseline is the doc_id-minimal
+    * MEMBER, never the forest label — so root displacement by a
+    * late-arriving lower id cannot move a number and the ledger is
+    * ≡ batch q153 under out-of-order arrival, re-delivery and
+    * crash-window replay. */
+  def qualityKeeperLedger(spark: SparkSession, docsPath: String,
+      forestPath: String): org.apache.spark.sql.DataFrame =
+    graft.analytics.Dedup.qualityKeepersOf(
+      servedDocsView(spark, docsPath),
+      servedClustersView(spark, forestPath))
+
   /**
    * Online admission gate — the streaming counterpart of batch q151
    * ([[graft.analytics.Dedup.incrementalDedup]]): documents landing in

@@ -75,6 +75,26 @@ object Soak100 {
       println(f"[fixture] built 100-shard sf10 embeddings in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
 
+    val evMarker = new java.io.File(s"$soakDir/events.parquet/_SUCCESS")
+    if (!evMarker.exists()) {
+      val t0 = System.nanoTime()
+      // 100 user-namespaced shards: per-user event multiplicity (the unit
+      // of every profile window) is exactly sf0.1's; the user population
+      // grows x100 — the honest worst case for user-keyed aggregates
+      val base = graft.analytics.Tables.events(spark, sf01)
+      val shards = (0 until 100).map { k =>
+        base.select(
+          (col("event_id") + lit(k * 100000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k * 1500L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }
+      shards.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$soakDir/events.parquet")
+      println(f"[fixture] built 100-shard sf10 events in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+
     val passes = sys.env.getOrElse("SPARK_GRAFT_SOAK_PASSES", "2").toInt
     // SPARK_GRAFT_SOAK_ONLY=q126,q101 re-soaks single families after a
     // respelling without paying the whole battery (which also skews walls:
@@ -133,6 +153,89 @@ object Soak100 {
       val (ns10, ts10) = timed("q160 sf10")(
         graft.analytics.TextStats.longestSharedSpans(spark, soakDir).count())
       println(f"[q160] rows $ns01 -> $ns10, wall x${ts10 / ts01}%.1f on 100x data")
+      org.apache.spark.sql.GraftBridge.releaseTransientPins()
+      }
+
+      if (want("q161")) {
+      // k-anonymity audit: every window/aggregate is user-keyed and the
+      // fixture holds per-user multiplicity constant while users grow
+      // x100 — wall must track the event mass, output stays band-bounded
+      val (nk01, tk01) = timed("q161 sf0.1")(
+        graft.analytics.Relational.kAnonymityAudit(spark, sf01).count())
+      val (nk10, tk10) = timed("q161 sf10")(
+        graft.analytics.Relational.kAnonymityAudit(spark, soakDir).count())
+      println(f"[q161] rows $nk01 -> $nk10, wall x${tk10 / tk01}%.1f on 100x data")
+      }
+
+      if (want("q162")) {
+      // Neyman allocation: per-stratum moments are map-side combined and
+      // the budget (draw size) is FIXED — the corpus-linear stats pass is
+      // the only growth term
+      val (nn01, tn01) = timed("q162 sf0.1")(
+        graft.analytics.Sampling.neymanSample(spark, sf01).count())
+      val (nn10, tn10) = timed("q162 sf10")(
+        graft.analytics.Sampling.neymanSample(spark, soakDir).count())
+      println(f"[q162] rows $nn01 -> $nn10, wall x${tn10 / tn01}%.1f on 100x data (budget fixed)")
+      }
+
+      if (want("q163")) {
+      // effective-data audit: pays the session-shared q74 cluster
+      // fixpoint (cleared first so the multiplier is honest), then one
+      // rank window + decimal sums over narrow columns
+      graft.analytics.Dedup.clearSharedClusterEdges()
+      val (nd01, td01) = timed("q163 sf0.1")(
+        Dedup.effectiveData(spark, sf01).count())
+      graft.analytics.Dedup.clearSharedClusterEdges()
+      val (nd10, td10) = timed("q163 sf10")(
+        Dedup.effectiveData(spark, soakDir).count())
+      println(f"[q163] rows $nd01 -> $nd10, wall x${td10 / td01}%.1f on 100x data (incl. cluster fixpoint)")
+      }
+
+      if (want("q164")) {
+      // semantic contamination: |bench| held fixed via stride x100, so
+      // the observable is per-bench-probe cost as the corpus grows —
+      // bench broadcasts, top-1 scoring dies map-side in the corpus scan
+      val (nc01, tc01) = timed("q164 sf0.1")(
+        graft.analytics.Similarity.semanticContamination(spark, sf01).count())
+      val (nc10, tc10) = timed("q164 sf10")(
+        graft.analytics.Similarity.semanticContamination(spark, soakDir,
+          stride = 2000L).count())
+      println(f"[q164] rows $nc01 -> $nc10, wall x${tc10 / tc01}%.1f on 100x data (|bench| fixed)")
+      }
+
+      if (want("q167")) {
+      // contamination-aware split audit: the eval set is hard-capped
+      // (maxBench) so the corpus gram stream + the md5 split lottery are
+      // the linear terms; output is the fixed 3-split table
+      val (ns01, ts01) = timed("q167 sf0.1")(
+        graft.analytics.TextStats.contaminatedSplitAudit(spark, sf01).count())
+      val (ns10, ts10) = timed("q167 sf10")(
+        graft.analytics.TextStats.contaminatedSplitAudit(spark, soakDir).count())
+      println(f"[q167] rows $ns01 -> $ns10, wall x${ts10 / ts01}%.1f on 100x data (bench capped)")
+      }
+
+      if (want("q169")) {
+      // chaining audit: rides the shared cluster fixpoint (cleared first
+      // so the multiplier is honest); the in-cluster pair join is bounded
+      // by sizeCap^2 per cluster — wall must track cluster count
+      graft.analytics.Dedup.clearSharedClusterEdges()
+      val (na01, ta01) = timed("q169 sf0.1")(
+        Dedup.clusterChainAudit(spark, sf01).count())
+      graft.analytics.Dedup.clearSharedClusterEdges()
+      val (na10, ta10) = timed("q169 sf10")(
+        Dedup.clusterChainAudit(spark, soakDir).count())
+      println(f"[q169] bands $na01 -> $na10, wall x${ta10 / ta01}%.1f on 100x data (incl. cluster fixpoint)")
+      }
+
+      if (want("q172")) {
+      // audio fp clusters: the fingerprint fold rides the scan; the
+      // contraction input is the banded pair graph over distinct
+      // fingerprint values — rounds-bounded like q74/q130
+      val (nfc01, tfc01) = timed("q172 sf0.1")(
+        graft.analytics.Multimodal.audioFpClusters(spark, sf01).count())
+      val (nfc10, tfc10) = timed("q172 sf10")(
+        graft.analytics.Multimodal.audioFpClusters(spark, soakDir).count())
+      println(f"[q172] rows $nfc01 -> $nfc10, wall x${tfc10 / tfc01}%.1f on 100x data")
       org.apache.spark.sql.GraftBridge.releaseTransientPins()
       }
 

@@ -39,6 +39,9 @@ import java.util.logging.Logger
  *  - 2026-08-16 (r17): re-ran the find over all three cache roots —
  *    zero h2/hsqldb/mariadb/mysql jars; duckdb_jdbc 1.0.0 still the
  *    only embeddable engine. Unchanged; environment-blocked.
+ *  - 2026-08-16 (r18): re-probed all three cache roots AND
+ *    /opt/spark/jars — zero h2/hsqldb/mariadb/mysql jars anywhere.
+ *    Unchanged; MySQL dialect stays golden-pinned, environment-blocked.
  *
  * The loader and driver are cached in this object: DuckDB's JDBC driver
  * extracts and `System.load`s a native library once per classloader, and

@@ -1597,9 +1597,11 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       s"$root/no_docs", s"$root/no_forest").count() == 0L)
     assert(StreamingCorpus.effectiveDataLedger(spark,
       s"$root/no_docs2", s"$root/no_forest2").count() == 0L)
+    assert(StreamingCorpus.qualityKeeperLedger(spark,
+      s"$root/no_docs3", s"$root/no_forest3").count() == 0L)
   }
 
-  test("soft-dedup gate: served ledger equals batch q159 under out-of-order arrival, re-delivery, crash window and root displacement") {
+  test("soft-dedup gate: served ledgers equal batch q159/q163/q153 under out-of-order arrival, re-delivery, crash window and root displacement") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val root = TempDirs.tempDir("graft_ssoft").toFile
@@ -1659,6 +1661,20 @@ class StreamingCorpusSpec extends AnyFunSuite with SparkSuite {
       assert(se == be,
         s"$tag: streamed effective-data ledger diverges from batch q163 " +
           s"(streamed=$se batch=$be)")
+      // and the q153 quality-keeper policy — the third duplicate policy
+      // served from the one gate state; membership-only, so the
+      // displaced root below cannot move its numbers either
+      val sk = StreamingCorpus.qualityKeeperLedger(spark, docsPath, forestPath)
+        .collect().map(_.toString).sorted.toSeq
+      val bk = graft.analytics.Dedup.qualityKeepersOf(
+        delivered.select(col("doc_id"), col("source"), col("n_chars")),
+        graft.analytics.Dedup.duplicateClusters(
+          graft.analytics.Dedup.simhashDupGraphOf(
+            delivered.select(col("doc_id"), col("text")))))
+        .collect().map(_.toString).sorted.toSeq
+      assert(sk == bk,
+        s"$tag: streamed quality-keeper ledger diverges from batch q153 " +
+          s"(streamed=$sk batch=$bk)")
     }
     land(dfOf(w1), landing, "wave1"); drain(); assertEqBatch(w1, "wave1")
     land(dfOf(w2), landing, "wave2"); drain(); assertEqBatch(w1 ++ w2, "wave2")
