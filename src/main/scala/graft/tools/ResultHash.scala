@@ -101,7 +101,10 @@ object ResultHash {
     // DuckDB-validated on target/soak_sf1 (per-query fresh-process
     // compare — round-17 log)
     "q170_int8_recall",
-    "q171_semdedup_blocking_recall")
+    "q171_semdedup_blocking_recall",
+    // round-18: the audio cluster cell (>1 s driver class — it pays its
+    // own contraction); 50k-validated via tools/iterative_cc_oracle.py
+    "q172_audio_fp_clusters")
 }
 
 /** One-time pin generator: prints `name -> hash` for the sf1 pin set

@@ -92,7 +92,11 @@ class Sf1HashPinSpec extends AnyFunSuite with SparkSuite {
     // round-17 second wave: both DuckDB-validated on target/soak_sf1
     // (per-query fresh-process compare, 1 ok 0 bad each — round-17 log)
     "q170_int8_recall" -> "2aa6793144b4a61c52067ffc1d7050ae1527cbc9ceec1f8b9cd4603841a949dd",
-    "q171_semdedup_blocking_recall" -> "06a00aa7fbebd8a2c9cab0554d9b1b014d5f2f0df221ab3f06452524af8541a0")
+    "q171_semdedup_blocking_recall" -> "06a00aa7fbebd8a2c9cab0554d9b1b014d5f2f0df221ab3f06452524af8541a0",
+    // round-18: the audio cluster cell — DuckDB-validated at the FULL
+    // 50k sf1 fixture via tools/iterative_cc_oracle.py (25 s, 128M sym
+    // edges — every doc clusters on this fixture — 1 ok 0 bad)
+    "q172_audio_fp_clusters" -> "3ab81e5f52cc84876e90a704143857a7e81352dc78571cea12fa27047e9170bd")
 
   test("sf1 result hashes match the pinned Spark<->DuckDB agreed values") {
     SoakFixtures.ensureSf1(spark)

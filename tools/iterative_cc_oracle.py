@@ -48,6 +48,7 @@ FAMILY = [
     "q159_soft_dedup",
     "q163_effective_data",
     "q169_cluster_chain_audit",
+    "q172_audio_fp_clusters",
     # no recursion, but its two pair stages are OR-of-band nested-loop
     # joins (quadratic at 50k) — band-split surgery below turns each into
     # a UNION ALL of hash equi-joins + DISTINCT, mathematically identical
