@@ -1,0 +1,109 @@
+package graft.tools
+
+import graft.analytics.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Dev probe: the 1000× (sf100) soak — a THREE-orders-of-magnitude point
+ * for the flagship linearity claims (the sf10 battery's construction at
+ * 10× its shard count: 1000 token-namespaced copies of sf0.1's
+ * `documents`, ~5M docs / ~15 GB of raw text mass, ~3 GB parquet under
+ * target/soak_sf100). Shards are written in 10 append batches of 100 so
+ * no single plan carries a 1000-way union.
+ *
+ * Battery (kept small — the families whose 100 TB story leans on
+ * measured flatness/linearity): exact dedup (q30), the q74 contraction
+ * (rounds must stay bounded at 1000×), the collapsed Hamming histogram
+ * (q114 — banding over distinct VALUES only), paragraph dedup (q129 —
+ * the flat-at-100× claim re-tested at 1000×), and per-source caps
+ * (q103 — the whole corpus over cap, worst case by construction).
+ * One pass by default (SPARK_GRAFT_SOAK_PASSES to change); compare
+ * against sf0.1 walls printed alongside.
+ */
+object Soak1000 {
+  def main(args: Array[String]): Unit = {
+    val sf01 = "/root/testdata/sf0.1"
+    val soakDir = "target/soak_sf100"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val marker = new java.io.File(s"$soakDir/documents.parquet/_SUCCESS")
+    if (!marker.exists()) {
+      val t0 = System.nanoTime()
+      val base = spark.read.parquet(s"$sf01/documents.parquet")
+      (0 until 10).foreach { outer =>
+        val shards = (0 until 100).map { i =>
+          val k = outer * 100 + i
+          base.select(
+            (col("doc_id") + lit(k * 5000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"t${k}_$$1").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }
+        shards.reduce(_ unionByName _)
+          .repartition(32)
+          .write.mode(if (outer == 0) "overwrite" else "append")
+          .parquet(s"$soakDir/documents.parquet")
+        println(s"[fixture] sf100 batch ${outer + 1}/10 written")
+      }
+      println(f"[fixture] built 1000-shard sf100 in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+
+    def timed[T](tag: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[$tag] wall=$dt%.1fs")
+      (r, dt)
+    }
+
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SOAK_PASSES", "1").toInt
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(tag: String): Boolean = only.forall(_.contains(tag))
+    (1 to passes).foreach { pass =>
+      println(s"--- pass $pass")
+      if (want("exact")) {
+        val (n01, t01) = timed("exact_groups sf0.1")(Dedup.exactGroups(spark, sf01).count())
+        val (n100, t100) = timed("exact_groups sf100")(Dedup.exactGroups(spark, soakDir).count())
+        println(f"[exact] groups $n01 -> $n100 (x${n100.toDouble / n01}%.0f), wall x${t100 / t01}%.1f on 1000x data")
+      }
+      if (want("q103")) {
+        val (c01, tc01) = timed("q103 sf0.1")(
+          graft.analytics.Sampling.sourceCapStats(spark, sf01).count())
+        val (c100, tc100) = timed("q103 sf100")(
+          graft.analytics.Sampling.sourceCapStats(spark, soakDir).count())
+        println(f"[q103] rows $c01 -> $c100, wall x${tc100 / tc01}%.1f on 1000x data")
+      }
+      if (want("q114")) {
+        val (h01, th01) = timed("q114 sf0.1")(Dedup.hammingHistogram(spark, sf01).count())
+        val (h100, th100) = timed("q114 sf100")(Dedup.hammingHistogram(spark, soakDir).count())
+        println(f"[q114] rows $h01 -> $h100, wall x${th100 / th01}%.1f on 1000x data")
+      }
+      if (want("q129")) {
+        val (p01, tp01) = timed("q129 sf0.1")(
+          graft.analytics.TextStats.paragraphDedup(spark, sf01).count())
+        val (p100, tp100) = timed("q129 sf100")(
+          graft.analytics.TextStats.paragraphDedup(spark, soakDir).count())
+        println(f"[q129] rows $p01 -> $p100 (x${p100.toDouble / p01}%.0f), wall x${tp100 / tp01}%.1f on 1000x data")
+      }
+      if (want("q74")) {
+        val ((n01, r01), t01) = timed("q74 sf0.1") {
+          val (e, r) = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(spark, sf01))
+          (e.count(), r)
+        }
+        val ((n100, r100), t100) = timed("q74 sf100") {
+          val (e, r) = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(spark, soakDir))
+          (e.count(), r)
+        }
+        println(f"[q74] edges $n01 -> $n100 (x${n100.toDouble / n01}%.0f), rounds $r01 -> $r100, wall x${t100 / t01}%.1f on 1000x data")
+      }
+    }
+    spark.stop()
+  }
+}
