@@ -92,6 +92,24 @@ object Soak1000 {
           graft.analytics.TextStats.paragraphDedup(spark, soakDir).count())
         println(f"[q129] rows $p01 -> $p100 (x${p100.toDouble / p01}%.0f), wall x${tp100 / tp01}%.1f on 1000x data")
       }
+      if (want("q101")) {
+        // the densest pair surface at 1000x: cross-source leakage over
+        // the distinct-fingerprint-collapsed banded stream
+        def docsOf(d: String) = spark.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"))
+        val (l01, tl01) = timed("q101 sf0.1")(
+          Dedup.crossSourceLeakageOf(docsOf(sf01), 6).count())
+        val (l100, tl100) = timed("q101 sf100")(
+          Dedup.crossSourceLeakageOf(docsOf(soakDir), 6).count())
+        println(f"[q101] cells $l01 -> $l100, wall x${tl100 / tl01}%.1f on 1000x data")
+      }
+      if (want("q148")) {
+        val (u01, tu01) = timed("q148 sf0.1")(
+          graft.analytics.Sampling.urlDedupStats(spark, sf01).count())
+        val (u100, tu100) = timed("q148 sf100")(
+          graft.analytics.Sampling.urlDedupStats(spark, soakDir).count())
+        println(f"[q148] rows $u01 -> $u100, wall x${tu100 / tu01}%.1f on 1000x data")
+      }
       if (want("q74")) {
         val ((n01, r01), t01) = timed("q74 sf0.1") {
           val (e, r) = Dedup.duplicateClusterEdges(Dedup.simhashDupGraph(spark, sf01))
