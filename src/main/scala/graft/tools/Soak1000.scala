@@ -54,6 +54,34 @@ object Soak1000 {
       println(f"[fixture] built 1000-shard sf100 in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
 
+    val embMarker = new java.io.File(s"$soakDir/embeddings.parquet/_SUCCESS")
+    if (!embMarker.exists()) {
+      val t0 = System.nanoTime()
+      val base = spark.read.parquet(s"$sf01/embeddings.parquet")
+      val n = base.count()
+      // the sf10 construction at 10x the shard count: a deterministic
+      // sign-flip per shard (orthogonal transform — within-shard
+      // geometry exactly sf0.1's, shards decorrelated)
+      (0 until 10).foreach { outer =>
+        val shards = (0 until 100).map { i =>
+          val k = outer * 100 + i
+          base.select(
+            (col("vec_id") + lit(k * n)).as("vec_id"),
+            zip_with(col("embedding"),
+              transform(sequence(lit(0), size(col("embedding")) - 1),
+                j => when((j * 31 + lit(k * 7)) % 5 % 2 === 0, lit(1.0f)).otherwise(lit(-1.0f))),
+              (x, s2) => x * s2).as("embedding"),
+            col("label"))
+        }
+        shards.reduce(_ unionByName _)
+          .repartition(32)
+          .write.mode(if (outer == 0) "overwrite" else "append")
+          .parquet(s"$soakDir/embeddings.parquet")
+        println(s"[fixture] sf100 embeddings batch ${outer + 1}/10 written")
+      }
+      println(f"[fixture] built 1000-shard sf100 embeddings in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+
     def timed[T](tag: String)(f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f
@@ -91,6 +119,22 @@ object Soak1000 {
         val (p100, tp100) = timed("q129 sf100")(
           graft.analytics.TextStats.paragraphDedup(spark, soakDir).count())
         println(f"[q129] rows $p01 -> $p100 (x${p100.toDouble / p01}%.0f), wall x${tp100 / tp01}%.1f on 1000x data")
+      }
+      if (want("q165")) {
+        // the production serving recipe at 1000x: |Q| fixed via stride
+        // (200 queries at every scale), nplanes 3 -> 13 keeps per-cell
+        // density flat at 20M vectors, codebook sample-trained at 1/400
+        // (the FAISS discipline — training set stays ~50k at any scale)
+        import graft.analytics.{Similarity, Tables}
+        val (a01, ta01) = timed("q165 sf0.1")(
+          Similarity.ivfAdcTopKOf(Tables.embeddings(spark, sf01),
+            4, 4, 2, 5, 100L, 4, 3).count())
+        org.apache.spark.sql.GraftBridge.releaseTransientPins()
+        val (a100, ta100) = timed("q165 sf100")(
+          Similarity.ivfAdcTopKOf(Tables.embeddings(spark, soakDir),
+            4, 4, 2, 5, 100000L, 4, 13, trainSampleMod = 400).count())
+        org.apache.spark.sql.GraftBridge.releaseTransientPins()
+        println(f"[q165] rows $a01 -> $a100, wall x${ta100 / ta01}%.1f on 1000x data (|Q| fixed, nplanes 3 -> 13)")
       }
       if (want("q101")) {
         // the densest pair surface at 1000x: cross-source leakage over
