@@ -374,11 +374,13 @@ object Bench {
     }
     // the driver keeps a ~2000-char stdout tail: the last line must fit
     // complete or the artifact reverts to parsed:null. Shrink n until it
-    // fits (long query names / wide sweep arrays can blow any single
-    // fallback); n=0 is fixed fields only (~300 chars) so the chain
-    // always terminates under the cap.
+    // fits. n=0 is fixed fields only, but sweep_totals/gc_ms_sweeps scale
+    // with the configured run count, so even n=0 can exceed the cap under
+    // a huge SPARK_GRAFT_BENCH_RUNS — fall back to printing the n=0 line
+    // oversized (the old degrade-to-unparseable behavior) rather than
+    // throwing after the whole bench completed.
     println(Iterator(20, 12, 8, 5, 3, 1, 0)
-      .map(tailLine).find(_.length <= 1900).get)
+      .map(tailLine).find(_.length <= 1900).getOrElse(tailLine(0)))
     spark.stop()
   }
 }

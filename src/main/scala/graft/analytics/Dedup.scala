@@ -1425,10 +1425,19 @@ object Dedup {
     * The streaming path maintains exactly this table incrementally
     * ([[graft.streaming.StreamingCorpus]]): fingerprinting is per-doc
     * work done once on arrival; the graph and its contraction are then
-    * derivable from fingerprints alone, never re-reading document text. */
+    * derivable from fingerprints alone, never re-reading document text.
+    *
+    * h128 is BINARY(16) (`unhex(md5)`), not the 32-char hex string: the
+    * column is pure internal state — grouped, joined, null-checked,
+    * never ordered or surfaced — so equality semantics are unchanged
+    * while every fingerprint checkpoint, shuffle and state table keyed
+    * by it (the contraction family, the streaming rep/admission
+    * indexes) carries 16 bytes per row instead of a ~40-byte
+    * UTF8String. At the sf100 soak (5M docs) this is the difference
+    * between the q74 fixpoint fitting a default heap or not. */
   def simhashMetaOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("h128"),
+      unhex(md5(col("text").cast("binary"))).as("h128"),
       simhashFromHashes(
         transform(array_distinct(words(col("text"))), w => mdHash60(w)))
         .as("simhash"))
@@ -1575,7 +1584,7 @@ object Dedup {
     // (sf10: 5.5 s three-scan vs 3.2 s pinned)
     val base = org.apache.spark.sql.GraftBridge.checkpointNoStats(
       docs
-        .withColumn("h128", md5(col("text").cast("binary")))
+        .withColumn("h128", unhex(md5(col("text").cast("binary"))))
         .withColumn("simhash", simhashFromHashes(
           transform(array_distinct(words(col("text"))), w => mdHash60(w))))
         .select(col("doc_id"), col("source"), col("h128"), col("simhash"),
@@ -1820,7 +1829,7 @@ object Dedup {
     // paid a doc_id shuffle join for a column the scan already had
     crossSourceLeakageFromMeta(
       docs.select(col("doc_id"),
-        md5(col("text").cast("binary")).as("h128"),
+        unhex(md5(col("text").cast("binary"))).as("h128"),
         simhashFromHashes(
           transform(array_distinct(words(col("text"))), w => mdHash60(w)))
           .as("simhash"),

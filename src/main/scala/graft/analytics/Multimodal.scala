@@ -213,7 +213,9 @@ object Multimodal {
     bits
   }
 
-  final case class DhashRow(doc_id: Long, h128: Option[String], simhash: Option[Long])
+  // h128 is the raw 16-byte md5 digest (binary, matching the
+  // Dedup.simhashMetaOf contract) — internal join/group state only
+  final case class DhashRow(doc_id: Long, h128: Option[Array[Byte]], simhash: Option[Long])
 
   /** Per-image fingerprint rows (doc_id, h128 = payload md5, dhash) —
     * the image analogue of [[Dedup.simhashMetaOf]]: a narrow per-partition
@@ -241,11 +243,11 @@ object Multimodal {
           if (row.payload == null) DhashRow(row.doc_id, None, None)
           else {
             md.reset()
-            val hex = md.digest(row.payload).map("%02x".format(_)).mkString
+            val digest = md.digest(row.payload)
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(row.payload))
-            if (img == null) DhashRow(row.doc_id, Some(hex), None)
-            else DhashRow(row.doc_id, Some(hex), Some(dhash60(img)))
+            if (img == null) DhashRow(row.doc_id, Some(digest), None)
+            else DhashRow(row.doc_id, Some(digest), Some(dhash60(img)))
           }
         }
       }.toDF()
@@ -469,10 +471,10 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5")
         batch.map { row =>
           if (row.payload == null)
-            (row.doc_id, None: Option[String], None: Option[Long])
+            (row.doc_id, None: Option[Array[Byte]], None: Option[Long])
           else {
             md.reset()
-            val hex = md.digest(row.payload).map("%02x".format(_)).mkString
+            val digest = md.digest(row.payload)
             val b = row.payload
             val nFrames = math.max((b.length + frameBytes - 1) / frameBytes, 1)
             var fp = 0L
@@ -499,7 +501,7 @@ object Multimodal {
               prev = rms; prevNull = isNull
               f += 1
             }
-            (row.doc_id, Some(hex), Some(fp))
+            (row.doc_id, Some(digest), Some(fp))
           }
         }
       }.toDF("doc_id", "h128", "simhash")
@@ -514,7 +516,7 @@ object Multimodal {
       frameBytes: Int): DataFrame = {
     val docs = docsIn.select(col("doc_id"),
       col("text").cast("binary").as("payload"),
-      md5(col("text").cast("binary")).as("h128"))
+      unhex(md5(col("text").cast("binary"))).as("h128"))
     val wl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     val fps = audioFrameFeaturesOf(

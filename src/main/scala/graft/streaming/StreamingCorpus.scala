@@ -1758,15 +1758,15 @@ object StreamingCorpus {
         batch.select(col("doc_id"), col("source"), col("text"))
           .withColumn("_dump_seq", lit(batchId)),
         Seq("doc_id"), "_dump_seq")
-        .withColumn("h128", md5(col("text").cast("binary")))
+        .withColumn("h128", unhex(md5(col("text").cast("binary"))))
         .withColumn("simhash", Dedup.simhash(col("text")))
         .select(col("doc_id"), col("source"), col("h128"), col("simhash")),
       eager = false)
     val index =
       if (BucketedMerge.hasData(spark, indexPath))
         BucketedMerge.read(spark, indexPath).select(col("h128"), col("simhash"))
-      else // empty index: everything admits
-        spark.range(0).select(col("id").cast("string").as("h128"),
+      else // empty index: everything admits (h128 is binary — see simhashMetaOf)
+        spark.range(0).select(col("id").cast("string").cast("binary").as("h128"),
           col("id").as("simhash"))
     val nearFp = Dedup.bandNearValues(
         b.filter(col("simhash").isNotNull).select(col("simhash")).distinct(),

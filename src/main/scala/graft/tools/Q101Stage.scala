@@ -19,7 +19,7 @@ object Q101Stage {
     def docs = spark.read.parquet(s"$d/documents.parquet")
       .select(col("doc_id"), col("text"), col("source"))
     def meta = docs.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("h128"),
+      unhex(md5(col("text").cast("binary"))).as("h128"),
       Dedup.simhash(col("text")).as("simhash"),
       col("source"))
     (1 to 3).foreach { p =>

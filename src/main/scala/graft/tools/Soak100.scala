@@ -57,15 +57,18 @@ object Soak100 {
       val t0 = System.nanoTime()
       val base = spark.read.parquet(s"$sf01/embeddings.parquet")
       val n = base.count()
-      // shard k flips a deterministic sign pattern into every vector (an
-      // orthogonal transform — within-shard geometry is exactly sf0.1's,
-      // shards decorrelated), same construction as the 10x fixture
+      // shard k flips a deterministic sign pattern into every vector (a
+      // diagonal ±1 = orthogonal transform — within-shard geometry is
+      // exactly sf0.1's). Sign = murmur3(k, i) parity so every shard has
+      // a DISTINCT pseudorandom pattern (the earlier (i*31+7k)%5 form
+      // had period 5 in k: 100 shards collapsed to 5 patterns = 20
+      // exact copies per base vector)
       val shards = (0 until 100).map { k =>
         base.select(
           (col("vec_id") + lit(k * n)).as("vec_id"),
           zip_with(col("embedding"),
             transform(sequence(lit(0), size(col("embedding")) - 1),
-              i => when((i * 31 + lit(k * 7)) % 5 % 2 === 0, lit(1.0f)).otherwise(lit(-1.0f))),
+              i => when(pmod(hash(lit(k), i), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))),
             (x, s2) => x * s2).as("embedding"),
           col("label"))
       }

@@ -60,8 +60,11 @@ object Soak1000 {
       val base = spark.read.parquet(s"$sf01/embeddings.parquet")
       val n = base.count()
       // the sf10 construction at 10x the shard count: a deterministic
-      // sign-flip per shard (orthogonal transform — within-shard
-      // geometry exactly sf0.1's, shards decorrelated)
+      // per-shard sign-flip (diagonal ±1 = orthogonal transform —
+      // within-shard geometry exactly sf0.1's). Sign = murmur3(k, j)
+      // parity so every shard carries a DISTINCT pseudorandom pattern
+      // (the earlier (j*31+7k)%5 form had period 5 in k, collapsing
+      // 1000 shards to 5 patterns — 200 exact copies per base vector)
       (0 until 10).foreach { outer =>
         val shards = (0 until 100).map { i =>
           val k = outer * 100 + i
@@ -69,7 +72,7 @@ object Soak1000 {
             (col("vec_id") + lit(k * n)).as("vec_id"),
             zip_with(col("embedding"),
               transform(sequence(lit(0), size(col("embedding")) - 1),
-                j => when((j * 31 + lit(k * 7)) % 5 % 2 === 0, lit(1.0f)).otherwise(lit(-1.0f))),
+                j => when(pmod(hash(lit(k), j), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))),
               (x, s2) => x * s2).as("embedding"),
             col("label"))
         }
@@ -153,6 +156,29 @@ object Soak1000 {
         val (u100, tu100) = timed("q148 sf100")(
           graft.analytics.Sampling.urlDedupStats(spark, soakDir).count())
         println(f"[q148] rows $u01 -> $u100, wall x${tu100 / tu01}%.1f on 1000x data")
+      }
+      if (want("q123")) {
+        // selection family at 1000×: broadcast hashed-bigram importance
+        // models + an id-lottery — scoring is one corpus-linear pass
+        val (d01, td01) = timed("q123 sf0.1")(
+          graft.analytics.TextStats.dsirSelect(spark, sf01).count())
+        val (d100, td100) = timed("q123 sf100")(
+          graft.analytics.TextStats.dsirSelect(spark, soakDir).count())
+        println(f"[q123] rows $d01 -> $d100, wall x${td100 / td01}%.1f on 1000x data")
+      }
+      if (want("q156")) {
+        val (m01, tm01) = timed("q156 sf0.1")(
+          graft.analytics.TextStats.mooreLewis(spark, sf01).count())
+        val (m100, tm100) = timed("q156 sf100")(
+          graft.analytics.TextStats.mooreLewis(spark, soakDir).count())
+        println(f"[q156] rows $m01 -> $m100, wall x${tm100 / tm01}%.1f on 1000x data")
+      }
+      if (want("q88")) {
+        val (g01, tg01) = timed("q88 sf0.1")(
+          graft.analytics.TextStats.gopherQuality(spark, sf01).count())
+        val (g100, tg100) = timed("q88 sf100")(
+          graft.analytics.TextStats.gopherQuality(spark, soakDir).count())
+        println(f"[q88] rows $g01 -> $g100, wall x${tg100 / tg01}%.1f on 1000x data")
       }
       if (want("q74")) {
         val ((n01, r01), t01) = timed("q74 sf0.1") {

@@ -39,8 +39,15 @@ object SoakFixtures {
       val n = base.count()
       // shard k flips a deterministic sign pattern into every vector: an
       // orthogonal transform, so within-shard cosine structure is exactly
-      // sf0.1's while shards land in decorrelated hyperplane buckets —
-      // volume scales 10x without inflating any bucket or cell 10x
+      // sf0.1's. NOTE the (i*31 + 7k) % 5 pattern has period 5 in k —
+      // shards k and k+5 carry IDENTICAL signs, so each base vector
+      // exists as 2 exact copies across the 10 shards. That overstated
+      // decorrelation is harmless HERE (this fixture exists for the sf1
+      // correctness pins — both engines see the same rows) and the
+      // construction is deliberately frozen: changing it would invalidate
+      // every pinned sf1 result hash for zero evidentiary gain. The PERF
+      // fixtures (Soak100/Soak1000) use the full-diversity murmur3(k, i)
+      // sign instead — do not measure scaling claims on this one.
       val shards = (0 until 10).map { k =>
         base.select(
           (col("vec_id") + lit(k * n)).as("vec_id"),

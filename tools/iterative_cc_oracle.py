@@ -225,7 +225,7 @@ def run_one(con, name, sql, out_dir):
     return True
 
 
-def main(sf_dir, out_dir, names):
+def fresh_con(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -233,6 +233,10 @@ def main(sf_dir, out_dir, names):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main(sf_dir, out_dir, names):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     todo = names or [n for n in FAMILY if n in oracle]
     n_ok = 0
@@ -240,8 +244,16 @@ def main(sf_dir, out_dir, names):
         if name not in oracle:
             print(f"!! {name}: no oracle sql")
             continue
-        if run_one(con, name, oracle[name], out_dir):
-            n_ok += 1
+        # One FRESH connection per query — a long-lived DuckDB connection
+        # accretes temp-table/catalog state that degrades later queries by
+        # orders of magnitude at sf1 (the round-17 lesson in the module
+        # docstring). close() also releases each query's temp tables.
+        con = fresh_con(sf_dir)
+        try:
+            if run_one(con, name, oracle[name], out_dir):
+                n_ok += 1
+        finally:
+            con.close()
     print(f"== {n_ok} ok, {len(todo) - n_ok} bad ==")
     return 0 if n_ok == len(todo) else 1
 
