@@ -496,7 +496,16 @@ object Dedup {
           explode(array_distinct(
             transform(ngramsFromWords(col("ws"), ContainmentShingleN),
               g => shingleHash(g)))).as("gh")),
-      eager = false)
+      // eager: six plan branches read this pin (sizes, df, prefix rank,
+      // candidate probe, both verification sides) and AQE schedules the
+      // independent leaf stages CONCURRENTLY — with a lazy pin each of
+      // those stages recomputes the un-materialized shingle explode+md5
+      // in parallel before any block lands in the store, so the corpus
+      // is shingled up to 6× (guide §1.2: don't compute things twice).
+      // At sf0.1 the duplicated CPU hides in idle cores (A/B wash,
+      // r19); at 100 TB cluster CPU is the scarce resource and one
+      // materialization is strictly less work.
+      eager = true)
     val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dfreq = toks.groupBy("gh").agg(count(lit(1)).as("df"))
     // prefix membership is ELIGIBLE shingles only (df ≤ dfCap), ranked
@@ -1796,8 +1805,11 @@ object Dedup {
    */
   def crossSourceLeakage(s: SparkSession, d: String,
       maxHamming: Int = 6): DataFrame =
+    // spread (r19): the fingerprint row md5-hashes the full text plus
+    // every distinct word before the first shuffle — the same heavy-
+    // pre-shuffle-compute case as [[hammingHistogram]]'s entry
     crossSourceLeakageOf(
-      documents(s, d).select(col("doc_id"), col("text"), col("source")),
+      documentsSpread(s, d).select(col("doc_id"), col("text"), col("source")),
       maxHamming)
 
   /**

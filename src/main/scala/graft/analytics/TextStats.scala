@@ -371,7 +371,7 @@ object TextStats {
    */
   def winnowRecallStats(s: SparkSession, d: String, k: Int = 3, w: Int = 4,
       minShared: Int = 2, dfCap: Int = 128): DataFrame = {
-    val truth = sharedGramPairsOf(documents(s, d), k + w - 1, 1, dfCap)
+    val truth = sharedGramPairsOf(documentsSpread(s, d), k + w - 1, 1, dfCap)
     val caught = winnowPairs(s, d, k, w, minShared, dfCap)
       .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
     truth.join(caught, Seq("doc_a", "doc_b"), "left")
@@ -413,34 +413,47 @@ object TextStats {
       .filter(col("_df") <= dfCap)
       .drop("_df")
 
-  /** All positional word k-gram hashes of each document, distinct per doc
-    * — the relational (posexplode + lead) form shared with
-    * [[winnowFingerprints]], minus the winnowing min-window. Deliberately
-    * NOT the array-HOF form: measured 10× slower here (19 s vs 2 s at
-    * sf0.1) because CollapseProject inlines the materialized words column
-    * into the gram lambda, re-splitting the text per element — the same
-    * hazard that bit the winnowing HOF form. The posexplode Generate is a
-    * collapse barrier, and the per-word rows it adds shuffle on doc_id
-    * once (partition-local windows thereafter). */
+  /** All positional word k-gram hashes of each document, distinct per doc.
+    *
+    * Round 19 (guide §2.4 "remove shuffles outright"): MAP-SIDE array
+    * form. The previous posexplode + lead/count-window spelling computed
+    * the grams AFTER an Exchange hashpartitioning(doc_id) (the windows'
+    * partitioning), so every consumer paid (a) a corpus-word-sized
+    * shuffle whose only purpose was gram assembly and (b) a second
+    * exchange for the trailing `.distinct()`. Here the gram strings, the
+    * md5 hashes and the per-doc dedup (`array_distinct` over the hash
+    * array ≡ the old global distinct — (doc_id, h) is unique within a
+    * doc) are all computed in the SCAN stage, and nothing shuffles until
+    * the consumer's own keyed operation. The round-7 "array-HOF 10×
+    * slower" hazard (CollapseProject inlining split(text) into the gram
+    * lambda, re-splitting per element) is avoided the same way as
+    * [[spanColumns]]: `ws` is an explode-of-1-element-array Generate
+    * output, which CollapseProject cannot inline; the lambda sees a
+    * materialized array attribute (plan-verified).
+    *
+    * Gram convention unchanged: positions 0..max(nw−k, 0), concat_ws
+    * skips the null tail, so docs shorter than k words still yield one
+    * truncated gram — bit-identical hashes to the window form. */
   def allGramHashes(s: SparkSession, d: String, k: Int): DataFrame =
-    allGramHashesOf(documents(s, d), k)
+    // spread: md5 per gram occurrence is heavy pre-shuffle compute now
+    // that hashing is map-side ([[Tables.documentsSpread]]; identity at
+    // any real scan width)
+    allGramHashesOf(documentsSpread(s, d), k)
 
   /** [[allGramHashes]] over an arbitrary (doc_id, text) frame — the form
     * a streaming decontamination gate applies per micro-batch. */
-  def allGramHashesOf(docs: DataFrame, k: Int): DataFrame = {
-    val ord = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
-    val byDoc = Window.partitionBy(col("doc_id"))
+  def allGramHashesOf(docs: DataFrame, k: Int): DataFrame =
     docs
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("wpos", "word")))
-      .withColumn("n_words", count(lit(1)).over(byDoc))
-      .withColumn("gram", concat_ws(" ",
-        col("word") +: (1 until k).map(j => lead(col("word"), j).over(ord)): _*))
-      .filter(col("wpos") < greatest(col("n_words") - k, lit(0)) + 1)
-      .select(col("doc_id"),
-        conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-      .distinct()
-  }
+      .select(col("doc_id"), explode(array(words(col("text")))).as("ws"))
+      // NULL text ⇒ NULL ws: the old posexplode emitted no rows for it,
+      // and greatest(size(NULL)−k, 0) = 0 would otherwise fabricate one
+      // empty gram here
+      .filter(col("ws").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), greatest(size(col("ws")) - k, lit(0))),
+        i => conv(substring(md5(concat_ws(" ",
+            (0 until k).map(j => get(col("ws"), i + j)): _*).cast("binary")),
+          1, 15), 16, 10).cast("long")))).as("h"))
 
   /**
    * Exhaustive shared-n-gram duplication pairs — the EXACT-substring
@@ -471,7 +484,8 @@ object TextStats {
    */
   def sharedGramPairs(s: SparkSession, d: String,
       k: Int = 8, minShared: Int = 3, dfCap: Int = 128): DataFrame =
-    sharedGramPairsOf(documents(s, d), k, minShared, dfCap)
+    // spread (r19): map-side gram md5 is heavy pre-shuffle compute
+    sharedGramPairsOf(documentsSpread(s, d), k, minShared, dfCap)
 
   /** [[sharedGramPairs]] over an arbitrary (doc_id, text) frame. */
   def sharedGramPairsOf(docs: DataFrame,
@@ -488,21 +502,20 @@ object TextStats {
 
   /** POSITIONAL word k-gram hashes — [[allGramHashesOf]] keeping `wpos`
     * and per-position multiplicity (no distinct): the match-matrix input
-    * for [[longestSharedSpansOf]]. Same posexplode + lead spelling (the
-    * HOF form re-splits text per element — see [[allGramHashesOf]]). */
-  def gramPositionsOf(docs: DataFrame, k: Int): DataFrame = {
-    val ord = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
-    val byDoc = Window.partitionBy(col("doc_id"))
+    * for [[longestSharedSpansOf]]. Same r19 map-side array form (grams +
+    * md5 in the scan stage, posexplode index = gram position, no
+    * window shuffle); the Generate barrier keeps the words array
+    * materialized exactly once per row. */
+  def gramPositionsOf(docs: DataFrame, k: Int): DataFrame =
     docs
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("wpos", "word")))
-      .withColumn("n_words", count(lit(1)).over(byDoc))
-      .withColumn("gram", concat_ws(" ",
-        col("word") +: (1 until k).map(j => lead(col("word"), j).over(ord)): _*))
-      .filter(col("wpos") < greatest(col("n_words") - k, lit(0)) + 1)
-      .select(col("doc_id"), col("wpos").cast("long").as("wpos"),
-        conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-  }
+      .select(col("doc_id"), explode(array(words(col("text")))).as("ws"))
+      .filter(col("ws").isNotNull)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), greatest(size(col("ws")) - k, lit(0))),
+        i => conv(substring(md5(concat_ws(" ",
+            (0 until k).map(j => get(col("ws"), i + j)): _*).cast("binary")),
+          1, 15), 16, 10).cast("long"))).as(Seq("wpos", "h")))
+      .select(col("doc_id"), col("wpos").cast("long").as("wpos"), col("h"))
 
   /**
    * q160: longest verbatim shared token span per document pair — the
@@ -536,7 +549,7 @@ object TextStats {
 
   def longestSharedSpans(s: SparkSession, d: String, k: Int = SpanGramK,
       dfCap: Int = SpanDfCap, minSpan: Int = SpanMinLen): DataFrame =
-    longestSharedSpansOf(documents(s, d), k, dfCap, minSpan)
+    longestSharedSpansOf(documentsSpread(s, d), k, dfCap, minSpan)
 
   /** [[longestSharedSpans]] over an arbitrary (doc_id, text) frame. */
   def longestSharedSpansOf(docs: DataFrame, k: Int, dfCap: Int,
@@ -1012,12 +1025,62 @@ object TextStats {
    */
   def dsirSelect(s: SparkSession, d: String, nBuckets: Int = 256,
       keepN: Int = 100): DataFrame =
-    dsirSelectOf(documents(s, d), nBuckets, keepN)
+    // spread: the gram stream md5-hashes every unigram+bigram occurrence
+    // before its first shuffle — the documented heavy-pre-shuffle-compute
+    // case ([[graft.analytics.Tables.documentsSpread]]); identity at scale
+    dsirSelectOf(documentsSpread(s, d), nBuckets, keepN)
 
-  /** [[dsirSelect]] over an arbitrary (doc_id, lang, source, text) frame. */
+  /** [[dsirSelect]] over an arbitrary (doc_id, lang, source, text) frame.
+    *
+    * Round 19 (guide §1.2 "remove unnecessary passes" / §2.3 "aggregate
+    * before you shuffle"): ONE tokenize+hash pass. The gram stream folds
+    * to per-(doc, bucket) counts — ≤ nBuckets rows per document — and
+    * BOTH the importance model and every document's score derive from
+    * that pinned fold. The previous spelling ([[dsirModelOf]] +
+    * [[dsirKeyedOf]], kept for the streaming gate's frozen-model path)
+    * tokenized and md5-hashed the corpus TWICE (train pass + score pass).
+    * Score identity: Σ_occurrences term_b ≡ Σ_b c_b·term_b — the per-term
+    * decimals are exact, multiplication by an integer count is exact, so
+    * the decimal sums are bit-equal and the Gumbel selection order is
+    * unchanged (oracle hash identical; pinned by the r19 A/B). */
   def dsirSelectOf(docs: DataFrame, nBuckets: Int = 256,
-      keepN: Int = 100): DataFrame =
-    dsirTopOf(dsirKeyedOf(docs, dsirModelOf(docs, nBuckets), nBuckets), keepN)
+      keepN: Int = 100): DataFrame = {
+    val fold = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      dsirGramStream(docs,
+          Seq(col("doc_id"), (col("lang") === "en").as("tgt")), nBuckets)
+        .groupBy(col("doc_id"), col("tgt"), col("b"))
+        .agg(count(lit(1)).as("c")),
+      eager = true)
+    // model: same counts as [[dsirModelOf]] (tb/rb roll up from the fold
+    // exactly — integer sums), same smoothing arithmetic
+    val counts = fold.groupBy(col("b")).agg(
+      sum(when(col("tgt"), col("c")).otherwise(0L)).as("tb"),
+      sum(col("c")).as("rb"))
+    val tot = counts.agg(sum(col("tb")).as("t_tot"), sum(col("rb")).as("r_tot"))
+    val model = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log((col("tb") + 1).cast("double") /
+            (col("t_tot") + nBuckets).cast("double")) -
+          log((col("rb") + 1).cast("double") /
+            (col("r_tot") + nBuckets).cast("double")), 6)
+          .cast("decimal(18,6)").as("term"))
+    // scoring: the fold already carries the per-doc multiplicity, so the
+    // broadcast model join runs over folded rows, not gram occurrences
+    val perDoc = fold
+      .join(broadcast(model), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("term"), lit(0).cast("decimal(18,6)"))
+        .cast("decimal(28,6)") * col("c")).as("logw"))
+    val u = (Sampling.idBucket(col("doc_id"), 1000000L).cast("double") + 0.5) /
+      lit(1000000.0)
+    val keyed = docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("logw", coalesce(col("logw"), lit(0).cast("decimal(28,6)")))
+      .withColumn("gumbel", round(-log(-log(u)), 6).cast("decimal(18,6)"))
+      .withColumn("sel_key", col("logw") + col("gumbel"))
+      .select(col("doc_id"), col("source"), col("logw"), col("sel_key"))
+    dsirTopOf(keyed, keepN)
+  }
 
   /** The hashed unigram + bigram feature stream (one row per occurrence)
     * with the bucket column — shared by DSIR training and scoring. */
@@ -1431,7 +1494,9 @@ object TextStats {
    */
   def cmsHeavyHitters(s: SparkSession, d: String, depth: Int = 4,
       width: Int = 1024, k: Int = 20): DataFrame =
-    cmsHeavyHittersOf(documents(s, d), depth, width, k)
+    // spread (r19): one md5 per token + depth-way explode before the
+    // first shuffle — the documented heavy-pre-shuffle-compute case
+    cmsHeavyHittersOf(documentsSpread(s, d), depth, width, k)
 
   /** [[cmsHeavyHitters]] over an arbitrary (text) frame. */
   def cmsHeavyHittersOf(docs: DataFrame, depth: Int, width: Int,
@@ -1527,7 +1592,8 @@ object TextStats {
    */
   def boilerplateRemoval(s: SparkSession, d: String,
       spanWords: Int = 8, dfThreshold: Int = 2): DataFrame =
-    boilerplateRemovalOf(documents(s, d), spanWords, dfThreshold)
+    // spread (r19): span split + hash per span before the first shuffle
+    boilerplateRemovalOf(documentsSpread(s, d), spanWords, dfThreshold)
 
   /** [[boilerplateRemoval]] over an arbitrary (doc_id, text) frame.
     * `maxBroadcastSpans` caps the broadcast drop set (default 4M hashes =
@@ -1626,7 +1692,8 @@ object TextStats {
    * path discipline).
    */
   def paragraphDedup(s: SparkSession, d: String, spanWords: Int = 8): DataFrame =
-    paragraphDedupOf(documents(s, d), spanWords)
+    // spread (r19): span split + hash60 per span before the first shuffle
+    paragraphDedupOf(documentsSpread(s, d), spanWords)
 
   /** [[paragraphDedup]] over an arbitrary (doc_id, text) frame; requires
     * non-null unique doc_id (the corpus primary key — survivorship is
@@ -1635,7 +1702,15 @@ object TextStats {
     * (the q98 spelling — NULL/empty text yields one empty span). */
   private[graft] def spanColumns(docs: DataFrame, spanWords: Int): DataFrame =
     docs
-      .withColumn("w", words(coalesce(col("text"), lit(""))))
+      // Generate barrier (r19, guide §1.2): explode of a 1-element array
+      // materializes `w` as a Generate output attribute. As a plain
+      // Project alias, CollapseProject inlined split(trim(text)) into the
+      // spans lambda — re-tokenizing the document once PER SPAN (~nw/8
+      // splits per doc; plan-verified `slice(split(trim(...)))` inside
+      // lambdafunction). Generate output attributes cannot be inlined, so
+      // the text is split exactly once per row.
+      .select(col("*"),
+        explode(array(words(coalesce(col("text"), lit(""))))).as("w"))
       .withColumn("spans", transform(
         sequence(lit(0),
           greatest(ceil(size(col("w")).cast("double") / spanWords), lit(1))
@@ -1873,7 +1948,9 @@ object TextStats {
    * (kept, so the per-language tally still partitions the corpus).
    */
   def perplexityBuckets(s: SparkSession, d: String): DataFrame =
-    perplexityBucketsOf(documents(s, d))
+    // spread (r19): tokenize + bigram explode + per-term decimal
+    // rounding before the first shuffle
+    perplexityBucketsOf(documentsSpread(s, d))
 
   /** Default model cap: 64Ki grams per table per language — bpeTrain's
     * vocab discipline; comfortably broadcastable at any corpus size. */
@@ -1908,7 +1985,7 @@ object TextStats {
    */
   def mooreLewis(s: SparkSession, d: String,
       vocabCap: Int = PerplexityVocabCap): DataFrame =
-    mooreLewisOf(documents(s, d), vocabCap)
+    mooreLewisOf(documentsSpread(s, d), vocabCap)
 
   /** [[mooreLewis]] over an arbitrary (doc_id, source, text) frame.
     *
@@ -1950,8 +2027,6 @@ object TextStats {
       .select(col("source").as("ref_source"))
     val flagged = wsDocs.join(broadcast(ref))
       .withColumn("is_tgt", (col("source") <=> col("ref_source")).cast("long"))
-    def capped(df: DataFrame, gram: String, cnt: String): DataFrame =
-      cappedTopK(df, gram, cnt, vocabCap)
     // ONE explode feeds both models' unigram counts
     val uCounts = flagged
       .select(col("is_tgt"), explode(col("w")).as("w1"))
@@ -1961,14 +2036,22 @@ object TextStats {
     val bCounts = mlBigramsOf(flagged, Seq("is_tgt"))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("cb_g"), sum(col("is_tgt")).as("cb_t"))
-    capped(uCounts.select(col("w1"), col("cu_g")), "w1", "cu_g")
-      .select(lit("ug").as("kind"), col("w1").as("gram"), col("cu_g").as("cnt"))
-      .unionByName(capped(uCounts.select(col("w1"), col("cu_t")), "w1", "cu_t")
-        .select(lit("ut").as("kind"), col("w1").as("gram"), col("cu_t").as("cnt")))
-      .unionByName(capped(bCounts.select(col("b"), col("cb_g")), "b", "cb_g")
-        .select(lit("bg").as("kind"), col("b").as("gram"), col("cb_g").as("cnt")))
-      .unionByName(capped(bCounts.select(col("b"), col("cb_t")), "b", "cb_t")
-        .select(lit("bt").as("kind"), col("b").as("gram"), col("cb_t").as("cnt")))
+    // Round 19 (guide §2.4 "remove shuffles outright"): the four capped
+    // count tables stack into ONE (kind, gram, cnt) stream and cap in one
+    // two-stage window pass partitioned by kind — per-kind ranks are
+    // identical to the four separate [[cappedTopKByKind]] runs (the kind
+    // column just adds a partition key), so the bundle's rows are
+    // unchanged, while 8 window exchanges collapse to 2.
+    val stacked = uCounts
+      .select(col("w1").as("gram"), lit("ug").as("kg"), lit("ut").as("kt"),
+        col("cu_g").as("cg"), col("cu_t").as("ct"))
+      .unionByName(bCounts.select(col("b").as("gram"), lit("bg").as("kg"),
+        lit("bt").as("kt"), col("cb_g").as("cg"), col("cb_t").as("ct")))
+      .select(col("gram"), explode(array(
+        struct(col("kg").as("kind"), col("cg").as("cnt")),
+        struct(col("kt").as("kind"), col("ct").as("cnt")))).as("e"))
+      .select(col("e.kind").as("kind"), col("gram"), col("e.cnt").as("cnt"))
+    cappedTopKByKind(stacked, vocabCap)
       .unionByName(ref.select(lit("ref").as("kind"),
         col("ref_source").as("gram"), lit(0L).as("cnt")))
   }
@@ -1978,20 +2061,24 @@ object TextStats {
     * splitting `b` (correct only while words() tokens cannot contain a
     * space; the DuckDB oracle carries w[i] directly, so both engines now
     * derive it identically by construction). */
-  /** q99's two-stage partial top-K, per MODEL (counts differ, so each
-    * model caps by its own count; the 64-hash-sub-bucket stage bounds
-    * every sort — no one-task vocabulary sort at any corpus size).
+  /** q99's two-stage partial top-K over a stacked (kind, gram, cnt)
+    * stream, capped per kind (each model caps by its own count; the
+    * 64-hash-sub-bucket stage bounds every sort — no one-task vocabulary
+    * sort at any corpus size, and the global stage's per-kind partitions
+    * each sort ≤ 64·cap survivors). One window pass caps EVERY stacked
+    * model — per-kind ranks equal the per-table spelling's exactly, the
+    * plan pays 2 exchanges instead of 2 per model (r19, guide §2.4).
     * Shared by the q156 model builder and [[generalBigramModelOf]]. */
-  private def cappedTopK(df: DataFrame, gram: String, cnt: String,
-      vocabCap: Int): DataFrame = {
-    val local = df.filter(col(cnt) > 0)
+  private def cappedTopKByKind(df: DataFrame, vocabCap: Int): DataFrame = {
+    val local = df.filter(col("cnt") > 0)
       .withColumn("rn", row_number().over(
-        Window.partitionBy(pmod(xxhash64(col(gram)), lit(64L)))
-          .orderBy(col(cnt).desc, col(gram))))
+        Window.partitionBy(col("kind"), pmod(xxhash64(col("gram")), lit(64L)))
+          .orderBy(col("cnt").desc, col("gram"))))
       .filter(col("rn") <= vocabCap)
       .drop("rn")
     local.withColumn("rn", row_number().over(
-        Window.orderBy(col(cnt).desc, col(gram))))
+        Window.partitionBy(col("kind"))
+          .orderBy(col("cnt").desc, col("gram"))))
       .filter(col("rn") <= vocabCap)
       .drop("rn")
   }
@@ -2008,10 +2095,14 @@ object TextStats {
       .groupBy(col("w1")).agg(count(lit(1)).as("cu_g"))
     val bCounts = mlBigramsOf(wsDocs, Seq.empty)
       .groupBy(col("b")).agg(count(lit(1)).as("cb_g"))
-    cappedTopK(uCounts, "w1", "cu_g", vocabCap)
-      .select(lit("ug").as("kind"), col("w1").as("gram"), col("cu_g").as("cnt"))
-      .unionByName(cappedTopK(bCounts, "b", "cb_g", vocabCap)
-        .select(lit("bg").as("kind"), col("b").as("gram"), col("cb_g").as("cnt")))
+    // stacked capping: one two-stage window pass for both models (r19,
+    // guide §2.4) — per-kind rows identical to the per-table spelling
+    cappedTopKByKind(
+      uCounts.select(lit("ug").as("kind"), col("w1").as("gram"),
+          col("cu_g").as("cnt"))
+        .unionByName(bCounts.select(lit("bg").as("kind"), col("b").as("gram"),
+          col("cb_g").as("cnt"))),
+      vocabCap)
   }
 
   private def mlBigramsOf(df: DataFrame, extra: Seq[String]): DataFrame = df
@@ -2032,28 +2123,38 @@ object TextStats {
    * streaming gate's ledger ≡ batch under any replay.
    */
   def mooreLewisScoreOf(docs: DataFrame, models: DataFrame): DataFrame = {
-    val ucG = models.filter(col("kind") === "ug")
-      .select(col("gram").as("w1"), col("cnt").as("cu_g"))
-    val ucT = models.filter(col("kind") === "ut")
-      .select(col("gram").as("w1"), col("cnt").as("cu_t"))
-    val bcG = models.filter(col("kind") === "bg")
-      .select(col("gram").as("b"), col("cnt").as("cb_g"))
-    val bcT = models.filter(col("kind") === "bt")
-      .select(col("gram").as("b"), col("cnt").as("cb_t"))
+    // Round 19 (guide §3.1 / §2.4): the four count-table lookups probe ONE
+    // broadcast of the whole bundle, keyed on gram, with the per-kind
+    // predicate riding the join condition — all four BroadcastHashJoins
+    // canonicalize to the same build, so the plan holds 1 BroadcastExchange
+    // + 3 ReusedExchanges instead of 4 separately built (and separately
+    // jobbed) broadcasts. (kind, gram) is unique in the bundle, so each
+    // left probe still matches ≤ 1 row — per-row results are unchanged.
+    // Both vocabulary sizes come from ONE aggregate over the bundle
+    // (previously two single-row count jobs + two crossJoin broadcasts).
+    def m(a: String): DataFrame = models.select(col("kind").as(s"${a}_kind"),
+      col("gram").as(s"${a}_gram"), col("cnt").as(s"${a}_cnt"))
     val refF = models.filter(col("kind") === "ref")
       .select(col("gram").as("ref_source"))
-    val vG = ucG.groupBy().agg(count(lit(1)).as("v_g"))
-    val vT = ucT.groupBy().agg(count(lit(1)).as("v_t"))
+    val vRow = models.agg(
+      sum(when(col("kind") === "ug", 1L).otherwise(0L)).as("v_g"),
+      sum(when(col("kind") === "ut", 1L).otherwise(0L)).as("v_t"))
     val wsDocs = docs
       .withColumn("w", words(col("text")))
       .withColumn("nw", coalesce(size(col("w")), lit(0)))
     // scoring pass: per-bigram terms under both models, decimal-summed
     val terms = mlBigramsOf(wsDocs, Seq("doc_id"))
-      .join(broadcast(bcG), Seq("b"), "left")
-      .join(broadcast(bcT), Seq("b"), "left")
-      .join(broadcast(ucG), Seq("w1"), "left")
-      .join(broadcast(ucT), Seq("w1"), "left")
-      .join(broadcast(vG)).join(broadcast(vT))
+      .join(broadcast(m("bg")),
+        col("b") === col("bg_gram") && col("bg_kind") === "bg", "left")
+      .join(broadcast(m("bt")),
+        col("b") === col("bt_gram") && col("bt_kind") === "bt", "left")
+      .join(broadcast(m("ug")),
+        col("w1") === col("ug_gram") && col("ug_kind") === "ug", "left")
+      .join(broadcast(m("ut")),
+        col("w1") === col("ut_gram") && col("ut_kind") === "ut", "left")
+      .withColumn("cb_g", col("bg_cnt")).withColumn("cb_t", col("bt_cnt"))
+      .withColumn("cu_g", col("ug_cnt")).withColumn("cu_t", col("ut_cnt"))
+      .join(broadcast(vRow))
       // v = 0 (an empty model: e.g. the reference source holds only NULL
       // texts on a hostile corpus) would divide by zero — guard to NULL,
       // which nulls every doc's score through the null-skipping sum and
@@ -2128,7 +2229,7 @@ object TextStats {
   def domainReweight(s: SparkSession, d: String,
       vocabCap: Int = PerplexityVocabCap, rounds: Int = 3,
       eta: Double = 1.0): DataFrame =
-    domainReweightOf(documents(s, d), vocabCap, rounds, eta)
+    domainReweightOf(documentsSpread(s, d), vocabCap, rounds, eta)
 
   /** [[domainReweight]] over an arbitrary (doc_id, source, text) frame. */
   def domainReweightOf(docs: DataFrame, vocabCap: Int, rounds: Int,
@@ -2142,14 +2243,20 @@ object TextStats {
     // branch re-plans both capping windows
     val models = org.apache.spark.sql.GraftBridge.checkpointNoStats(
       generalBigramModelOf(wsDocs, vocabCap), eager = false)
-    val ucG = models.filter(col("kind") === "ug")
-      .select(col("gram").as("w1"), col("cnt").as("cu_g"))
-    val bcG = models.filter(col("kind") === "bg")
-      .select(col("gram").as("b"), col("cnt").as("cb_g"))
-    val vG = ucG.groupBy().agg(count(lit(1)).as("v_g"))
+    // shared-broadcast scoring (r19, guide §3.1 / §2.4): both lookups
+    // probe ONE broadcast of the bundle keyed on gram (kind predicate in
+    // the join condition → 1 BroadcastExchange + 1 ReusedExchange), and
+    // the vocabulary size is one aggregate over the same pin
+    def m(a: String): DataFrame = models.select(col("kind").as(s"${a}_kind"),
+      col("gram").as(s"${a}_gram"), col("cnt").as(s"${a}_cnt"))
+    val vG = models.agg(
+      sum(when(col("kind") === "ug", 1L).otherwise(0L)).as("v_g"))
     val terms = mlBigramsOf(wsDocs, Seq("source"))
-      .join(broadcast(bcG), Seq("b"), "left")
-      .join(broadcast(ucG), Seq("w1"), "left")
+      .join(broadcast(m("bg")),
+        col("b") === col("bg_gram") && col("bg_kind") === "bg", "left")
+      .join(broadcast(m("ug")),
+        col("w1") === col("ug_gram") && col("ug_kind") === "ug", "left")
+      .withColumn("cb_g", col("bg_cnt")).withColumn("cu_g", col("ug_cnt"))
       .join(broadcast(vG))
       .withColumn("term_g",
         when(col("v_g") > 0,
@@ -2241,14 +2348,17 @@ object TextStats {
     val wsDocs = docs
       .withColumn("w", words(col("text")))
       .withColumn("nw", coalesce(size(col("w")), lit(0)))
-    val ucG = models.filter(col("kind") === "ug")
-      .select(col("gram").as("w1"), col("cnt").as("cu_g"))
-    val bcG = models.filter(col("kind") === "bg")
-      .select(col("gram").as("b"), col("cnt").as("cb_g"))
-    val vG = ucG.groupBy().agg(count(lit(1)).as("v_g"))
+    // shared-broadcast scoring — same plan shape as [[domainReweightOf]]
+    def m(a: String): DataFrame = models.select(col("kind").as(s"${a}_kind"),
+      col("gram").as(s"${a}_gram"), col("cnt").as(s"${a}_cnt"))
+    val vG = models.agg(
+      sum(when(col("kind") === "ug", 1L).otherwise(0L)).as("v_g"))
     val perDoc = mlBigramsOf(wsDocs, Seq("doc_id"))
-      .join(broadcast(bcG), Seq("b"), "left")
-      .join(broadcast(ucG), Seq("w1"), "left")
+      .join(broadcast(m("bg")),
+        col("b") === col("bg_gram") && col("bg_kind") === "bg", "left")
+      .join(broadcast(m("ug")),
+        col("w1") === col("ug_gram") && col("ug_kind") === "ug", "left")
+      .withColumn("cb_g", col("bg_cnt")).withColumn("cu_g", col("ug_cnt"))
       .join(broadcast(vG))
       .withColumn("term_g",
         when(col("v_g") > 0,
@@ -2299,30 +2409,43 @@ object TextStats {
     // subset of the sub-bucket survivors, so stage two sorts ≤ 64·cap
     // rows per language — bounded by the CAP, never by the vocabulary.
     // Survivors (and hence results) are identical to the one-window form.
-    def capped(df: DataFrame, gram: String, cnt: String): DataFrame = {
+    // Round 19 (guide §2.4): both per-lang capped tables stack into ONE
+    // (kind, lang, gram, cnt) stream and cap in one two-stage window pass
+    // partitioned by (kind, lang) — per-(kind, lang) ranks identical to
+    // the two separate runs, 4 window exchanges → 2. The capped stack is
+    // transient-pinned: it feeds the scoring broadcast AND the per-lang
+    // vocabulary count, which otherwise each re-plan both windows.
+    def capped(df: DataFrame): DataFrame = {
       val local = df.withColumn("rn", row_number().over(
-          Window.partitionBy(col("lang"), pmod(xxhash64(col(gram)), lit(64L)))
-            .orderBy(col(cnt).desc, col(gram))))
+          Window.partitionBy(col("kind"), col("lang"),
+              pmod(xxhash64(col("gram")), lit(64L)))
+            .orderBy(col("cnt").desc, col("gram"))))
         .filter(col("rn") <= vocabCap)
         .drop("rn")
       local.withColumn("rn", row_number().over(
-          Window.partitionBy(col("lang"))
-            .orderBy(col(cnt).desc, col(gram))))
+          Window.partitionBy(col("kind"), col("lang"))
+            .orderBy(col("cnt").desc, col("gram"))))
         .filter(col("rn") <= vocabCap)
         .drop("rn")
     }
-    val uni = capped(wsDocs
-      .select(col("lang"), explode(col("w")).as("w1"))
-      .groupBy(col("lang"), col("w1"))
-      .agg(count(lit(1)).as("cu")), "w1", "cu")
-    val bi = capped(wsDocs
-      .filter(col("nw") >= 2)
-      .select(col("lang"), explode(transform(
-        sequence(lit(1), col("nw") - 1),
-        i => concat(element_at(col("w"), i), lit(" "),
-          element_at(col("w"), i + 1)))).as("b"))
-      .groupBy(col("lang"), col("b"))
-      .agg(count(lit(1)).as("cb")), "b", "cb")
+    val stacked = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      capped(wsDocs
+        .select(col("lang"), explode(col("w")).as("g"))
+        .groupBy(col("lang"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("u").as("kind"), col("lang"), col("g").as("gram"),
+          col("cnt"))
+        .unionByName(wsDocs
+          .filter(col("nw") >= 2)
+          .select(col("lang"), explode(transform(
+            sequence(lit(1), col("nw") - 1),
+            i => concat(element_at(col("w"), i), lit(" "),
+              element_at(col("w"), i + 1)))).as("g"))
+          .groupBy(col("lang"), col("g"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("b").as("kind"), col("lang"), col("g").as("gram"),
+            col("cnt")))),
+      eager = false)
     // Scoring = two BROADCAST hash joins of the per-bigram stream against
     // the vocab-bounded count tables + a map-side-combined per-doc decimal
     // sum. Round 8 replaced the per-row `element_at(map)` formulation:
@@ -2335,7 +2458,8 @@ object TextStats {
     // identical). NULL-lang bigram rows drop out of the equi-joins, which
     // reproduces the previous NULL-model → NULL-score behavior: the doc
     // rejoins with no score and lands in bucket 'none' on both engines.
-    val vsize = uni.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    val vsize = stacked.filter(col("kind") === "u")
+      .groupBy(col("lang")).agg(count(lit(1)).as("v"))
     val bigrams = wsDocs
       .filter(col("nw") >= 2)
       .select(col("doc_id"), col("lang"), explode(transform(
@@ -2345,9 +2469,20 @@ object TextStats {
             element_at(col("w"), i + 1)).as("b")))).as("e"))
       .select(col("doc_id"), col("lang"),
         col("e.w1").as("w1"), col("e.b").as("b"))
+    // both lookups probe ONE broadcast of the stacked tables keyed on
+    // (lang, gram); the kind predicate rides the join condition, so the
+    // second join reuses the first's broadcast build (r19, guide §3.1)
+    def m(a: String): DataFrame = stacked.select(col("kind").as(s"${a}_kind"),
+      col("lang").as(s"${a}_lang"), col("gram").as(s"${a}_gram"),
+      col("cnt").as(s"${a}_cnt"))
     val perDoc = bigrams
-      .join(broadcast(bi), Seq("lang", "b"), "left")
-      .join(broadcast(uni), Seq("lang", "w1"), "left")
+      .join(broadcast(m("bi")),
+        col("lang") === col("bi_lang") && col("b") === col("bi_gram") &&
+          col("bi_kind") === "b", "left")
+      .join(broadcast(m("un")),
+        col("lang") === col("un_lang") && col("w1") === col("un_gram") &&
+          col("un_kind") === "u", "left")
+      .withColumn("cb", col("bi_cnt")).withColumn("cu", col("un_cnt"))
       .join(broadcast(vsize), Seq("lang")) // inner: NULL lang ⇒ no model
       .withColumn("term",
         round(-log10((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
