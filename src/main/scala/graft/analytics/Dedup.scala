@@ -1805,11 +1805,12 @@ object Dedup {
    */
   def crossSourceLeakage(s: SparkSession, d: String,
       maxHamming: Int = 6): DataFrame =
-    // spread (r19): the fingerprint row md5-hashes the full text plus
-    // every distinct word before the first shuffle — the same heavy-
-    // pre-shuffle-compute case as [[hammingHistogram]]'s entry
+    // NOT spread (r19 A/B): unlike [[hammingHistogram]]'s entry, the
+    // matrix recompute downstream dominates here and the added exchange
+    // cost more than the parallel fingerprinting bought
+    // (1.82 s -> 2.14 s with spread at sf0.1)
     crossSourceLeakageOf(
-      documentsSpread(s, d).select(col("doc_id"), col("text"), col("source")),
+      documents(s, d).select(col("doc_id"), col("text"), col("source")),
       maxHamming)
 
   /**

@@ -449,6 +449,10 @@ object Multimodal {
    */
   def audioFingerprints(s: SparkSession, d: String,
       frameBytes: Int = 16): DataFrame =
+    // NOT spread (r19 A/B): the fixture payloads are ~300 bytes, so the
+    // single-pass fold is under the fan-out's per-task fixed cost
+    // (q155 1.11 s -> 1.85 s, q172 1.32 s -> 2.01 s with spread); a real
+    // audio corpus arrives wide anyway, where spread is the identity
     audioFingerprintsOf(Tables.documents(s, d), frameBytes)
 
   /** [[audioFingerprints]] over an arbitrary (doc_id, text) frame.

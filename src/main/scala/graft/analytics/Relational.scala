@@ -419,11 +419,10 @@ object Relational {
     * is the verification harness's cost, not the production path's —
     * that's [[approxDistinct]]. */
   def q46ApproxDistinct(s: SparkSession, d: String): DataFrame =
-    // spread (r19): the map-side partials build an exact-distinct hash
-    // table AND an HLL sketch per row; on a single-row-group scan that
-    // runs on one core (both aggregates are merge-commutative, so the
-    // result is partitioning-independent)
-    spread(s, lineitem(s, d))
+    // NOT spread (r19 A/B): the HLL + exact-distinct partials are light
+    // enough that the repartition's local sort + exchange cost more than
+    // the parallelism buys (1.55 s -> 1.86 s with spread at sf0.1)
+    lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),

@@ -897,16 +897,32 @@ object Similarity {
     * q106/q107 oracles replay at mod = 1), but at 100 TB the codebook is
     * fit on the deterministic 1/mod md5-bucket sample and only the ONE
     * closing assignment pass touches every vector. */
+  /** max(size(embedding)) control-plane scalar, cached per input file set
+    * (the [[embeddingDim]] / [[Tables.spread]] probe-cache discipline —
+    * r19): every PQ-family query needs this ONE scalar before it can even
+    * build its plan, and without the cache each of q102/q106/q107/q165/
+    * q166 paid its own blocking aggregate job for a value that cannot
+    * change mid-session. None = degenerate corpus (no rows, or every
+    * embedding NULL) — the caller degrades to the empty typed frame,
+    * mirroring the oracle's NULL-width collapse. In-memory frames (specs,
+    * streaming state) have no file set and probe directly, uncached. */
+  private val maxDimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
+  private def maxEmbeddingDim(emb: DataFrame): Option[Int] = {
+    def probe(): Option[Int] = {
+      val row = emb.agg(max(size(col("embedding")))).head()
+      if (row.isNullAt(0)) None else Some(row.getInt(0))
+    }
+    val files = emb.inputFiles
+    if (files.isEmpty) probe()
+    else maxDimCache.computeIfAbsent(files.sorted.mkString(","), _ => probe())
+  }
+
   private def pqModel(emb: DataFrame, m: Int, k: Int, iters: Int,
       trainSampleMod: Int = 1): DataFrame = {
-    // control-plane scalar (one tiny max-aggregate job, like the bucket
-    // probes): the subspace width every slice below is built from. The
-    // aggregate row is NULL on a degenerate corpus (no rows, or every
-    // embedding NULL) — degrade to an empty typed frame below, mirroring
-    // the oracle's NULL-width collapse to zero rows, instead of throwing.
-    val widthRow = emb.agg(max(size(col("embedding")))).head()
-    val maxDim = if (widthRow.isNullAt(0)) 0 else widthRow.getInt(0)
-    val degenerate = widthRow.isNullAt(0)
+    val widthOpt = maxEmbeddingDim(emb)
+    val maxDim = widthOpt.getOrElse(0)
+    val degenerate = widthOpt.isEmpty
     val dsub = math.max((maxDim + m - 1) / m, 1)
     val slices = array((0 until m).map(i =>
       slice(col("embedding"), i * dsub + 1, dsub)): _*)
@@ -1203,8 +1219,7 @@ object Similarity {
     val dim = embeddingDim(emb)
     val celled = emb.withColumn("cell",
       lshBucketCol(col("embedding"), nplanes, dim))
-    val widthRow = emb.agg(max(size(col("embedding")))).head()
-    val maxDim = if (widthRow.isNullAt(0)) 0 else widthRow.getInt(0)
+    val maxDim = maxEmbeddingDim(emb).getOrElse(0)
     val dsub = math.max((maxDim + m - 1) / m, 1)
     IvfAdcIndexModel(
       pqAssignCodebook(emb, m, k, iters, dsub),

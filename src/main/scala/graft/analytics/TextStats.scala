@@ -292,41 +292,45 @@ object TextStats {
    * the surrounding text shifts word positions — so near-dups meet in an
    * equi-join on `fp` where whole-document hashes (q42) miss them.
    *
-   * Plan shape: deliberately RELATIONAL, not array-HOF. Words explode to
-   * rows; k-grams come from `lead()` windows (the trailing NULLs drop out
-   * of `concat_ws`, giving short docs one truncated gram); the winnowing
-   * minimum is `min() OVER (ROWS w-1 FOLLOWING)`. An earlier nested
-   * `transform`/`slice` formulation was semantically identical but
-   * CollapseProject inlined every stage into the window lambda —
-   * re-tokenizing the document per window element, O(n²·w) interpreted
-   * evals (minutes at sf0.1). The window form is whole-stage-codegen end
-   * to end, shuffles once on `doc_id`, and scales: at 100 TB the word
-   * explosion is a narrow map and every window is partition-local.
+   * Plan shape (r19, guide §2.4): MAP-SIDE array form — gram hashing,
+   * the sliding-window minima and the per-doc dedup all happen in the
+   * scan stage, so the operator adds NO shuffle of its own (the old
+   * posexplode + lead/min-window spelling paid an Exchange
+   * hashpartitioning(doc_id) just to assemble grams, plus a second
+   * exchange for the trailing distinct). The historical hazard that
+   * forced the window form — CollapseProject inlining every stage into
+   * the next lambda, re-tokenizing the document per window element,
+   * O(n²·w) interpreted evals — is defeated by materializing EACH
+   * intermediate array as an explode-of-1-element-array Generate output
+   * ([[spanColumns]]/[[allGramHashesOf]] discipline): the words array
+   * and the gram-hash array are attributes, so every lambda sees a
+   * computed array, O(n·w) total.
    *
    * Every hash is exact integer arithmetic on md5 prefixes
    * (engine-reproducible, [[Dedup.shingleHash]] family), so the full
-   * pipeline is value-oracle-checked.
+   * pipeline is value-oracle-checked. Conventions unchanged: one
+   * truncated gram for sub-k docs (concat_ws skips the null tail), one
+   * clamped window for sub-w gram sets (slice clamps at the array end),
+   * NULL text yields no rows.
    */
   def winnowFingerprints(s: SparkSession, d: String,
-      k: Int = 3, w: Int = 4): DataFrame = {
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val ord = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
-    documents(s, d)
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("wpos", "word")))
-      .withColumn("n_words", count(lit(1)).over(byDoc))
-      .withColumn("gram", concat_ws(" ",
-        col("word") +: (1 until k).map(j => lead(col("word"), j).over(ord)): _*))
-      // valid gram starts: 0..n_words-k (one truncated gram for short docs)
-      .withColumn("n_grams", greatest(col("n_words") - k, lit(0)) + 1)
-      .filter(col("wpos") < col("n_grams"))
-      .withColumn("h",
-        conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10).cast("long"))
-      .withColumn("wmin", min(col("h")).over(ord.rowsBetween(0, w - 1)))
-      // valid window starts: 0..n_grams-w (clamped frame for short docs)
-      .filter(col("wpos") <= greatest(col("n_grams") - w, lit(0)))
-      .select(col("doc_id"), col("wmin").as("fp"))
-      .distinct()
-  }
+      k: Int = 3, w: Int = 4): DataFrame =
+    // spread: per-gram md5 is heavy pre-shuffle compute now that hashing
+    // is map-side (identity at any real scan width)
+    documentsSpread(s, d)
+      .select(col("doc_id"), explode(array(words(col("text")))).as("ws"))
+      .filter(col("ws").isNotNull)
+      // gram-hash array: positions 0..max(nw−k, 0)
+      .select(col("doc_id"), explode(array(transform(
+        sequence(lit(0), greatest(size(col("ws")) - k, lit(0))),
+        i => conv(substring(md5(concat_ws(" ",
+            (0 until k).map(j => get(col("ws"), i + j)): _*).cast("binary")),
+          1, 15), 16, 10).cast("long")))).as("hs"))
+      // winnow minima: window starts 0..max(n_grams−w, 0), min over the
+      // (end-clamped) w-slice; per-doc distinct in-row
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
+        j => array_min(slice(col("hs"), j + 1, lit(w)))))).as("fp"))
 
   /**
    * Winnowing near-dup candidates: documents sharing ≥ `minShared`

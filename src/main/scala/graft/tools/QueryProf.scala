@@ -58,6 +58,15 @@ object QueryProf {
           shufRd.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         }
         tasks.addAndGet(s.stageInfo.numTasks)
+        if (sys.env.contains("SPARK_GRAFT_PROF_STAGES")) {
+          val si = s.stageInfo
+          val wall = (si.completionTime.getOrElse(0L) -
+            si.submissionTime.getOrElse(0L)) / 1e3
+          println(f"    [stg ${si.stageId}%4d] tasks=${si.numTasks}%3d " +
+            f"wall=$wall%6.2f runT=${if (m == null) 0 else m.executorRunTime}%6d " +
+            f"shW=${if (m == null) 0L else m.shuffleWriteMetrics.bytesWritten / 1000}%8dK " +
+            si.name.takeWhile(_ != '\n').take(60))
+        }
       }
     })
 
