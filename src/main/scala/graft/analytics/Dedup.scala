@@ -496,16 +496,16 @@ object Dedup {
           explode(array_distinct(
             transform(ngramsFromWords(col("ws"), ContainmentShingleN),
               g => shingleHash(g)))).as("gh")),
-      // eager: six plan branches read this pin (sizes, df, prefix rank,
-      // candidate probe, both verification sides) and AQE schedules the
-      // independent leaf stages CONCURRENTLY — with a lazy pin each of
-      // those stages recomputes the un-materialized shingle explode+md5
-      // in parallel before any block lands in the store, so the corpus
-      // is shingled up to 6× (guide §1.2: don't compute things twice).
-      // At sf0.1 the duplicated CPU hides in idle cores (A/B wash,
-      // r19); at 100 TB cluster CPU is the scarce resource and one
-      // materialization is strictly less work.
-      eager = true)
+      // LAZY pin, kept after an r19 eager A/B: six plan branches read
+      // this pin and with eager=true the materialization is a blocking
+      // barrier before any branch starts — measured ~0.5-1.0 s SLOWER at
+      // sf0.1 (full-battery windows: eager minima 3.28 s vs the lazy
+      // spelling's committed 2.32 s) because the lazy branches' duplicate
+      // recompute of the explode+md5 tail overlaps on otherwise-idle
+      // cores while the spread shuffle itself is reused across jobs. The
+      // duplicated tail CPU (≤6×) is the documented trade for that
+      // overlap; revisit only with a cluster-scale measurement.
+      eager = false)
     val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dfreq = toks.groupBy("gh").agg(count(lit(1)).as("df"))
     // prefix membership is ELIGIBLE shingles only (df ≤ dfCap), ranked
