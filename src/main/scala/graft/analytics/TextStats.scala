@@ -1432,20 +1432,59 @@ object TextStats {
   def entropyProfile(s: SparkSession, d: String): DataFrame =
     entropyProfileOf(documents(s, d))
 
-  /** [[entropyProfile]] over an arbitrary (doc_id, lang, text) frame. */
+  /** [[entropyProfile]] over an arbitrary (doc_id, lang, text) frame.
+    *
+    * Round 20 (guide §2.4 "remove shuffles outright" / §1.2): MAP-SIDE
+    * per-document form. The old spelling exploded words to rows, paid an
+    * Exchange for the (doc, lang, word) count aggregate, a second for the
+    * per-doc totals aggregate, a doc-keyed shuffle JOIN to attach them,
+    * and a fourth exchange for the language rollup — four shuffles of
+    * corpus-derived rows for a quantity that is a pure per-document
+    * function of the text. Here the per-(doc, word) counts come from
+    * run lengths over the SORTED words array (boundary positions where
+    * sorted[i] ≠ sorted[i−1] — the CDC starts/slices trick), the 6-dp
+    * rounded entropy terms decimal-sum in-row with `aggregate`, and the
+    * whole document collapses to one (lang, types, h, norm_h) row in the
+    * scan stage; the ONLY shuffle left is the language rollup (map-side
+    * combined, |langs| rows). Each intermediate array (`ws`, sorted
+    * `sw`, `starts`) is an explode-of-1-element-array Generate output so
+    * CollapseProject cannot inline the tokenizer into the sort, the sort
+    * into the boundary lambda, or the boundary filter into the
+    * run-length lambda (the round-7 O(n²) hazard).
+    *
+    * Value equivalence (pinned by Round10OpsSpec's scalar replay and the
+    * q125 oracle hash): run lengths over the sorted array ≡ the old
+    * per-(doc, word) counts; p, the 6-dp term round, the decimal(38,6)
+    * sum (Spark's Sum over decimal(28,6) widens to exactly that type),
+    * types ≡ count of distinct words, and the norm_h spelling are
+    * unchanged expression for expression. */
   def entropyProfileOf(docs: DataFrame): DataFrame = {
-    val wc = docs
-      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
-      .groupBy(col("doc_id"), col("lang"), col("w"))
-      .agg(count(lit(1)).as("c"))
-    val tot = wc.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("types"))
-    val perDoc = wc.join(tot, "doc_id")
-      .withColumn("p", col("c").cast("double") / col("n"))
-      .withColumn("term",
-        round(-col("p") * log2(col("p")), 6).cast("decimal(18,6)"))
-      .groupBy(col("doc_id"), col("lang"), col("types"))
-      .agg(sum(col("term").cast("decimal(28,6)")).as("h"))
+    val perDoc = docs
+      .select(col("doc_id"), col("lang"),
+        explode(array(words(col("text")))).as("ws"))
+      // NULL text ⇒ NULL ws: the old explode emitted no rows for it and
+      // the doc was excluded — same here
+      .filter(col("ws").isNotNull)
+      .select(col("lang"), explode(array(sort_array(col("ws")))).as("sw"))
+      // run starts (0-based): 0, plus every i where the sorted word
+      // changes — one run per distinct word, run length = its count
+      .select(col("lang"), col("sw"), explode(array(concat(
+        array(lit(0)),
+        when(size(col("sw")) >= 2,
+          filter(sequence(lit(1), size(col("sw")) - 1),
+            i => get(col("sw"), i) =!= get(col("sw"), i - 1)))
+          .otherwise(array().cast("array<int>"))))).as("starts"))
+      .select(col("lang"),
+        size(col("starts")).as("types"),
+        aggregate(
+          transform(sequence(lit(0), size(col("starts")) - 1),
+            k => round(-((coalesce(get(col("starts"), k + 1), size(col("sw"))) -
+                get(col("starts"), k)).cast("double") / size(col("sw"))) *
+              log2((coalesce(get(col("starts"), k + 1), size(col("sw"))) -
+                get(col("starts"), k)).cast("double") / size(col("sw"))), 6)
+              .cast("decimal(18,6)")),
+          lit(BigDecimal(0)).cast("decimal(38,6)"),
+          (acc, x) => acc + x.cast("decimal(38,6)")).as("h"))
       .withColumn("norm_h",
         when(col("types") <= 1, lit(BigDecimal(0)).cast("decimal(18,6)"))
           .otherwise(round(col("h").cast("double") /
@@ -1787,7 +1826,10 @@ object TextStats {
    * from sorted (pos, word) structs.
    */
   def cdcChunkDedup(s: SparkSession, d: String, divisor: Int = 16): DataFrame =
-    cdcChunkDedupOf(documents(s, d), divisor)
+    // spread (r20): boundary hashing + chunk md5 are heavy pre-shuffle
+    // compute now that chunking is map-side (identity at any real scan
+    // width — the gram-family precedent)
+    cdcChunkDedupOf(documentsSpread(s, d), divisor)
 
   /** [[cdcChunkDedup]] over an arbitrary (doc_id, text) frame. */
   def cdcChunkDedupOf(docs: DataFrame, divisor: Int): DataFrame =
@@ -1798,8 +1840,69 @@ object TextStats {
     * content-local), which is what makes the streaming gate's state
     * arrival-order/replay independent: the batch audit counts these
     * rows, the gate ([[graft.streaming.StreamingCorpus.startCdcChunkGate]])
-    * maintains exactly this table keyed (doc_id, chunk_id). */
-  def cdcChunkOccurrencesOf(docs: DataFrame, divisor: Int): DataFrame = {
+    * maintains exactly this table keyed (doc_id, chunk_id).
+    *
+    * Round 20 (guide §2.4 "remove shuffles outright"): MAP-SIDE array
+    * form, the [[allGramHashesOf]]/[[winnowFingerprints]] move applied to
+    * the chunk family. The old spelling posexploded words to rows and
+    * paid an Exchange hashpartitioning(doc_id) for the lag/running-sum
+    * windows plus a SECOND doc-keyed exchange to reassemble chunk text
+    * with collect_list — two corpus-word-sized shuffles whose only
+    * purpose was per-document bookkeeping that is computable in-row.
+    * Here the boundary positions (gear criterion on the trailing word
+    * bigram), the chunk start offsets, the chunk md5s and the chunk
+    * lengths are all computed in the SCAN stage over the words array;
+    * nothing shuffles until the consumer's own keyed operation
+    * (q132's ledger aggregate / the gate's bucketed merge). Both
+    * intermediate arrays (`ws`, `starts`) are explode-of-1-element-array
+    * Generate outputs so CollapseProject cannot inline the tokenizer
+    * into the boundary lambda or the boundary filter into the per-chunk
+    * slice lambda (the round-7 O(n²) re-evaluation hazard).
+    *
+    * Boundary convention — pinned by CdcBoundaryFixtureSpec against the
+    * retained windowed reference [[cdcChunkOccurrencesWindowed]] and by
+    * the q132 oracle hash: a cut falls AFTER word p (0-based, p ≥ 1)
+    * when hash60(w[p−1] ⧺ " " ⧺ w[p]) ≡ 0 mod divisor; a cut after the
+    * LAST word creates no empty chunk (the old running-sum simply had no
+    * row left to increment, so valid new-chunk starts are p+1 ≤ n−1);
+    * NULL text yields no rows; empty text tokenizes to [""] and yields
+    * one chunk of md5("") with nw = 1, exactly as the old posexplode
+    * emitted its single (pos 0, "") row. */
+  def cdcChunkOccurrencesOf(docs: DataFrame, divisor: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(array(words(col("text")))).as("ws"))
+      .filter(col("ws").isNotNull)
+      // chunk start offsets (0-based): 0, plus p+1 for every boundary
+      // word p in 1..n−2 (a boundary at the last word opens no chunk)
+      .select(col("doc_id"), col("ws"), explode(array(concat(
+        array(lit(0)),
+        when(size(col("ws")) >= 3,
+          transform(
+            filter(sequence(lit(1), size(col("ws")) - 2),
+              p => hash60(concat_ws(" ",
+                get(col("ws"), p - 1), get(col("ws"), p))) % divisor === 0),
+            p => p + 1))
+          .otherwise(array().cast("array<int>"))))).as("starts"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("starts")) - 1),
+        k => struct(
+          md5(array_join(slice(col("ws"), get(col("starts"), k) + 1,
+            coalesce(get(col("starts"), k + 1), size(col("ws"))) -
+              get(col("starts"), k)), " ").cast("binary")).as("m"),
+          (coalesce(get(col("starts"), k + 1), size(col("ws"))) -
+            get(col("starts"), k)).cast("long").as("nw"))))
+        .as(Seq("chunk_id", "ch")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("ch.m").as("chunk_md5"), col("ch.nw").as("nw"))
+
+  /** The pre-round-20 windowed spelling of [[cdcChunkOccurrencesOf]],
+    * retained as the boundary-convention REFERENCE for
+    * CdcBoundaryFixtureSpec: the map-side rewrite must match it row for
+    * row on the planted boundary shapes (empty/NULL text, sub-3-word
+    * docs, boundary at the last word, divisor 1 = cut everywhere).
+    * Not called from any query path. */
+  private[graft] def cdcChunkOccurrencesWindowed(docs: DataFrame,
+      divisor: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val cum = byDoc.rowsBetween(Window.unboundedPreceding, -1)
     val wr = docs
@@ -2644,7 +2747,22 @@ object TextStats {
       topK: Int = 20, minCount: Int = 3): DataFrame =
     pmiCollocationsOf(documents(s, d), topK, minCount)
 
-  /** [[pmiCollocations]] over a (lang, text) frame. */
+  /** [[pmiCollocations]] over a (lang, text) frame.
+    *
+    * Round 20 fold-once A/B — tried, measured, REVERTED (guide §1.1
+    * "optimize that one thing, then look again"): a q123-style single
+    * tagged explode (unigrams with w2 = NULL + bigrams in one stream,
+    * one aggregate, the fold serving all five downstream consumers) was
+    * measured at sf0.1 min-of-3 in the same session as eager-pinned
+    * 0.892 s, lazy-pinned 0.858 s and unpinned 0.894 s against this
+    * two-scan spelling's 0.700 s: the tagged stream pushes 2n rows with
+    * a two-string key through ONE hash aggregate (vs two n-row
+    * single-string aggregates with map-side partials) and the pin's
+    * localCheckpoint write/read of the vocab-sized fold costs more than
+    * the second 17 MB scan it saves at this scale. At 100 TB the
+    * trade-off may invert (two corpus scans vs one), but that claim
+    * needs a cluster-scale measurement; the bench gate keeps the
+    * two-scan form. */
   def pmiCollocationsOf(docs: DataFrame, topK: Int, minCount: Int): DataFrame = {
     val wsDocs = docs
       .filter(col("lang").isNotNull)
@@ -2665,6 +2783,13 @@ object TextStats {
       .groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cb"))
     val nb = bi.groupBy(col("lang")).agg(sum(col("cb")).as("nb"))
+    pmiScoreOf(uni, nu, bi, nb, topK, minCount)
+  }
+
+  /** Scoring tier of [[pmiCollocationsOf]] over the fold-derived count
+    * tables (spelling unchanged from the two-scan form). */
+  private def pmiScoreOf(uni: DataFrame, nu: DataFrame, bi: DataFrame,
+      nb: DataFrame, topK: Int, minCount: Int): DataFrame = {
     val scored = bi
       .filter(col("cb") >= minCount)
       .join(uni.select(col("lang"), col("tok").as("w1"), col("cu").as("cu1")),
@@ -2721,32 +2846,72 @@ object TextStats {
   def bm25TopDocs(s: SparkSession, d: String, nQueries: Int = 5,
       topDocs: Int = 10): DataFrame = {
     val docs = documents(s, d).filter(col("text").isNotNull)
+    // round 20 fold-once: the query-term selection and the scoring pass
+    // share ONE pinned tokenize fold instead of re-scanning the corpus
+    val fold = bm25Fold(docs)
     // orderBy+limit plans as a distributed TakeOrdered (per-partition
     // heaps), never a global sort of the vocabulary
-    val queries = bm25DfTable(docs)
+    val queries = fold.filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok"))
       .limit(nQueries)
       .select(col("tok"), col("df"))
-    bm25TopDocsOf(docs, queries, topDocs)
+    bm25ScoreOf(fold, queries, topDocs, 1.2, 0.75)
   }
 
-  /** Document frequency of every distinct token over non-null texts. */
-  private def bm25DfTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(array_distinct(words(col("text")))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+  /** The pinned per-(doc, token) BM25 fold: (doc_id, len, tok, tf), one
+    * row per distinct token per document, plus one (tok NULL, len NULL)
+    * sentinel row for a NULL-text document so the corpus-level n_docs /
+    * avgdl stay derivable (the old spelling's separate corpus aggregate
+    * counted those rows too). Requires doc_id to be unique (the corpus
+    * primary key) — n_docs is recovered as the fold's distinct doc_id
+    * count.
+    *
+    * Round 20 (guide §1.2 / §2.3, the q123 fold-once move): the old
+    * spelling scanned and tokenized the corpus THREE times (df table,
+    * posting explode, corpus length aggregate) and paid a separate
+    * (doc, tok) aggregate exchange for tf; this fold is ONE tokenize
+    * pass whose pinned output serves df (rows per tok — the fold is
+    * distinct per (doc, tok), ≡ the old array_distinct-based count),
+    * tf/len (the fold rows themselves), and n_docs/avgdl (a per-doc
+    * rollup). */
+  private def bm25Fold(docs: DataFrame): DataFrame =
+    // LAZY pin (r20 A/B at sf0.1, min-of-3, same session): lazy 0.605 s
+    // = the old three-scan spelling's 0.605 s; eager 0.640 s (the
+    // blocking materialization barrier costs more than it saves here);
+    // UNPINNED 0.820 s (the three consumer subtrees each recompute the
+    // fold — exchange reuse does not cover it). Kept pinned-lazy: same
+    // wall at sf0.1 and the corpus is tokenized ONCE instead of three
+    // times, which is the 100 TB win.
+    org.apache.spark.sql.GraftBridge.checkpointNoStats(
+      bm25FoldPlan(docs), eager = false)
+
+  /** The un-pinned [[bm25Fold]] plan — exposed for the plan-evidence dump
+    * (the pin materializes to a LogicalRDD, hiding the fold's own shape
+    * in consumer plans). */
+  private[graft] def bm25FoldPlan(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(array(words(col("text")))).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("len"),
+        explode_outer(col("ws")).as("tok"))
+      .groupBy(col("doc_id"), col("len"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
 
   /** [[bm25TopDocs]] against a caller-supplied (tok, df) query frame
     * (df must come from the same corpus the scores are computed over). */
   def bm25TopDocsOf(docs: DataFrame, queries: DataFrame, topDocs: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs
-      .withColumn("w", words(col("text")))
-      .select(col("doc_id"), size(col("w")).as("len"), explode(col("w")).as("tok"))
-    val corpus = docs.agg(count(lit(1)).as("n_docs"),
-      (sum(size(words(col("text")))).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks.join(broadcast(queries.select(col("tok"))), Seq("tok"), "left_semi")
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"), first(col("len")).as("len"))
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoreOf(bm25Fold(docs), queries, topDocs, k1, b)
+
+  /** Scoring tier over a [[bm25Fold]] frame. */
+  private def bm25ScoreOf(fold: DataFrame, queries: DataFrame, topDocs: Int,
+      k1: Double, b: Double): DataFrame = {
+    val corpus = fold.groupBy(col("doc_id")).agg(max(col("len")).as("len"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = fold.filter(col("tok").isNotNull)
+      .join(broadcast(queries.select(col("tok"))), Seq("tok"), "left_semi")
+      .select(col("doc_id"), col("tok"), col("tf"), col("len"))
     val scored = tf
       .join(broadcast(queries), Seq("tok"))
       .crossJoin(broadcast(corpus))
