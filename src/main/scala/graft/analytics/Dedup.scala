@@ -478,35 +478,38 @@ object Dedup {
     * pairs sharing ≥1 prefix-eligible shingle with one side's prefix. */
   def containmentCandidates(docsDF: DataFrame, pct: Int = ContainmentPct,
       dfCap: Int = ContainmentDfCap): DataFrame =
-    containmentStages(docsDF, pct, dfCap)._2
+    containmentStages(docsDF, pct, dfCap)._3
 
-  /** Shared shingle base + df-capped candidate stage: (toks, candidates).
-    * toks is transient-pinned — it feeds six plan branches (sizes, df,
-    * prefix rank, candidate probe, both verification sides), so pinning
-    * shingles+md5's the corpus once, not six times (the q151 pinned-base
-    * lesson; Bench/Verify release after each pass). */
+  /** Shared shingle base + df-capped candidate stage:
+    * (ghs — per-doc distinct shingle-hash ARRAYS, toks — the exploded
+    * inverted-index rows, candidates). ghs is transient-pinned — it is
+    * the one md5 pass over the corpus; toks and every downstream branch
+    * derive from it (the q151 pinned-base lesson; Bench/Verify release
+    * after each pass). */
   private def containmentStages(docsDF: DataFrame, pct: Int,
-      dfCap: Int): (DataFrame, DataFrame) = {
+      dfCap: Int): (DataFrame, DataFrame, DataFrame) = {
     require(pct > 0 && pct < 100, s"containment pct must be in (0,100): $pct")
     require(dfCap > 0, s"containment dfCap must be positive: $dfCap")
-    val toks = org.apache.spark.sql.GraftBridge.checkpointNoStats(
+    val ghs = org.apache.spark.sql.GraftBridge.checkpointNoStats(
       docsDF.select(col("doc_id"), words(col("text")).as("ws"))
         .filter(size(col("ws")) >= ContainmentShingleN)
         .select(col("doc_id"),
-          explode(array_distinct(
+          array_distinct(
             transform(ngramsFromWords(col("ws"), ContainmentShingleN),
-              g => shingleHash(g)))).as("gh")),
-      // LAZY pin, kept after an r19 eager A/B: six plan branches read
-      // this pin and with eager=true the materialization is a blocking
-      // barrier before any branch starts — measured ~0.5-1.0 s SLOWER at
-      // sf0.1 (full-battery windows: eager minima 3.28 s vs the lazy
-      // spelling's committed 2.32 s) because the lazy branches' duplicate
-      // recompute of the explode+md5 tail overlaps on otherwise-idle
-      // cores while the spread shuffle itself is reused across jobs. The
-      // duplicated tail CPU (≤6×) is the documented trade for that
-      // overlap; revisit only with a cluster-scale measurement.
+              g => shingleHash(g))).as("ghs")),
+      // LAZY pin, re-validated at sf1 in r20 (VERDICT item 2): with the
+      // array-verification shape, sf1 min-of-3 lazy = 3.54 s vs eager
+      // 3.99 s (and at sf0.1 lazy won in r19 by 0.5-1.0 s) — the lazy
+      // branches' duplicate md5-tail recompute still overlaps on
+      // otherwise-idle cores and beats the eager blocking barrier at
+      // BOTH measured scales. The r19-era alternatives re-measured at
+      // sf1 against the old exploded-pin spelling: lazy 16.48 s, eager
+      // 16.88 s, eager ARRAY pin 46.7 s — all dominated by this shape.
       eager = false)
-    val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val toks = ghs.select(col("doc_id"), explode(col("ghs")).as("gh"))
+    // sz = |distinct shingles| is a PROJECTION of the array now, not a
+    // corpus-row aggregate (r20: one exchange + one agg removed)
+    val szs = ghs.select(col("doc_id"), size(col("ghs")).cast("long").as("sz"))
     val dfreq = toks.groupBy("gh").agg(count(lit(1)).as("df"))
     // prefix membership is ELIGIBLE shingles only (df ≤ dfCap), ranked
     // AFTER the filter: a document with fewer than prefix-length
@@ -528,23 +531,41 @@ object Dedup {
       .select(least(col("pd"), col("td")).as("doc_a"),
         greatest(col("pd"), col("td")).as("doc_b"))
       .distinct()
-    (toks, cand)
+    (ghs, toks, cand)
   }
 
   /** [[containmentPairs]] over an arbitrary (doc_id, text) frame — lets
-    * specs plant controlled subset documents and assert recall. */
+    * specs plant controlled subset documents and assert recall.
+    *
+    * Round 20 verification rewrite (guide §2.3 "shuffle keys and
+    * metadata instead of payloads"): the old verification re-joined the
+    * EXPLODED inverted index twice (cand ⋈ toks(doc_a) fanned every
+    * candidate pair out to all of A's shingle rows, then the (doc_b, gh)
+    * equi-join + a pair-keyed count aggregate collapsed them back) and
+    * attached sizes with two more joins against a per-doc count
+    * aggregate. Since the pinned base now carries each document's
+    * DISTINCT shingle-hash ARRAY, n_common = |A∩B| is
+    * size(array_intersect(ghs_a, ghs_b)) computed IN-ROW after two
+    * doc-keyed joins of one array row per side, and sz_a/sz_b are
+    * size(ghs_*) projections — the per-pair shuffle volume drops from
+    * O(|A| + |B|) index rows to two array payloads, and two aggregates
+    * + two joins leave the plan. Value identity: both arrays are
+    * distinct, so |array_intersect| ≡ the old shared-row count (cast
+    * long, as count() returned); over-cap shingles still count toward
+    * n_common exactly as before (the arrays carry ALL shingles; the cap
+    * only gated candidacy). Oracle-pinned at sf0.01/sf0.001, the sf1
+    * hash pin, and the binding-cap fixture. */
   def containmentPairsFor(docsDF: DataFrame, pct: Int,
       dfCap: Int = ContainmentDfCap): DataFrame = {
-    val (toks, cand) = containmentStages(docsDF, pct, dfCap)
-    val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("gh")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("gh")), Seq("doc_b", "gh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(szs.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(szs.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+    val (ghs, _, cand) = containmentStages(docsDF, pct, dfCap)
+    cand
+      .join(ghs.select(col("doc_id").as("doc_a"), col("ghs").as("ghs_a")), "doc_a")
+      .join(ghs.select(col("doc_id").as("doc_b"), col("ghs").as("ghs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ghs_a"), col("ghs_b"))).cast("long")
+          .as("n_common"),
+        size(col("ghs_a")).cast("long").as("sz_a"),
+        size(col("ghs_b")).cast("long").as("sz_b"))
       .filter(col("n_common") * 100 >= least(col("sz_a"), col("sz_b")) * pct)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("sz_a"), col("sz_b"),
@@ -1805,10 +1826,12 @@ object Dedup {
    */
   def crossSourceLeakage(s: SparkSession, d: String,
       maxHamming: Int = 6): DataFrame =
-    // NOT spread (r19 A/B): unlike [[hammingHistogram]]'s entry, the
-    // matrix recompute downstream dominates here and the added exchange
-    // cost more than the parallel fingerprinting bought
-    // (1.82 s -> 2.14 s with spread at sf0.1)
+    // NOT spread — re-validated at BOTH bench scales (r19 + r20 VERDICT
+    // item 8): unlike [[hammingHistogram]]'s entry, the matrix recompute
+    // downstream dominates and the added exchange cost more than the
+    // parallel fingerprinting bought at sf0.1 (1.82 s -> 2.14 s, r19)
+    // AND at sf1 (4.74 s -> 5.22 s, r20 same-session min-of-3). The
+    // rejection stands at scale.
     crossSourceLeakageOf(
       documents(s, d).select(col("doc_id"), col("text"), col("source")),
       maxHamming)
