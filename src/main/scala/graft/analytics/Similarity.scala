@@ -905,7 +905,20 @@ object Similarity {
     * change mid-session. None = degenerate corpus (no rows, or every
     * embedding NULL) — the caller degrades to the empty typed frame,
     * mirroring the oracle's NULL-width collapse. In-memory frames (specs,
-    * streaming state) have no file set and probe directly, uncached. */
+    * streaming state) have no file set and probe directly, uncached.
+    *
+    * INVARIANT (r20 ADVICE): the cache keys on the frame's inputFiles
+    * alone, so every file-backed frame passed to a PQ-family `*Of` entry
+    * must have the SAME max embedding width as the raw scan of those
+    * files — a NULL-filter is fine (max ignores NULLs), but a caller
+    * passing a genuinely narrowed subset (row-filtered to short vectors,
+    * or width-transformed) would train with whichever frame probed
+    * first. All current callers satisfy this; a future narrowed-subset
+    * caller must probe uncached (strip the file set, e.g. via
+    * localCheckpoint) or fold a plan digest into the key. The key also
+    * carries no mtimes — rewriting a parquet in-session would serve the
+    * stale width; Bench/Verify restart the JVM per run, so this is a
+    * documented session-scope assumption, not an observable today. */
   private val maxDimCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
   private def maxEmbeddingDim(emb: DataFrame): Option[Int] = {

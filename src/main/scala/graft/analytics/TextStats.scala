@@ -312,6 +312,14 @@ object TextStats {
    * truncated gram for sub-k docs (concat_ws skips the null tail), one
    * clamped window for sub-w gram sets (slice clamps at the array end),
    * NULL text yields no rows.
+   *
+   * Scaling note (r20 ADVICE): the map-side form holds each document's
+   * full words array AND gram-hash array in one task row, so a single
+   * pathological multi-megaword document concentrates O(n·w) transient
+   * allocation in one task (the old window form had the same asymptotic
+   * cost but streamed rows). A 100 TB run over unbounded documents
+   * should length-cap or split monster docs upstream — that is where
+   * the memory spike would appear.
    */
   def winnowFingerprints(s: SparkSession, d: String,
       k: Int = 3, w: Int = 4): DataFrame =
@@ -1046,7 +1054,13 @@ object TextStats {
     * Score identity: Σ_occurrences term_b ≡ Σ_b c_b·term_b — the per-term
     * decimals are exact, multiplication by an integer count is exact, so
     * the decimal sums are bit-equal and the Gumbel selection order is
-    * unchanged (oracle hash identical; pinned by the r19 A/B). */
+    * unchanged (oracle hash identical; pinned by the r19 A/B).
+    *
+    * NOTE (r20 ADVICE): the fold pin is EAGER, so merely CONSTRUCTING
+    * this DataFrame (a plan dump, a registry enumeration) runs the full
+    * corpus tokenize+hash job before any action — the A/B-measured
+    * price of the blocking barrier paying off for q123's consumer
+    * branches. Plan-only consumers should dump at a small SF. */
   def dsirSelectOf(docs: DataFrame, nBuckets: Int = 256,
       keepN: Int = 100): DataFrame = {
     val fold = org.apache.spark.sql.GraftBridge.checkpointNoStats(

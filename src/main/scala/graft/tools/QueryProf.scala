@@ -43,11 +43,11 @@ object QueryProf {
     val taskTimeMs = new AtomicLong(0)
     val shufWr = new AtomicLong(0)
     val shufRd = new AtomicLong(0)
-    @volatile var firstJobNanos = 0L
+    val firstJobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
-        if (firstJobNanos == 0L) firstJobNanos = System.nanoTime()
+        firstJobNanos.compareAndSet(0L, System.nanoTime())
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
@@ -82,14 +82,16 @@ object QueryProf {
       (1 to runs).foreach { r =>
         jobs.set(0); stages.set(0); tasks.set(0)
         taskTimeMs.set(0); shufWr.set(0); shufRd.set(0)
-        firstJobNanos = 0L
+        firstJobNanos.set(0L)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val wall = (System.nanoTime() - t0) / 1e9
-          // listener bus is async; give it a beat to drain before reading
-          Thread.sleep(120)
-          val plan = if (firstJobNanos == 0L) wall else (firstJobNanos - t0) / 1e9
+          // listener bus is async; block until it has actually drained
+          // (r20 ADVICE: a fixed sleep under-reports on a loaded host)
+          org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark, 30000)
+          val plan = if (firstJobNanos.get == 0L) wall
+            else (firstJobNanos.get - t0) / 1e9
           line = f"$n%-34s $wall%7.3f $plan%7.3f ${jobs.get}%5d ${stages.get}%5d ${tasks.get}%6d ${taskTimeMs.get / 1e3}%8.2f ${shufWr.get / 1e6}%7.2f ${shufRd.get / 1e6}%7.2f"
         } catch {
           case e: Throwable => line = f"$n%-34s FAILED: ${e.getMessage.take(80)}"

@@ -14,6 +14,12 @@ object GraftBridge {
   def columnOf(e: Expression): Column = Column(ExpressionColumnNode(e))
   def expressionOf(c: Column): Expression = ColumnConversions.expression(c)
 
+  /** Block until the async listener bus has drained (private[spark]) —
+    * the dev profiler reads listener-fed counters right after an action
+    * and a fixed sleep under-reports on a loaded host (r20 ADVICE). */
+  def waitListenerBusEmpty(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /**
    * Pin lifecycle. Every [[checkpointNoStats]] persists its RDD
    * (`localCheckpoint` defaults to MEMORY_AND_DISK) and, before round 15,
